@@ -1,0 +1,38 @@
+"""Ship the package to executors — the spark-submit --py-files artifact.
+
+The north_rule requires the pipeline to ship as ``spark-submit
+--py-files`` artifacts. ``build_pyfiles_zip`` produces that artifact;
+``ensure_shipped`` attaches it to a live session (equivalent to passing
+it on the spark-submit command line) so Python workers can unpickle the
+extraction UDF closures regardless of the driver's working directory.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import zipfile
+
+_PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+
+
+def build_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the fscrawler_spark package (sources only, deterministic order)."""
+    out_path = out_path or os.path.join(tempfile.gettempdir(), "fscrawler_spark_pyfiles.zip")
+    with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for root, dirs, files in os.walk(_PKG_DIR):
+            dirs.sort()
+            if "__pycache__" in root:
+                continue
+            for fn in sorted(files):
+                if not fn.endswith(".py"):
+                    continue
+                full = os.path.join(root, fn)
+                rel = os.path.join("fscrawler_spark", os.path.relpath(full, _PKG_DIR))
+                zf.write(full, rel)
+    return out_path
+
+
+def ensure_shipped(spark) -> None:
+    zip_path = build_pyfiles_zip()
+    spark.sparkContext.addPyFile(zip_path)

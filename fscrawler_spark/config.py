@@ -1,0 +1,78 @@
+"""Job settings — the analog of the reference's ``Fs`` settings bean.
+
+Mirrors defaults from /root/reference/settings/.../Fs.java:34-126 and
+TikaDocParser.java:141-156 (indexed_chars), FsCrawlerUtil.java:100-216
+(include/exclude globs + content filters).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+
+DEFAULT_INDEXED_CHARS = 100_000  # reference: TikaDocParser.java:141
+DEFAULT_EXCLUDES = ("*/~*",)  # reference: settings/Defaults.java:28
+
+
+def glob_to_regex(pattern: str) -> str:
+    """Lower a case-insensitive glob (`*`, `?`) to a regex.
+
+    Reference semantics: FsCrawlerUtil.java:171 — glob matched against the
+    virtual path, case-insensitively, `*` crossing path separators.
+    """
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "(?i)^" + "".join(out) + "$"
+
+
+@dataclass(frozen=True)
+class ExtractSettings:
+    """Per-job extraction configuration (``Fs`` bean analog).
+
+    indexed_chars: max chars of *extracted* text kept per turn; the
+        truncated prefix is kept, never dropped (reference:
+        TikaInstance.java:249-258 WriteLimitReached -> keep partial).
+    indexed_chars_percent: if set, overrides indexed_chars with
+        ceil(len(source) * pct) per turn (reference:
+        TikaDocParser.java:143-151, Percentage.java:25-66).
+    includes / excludes: case-insensitive globs on the virtual path
+        (for transcripts: on ``conv_id``/``tool``); excludes win.
+    filters: content regexes — a turn is kept only if extracted text
+        matches ALL of them (reference: FsCrawlerUtil.java:192-216).
+    ignore_above: skip turns whose source text is longer than this
+        (reference: FsParser.java:960-974).
+    """
+
+    indexed_chars: int = DEFAULT_INDEXED_CHARS
+    indexed_chars_percent: float | None = None
+    includes: tuple[str, ...] = ()
+    excludes: tuple[str, ...] = DEFAULT_EXCLUDES
+    filters: tuple[str, ...] = ()
+    ignore_above: int | None = None
+    index_content: bool = True
+    checksum_algo: str = "sha256"
+    lang_detect: bool = False
+    store_source: bool = False
+    remove_deleted: bool = True
+    continue_on_error: bool = True
+    # scale knobs
+    num_buckets: int = 32          # output partition buckets (conv-hash)
+    skew_salt: int = 8             # salt fan-out for mega-conversations
+    arrow_batch_rows: int = 2_000  # spark.sql.execution.arrow.maxRecordsPerBatch
+
+    def limit_for(self, source_len: int) -> int:
+        if self.indexed_chars_percent is not None:
+            import math
+
+            return math.ceil(source_len * self.indexed_chars_percent)
+        return self.indexed_chars
+
+
+DEFAULTS = ExtractSettings()

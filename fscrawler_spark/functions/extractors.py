@@ -1,0 +1,334 @@
+"""Pure-Python extraction core: MIME sniff + per-format main-content
+extraction with char-offset spans.
+
+This is the engine's analog of the reference's Tika integration
+(/root/reference/tika/src/main/java/.../TikaInstance.java:119-268 and
+TikaDocParser.java:113-511), rebuilt as deterministic, stateless pure
+functions so they can run inside Arrow-vectorized pandas UDFs with no
+shared state across batches.
+
+Canonical extraction contract (every format):
+
+* ``extracted`` is ``"\\n".join(source[start:end] for (start, end) in spans)``
+  — spans are char offsets into the ORIGINAL source text, so extraction is
+  always a verbatim slicing of the input. This is the per-turn invariant the
+  golden tests assert.
+* truncation: extracted text (including the "\\n" joiners) is capped at
+  ``limit`` chars; the partial final block is KEPT, mirroring the
+  reference's WriteLimitReached handling (TikaInstance.java:249-258).
+* failures never raise: encrypted payloads yield (None, [], 'encrypted'),
+  unparseable ones (None, [], 'parse_error') — mirroring
+  TikaDocParser.java:580-589 / TikaDocParserTest.java:1408-1416.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+
+MIME_PLAIN = "text/plain"
+MIME_HTML = "text/html"
+MIME_JSON = "application/json"
+MIME_XML = "application/xml"
+MIME_PDF = "application/pdf"
+MIME_BINARY = "application/octet-stream"
+
+_WS_RE = re.compile(r"\s+")
+
+
+def sniff_mime(text: str | None) -> str:
+    """MIME sniff on payload leading bytes (TikaInstance AutoDetectParser
+    analog, TikaInstance.java:119-218). Must stay expressible as a SQL
+    CASE (see functions/sniff.py) — keep rules prefix-based."""
+    if text is None or text == "":
+        return MIME_PLAIN
+    if text.startswith("ENC:") or "\x00" in text:
+        return MIME_BINARY
+    s = text.lstrip()
+    low = s[:16].lower()
+    if low.startswith("<!doctype html") or low.startswith("<html"):
+        return MIME_HTML
+    if s.startswith("<?xml"):
+        return MIME_XML
+    if text.startswith("%PDF-"):
+        return MIME_PDF
+    if s[:1] in ("{", "["):
+        return MIME_JSON
+    return MIME_PLAIN
+
+
+@dataclass
+class ExtractResult:
+    mime: str
+    extracted: str | None
+    spans: list[tuple[int, int]] = field(default_factory=list)
+    error: str | None = None
+
+
+def _assemble(source: str, runs: list[tuple[int, int]], limit: int) -> tuple[str, list[tuple[int, int]]]:
+    """Join run slices with '\\n', truncating at ``limit`` extracted chars
+    (joiners count; partial final run kept)."""
+    parts: list[str] = []
+    spans: list[tuple[int, int]] = []
+    used = 0
+    for start, end in runs:
+        joiner = 1 if parts else 0
+        avail = limit - used - joiner
+        if avail <= 0:
+            break
+        if end - start > avail:
+            end = start + avail
+        parts.append(source[start:end])
+        spans.append((start, end))
+        used += joiner + (end - start)
+    return "\n".join(parts), spans
+
+
+def _trim_run(text: str, start: int, end: int) -> tuple[int, int]:
+    while start < end and text[start].isspace():
+        start += 1
+    while end > start and text[end - 1].isspace():
+        end -= 1
+    return start, end
+
+
+# --- HTML ------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>?", re.DOTALL)
+_TAGNAME_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)")
+
+# Elements whose entire subtree is boilerplate-by-construction.
+DROP_TAGS = frozenset(
+    "script style noscript template head nav header footer aside form iframe svg button select option".split()
+)
+# Elements that terminate the current text block.
+BLOCK_TAGS = frozenset(
+    "p div article main section li ul ol dl dt dd h1 h2 h3 h4 h5 h6 blockquote pre "
+    "table thead tbody tr td th body html figure figcaption br hr".split()
+)
+VOID_TAGS = frozenset("br hr img input meta link area base col embed source track wbr".split())
+
+# Boilerpipe-style block classifier thresholds (link/text density).
+LINK_DENSITY_DROP = 0.66
+LINK_DENSITY_SHORT_DROP = 0.33
+SHORT_BLOCK_WORDS = 5
+
+
+def extract_html(text: str, limit: int) -> ExtractResult:
+    """DOM-tree text-density boilerplate strip (Boilerpipe/readability-style).
+
+    Single left-to-right pass with a regex tag tokenizer (no DOM build —
+    O(n), deterministic, stateless). Text runs are grouped into blocks at
+    block-level tag boundaries; a block is dropped when it lives inside a
+    DROP_TAGS subtree or its anchor-text (link) density marks it as
+    navigation boilerplate. Kept runs become verbatim source spans.
+
+    Reference behavioral model: Tika HtmlParser body-text extraction as
+    asserted in tika/src/test/.../TikaDocParserTest.java:308-314, upgraded
+    with density heuristics per the north_star spec.
+    """
+    drop_depth = 0
+    anchor_depth = 0
+    # current block accumulator: list of (start, end, in_anchor)
+    cur: list[tuple[int, int, bool]] = []
+    blocks: list[list[tuple[int, int, bool]]] = []
+
+    def flush() -> None:
+        nonlocal cur
+        if cur:
+            blocks.append(cur)
+            cur = []
+
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.start() > pos and drop_depth == 0:
+            s, e = _trim_run(text, pos, m.start())
+            if e > s:
+                cur.append((s, e, anchor_depth > 0))
+        pos = m.end()
+        tok = m.group(0)
+        if tok.startswith("<!") or tok.startswith("<?"):
+            continue
+        tm = _TAGNAME_RE.match(tok)
+        if not tm:
+            continue
+        closing, name = tm.group(1) == "/", tm.group(2).lower()
+        self_closing = tok.endswith("/>") or name in VOID_TAGS
+        if name in DROP_TAGS and not self_closing:
+            drop_depth += -1 if closing else 1
+            if drop_depth < 0:
+                drop_depth = 0
+            if not closing:
+                flush()
+            continue
+        if name == "a":
+            if closing:
+                anchor_depth = max(0, anchor_depth - 1)
+            elif not self_closing:
+                anchor_depth += 1
+            continue
+        if name in BLOCK_TAGS:
+            flush()
+    if pos < len(text) and drop_depth == 0:
+        s, e = _trim_run(text, pos, len(text))
+        if e > s:
+            cur.append((s, e, anchor_depth > 0))
+    flush()
+
+    kept_runs: list[tuple[int, int]] = []
+    for block in blocks:
+        total = sum(e - s for s, e, _ in block)
+        if total == 0:
+            continue
+        anchor = sum(e - s for s, e, a in block if a)
+        density = anchor / total
+        words = sum(len(text[s:e].split()) for s, e, _ in block)
+        if density > LINK_DENSITY_DROP:
+            continue
+        if density > LINK_DENSITY_SHORT_DROP and words < SHORT_BLOCK_WORDS:
+            continue
+        kept_runs.extend((s, e) for s, e, _ in block)
+
+    extracted, spans = _assemble(text, kept_runs, limit)
+    return ExtractResult(MIME_HTML, extracted, spans, None)
+
+
+# --- XML -------------------------------------------------------------------
+
+
+def extract_xml(text: str, limit: int) -> ExtractResult:
+    """XML text-node concatenation (XmlDocParser.java:44-82 analog).
+
+    Trimmed non-empty text runs joined by '\\n'. Whitespace-only documents
+    keep their first raw text run verbatim — mirrors the reference's
+    `"   \\n"` strict-equality edge case (TikaDocParserTest.java:186).
+    """
+    raw_runs: list[tuple[int, int]] = []
+    pos = 0
+    for m in _TOKEN_RE.finditer(text):
+        if m.start() > pos:
+            raw_runs.append((pos, m.start()))
+        pos = m.end()
+    if pos < len(text):
+        raw_runs.append((pos, len(text)))
+
+    trimmed = []
+    for s, e in raw_runs:
+        ts, te = _trim_run(text, s, e)
+        if te > ts:
+            trimmed.append((ts, te))
+    if not trimmed and raw_runs:
+        s, e = raw_runs[0]
+        extracted, spans = _assemble(text, [(s, e)], limit)
+        return ExtractResult(MIME_XML, extracted, spans, None)
+    extracted, spans = _assemble(text, trimmed, limit)
+    return ExtractResult(MIME_XML, extracted, spans, None)
+
+
+# --- PDF-like layout --------------------------------------------------------
+
+
+def extract_pdfish(text: str, limit: int) -> ExtractResult:
+    """Layout parse of the synthetic textual PDF-like format.
+
+    Format: first line starts '%PDF-'; '%'-prefixed lines are directives
+    (page markers '%%Page: N', comments); remaining lines are layout text
+    in page/line order. Output = trimmed non-empty lines joined by '\\n'
+    (page breaks normalize to the same separator), spans per line.
+    Reference analog: PDFParser ordering semantics (TikaInstance.java:136-149).
+    """
+    runs: list[tuple[int, int]] = []
+    pos = 0
+    n = len(text)
+    while pos <= n:
+        nl = text.find("\n", pos)
+        end = n if nl == -1 else nl
+        line = text[pos:end]
+        if not line.startswith("%"):
+            s, e = _trim_run(text, pos, end)
+            if e > s:
+                runs.append((s, e))
+        if nl == -1:
+            break
+        pos = nl + 1
+    extracted, spans = _assemble(text, runs, limit)
+    return ExtractResult(MIME_PDF, extracted, spans, None)
+
+
+# --- JSON -------------------------------------------------------------------
+
+_JSON_STR_RE = re.compile(r'"((?:[^"\\]|\\.)*)"', re.DOTALL)
+
+
+def extract_json(text: str, limit: int) -> ExtractResult:
+    """JSON passthrough (json_support, FsParser.java:1319-1321,1494-1525).
+
+    Extracted = string *values* (keys skipped) in document order, joined by
+    '\\n'; spans are the raw (unescaped-source) extents of each value, so
+    the verbatim-slice invariant holds even for escaped content. Parse
+    failure -> (None, 'parse_error'), never an exception.
+    """
+    try:
+        json.loads(text)
+    except Exception:
+        return ExtractResult(MIME_JSON, None, [], "parse_error")
+    runs: list[tuple[int, int]] = []
+    for m in _JSON_STR_RE.finditer(text):
+        after = m.end()
+        while after < len(text) and text[after] in " \t\r\n":
+            after += 1
+        if after < len(text) and text[after] == ":":
+            continue  # key, not value
+        if m.end() - 1 > m.start() + 1:
+            runs.append((m.start() + 1, m.end() - 1))
+    extracted, spans = _assemble(text, runs, limit)
+    return ExtractResult(MIME_JSON, extracted, spans, None)
+
+
+# --- plain / binary / empty --------------------------------------------------
+
+
+def extract_plain(text: str, limit: int) -> ExtractResult:
+    end = min(len(text), limit)
+    spans = [(0, end)] if end > 0 else []
+    return ExtractResult(MIME_PLAIN, text[:end], spans, None)
+
+
+def extract_binary(text: str) -> ExtractResult:
+    if text.startswith("ENC:"):
+        # encrypted -> content null, record kept (TikaDocParser.java:580-589)
+        return ExtractResult(MIME_BINARY, None, [], "encrypted")
+    return ExtractResult(MIME_BINARY, None, [], "parse_error")
+
+
+# --- dispatch ----------------------------------------------------------------
+
+
+def extract(text: str | None, limit: int = 100_000) -> ExtractResult:
+    """MIME-sniffed dispatch -> per-format extraction (T1 of SURVEY §2.4).
+
+    Total function: never raises on any input string.
+    """
+    if text is None:
+        return ExtractResult(MIME_PLAIN, None, [], None)
+    if text == "":
+        # zero-byte -> empty content is OK (TikaInstance.java:260-263)
+        return ExtractResult(MIME_PLAIN, "", [], None)
+    mime = sniff_mime(text)
+    try:
+        if mime == MIME_BINARY:
+            return extract_binary(text)
+        if mime == MIME_HTML:
+            return extract_html(text, limit)
+        if mime == MIME_XML:
+            return extract_xml(text, limit)
+        if mime == MIME_PDF:
+            return extract_pdfish(text, limit)
+        if mime == MIME_JSON:
+            return extract_json(text, limit)
+        return extract_plain(text, limit)
+    except Exception:
+        # continue_on_error: any unexpected parser failure nulls the content
+        # but keeps the record (TikaDocParserTest.java:1408-1416).
+        return ExtractResult(mime, None, [], "parse_error")

@@ -1,0 +1,53 @@
+"""Spark-native (JVM-side) MIME sniff expression.
+
+Column-expression twin of extractors.sniff_mime — used where sniffing is
+needed WITHOUT paying the Python UDF boundary (e.g. routing, stats,
+predicate pushdown-friendly pre-filters). Keep the two in lockstep; the
+unit test test_sniff_expr_matches_python asserts equality on the fixture
+corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from fscrawler_spark.functions.extractors import (
+    MIME_BINARY,
+    MIME_HTML,
+    MIME_JSON,
+    MIME_PDF,
+    MIME_PLAIN,
+    MIME_XML,
+)
+
+
+def sniff_mime_col(text: Column) -> Column:
+    s = F.regexp_replace(text, r"^\s+", "")
+    low = F.lower(F.substring(s, 1, 16))
+    return (
+        F.when(text.isNull() | (text == ""), F.lit(MIME_PLAIN))
+        .when(text.startswith("ENC:") | text.contains("\x00"), F.lit(MIME_BINARY))
+        .when(low.startswith("<!doctype html") | low.startswith("<html"), F.lit(MIME_HTML))
+        .when(s.startswith("<?xml"), F.lit(MIME_XML))
+        .when(text.startswith("%PDF-"), F.lit(MIME_PDF))
+        .when(F.substring(s, 1, 1).isin("{", "["), F.lit(MIME_JSON))
+        .otherwise(F.lit(MIME_PLAIN))
+    )
+
+
+# ANSI-SQL twin for the DuckDB oracle (same rules, same order).
+def sniff_mime_sql(col: str = "text") -> str:
+    return f"""
+    CASE
+      WHEN {col} IS NULL OR {col} = '' THEN 'text/plain'
+      WHEN {col} LIKE 'ENC:%' OR contains({col}, chr(0)) THEN 'application/octet-stream'
+      WHEN lower(substr(regexp_replace({col}, '^\\s+', ''), 1, 14)) = '<!doctype html'
+        OR lower(substr(regexp_replace({col}, '^\\s+', ''), 1, 5)) = '<html'
+        THEN 'text/html'
+      WHEN substr(regexp_replace({col}, '^\\s+', ''), 1, 5) = '<?xml' THEN 'application/xml'
+      WHEN {col} LIKE '%PDF-%' AND strpos({col}, '%PDF-') = 1 THEN 'application/pdf'
+      WHEN substr(regexp_replace({col}, '^\\s+', ''), 1, 1) IN ('{{', '[') THEN 'application/json'
+      ELSE 'text/plain'
+    END
+    """

@@ -1,0 +1,90 @@
+"""The extraction operator: transcripts rows -> Doc-analog rows.
+
+Column plan (all JVM-side except the single extraction UDF):
+
+  pre-filters (pushed to scan) -> salted bucket id -> extract UDF ->
+  doc_id/checksum/file metadata columns -> post content filter
+
+Doc-analog output schema (SURVEY §1.4):
+  conv_id, turn_idx, role, tool, ts        passthrough identity
+  doc_id: string                           sha256(conv_id '/' turn_idx) (T11)
+  mime, extracted, spans, error            extraction results (T1-T14)
+  file: struct<filesize, checksum, indexing_date>   (T10, File bean analog)
+  meta: struct<language>                   (T9, optional)
+  part_bucket: int                         salted conv-hash output bucket
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fscrawler_spark.config import ExtractSettings
+from fscrawler_spark.functions.udfs import make_extract_udf
+from fscrawler_spark.operators.filters import apply_post_filters, apply_pre_filters
+
+
+def salted_bucket(num_buckets: int, skew_salt: int):
+    """Salted output bucket: hash(conv_id, turn_idx % skew_salt) % buckets.
+
+    A mega-conversation fans out over ``skew_salt`` distinct buckets instead
+    of pinning one task (north_rule skew requirement; the reference is
+    single-threaded and has no answer here, FsParser.java:81). Extraction is
+    per-turn so no grouping ever needs to undo the salt.
+    """
+    return F.pmod(
+        F.xxhash64(F.col("conv_id"), F.pmod(F.col("turn_idx"), F.lit(skew_salt))),
+        F.lit(num_buckets),
+    ).cast("int")
+
+
+def extract_transcripts(
+    df: DataFrame,
+    settings: ExtractSettings | None = None,
+    indexing_date: str = "2026-01-01T00:00:00Z",
+) -> DataFrame:
+    """Full per-turn extraction plan. Embarrassingly parallel: no shuffle is
+    introduced between scan and sink (verified in tests via .explain)."""
+    settings = settings or ExtractSettings()
+    df = apply_pre_filters(df, settings)
+    extract_udf = make_extract_udf(settings)
+
+    out = (
+        df.withColumn("part_bucket", salted_bucket(settings.num_buckets, settings.skew_salt))
+        .withColumn("ex", extract_udf(F.col("text")))
+        .withColumn(
+            "doc_id",
+            F.sha2(F.concat_ws("/", F.col("conv_id"), F.col("turn_idx").cast("string")), 256),
+        )
+        .withColumn(
+            "file",
+            F.struct(
+                F.length(F.col("text")).alias("filesize"),
+                (
+                    F.sha2(F.col("text"), 256)
+                    if settings.checksum_algo == "sha256"
+                    else F.md5(F.col("text"))
+                ).alias("checksum"),
+                F.lit(indexing_date).cast("timestamp").alias("indexing_date"),
+            ),
+        )
+    )
+    cols = [
+        "conv_id",
+        "turn_idx",
+        "role",
+        "tool",
+        "ts",
+        "doc_id",
+        F.col("ex.mime").alias("mime"),
+        F.col("ex.extracted").alias("extracted"),
+        F.col("ex.spans").alias("spans"),
+        F.col("ex.error").alias("error"),
+        "file",
+        "part_bucket",
+    ]
+    if settings.store_source:
+        # T15 store-source: base64 of the original payload (TikaDocParser.java:471-487)
+        cols.append(F.base64(F.encode(F.col("text"), "UTF-8")).alias("attachment"))
+    out = out.select(*cols)
+    return apply_post_filters(out, settings)

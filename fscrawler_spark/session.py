@@ -1,0 +1,54 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local-mode testing stands in for a multi-executor cluster; all knobs are
+chosen to also be the right ones at 1000-executor scale:
+
+* AQE on (runtime coalesce + skew-join splitting) — the scale answer to
+  mega-conversation skew alongside explicit salting (SURVEY §4).
+* Arrow batches bounded so a pandas-UDF batch of ~100KB-payload turns
+  stays well inside executor memory (the reference's 64KB spool threshold
+  analog, TikaDocParser.java:93).
+* shuffle partitions sized to cores locally; on a real cluster AQE
+  coalesces from a high initial number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app: str = "fscrawler_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    arrow_batch_rows: int = 2_000,
+    extra: dict[str, str] | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    # ship the package to Python workers (spark-submit --py-files analog)
+    from fscrawler_spark.artifact import ensure_shipped
+
+    ensure_shipped(spark)
+    return spark
