@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() — one entry per implemented operator from SURVEY.md §2 plus the
+training-data ops (dedup / ANN / text analysis). oracle_sql() — DuckDB
+twins. Payload-constructing queries wrap ``documents.text`` in
+deterministic HTML/JSON/XML/PDF-like templates keyed on doc_id % 6, run
+the REAL extraction UDFs, and the oracle independently derives the
+expected answer from the embedded content — so a pass means the
+extractor recovered the content exactly.
 """
 
 from __future__ import annotations
@@ -12,27 +14,653 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fscrawler_spark.config import ExtractSettings
+from fscrawler_spark.functions import dedup, embeddings
+from fscrawler_spark.functions.sniff import sniff_mime_col
+from fscrawler_spark.functions.text_analysis import (
+    LANG_PROFILES,
+    fingerprint,
+    normalized_text,
+    token_count,
+)
+from fscrawler_spark.functions.udfs import make_extract_udf
+from fscrawler_spark.operators.extract import extract_transcripts
+from fscrawler_spark.operators.filters import include_exclude_predicate
+from fscrawler_spark.operators.incremental import deleted_keys, merge_tags
+
+# ---------------------------------------------------------------------------
+# deterministic payload templates (class = doc_id % 6)
+#   0 html / 1 plain / 2 json / 3 xml / 4 pdfish / 5 encrypted
+# ---------------------------------------------------------------------------
+
+HTML_PRE = (
+    '<!DOCTYPE html><html><head><title>t</title><script>var a=1;</script></head>'
+    '<body><nav><a href="/">Home</a> <a href="/d">Docs</a></nav><article><p>'
+)
+HTML_POST = '</p></article><footer>(c) footer</footer></body></html>'
+JSON_PRE = '{"content": "'
+JSON_POST = '", "tag": "v"}'
+XML_PRE = '<?xml version="1.0"?><doc><body>'
+XML_POST = "</body></doc>"
+PDF_PRE = "%PDF-SYNTH 1.0\n%%Page: 1\n"
+
+MIME_BY_CLS = [
+    "text/html",
+    "text/plain",
+    "application/json",
+    "application/xml",
+    "application/pdf",
+    "application/octet-stream",
+]
+
+
+def _payload_col():
+    t = F.col("text")
+    c = F.col("doc_id") % 6
+    return (
+        F.when(c == 0, F.concat(F.lit(HTML_PRE), t, F.lit(HTML_POST)))
+        .when(c == 1, t)
+        .when(c == 2, F.concat(F.lit(JSON_PRE), t, F.lit(JSON_POST)))
+        .when(c == 3, F.concat(F.lit(XML_PRE), t, F.lit(XML_POST)))
+        .when(c == 4, F.concat(F.lit(PDF_PRE), t, F.lit("\n")))
+        .otherwise(F.concat(F.lit("ENC:"), t))
+    )
+
+
+# oracle-side: what the extractor must recover, derived from the raw text
+SQL_EXTRACTED_CASE = """CASE doc_id % 6
+      WHEN 0 THEN trim(text)
+      WHEN 1 THEN text
+      WHEN 2 THEN text || chr(10) || 'v'
+      WHEN 3 THEN trim(text)
+      WHEN 4 THEN trim(text)
+      ELSE NULL END"""
+
+SQL_MIME_CASE = """CASE doc_id % 6
+      WHEN 0 THEN 'text/html' WHEN 1 THEN 'text/plain'
+      WHEN 2 THEN 'application/json' WHEN 3 THEN 'application/xml'
+      WHEN 4 THEN 'application/pdf' ELSE 'application/octet-stream' END"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _extracted(spark: SparkSession, sf_dir: str, limit: int = 100_000) -> DataFrame:
+    """documents -> constructed payloads -> REAL extraction UDF."""
+    udf = make_extract_udf(ExtractSettings(indexed_chars=limit))
+    return (
+        _docs(spark, sf_dir)
+        .withColumn("payload", _payload_col())
+        .withColumn("ex", udf(F.col("payload")))
+    )
+
+
+def _dup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents ∪ near-dup mutation (last word dropped, id+100000)."""
+    d = _docs(spark, sf_dir).select(F.col("doc_id").alias("id"), "text")
+    mut = d.select(
+        (F.col("id") + 100000).alias("id"),
+        F.regexp_replace("text", r"\s+\S+$", "").alias("text"),
+    )
+    return d.unionByName(mut)
+
+SQL_DUP_CORPUS = """(
+  SELECT doc_id AS id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 100000 AS id, regexp_replace(text, '\\s+\\S+$', '') AS text FROM documents
+)"""
+
+SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+
+def _sql_shingles(norm_expr: str = SQL_NORM, k: int = 3) -> str:
+    w = f"string_split({norm_expr}, ' ')"
+    return f"""CASE WHEN len({w}) < {k} THEN [array_to_string({w}, ' ')]
+      ELSE list_distinct([array_to_string(list_slice({w}, i, i + {k - 1}), ' ')
+                          for i in generate_series(1, len({w}) - {k - 1})]) END"""
+
+
+def _sql_minhash_sig(num_hashes: int = 16) -> str:
+    mins = ", ".join(
+        f"list_min([('0x' || substr(md5('{s}:' || sh), 1, 15))::BIGINT for sh in shingles])"
+        for s in range(num_hashes)
+    )
+    return f"[{mins}]"
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full transcripts extraction pipeline on sf0.001."""
+    return queries()["q_pipeline_transcripts"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- extraction core (T1-T14) -------------------------------------------
+
+    def q_html_extract(spark, sf):
+        return _extracted(spark, sf).filter(F.col("doc_id") % 6 == 0).select(
+            "doc_id", F.col("ex.extracted").alias("extracted")
+        )
+
+    def q_pdf_extract(spark, sf):
+        return _extracted(spark, sf).filter(F.col("doc_id") % 6 == 4).select(
+            "doc_id", F.col("ex.extracted").alias("extracted")
+        )
+
+    def q_json_extract(spark, sf):
+        return _extracted(spark, sf).filter(F.col("doc_id") % 6 == 2).select(
+            "doc_id", F.col("ex.extracted").alias("extracted")
+        )
+
+    def q_xml_extract(spark, sf):
+        return _extracted(spark, sf).filter(F.col("doc_id") % 6 == 3).select(
+            "doc_id", F.col("ex.extracted").alias("extracted")
+        )
+
+    def q_mime_sniff(spark, sf):
+        return (
+            _docs(spark, sf)
+            .withColumn("payload", _payload_col())
+            .select(sniff_mime_col(F.col("payload")).alias("mime"))
+            .groupBy("mime")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_indexed_chars_truncation(spark, sf):
+        # plain passthrough with indexed_chars=100 (T2 WriteLimitReached)
+        udf = make_extract_udf(ExtractSettings(indexed_chars=100))
+        d = _docs(spark, sf).withColumn("ex", udf(F.col("text")))
+        return d.select(
+            "doc_id",
+            F.col("ex.extracted").alias("extracted"),
+            F.element_at(F.col("ex.spans"), -1)["end"].cast("long").alias("span_end"),
+        )
+
+    def q_checksum(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.sha2(F.col("text"), 256).alias("sha256_hex"),
+            F.md5(F.col("text")).alias("md5_hex"),
+        )
+
+    def q_doc_id(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.sha2(F.concat_ws("/", F.col("doc_id").cast("string"), F.lit("0")), 256).alias(
+                "stable_id"
+            ),
+        )
+
+    def q_run_stats(spark, sf):
+        return _extracted(spark, sf).agg(
+            F.count(F.lit(1)).cast("long").alias("turn_count"),
+            F.sum(F.when(F.col("ex.error").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("parse_failures"),
+            F.sum(F.coalesce(F.length("ex.extracted"), F.lit(0))).cast("long").alias("bytes_out"),
+            F.sum(F.size("ex.spans")).cast("long").alias("span_count"),
+        )
+
+    def q_pipeline_transcripts(spark, sf):
+        # flagship: documents -> synthetic transcript turns -> FULL pipeline
+        d = _docs(spark, sf)
+        turns = d.select(
+            F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+            F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            _payload_col().alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.expr("doc_id * INTERVAL 1 SECOND")).alias("ts"),
+        )
+        out = extract_transcripts(turns)
+        return out.select("conv_id", "turn_idx", "mime", "extracted", "error")
+
+    q.update(
+        q_html_extract=q_html_extract,
+        q_pdf_extract=q_pdf_extract,
+        q_json_extract=q_json_extract,
+        q_xml_extract=q_xml_extract,
+        q_mime_sniff=q_mime_sniff,
+        q_indexed_chars_truncation=q_indexed_chars_truncation,
+        q_checksum=q_checksum,
+        q_doc_id=q_doc_id,
+        q_run_stats=q_run_stats,
+        q_pipeline_transcripts=q_pipeline_transcripts,
+    )
+
+    # --- filters / joins (F1-F3, J1-J3) --------------------------------------
+
+    def q_size_gate(spark, sf):
+        return (
+            _docs(spark, sf)
+            .filter(F.length("text") <= 300)
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_include_exclude_glob(spark, sf):
+        return (
+            _docs(spark, sf)
+            .filter(include_exclude_predicate(F.col("source"), ("src1*",), ("*7",)))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    def q_content_filter(spark, sf):
+        d = _docs(spark, sf)
+        return d.filter(
+            F.col("text").rlike("(?m)spark") & F.col("text").rlike("(?m)data")
+        ).agg(F.count(F.lit(1)).alias("n"))
+
+    def q_change_detection(spark, sf):
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        from fscrawler_spark.operators.incremental import changed_since
+
+        return changed_since(ev, "2024-01-15 00:00:00").groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    def q_deletion_detection(spark, sf):
+        orders = spark.read.parquet(f"{sf}/orders.parquet").select(
+            F.col("o_orderkey").alias("conv_id"), F.lit(0).alias("turn_idx")
+        )
+        li = spark.read.parquet(f"{sf}/lineitem.parquet").select(
+            F.col("l_orderkey").alias("conv_id"), F.lit(0).alias("turn_idx")
+        )
+        return deleted_keys(orders, li).select(F.col("conv_id").alias("o_orderkey"))
+
+    def q_tag_merge(spark, sf):
+        d = _docs(spark, sf).select(F.col("source").alias("conv_id"), "doc_id")
+        tags = (
+            _docs(spark, sf)
+            .select("source")
+            .distinct()
+            .select(
+                F.col("source").alias("conv_id"),
+                F.create_map(F.lit("owner"), F.upper(F.col("source"))).alias("tags"),
+            )
+        )
+        return merge_tags(d, tags).select(
+            "doc_id", F.element_at(F.col("tags"), "owner").alias("owner")
+        )
+
+    q.update(
+        q_size_gate=q_size_gate,
+        q_include_exclude_glob=q_include_exclude_glob,
+        q_content_filter=q_content_filter,
+        q_change_detection=q_change_detection,
+        q_deletion_detection=q_deletion_detection,
+        q_tag_merge=q_tag_merge,
+    )
+
+    # --- aggregations / sorts (A1/A3, O2, S9) --------------------------------
+
+    def q_terms_agg(spark, sf):
+        return _docs(spark, sf).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+
+    def q_top_k(spark, sf):
+        return (
+            _docs(spark, sf)
+            .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+            .limit(10)
+            .select("doc_id", "n_chars")
+        )
+
+    def q_folder_summary(spark, sf):
+        return _docs(spark, sf).groupBy("source").agg(
+            F.count(F.lit(1)).alias("doc_count"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+
+    q.update(q_terms_agg=q_terms_agg, q_top_k=q_top_k, q_folder_summary=q_folder_summary)
+
+    # --- text analysis ---------------------------------------------------------
+
+    def q_token_count(spark, sf):
+        return _docs(spark, sf).select(
+            "doc_id", token_count(F.col("text")).cast("long").alias("tokens")
+        )
+
+    def q_langid_hits(spark, sf):
+        words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        cols = ["doc_id"]
+        for lang in sorted(LANG_PROFILES):
+            sw = F.array(*[F.lit(w) for w in sorted(LANG_PROFILES[lang])])
+            cols.append(
+                F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+                .cast("long")
+                .alias(f"{lang}_hits")
+            )
+        return _docs(spark, sf).select(*cols)
+
+    def q_fingerprint(spark, sf):
+        return _docs(spark, sf).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+    def q_quality_stats(spark, sf):
+        nospace = F.regexp_replace(F.col("text"), r"\s+", "")
+        punct = F.regexp_replace(nospace, r"[^!-/:-@\[-`{-~]", "")
+        return _docs(spark, sf).select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_chars2"),
+            token_count(F.col("text")).cast("long").alias("n_words"),
+            F.length(punct).cast("long").alias("n_punct"),
+        )
+
+    q.update(
+        q_token_count=q_token_count,
+        q_langid_hits=q_langid_hits,
+        q_fingerprint=q_fingerprint,
+        q_quality_stats=q_quality_stats,
+    )
+
+    # --- dedup -------------------------------------------------------------------
+
+    def q_dedup_exact(spark, sf):
+        return dedup.exact_duplicates(_dup_corpus(spark, sf), id_col="id").select(
+            "text_hash", F.col("dup_count").cast("long").alias("dup_count"), "keeper_id"
+        )
+
+    def q_minhash_lsh(spark, sf):
+        sigs = dedup.minhash_signatures(_dup_corpus(spark, sf), id_col="id", num_hashes=16)
+        return dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+
+    def q_ngram_jaccard(spark, sf):
+        pairs = dedup.jaccard_pairs(_dup_corpus(spark, sf), id_col="id", threshold=0.5)
+        return pairs.select(
+            "id_a",
+            "id_b",
+            (F.floor(F.col("jaccard") * 1_000_000) / 1_000_000).alias("jaccard_f"),
+        )
+
+    def q_simhash(spark, sf):
+        return dedup.simhash(_docs(spark, sf), id_col="doc_id", bits=32)
+
+    q.update(
+        q_dedup_exact=q_dedup_exact,
+        q_minhash_lsh=q_minhash_lsh,
+        q_ngram_jaccard=q_ngram_jaccard,
+        q_simhash=q_simhash,
+    )
+
+    # --- embeddings -----------------------------------------------------------------
+
+    def q_ann_topk(spark, sf):
+        e = _emb(spark, sf)
+        out = embeddings.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+        return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+    def q_ann_lsh(spark, sf):
+        e = _emb(spark, sf)
+        out = embeddings.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+        return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+    def q_embed_near_dup(spark, sf):
+        e = _emb(spark, sf)
+        dup = e.withColumn("vec_id", F.col("vec_id") + 100000)
+        return embeddings.cosine_near_dup_pairs(
+            e.unionByName(dup), threshold=0.999999
+        ).select("id_a", "id_b")
+
+    q.update(q_ann_topk=q_ann_topk, q_ann_lsh=q_ann_lsh, q_embed_near_dup=q_embed_near_dup)
+
+    # --- multimodal plumbing (rows-only check; no SQL oracle) -----------------------
+
+    def q_media_features(spark, sf):
+        from fscrawler_spark.functions.multimodal import (
+            extract_media_features,
+            media_table_from_documents,
+        )
+
+        return extract_media_features(
+            media_table_from_documents(_docs(spark, sf)), fake=True
+        ).select("media_id", "kind", "byte_len")
+
+    q.update(q_media_features=q_media_features)
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    sql: dict[str, str] = {}
+
+    for name, cls in [
+        ("q_html_extract", 0),
+        ("q_pdf_extract", 4),
+        ("q_json_extract", 2),
+        ("q_xml_extract", 3),
+    ]:
+        sql[name] = f"""
+        SELECT doc_id, {SQL_EXTRACTED_CASE} AS extracted
+        FROM documents WHERE doc_id % 6 = {cls}
+        """
+
+    sql["q_mime_sniff"] = f"""
+    SELECT {SQL_MIME_CASE} AS mime, count(*) AS n FROM documents GROUP BY 1
     """
-    return {}
+
+    sql["q_indexed_chars_truncation"] = """
+    SELECT doc_id, substr(text, 1, 100) AS extracted,
+           least(length(text), 100)::BIGINT AS span_end
+    FROM documents
+    """
+
+    sql["q_checksum"] = """
+    SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex FROM documents
+    """
+
+    sql["q_doc_id"] = """
+    SELECT doc_id, sha256(doc_id::VARCHAR || '/0') AS stable_id FROM documents
+    """
+
+    sql["q_run_stats"] = """
+    SELECT count(*)::BIGINT AS turn_count,
+           (count(*) FILTER (WHERE doc_id % 6 = 5))::BIGINT AS parse_failures,
+           sum(CASE doc_id % 6
+                 WHEN 0 THEN length(trim(text)) WHEN 1 THEN length(text)
+                 WHEN 2 THEN length(text) + 2 WHEN 3 THEN length(trim(text))
+                 WHEN 4 THEN length(trim(text)) ELSE 0 END)::BIGINT AS bytes_out,
+           sum(CASE doc_id % 6 WHEN 2 THEN 2 WHEN 5 THEN 0 ELSE 1 END)::BIGINT AS span_count
+    FROM documents
+    """
+
+    sql["q_pipeline_transcripts"] = f"""
+    SELECT 'conv-' || (doc_id % 50)::VARCHAR AS conv_id,
+           (doc_id // 50)::INT AS turn_idx,
+           {SQL_MIME_CASE} AS mime,
+           {SQL_EXTRACTED_CASE} AS extracted,
+           CASE WHEN doc_id % 6 = 5 THEN 'encrypted' ELSE NULL END AS error
+    FROM documents
+    """
+
+    sql["q_size_gate"] = """
+    SELECT source, count(*) AS n FROM documents WHERE length(text) <= 300 GROUP BY source
+    """
+
+    sql["q_include_exclude_glob"] = """
+    SELECT source, count(*) AS n FROM documents
+    WHERE regexp_matches(source, '(?i)^src1.*$') AND NOT regexp_matches(source, '(?i)^.*7$')
+    GROUP BY source
+    """
+
+    sql["q_content_filter"] = """
+    SELECT count(*) AS n FROM documents
+    WHERE regexp_matches(text, 'spark') AND regexp_matches(text, 'data')
+    """
+
+    sql["q_change_detection"] = """
+    SELECT event_type, count(*) AS n FROM events
+    WHERE ts > TIMESTAMP '2024-01-15 00:00:00' - INTERVAL 2 SECOND
+    GROUP BY event_type
+    """
+
+    sql["q_deletion_detection"] = """
+    SELECT o_orderkey FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
+    """
+
+    sql["q_tag_merge"] = """
+    SELECT doc_id, upper(source) AS owner FROM documents
+    """
+
+    sql["q_terms_agg"] = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+    sql["q_top_k"] = """
+    SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
+    """
+
+    sql["q_folder_summary"] = """
+    SELECT source, count(*) AS doc_count, sum(n_chars)::BIGINT AS total_chars,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM documents GROUP BY source
+    """
+
+    sql["q_token_count"] = """
+    SELECT doc_id,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS tokens
+    FROM documents
+    """
+
+    lang_cols = []
+    for lang in sorted(LANG_PROFILES):
+        words = ", ".join(f"'{w}'" for w in sorted(LANG_PROFILES[lang]))
+        lang_cols.append(
+            f"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ({words})))::BIGINT AS {lang}_hits"
+        )
+    sql["q_langid_hits"] = f"SELECT doc_id, {', '.join(lang_cols)} FROM documents"
+
+    sql["q_fingerprint"] = """
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp
+    FROM documents
+    """
+
+    sql["q_quality_stats"] = """
+    SELECT doc_id, length(text)::BIGINT AS n_chars2,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_words,
+           length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'),
+                                 '[^!-/:-@\\[-`{-~]', '', 'g'))::BIGINT AS n_punct
+    FROM documents
+    """
+
+    sql["q_dedup_exact"] = f"""
+    SELECT md5({SQL_NORM}) AS text_hash, count(*)::BIGINT AS dup_count, min(id) AS keeper_id
+    FROM {SQL_DUP_CORPUS} GROUP BY 1 HAVING count(*) > 1
+    """
+
+    rows_per_band = 4
+    band_selects = []
+    for b in range(4):
+        lo = b * rows_per_band + 1
+        band_selects.append(
+            f"""SELECT id, {b} AS band,
+                md5(array_to_string([x::VARCHAR for x in list_slice(sig, {lo}, {lo + rows_per_band - 1})], ',')) AS bucket
+                FROM sigs"""
+        )
+    sql["q_minhash_lsh"] = f"""
+    WITH base AS (SELECT id, {_sql_shingles()} AS shingles FROM {SQL_DUP_CORPUS}),
+    sigs AS (SELECT id, {_sql_minhash_sig(16)} AS sig FROM base),
+    banded AS ({' UNION ALL '.join(band_selects)})
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """
+
+    sql["q_ngram_jaccard"] = f"""
+    WITH base AS (SELECT id, {_sql_shingles()} AS sh FROM {SQL_DUP_CORPUS}),
+    sizes AS (SELECT id, len(sh) AS n FROM base),
+    inv AS (SELECT id, unnest(sh) AS s FROM base),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, floor((common / (na.n + nb.n - common)) * 1000000) / 1000000 AS jaccard_f
+    FROM common
+    JOIN sizes na ON na.id = common.id_a
+    JOIN sizes nb ON nb.id = common.id_b
+    WHERE common / (na.n + nb.n - common) >= 0.5
+    """
+
+    sql["q_simhash"] = f"""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(string_split({SQL_NORM}, ' '))) AS tok
+      FROM documents
+    ),
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) bits
+      GROUP BY id, bit
+    )
+    SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+    FROM votes GROUP BY id
+    """
+
+    sql["q_ann_topk"] = """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    ),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
+    """
+
+    bucket_sql = " + ".join(
+        f"(CASE WHEN {{v}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    )
+    qb = bucket_sql.format(v="q.qv")
+    cb = bucket_sql.format(v="c.embedding")
+    sql["q_ann_lsh"] = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
+      FROM embeddings c, q
+      WHERE c.vec_id <> q.query_id AND ({cb}) = ({qb})
+    ),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
+    """
+
+    ab = bucket_sql.format(v="a.embedding")
+    bb = bucket_sql.format(v="b.embedding")
+    sql["q_embed_near_dup"] = f"""
+    WITH uni AS (
+      SELECT vec_id AS id, embedding FROM embeddings
+      UNION ALL SELECT vec_id + 100000 AS id, embedding FROM embeddings
+    )
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM uni a JOIN uni b ON a.id < b.id AND ({ab}) = ({bb})
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999999
+    """
+
+    return sql

@@ -1,0 +1,176 @@
+"""Deduplication operators for training-data pipelines.
+
+Four families, each a composition of built-in DataFrame ops (no Python
+UDFs anywhere — everything stays in whole-stage codegen):
+
+* exact          — hash groupBy on normalized text
+* minhash + LSH  — shingle -> K minhashes -> banded buckets -> bucket join
+* simhash        — bit-vote over token hashes (near-dup by hamming-ish band)
+* n-gram Jaccard — exact pairwise similarity, for verification / small sets
+
+Scale notes (100 TB): MinHash-LSH is the production path — candidate
+generation is a shuffle on (band_id, band_hash) whose fan-in is bounded
+by band width, never an O(n^2) cross join. Exact Jaccard exists to
+verify LSH candidates (and as the oracle-checkable baseline at SF=0.01).
+The cross-engine-stable hash for oracle parity is md5-prefix-as-int64;
+for pure-Spark scale paths xxhash64 is the cheaper choice (see *_fast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fscrawler_spark.functions.text_analysis import normalized_text
+
+
+def _md5_int(col) -> F.Column:
+    """First 15 hex chars of md5 as a non-negative int64 — identical in
+    Spark and DuckDB, the cross-engine hash for oracle-checked dedup."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def word_shingles(text_col, k: int = 3) -> F.Column:
+    """k-word shingles of the normalized text (distinct, order-dropped)."""
+    words = F.split(normalized_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
+        F.array_distinct(
+            F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+        )
+    )
+
+
+def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: group by normalized-text hash; emit groups with >1 member.
+    Returns (text_hash, dup_count, keeper_id) — keeper = min id."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("id").alias("keeper_id"))
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash signature per doc: for seed s, sig[s] = min over shingles of
+    md5_int(s || shingle). Column-only; one row per doc, sig as array<long>."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(sh, lambda x: _md5_int(F.concat(F.lit(f"{s}:"), x)))
+            ).alias(f"h{s}")
+            for s in range(num_hashes)
+        ]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signatures and join docs sharing any (band, band-hash)
+    bucket. Output distinct (id_a < id_b) candidate pairs.
+
+    The scale path: explode to bands (x``bands`` rows), shuffle on the
+    bucket key, self-join within buckets. Skewed buckets (e.g. empty-text
+    clusters) are handled by AQE skew-join splitting.
+    """
+    rows_per_band = num_hashes // bands
+    band_entries = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.array_join(
+                        F.transform(
+                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                        ",",
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sigs.select("id", F.explode(band_entries).alias("b")).select(
+        "id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs >= threshold.
+
+    Inverted-index join (explode shingles, join on shingle, count common)
+    — still quadratic in the worst case, so at scale this runs ONLY on
+    LSH candidates; standalone it is the SF<=0.01 oracle baseline.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    common = (
+        inv.alias("a")
+        .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(sizes.withColumnsRenamed({"id": "id_a", "n": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({"id": "id_b", "n": "n_b"}), "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
+    """SimHash: per token, hash to ``bits`` bits; each bit votes +1/-1;
+    sign of the vote sum forms the fingerprint bit. Near-dups share most
+    bits. Implemented as explode(token) x explode(bit) -> groupBy —
+    pure aggregations, linear in tokens*bits."""
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
+    ).withColumn("h", _md5_int(F.col("tok")))
+    votes = (
+        toks.select(
+            "id",
+            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+            F.col("h"),
+        )
+        .withColumn("vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy("id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("id").agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("1::bigint << bit")).otherwise(0)).alias("simhash")
+    )

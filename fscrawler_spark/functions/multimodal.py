@@ -1,0 +1,119 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via mapInPandas.
+
+The decode step is STUBBED (image/audio libraries are not available in
+this environment): ``decode_image_batch`` raises NotImplementedError
+unless ``fake=True``, in which case a deterministic fake decoder derives
+pixel stats from the payload bytes — the Spark-side plumbing (schema,
+Arrow batch shape, partitioning, UDF signatures) is real and tested, so
+swapping in PIL/ffmpeg later is a one-function change.
+
+Analog in the reference: Tika's image parsers are wired into the parser
+composition but OCR auto-disables when the tesseract binary is missing
+(TikaInstance.java:151-207) — same gate-on-capability pattern.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("byte_len", T.IntegerType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
+    """Deterministic fake 'decoder': byte-histogram-ish feature vector.
+    Stands in for PIL decode / librosa features / frame sampling."""
+    if not payload:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for i, b in enumerate(payload[:4096]):
+        buckets[b % dim] += 1
+    total = sum(buckets) or 1
+    return [round(x / total, 6) for x in buckets]
+
+
+def extract_media_features(df: DataFrame, fake: bool = True, feature_dim: int = 8) -> DataFrame:
+    """mapInPandas over binary payloads -> per-item feature rows.
+
+    Batched with Arrow; each pandas batch is independent (stateless), so
+    partitioning is free-form and the op scales embarrassingly parallel.
+    """
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            feats, errs = [], []
+            for payload in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError(
+                        "real media decode requires PIL/ffmpeg; run with fake=True"
+                    )
+                try:
+                    feats.append(_fake_decode(bytes(payload) if payload is not None else b"", feature_dim))
+                    errs.append(None)
+                except Exception as e:  # never fail the job on one item
+                    feats.append(None)
+                    errs.append(f"decode_error: {type(e).__name__}")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "byte_len": [len(bytes(p)) if p is not None else 0 for p in pdf["payload"]],
+                    "feature": feats,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.mapInPandas(gen, FEATURE_SCHEMA)
+
+
+def media_table_from_documents(df: DataFrame) -> DataFrame:
+    """Derive a deterministic media fixture from a text table: payload =
+    UTF-8 bytes, kind round-robins by id. Used by tests and the smoke
+    queries — real deployments read true binary columns instead."""
+    return df.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
