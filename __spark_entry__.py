@@ -390,9 +390,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return dedup.simhash(_docs(spark, sf), id_col="doc_id", bits=32)
 
+    def q_minhash_lsh_fast(spark, sf):
+        # production xxhash64 minhash path (rows-only check: the md5 twin
+        # above is the oracle-verified one; this one is the 100TB path)
+        sigs = dedup.minhash_signatures_fast(_dup_corpus(spark, sf), id_col="id", num_hashes=16)
+        return dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+
     q.update(
         q_dedup_exact=q_dedup_exact,
         q_minhash_lsh=q_minhash_lsh,
+        q_minhash_lsh_fast=q_minhash_lsh_fast,
         q_ngram_jaccard=q_ngram_jaccard,
         q_simhash=q_simhash,
     )

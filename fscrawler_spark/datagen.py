@@ -158,7 +158,8 @@ def generate_transcripts(
     )
     os.makedirs(out_dir, exist_ok=True)
     paths = {"transcripts": os.path.join(out_dir, "transcripts.parquet")}
-    pq.write_table(table, paths["transcripts"])
+    # small row groups so Spark's scan yields many splittable partitions
+    pq.write_table(table, paths["transcripts"], row_group_size=10_000)
 
     if write_expected:
         span_type = pa.list_(pa.struct([("start", pa.int32()), ("end", pa.int32())]))

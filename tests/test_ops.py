@@ -145,6 +145,15 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (4, 5) not in got
 
 
+def test_minhash_fast_finds_near_dups(spark):
+    sigs = dedup.minhash_signatures_fast(dup_corpus(spark), num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=8).collect()
+    got = sorted((r["id_a"], r["id_b"]) for r in pairs)
+    assert (1, 2) in got
+    assert (1, 3) in got or (2, 3) in got
+    assert (4, 5) not in got
+
+
 def test_simhash_near_dups_close(spark):
     out = {r["id"]: r["simhash"] for r in dedup.simhash(dup_corpus(spark)).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
