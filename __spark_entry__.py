@@ -327,7 +327,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.max("doc_id").alias("last_doc"),
         )
 
-    q.update(q_terms_agg=q_terms_agg, q_top_k=q_top_k, q_folder_summary=q_folder_summary)
+    def q_search_bool(spark, sf):
+        # ES query algebra analog: bool(must=[term, range], must_not=[prefix])
+        from fscrawler_spark.operators.search import (
+            Bool,
+            Prefix,
+            Range,
+            SearchRequest,
+            Term,
+            execute_search,
+        )
+
+        req = SearchRequest(
+            query=Bool(
+                must=(Term("lang", "en"), Range("n_chars", gte=100, lt=400)),
+                must_not=(Prefix("source", "src1"),),
+            ),
+            size=1_000_000,
+            fields=("doc_id", "source", "n_chars"),
+        )
+        return execute_search(_docs(spark, sf), req)
+
+    def q_search_match(spark, sf):
+        from fscrawler_spark.operators.search import Match, SearchRequest, execute_search
+
+        req = SearchRequest(
+            query=Match("text", "spark window"), size=1_000_000, fields=("doc_id",)
+        )
+        return execute_search(_docs(spark, sf), req)
+
+    def q_search_terms_agg(spark, sf):
+        from fscrawler_spark.operators.search import SearchRequest, Term, execute_terms_aggs
+
+        req = SearchRequest(query=Term("lang", "en"), aggregations=("source",))
+        return execute_terms_aggs(_docs(spark, sf), req)["source"]
+
+    q.update(
+        q_terms_agg=q_terms_agg,
+        q_top_k=q_top_k,
+        q_folder_summary=q_folder_summary,
+        q_search_bool=q_search_bool,
+        q_search_match=q_search_match,
+        q_search_terms_agg=q_search_terms_agg,
+    )
 
     # --- text analysis ---------------------------------------------------------
 
@@ -529,6 +571,23 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q_terms_agg"] = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"
+
+    sql["q_search_bool"] = """
+    SELECT doc_id, source, n_chars FROM documents
+    WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 400
+      AND NOT starts_with(source, 'src1')
+    """
+
+    sql["q_search_match"] = """
+    SELECT doc_id FROM documents
+    WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'spark')
+       OR list_contains(string_split_regex(lower(text), '\\s+'), 'window')
+    """
+
+    sql["q_search_terms_agg"] = """
+    SELECT source AS key, count(*) AS doc_count FROM documents
+    WHERE lang = 'en' GROUP BY source
+    """
 
     sql["q_top_k"] = """
     SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10

@@ -1,0 +1,75 @@
+"""CLI entry point — the FsCrawlerCli analog.
+
+Reference: /root/reference/cli/.../FsCrawlerCli.java:96-140 (--loop,
+--restart, job dir). Here a crawl "job" is one spark-submit invocation:
+
+    spark-submit --py-files fscrawler_spark.zip -m fscrawler_spark.cli \\
+        --input /data/transcripts --output /data/extracted \\
+        [--loop N] [--restart] [--indexed-chars 100000] ...
+
+--restart clears the checkpoint manifest (full re-scan, the reference's
+--restart semantics); --loop N repeats the scan N times (update_rate
+analog; each loop is incremental via the checkpoint — already-completed
+buckets are skipped unless --restart).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="fscrawler-spark", description=__doc__)
+    p.add_argument("--input", required=True, help="transcripts parquet path")
+    p.add_argument("--output", required=True, help="output table directory")
+    p.add_argument("--loop", type=int, default=1, help="number of scan loops (default 1)")
+    p.add_argument("--restart", action="store_true", help="ignore checkpoint, full rescan")
+    p.add_argument("--indexed-chars", type=int, default=100_000)
+    p.add_argument("--ignore-above", type=int, default=None)
+    p.add_argument("--includes", nargs="*", default=[])
+    p.add_argument("--excludes", nargs="*", default=["*/~*"])
+    p.add_argument("--filters", nargs="*", default=[], help="content regexes (all must match)")
+    p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument("--skew-salt", type=int, default=8)
+    p.add_argument("--lang-detect", action="store_true")
+    p.add_argument("--store-source", action="store_true")
+    p.add_argument("--master", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from fscrawler_spark.config import ExtractSettings
+    from fscrawler_spark.plans.pipeline import run_extraction_job
+    from fscrawler_spark.session import get_spark
+
+    settings = ExtractSettings(
+        indexed_chars=args.indexed_chars,
+        ignore_above=args.ignore_above,
+        includes=tuple(args.includes),
+        excludes=tuple(args.excludes),
+        filters=tuple(args.filters),
+        num_buckets=args.num_buckets,
+        skew_salt=args.skew_salt,
+        lang_detect=args.lang_detect,
+        store_source=args.store_source,
+    )
+    spark = get_spark(app="fscrawler-spark-cli", master=args.master)
+    try:
+        if args.restart:
+            ckpt = os.path.join(args.output, "_checkpoint.json")
+            if os.path.exists(ckpt):
+                os.remove(ckpt)
+        for i in range(args.loop):
+            res = run_extraction_job(spark, args.input, args.output, settings)
+            print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))
+    finally:
+        spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

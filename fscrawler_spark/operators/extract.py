@@ -86,5 +86,16 @@ def extract_transcripts(
     if settings.store_source:
         # T15 store-source: base64 of the original payload (TikaDocParser.java:471-487)
         cols.append(F.base64(F.encode(F.col("text"), "UTF-8")).alias("attachment"))
+    if settings.lang_detect:
+        # T9 language detection over extracted content (TikaDocParser.java:336-355)
+        from fscrawler_spark.functions.text_analysis import langid_udf
+
+        cols.append(
+            F.struct(
+                F.when(F.col("ex.extracted").isNotNull(), langid_udf()(F.col("ex.extracted")))
+                .otherwise(F.lit(None))
+                .alias("language")
+            ).alias("meta")
+        )
     out = out.select(*cols)
     return apply_post_filters(out, settings)
