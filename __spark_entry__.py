@@ -186,7 +186,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(
             "doc_id",
             F.col("ex.extracted").alias("extracted"),
-            F.element_at(F.col("ex.spans"), -1)["end"].cast("long").alias("span_end"),
+            F.element_at(F.col("ex.spans"), -1).bitwiseAND(F.lit(0xFFFFFFFF)).alias("span_end"),
         )
 
     def q_checksum(spark, sf):

@@ -105,6 +105,44 @@ def run_extraction_at(cpus: int, input_path: str, trials: int = 3) -> dict:
         spark.stop()
 
 
+def machine_ceiling(low_procs: int, high_procs: int, input_path: str) -> dict:
+    """Pure-Python multiprocessing scaling of the same extractor on the
+    same payloads — the host's engine-independent parallel-scaling ceiling
+    measured at the same moment (shared box; co-tenant load varies)."""
+    import pyarrow.parquet as pq
+    from multiprocessing import Pool
+
+    texts = pq.read_table(input_path, columns=["text"])["text"].to_pylist() * 4
+    chunks = [texts[i::128] for i in range(128)]
+
+    def measure(procs: int) -> float:
+        with Pool(procs) as pool:
+            pool.map(_mp_extract_chunk, chunks[:8])  # warm
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                pool.map(_mp_extract_chunk, chunks)
+                best = min(best, time.perf_counter() - t0)
+        return len(texts) / best
+
+    thr_low = measure(low_procs)
+    thr_high = measure(high_procs)
+    return {
+        "procs": [low_procs, high_procs],
+        "turns_per_sec": [round(thr_low, 1), round(thr_high, 1)],
+        "efficiency": round((thr_high / thr_low) / (high_procs / low_procs), 3),
+    }
+
+
+def _mp_extract_chunk(chunk):
+    from fscrawler_spark.functions.extractors import extract
+
+    n = 0
+    for t in chunk:
+        n += len(extract(t).spans)
+    return n
+
+
 def run_headline_queries() -> dict[str, float]:
     import __spark_entry__ as entry_mod
     from fscrawler_spark.session import get_spark
@@ -134,13 +172,22 @@ def main() -> None:
     # every hardware thread with Python workers + JVM threads measures the
     # host's memory-bandwidth/turbo ceiling, not the engine (pure-Python
     # multiprocessing on this box caps at ~0.78 efficiency 4->16 and ~0.63
-    # 8->32 — see BENCH.md).
+    # 8->32 — see BENCH.md). Sessions are INTERLEAVED low/high/low/high and
+    # min-of-all-trials is taken per level: this host shows bursty 2-3x
+    # co-tenant noise, and interleaving prevents one noisy window from
+    # landing entirely on one level.
     low_cpus = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
     high_cpus = low_cpus * 4
-    low = run_extraction_at(low_cpus, input_path)
-    high = run_extraction_at(high_cpus, input_path)
+    low = run_extraction_at(low_cpus, input_path, trials=2)
+    high = run_extraction_at(high_cpus, input_path, trials=2)
+    low2 = run_extraction_at(low_cpus, input_path, trials=2)
+    high2 = run_extraction_at(high_cpus, input_path, trials=2)
+    for a, b in ((low, low2), (high, high2)):
+        if b["sec"] < a["sec"]:
+            a.update(b)
     efficiency = round((high["turns_per_sec"] / low["turns_per_sec"]) / (high["cpus"] / low["cpus"]), 3)
-    scaling = {"low": low, "high": high, "efficiency": efficiency}
+    ceiling = machine_ceiling(low["cpus"], high["cpus"], input_path)
+    scaling = {"low": low, "high": high, "efficiency": efficiency, "machine_ceiling": ceiling}
 
     queries = run_headline_queries()
     total = round(sum(queries.values()), 3)

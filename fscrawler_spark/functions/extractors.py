@@ -115,6 +115,17 @@ LINK_DENSITY_SHORT_DROP = 0.33
 SHORT_BLOCK_WORDS = 5
 
 
+# combined tokenizer: captures the tag name in the same pass (group 1 =
+# closing slash, group 2 = name); comments/CDATA/other markup have no groups
+_HTML_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>?"
+    r"|<[^>]*>?",
+    re.DOTALL,
+)
+
+
 def extract_html(text: str, limit: int) -> ExtractResult:
     """DOM-tree text-density boilerplate strip (Boilerpipe/readability-style).
 
@@ -133,62 +144,67 @@ def extract_html(text: str, limit: int) -> ExtractResult:
     # current block accumulator: list of (start, end, in_anchor)
     cur: list[tuple[int, int, bool]] = []
     blocks: list[list[tuple[int, int, bool]]] = []
-
-    def flush() -> None:
-        nonlocal cur
-        if cur:
-            blocks.append(cur)
-            cur = []
+    drop_tags, block_tags, void_tags = DROP_TAGS, BLOCK_TAGS, VOID_TAGS
 
     pos = 0
-    for m in _TOKEN_RE.finditer(text):
-        if m.start() > pos and drop_depth == 0:
-            s, e = _trim_run(text, pos, m.start())
+    for m in _HTML_TOKEN_RE.finditer(text):
+        mstart = m.start()
+        if mstart > pos and drop_depth == 0:
+            s, e = _trim_run(text, pos, mstart)
             if e > s:
                 cur.append((s, e, anchor_depth > 0))
         pos = m.end()
-        tok = m.group(0)
-        if tok.startswith("<!") or tok.startswith("<?"):
-            continue
-        tm = _TAGNAME_RE.match(tok)
-        if not tm:
-            continue
-        closing, name = tm.group(1) == "/", tm.group(2).lower()
-        self_closing = tok.endswith("/>") or name in VOID_TAGS
-        if name in DROP_TAGS and not self_closing:
+        name = m.group(2)
+        if name is None:
+            continue  # comment / CDATA / <! / <? / stray markup
+        name = name.lower()
+        closing = m.group(1) == "/"
+        self_closing = name in void_tags or text[pos - 2 : pos] == "/>"
+        if name in drop_tags and not self_closing:
             drop_depth += -1 if closing else 1
             if drop_depth < 0:
                 drop_depth = 0
-            if not closing:
-                flush()
+            if not closing and cur:
+                blocks.append(cur)
+                cur = []
             continue
         if name == "a":
             if closing:
-                anchor_depth = max(0, anchor_depth - 1)
+                if anchor_depth > 0:
+                    anchor_depth -= 1
             elif not self_closing:
                 anchor_depth += 1
             continue
-        if name in BLOCK_TAGS:
-            flush()
+        if name in block_tags and cur:
+            blocks.append(cur)
+            cur = []
     if pos < len(text) and drop_depth == 0:
         s, e = _trim_run(text, pos, len(text))
         if e > s:
             cur.append((s, e, anchor_depth > 0))
-    flush()
+    if cur:
+        blocks.append(cur)
 
     kept_runs: list[tuple[int, int]] = []
     for block in blocks:
-        total = sum(e - s for s, e, _ in block)
+        anchor = 0
+        total = 0
+        for s, e, a in block:
+            total += e - s
+            if a:
+                anchor += e - s
         if total == 0:
             continue
-        anchor = sum(e - s for s, e, a in block if a)
-        density = anchor / total
-        words = sum(len(text[s:e].split()) for s, e, _ in block)
-        if density > LINK_DENSITY_DROP:
-            continue
-        if density > LINK_DENSITY_SHORT_DROP and words < SHORT_BLOCK_WORDS:
-            continue
-        kept_runs.extend((s, e) for s, e, _ in block)
+        if anchor:  # only link-bearing blocks need the density classifier
+            density = anchor / total
+            if density > LINK_DENSITY_DROP:
+                continue
+            if density > LINK_DENSITY_SHORT_DROP:
+                words = sum(len(text[s:e].split()) for s, e, _ in block)
+                if words < SHORT_BLOCK_WORDS:
+                    continue
+        for s, e, _ in block:
+            kept_runs.append((s, e))
 
     extracted, spans = _assemble(text, kept_runs, limit)
     return ExtractResult(MIME_HTML, extracted, spans, None)

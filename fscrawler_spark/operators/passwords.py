@@ -39,8 +39,7 @@ def make_decrypt_udf(settings: ExtractSettings):
     @F.arrow_udf(EXTRACT_TYPE)
     def decrypt_udf(text: pa.Array, candidates: pa.Array) -> pa.Array:
         mimes, extracted, errors = [], [], []
-        starts: list[int] = []
-        ends: list[int] = []
+        packed: list[int] = []
         offsets = [0]
         n = 0
         for t, cands in zip(text.to_pylist(), candidates.to_pylist()):
@@ -59,14 +58,10 @@ def make_decrypt_udf(settings: ExtractSettings):
             extracted.append(r.extracted)
             errors.append(r.error)
             for s, e in r.spans:
-                starts.append(s)
-                ends.append(e)
+                packed.append((s << 32) | e)
             n += len(r.spans)
             offsets.append(n)
-        span_structs = pa.StructArray.from_arrays(
-            [pa.array(starts, pa.int32()), pa.array(ends, pa.int32())], ["start", "end"]
-        )
-        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), span_structs)
+        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(packed, pa.int64()))
         return pa.StructArray.from_arrays(
             [
                 pa.array(mimes, pa.string()),

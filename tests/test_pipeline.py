@@ -28,11 +28,14 @@ def test_per_turn_text_equality(spark, transcripts_dir):
     got = extract_transcripts(src, SETTINGS)
 
     joined = got.alias("g").join(expected.alias("e"), ["conv_id", "turn_idx"], "full_outer")
+    from fscrawler_spark.functions.udfs import spans_to_structs
+
     mismatch = joined.filter(
         ~(
             F.col("g.extracted").eqNullSafe(F.col("e.expected_text"))
             & F.col("g.mime").eqNullSafe(F.col("e.expected_mime"))
             & F.col("g.error").eqNullSafe(F.col("e.expected_error"))
+            & spans_to_structs(F.col("g.spans")).eqNullSafe(F.col("e.expected_spans"))
         )
     )
     assert mismatch.count() == 0
@@ -46,11 +49,13 @@ def test_span_invariant_distributed(spark, transcripts_dir):
     got = extract_transcripts(src, SETTINGS).join(
         src.select("conv_id", "turn_idx", "text"), ["conv_id", "turn_idx"]
     )
+    from fscrawler_spark.functions.udfs import spans_to_structs
+
     got = got.withColumn(
         "rebuilt",
         F.array_join(
             F.transform(
-                F.col("spans"),
+                spans_to_structs(F.col("spans")),
                 lambda s: F.substring(F.col("text"), s["start"] + 1, s["end"] - s["start"]),
             ),
             "\n",
