@@ -37,6 +37,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--lang-detect", action="store_true")
     p.add_argument("--store-source", action="store_true")
     p.add_argument("--master", default=None)
+    p.add_argument(
+        "--dry-run",
+        action="store_true",
+        help="simulate: print plan + would-write counts, write nothing "
+        "(REST ?simulate analog, rest/DocumentApi.java:89-92)",
+    )
     return p
 
 
@@ -59,6 +65,20 @@ def main(argv: list[str] | None = None) -> int:
     )
     spark = get_spark(app="fscrawler-spark-cli", master=args.master)
     try:
+        if args.dry_run:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.operators.extract import extract_transcripts
+            from fscrawler_spark.sources.transcripts import read_transcripts
+
+            docs = extract_transcripts(read_transcripts(spark, args.input), settings)
+            docs.explain("formatted")
+            counts = docs.groupBy("mime").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("errors"),
+            )
+            print(json.dumps({"dry_run": True, "by_mime": {r["mime"]: [r["n"], r["errors"]] for r in counts.collect()}}))
+            return 0
         if args.restart:
             ckpt = os.path.join(args.output, "_checkpoint.json")
             if os.path.exists(ckpt):

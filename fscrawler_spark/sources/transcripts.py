@@ -1,0 +1,85 @@
+"""Transcript-table sources (SURVEY §2.1 S1-S6).
+
+The reference's five crawler plugins (local/FTP/SSH/S3/HTTP) all produce
+the same record contract; in Spark the "plugin" is just the reader format
+and path scheme — s3a:// paths hit S3 natively, etc. What we own is the
+schema contract + validation + the driver-side single-document ingest
+(the REST /_document analog, rest/.../DocumentApi.java:89-122).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), True),
+    ]
+)
+
+_COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
+
+
+class SchemaError(ValueError):
+    pass
+
+
+def validate_schema(df: DataFrame) -> DataFrame:
+    """Assert the input carries the contract columns; project + cast to the
+    canonical shape (the settings-validator analog,
+    settings/.../FsCrawlerValidator.java:49)."""
+    missing = [c for c in _COLS if c not in df.columns]
+    if missing:
+        raise SchemaError(f"transcripts input missing columns: {missing}")
+    return df.select(
+        F.col("conv_id").cast("string").alias("conv_id"),
+        F.col("turn_idx").cast("int").alias("turn_idx"),
+        F.col("role").cast("string").alias("role"),
+        F.col("text").cast("string").alias("text"),
+        F.col("tool").cast("string").alias("tool"),
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+
+
+def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """S1/S4: parquet (or json/csv) transcripts from any Hadoop-FS scheme
+    (file://, s3a://, hdfs://...)."""
+    reader = spark.read
+    if fmt == "json":
+        df = reader.schema(TRANSCRIPT_SCHEMA).json(path)
+    elif fmt == "csv":
+        df = reader.schema(TRANSCRIPT_SCHEMA).option("header", "true").csv(path)
+    else:
+        df = reader.parquet(path)
+    return validate_schema(df)
+
+
+def ingest_documents(
+    spark: SparkSession, docs: list[dict], default_conv: str = "_upload_"
+) -> DataFrame:
+    """REST /_document upload analog: driver-side ingest of ad-hoc
+    documents into the canonical shape (id defaulting mirrors
+    DocumentApi.java:324-334)."""
+    rows = []
+    for i, d in enumerate(docs):
+        rows.append(
+            (
+                str(d.get("conv_id", default_conv)),
+                int(d.get("turn_idx", i)),
+                d.get("role", "user"),
+                d.get("text"),
+                d.get("tool"),
+                d.get("ts", "2026-01-01 00:00:00"),
+            )
+        )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    return validate_schema(df)
