@@ -297,6 +297,65 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.element_at(F.col("tags"), "owner").alias("owner")
         )
 
+    def q_changed_vs_snapshot(spark, sf):
+        # J1 content variant: re-extract only new-or-changed turns vs the
+        # previous run's checksums (FsParser.java:1147-1215 analog)
+        from fscrawler_spark.operators.incremental import changed_vs_snapshot
+
+        d = _docs(spark, sf)
+        cur = d.select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "text",
+        )
+        prev = (
+            d.filter(F.col("doc_id") % 7 != 0)  # %7==0 rows are "new"
+            .withColumn(
+                "prev_text",
+                F.when(F.col("doc_id") % 10 == 0, F.concat("text", F.lit(" CHANGED"))).otherwise(
+                    F.col("text")
+                ),
+            )
+            .select(
+                F.col("doc_id").cast("string").alias("conv_id"),
+                F.lit(0).alias("turn_idx"),
+                F.struct(F.sha2("prev_text", 256).alias("checksum")).alias("file"),
+            )
+        )
+        return changed_vs_snapshot(cur, prev).select("conv_id")
+
+    def q_conversation_summary(spark, sf):
+        from fscrawler_spark.operators.stats import conversation_summary
+
+        out = queries()["q_pipeline_transcripts_full"](spark, sf)
+        return conversation_summary(out).select(
+            "conv_id",
+            F.col("turn_count").cast("long").alias("turn_count"),
+            "first_turn",
+            "last_turn",
+            "bytes_in",
+            "bytes_out",
+            "parse_failures",
+            "mime_kinds",
+        )
+
+    def q_pipeline_transcripts_full(spark, sf):
+        # full Doc-schema output of the flagship pipeline (internal helper
+        # exposed for summary queries; rows-only check)
+        d = _docs(spark, sf)
+        turns = d.select(
+            F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+            F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
+            F.lit("assistant").alias("role"),
+            _payload_col().alias("text"),
+            F.lit(None).cast("string").alias("tool"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.expr("doc_id * INTERVAL 1 SECOND")
+            ).alias("ts"),
+        )
+        return extract_transcripts(turns)
+
     q.update(
         q_size_gate=q_size_gate,
         q_include_exclude_glob=q_include_exclude_glob,
@@ -304,6 +363,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_change_detection=q_change_detection,
         q_deletion_detection=q_deletion_detection,
         q_tag_merge=q_tag_merge,
+        q_changed_vs_snapshot=q_changed_vs_snapshot,
+        q_conversation_summary=q_conversation_summary,
+        q_pipeline_transcripts_full=q_pipeline_transcripts_full,
     )
 
     # --- aggregations / sorts (A1/A3, O2, S9) --------------------------------
@@ -568,6 +630,33 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q_tag_merge"] = """
     SELECT doc_id, upper(source) AS owner FROM documents
+    """
+
+    sql["q_changed_vs_snapshot"] = """
+    SELECT doc_id::VARCHAR AS conv_id FROM documents
+    WHERE doc_id % 10 = 0 OR doc_id % 7 = 0
+    """
+
+    payload_len = f"""CASE doc_id % 6
+      WHEN 0 THEN length(text) + {len(HTML_PRE) + len(HTML_POST)}
+      WHEN 1 THEN length(text)
+      WHEN 2 THEN length(text) + {len(JSON_PRE) + len(JSON_POST)}
+      WHEN 3 THEN length(text) + {len(XML_PRE) + len(XML_POST)}
+      WHEN 4 THEN length(text) + {len(PDF_PRE) + 1}
+      ELSE length(text) + 4 END"""
+    sql["q_conversation_summary"] = f"""
+    SELECT 'conv-' || (doc_id % 50)::VARCHAR AS conv_id,
+           count(*)::BIGINT AS turn_count,
+           min(doc_id // 50)::INT AS first_turn,
+           max(doc_id // 50)::INT AS last_turn,
+           sum({payload_len})::BIGINT AS bytes_in,
+           sum(CASE doc_id % 6
+                 WHEN 0 THEN length(trim(text)) WHEN 1 THEN length(text)
+                 WHEN 2 THEN length(text) + 2 WHEN 3 THEN length(trim(text))
+                 WHEN 4 THEN length(trim(text)) ELSE 0 END)::BIGINT AS bytes_out,
+           (count(*) FILTER (WHERE doc_id % 6 = 5))::BIGINT AS parse_failures,
+           count(DISTINCT {SQL_MIME_CASE})::BIGINT AS mime_kinds
+    FROM documents GROUP BY 1
     """
 
     sql["q_terms_agg"] = "SELECT lang, count(*) AS n FROM documents GROUP BY lang"

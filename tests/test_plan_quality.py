@@ -1,0 +1,83 @@
+"""Plan-quality assertions: the physical plans we'd want at 100 TB.
+
+Each test pins a property of the executed plan — broadcast where a side
+is small, pushdown where a predicate is cheap, pre-UDF filters actually
+sitting below the Python boundary, no stray exchanges on the hot path.
+"""
+
+import os
+
+from pyspark.sql import functions as F
+
+from fscrawler_spark.config import ExtractSettings
+from fscrawler_spark.operators.extract import extract_transcripts
+from fscrawler_spark.operators.incremental import merge_tags
+from fscrawler_spark.operators.deletes import prune_ignored
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_tag_merge_broadcasts(spark, transcripts_dir):
+    src = spark.read.parquet(os.path.join(transcripts_dir, "transcripts.parquet"))
+    tags = spark.createDataFrame(
+        [("megaconv-0", {"team": "a"})], "conv_id string, tags map<string,string>"
+    )
+    plan = plan_of(merge_tags(src, tags))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_prune_ignored_broadcast_anti(spark, transcripts_dir):
+    src = spark.read.parquet(os.path.join(transcripts_dir, "transcripts.parquet"))
+    ignored = spark.createDataFrame([("megaconv-0",)], "conv_id string")
+    plan = plan_of(prune_ignored(src, ignored))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_size_gate_sits_below_udf(spark, transcripts_dir):
+    """The ignore_above filter must execute BEFORE the extraction UDF so
+    oversized payloads never cross the Python boundary
+    (reference ordering: FsParser.java:960-974 size gate before parse)."""
+    src = spark.read.parquet(os.path.join(transcripts_dir, "transcripts.parquet"))
+    import re
+
+    plan = plan_of(extract_transcripts(src, ExtractSettings(num_buckets=4, ignore_above=5000)))
+    udf_pos = plan.find("ArrowEvalPython")
+    m = re.search(r"Filter .*length\(text#\d+\) <= 5000", plan)
+    assert udf_pos != -1 and m is not None
+    # executed plans print top-down: the UDF node appears before (above)
+    # the Filter node that feeds it
+    assert udf_pos < m.start()
+
+
+def test_extraction_reads_only_needed_columns(spark, transcripts_dir):
+    """Column pruning: a projection that needs only (conv_id, mime) must
+    not read the full row from parquet."""
+    src = spark.read.parquet(os.path.join(transcripts_dir, "transcripts.parquet"))
+    docs = extract_transcripts(src, ExtractSettings(num_buckets=4))
+    plan = plan_of(docs.select("conv_id", "mime"))
+    # ReadSchema should include text (UDF input) but not role/tool/ts
+    rs = plan[plan.find("ReadSchema") :][:300]
+    assert "text" in rs
+    assert "role" not in rs and "tool" not in rs
+
+
+def test_no_exchange_in_extraction_hot_path(spark, transcripts_dir):
+    src = spark.read.parquet(os.path.join(transcripts_dir, "transcripts.parquet"))
+    plan = plan_of(extract_transcripts(src, ExtractSettings(num_buckets=4)))
+    assert "Exchange" not in plan
+
+
+def test_lsh_join_is_keyed_not_cross(spark):
+    from fscrawler_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"text number {i} with some shared words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    sigs = dedup.minhash_signatures_fast(df, num_hashes=16)
+    plan = plan_of(dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
