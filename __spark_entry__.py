@@ -529,6 +529,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(q_ann_topk=q_ann_topk, q_ann_lsh=q_ann_lsh, q_embed_near_dup=q_embed_near_dup)
 
+    # --- general analytics over the star schema (joins / windows / aggs) ------------
+
+    def q_pricing_summary(spark, sf):
+        # TPC-H Q1-shaped scan+agg (shows whole-stage agg pipeline health)
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum("l_quantity").alias("sum_qty"),
+                F.sum("l_extendedprice").alias("sum_base_price"),
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order"),
+            )
+            .select(
+                "l_returnflag",
+                "l_linestatus",
+                (F.floor(F.col("sum_qty") * 100) / 100).alias("sum_qty"),
+                (F.floor(F.col("sum_base_price") * 100) / 100).alias("sum_base_price"),
+                (F.floor(F.col("sum_disc_price") * 100) / 100).alias("sum_disc_price"),
+                "count_order",
+            )
+        )
+
+    def q_top_customer_revenue(spark, sf):
+        # broadcast dim join + agg + top-k (TPC-H Q3 shape)
+        c = spark.read.parquet(f"{sf}/customer.parquet")
+        o = spark.read.parquet(f"{sf}/orders.parquet")
+        return (
+            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg((F.floor(F.sum("o_totalprice") * 100) / 100).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(10)
+        )
+
+    def q_events_window(spark, sf):
+        # analytic window functions over the event stream (running ordinal
+        # + per-user event share), deterministic ordering keys
+        ev = spark.read.parquet(f"{sf}/events.parquet")
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        return (
+            ev.withColumn("seq", F.row_number().over(w))
+            .filter(F.col("seq") <= 3)
+            .select("user_id", F.col("seq").cast("long").alias("seq"), "event_id", "event_type")
+        )
+
+    q.update(
+        q_pricing_summary=q_pricing_summary,
+        q_top_customer_revenue=q_top_customer_revenue,
+        q_events_window=q_events_window,
+    )
+
     # --- multimodal plumbing (rows-only check; no SQL oracle) -----------------------
 
     def q_media_features(spark, sf):
@@ -686,6 +741,31 @@ def oracle_sql() -> dict[str, str]:
     SELECT source, count(*) AS doc_count, sum(n_chars)::BIGINT AS total_chars,
            min(doc_id) AS first_doc, max(doc_id) AS last_doc
     FROM documents GROUP BY source
+    """
+
+    sql["q_pricing_summary"] = """
+    SELECT l_returnflag, l_linestatus,
+           floor(sum(l_quantity) * 100) / 100 AS sum_qty,
+           floor(sum(l_extendedprice) * 100) / 100 AS sum_base_price,
+           floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS sum_disc_price,
+           count(*) AS count_order
+    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+    sql["q_top_customer_revenue"] = """
+    SELECT c_custkey, c_name, floor(sum(o_totalprice) * 100) / 100 AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey LIMIT 10
+    """
+
+    sql["q_events_window"] = """
+    SELECT user_id, seq, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+      FROM events
+    ) WHERE seq <= 3
     """
 
     sql["q_token_count"] = """
