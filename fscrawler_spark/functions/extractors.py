@@ -37,23 +37,34 @@ MIME_BINARY = "application/octet-stream"
 _WS_RE = re.compile(r"\s+")
 
 
+SNIFF_WINDOW = 64  # magic-byte window, like real content sniffers
+
+
 def sniff_mime(text: str | None) -> str:
     """MIME sniff on payload leading bytes (TikaInstance AutoDetectParser
     analog, TikaInstance.java:119-218). Must stay expressible as a SQL
-    CASE (see functions/sniff.py) — keep rules prefix-based."""
+    CASE (see functions/sniff.py) — keep rules prefix-based. Binary (NUL)
+    detection looks only at the first SNIFF_WINDOW chars — magic bytes
+    live at the front; scanning a 100KB payload for one sniff is wasted
+    work at 10^12 turns."""
     if text is None or text == "":
         return MIME_PLAIN
-    if text.startswith("ENC:") or "\x00" in text:
+    head = text[:SNIFF_WINDOW]
+    if head.startswith("ENC:") or "\x00" in head:
         return MIME_BINARY
-    s = text.lstrip()
-    low = s[:16].lower()
+    # find first non-whitespace without copying the whole payload
+    i = 0
+    n = len(head)
+    while i < n and head[i] in " \t\r\n\x0b\x0c":
+        i += 1
+    low = head[i : i + 16].lower()
     if low.startswith("<!doctype html") or low.startswith("<html"):
         return MIME_HTML
-    if s.startswith("<?xml"):
+    if low.startswith("<?xml"):
         return MIME_XML
-    if text.startswith("%PDF-"):
+    if head.startswith("%PDF-"):
         return MIME_PDF
-    if s[:1] in ("{", "["):
+    if low[:1] in ("{", "["):
         return MIME_JSON
     return MIME_PLAIN
 
@@ -154,11 +165,11 @@ def extract_html(text: str, limit: int) -> ExtractResult:
             if e > s:
                 cur.append((s, e, anchor_depth > 0))
         pos = m.end()
-        name = m.group(2)
+        closing, name = m.group(1, 2)
         if name is None:
             continue  # comment / CDATA / <! / <? / stray markup
         name = name.lower()
-        closing = m.group(1) == "/"
+        closing = closing == "/"
         self_closing = name in void_tags or text[pos - 2 : pos] == "/>"
         if name in drop_tags and not self_closing:
             drop_depth += -1 if closing else 1

@@ -23,31 +23,33 @@ from fscrawler_spark.functions.extractors import (
 
 
 def sniff_mime_col(text: Column) -> Column:
-    s = F.regexp_replace(text, r"^\s+", "")
-    low = F.lower(F.substring(s, 1, 16))
+    head = F.substring(text, 1, 64)  # SNIFF_WINDOW twin
+    low = F.lower(F.substring(F.regexp_replace(head, r"^[\s\x0b\x0c]+", ""), 1, 16))
     return (
         F.when(text.isNull() | (text == ""), F.lit(MIME_PLAIN))
-        .when(text.startswith("ENC:") | text.contains("\x00"), F.lit(MIME_BINARY))
+        .when(head.startswith("ENC:") | head.contains("\x00"), F.lit(MIME_BINARY))
         .when(low.startswith("<!doctype html") | low.startswith("<html"), F.lit(MIME_HTML))
-        .when(s.startswith("<?xml"), F.lit(MIME_XML))
-        .when(text.startswith("%PDF-"), F.lit(MIME_PDF))
-        .when(F.substring(s, 1, 1).isin("{", "["), F.lit(MIME_JSON))
+        .when(low.startswith("<?xml"), F.lit(MIME_XML))
+        .when(head.startswith("%PDF-"), F.lit(MIME_PDF))
+        .when(F.substring(low, 1, 1).isin("{", "["), F.lit(MIME_JSON))
         .otherwise(F.lit(MIME_PLAIN))
     )
 
 
-# ANSI-SQL twin for the DuckDB oracle (same rules, same order).
+# ANSI-SQL twin for the DuckDB oracle (same rules, same order, same
+# 64-char sniff window).
 def sniff_mime_sql(col: str = "text") -> str:
+    head = f"substr({col}, 1, 64)"
+    low = f"lower(substr(regexp_replace({head}, '^\\s+', ''), 1, 16))"
     return f"""
     CASE
       WHEN {col} IS NULL OR {col} = '' THEN 'text/plain'
-      WHEN {col} LIKE 'ENC:%' OR contains({col}, chr(0)) THEN 'application/octet-stream'
-      WHEN lower(substr(regexp_replace({col}, '^\\s+', ''), 1, 14)) = '<!doctype html'
-        OR lower(substr(regexp_replace({col}, '^\\s+', ''), 1, 5)) = '<html'
+      WHEN {head} LIKE 'ENC:%' OR contains({head}, chr(0)) THEN 'application/octet-stream'
+      WHEN substr({low}, 1, 14) = '<!doctype html' OR substr({low}, 1, 5) = '<html'
         THEN 'text/html'
-      WHEN substr(regexp_replace({col}, '^\\s+', ''), 1, 5) = '<?xml' THEN 'application/xml'
-      WHEN {col} LIKE '%PDF-%' AND strpos({col}, '%PDF-') = 1 THEN 'application/pdf'
-      WHEN substr(regexp_replace({col}, '^\\s+', ''), 1, 1) IN ('{{', '[') THEN 'application/json'
+      WHEN substr({low}, 1, 5) = '<?xml' THEN 'application/xml'
+      WHEN strpos({head}, '%PDF-') = 1 THEN 'application/pdf'
+      WHEN substr({low}, 1, 1) IN ('{{', '[') THEN 'application/json'
       ELSE 'text/plain'
     END
     """
