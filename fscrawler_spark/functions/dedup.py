@@ -193,6 +193,99 @@ def jaccard_pairs(
     )
 
 
+def verify_candidates(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard computed ONLY on LSH candidate pairs — the scale-path
+    verification step (LSH recall, exact precision). Joins each pair to
+    its two shingle sets and intersects JVM-side (array_intersect)."""
+    sh = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    return (
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
+    """Duplicate clusters from verified pairs: iterative min-label
+    propagation (small-star style). Returns (id, cluster_id) where
+    cluster_id = min id reachable.
+
+    Scale notes: each iteration is one shuffle on id; converges in
+    O(log(diameter)) rounds — near-dup clusters are tiny (diameter ~2-3),
+    so 3-5 rounds in practice; max_iters bounds the pathological chain.
+    localCheckpoint() truncates the exponentially-growing lineage.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
+        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("id"))
+    )
+    for _ in range(max_iters):
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.id)
+            .groupBy("a")
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
+            .select(
+                "id",
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .head(1)
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def near_dup_pipeline(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Production near-dup dedup: MinHash -> LSH buckets -> exact-Jaccard
+    verify on candidates only -> connected components -> keeper = min id
+    per cluster. Returns (id, cluster_id, is_keeper)."""
+    sigs = minhash_signatures_fast(df, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    verified = verify_candidates(df, cands, id_col=id_col, text_col=text_col, threshold=threshold)
+    clusters = connected_components(verified)
+    return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash: per token, hash to ``bits`` bits; each bit votes +1/-1;
     sign of the vote sum forms the fingerprint bit. Near-dups share most

@@ -99,6 +99,82 @@ def extract_media_features(df: DataFrame, fake: bool = True, feature_dim: int = 
     return df.mapInPandas(gen, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("decode_error", T.StringType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+        T.StructField("ts_ms", T.IntegerType()),
+    ]
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224, fake: bool = True) -> DataFrame:
+    """Image resize over binary payloads (mapInPandas). STUB decode: the
+    fake 'resize' emits a deterministic byte block of the target size so
+    schema/batching/partitioning are exercised end-to-end; swap the inner
+    function for PIL when available."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            payloads, errs = [], []
+            for p in pdf["payload"]:
+                if not fake:
+                    raise NotImplementedError("real resize requires PIL; run with fake=True")
+                b = bytes(p) if p is not None else b""
+                seed = (sum(b[:64]) if b else 0) % 256
+                payloads.append(bytes([seed]) * min(width * height // 64, 4096))
+                errs.append(None)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "width": width,
+                    "height": height,
+                    "decode_error": errs,
+                }
+            )
+
+    return df.mapInPandas(gen, RESIZE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake: bool = True) -> DataFrame:
+    """Video frame sampling: one input row -> N frame rows (mapInPandas is
+    a flat map, so the 1->N fan-out is native). STUB decode: deterministic
+    byte slices stand in for decoded frames."""
+
+    def gen(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "frame_idx": [], "frame": [], "ts_ms": []}
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                if not fake:
+                    raise NotImplementedError("real frame decode requires ffmpeg; run with fake=True")
+                b = bytes(p) if p is not None else b""
+                n = min(max_frames, max(1, len(b) // 256))
+                for i in range(n):
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i)
+                    out["frame"].append(b[i * 256 : (i + 1) * 256])
+                    out["ts_ms"].append(i * every_ms)
+            yield pd.DataFrame(out)
+
+    return df.filter(F.col("kind") == "video").mapInPandas(gen, FRAME_SCHEMA)
+
+
 def media_table_from_documents(df: DataFrame) -> DataFrame:
     """Derive a deterministic media fixture from a text table: payload =
     UTF-8 bytes, kind round-robins by id. Used by tests and the smoke

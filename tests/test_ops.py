@@ -154,6 +154,26 @@ def test_minhash_fast_finds_near_dups(spark):
     assert (4, 5) not in got
 
 
+def test_near_dup_pipeline_clusters(spark):
+    corpus = dup_corpus(spark)
+    out = {r["id"]: (r["cluster_id"], r["is_keeper"]) for r in dedup.near_dup_pipeline(corpus, threshold=0.5).collect()}
+    # docs 1,2,3 form one near-dup cluster with keeper 1; 4,5 are not dups
+    assert out[1] == (1, True)
+    assert out[2][0] == 1 and not out[2][1]
+    assert out[3][0] == 1 and not out[3][1]
+    assert 4 not in out and 5 not in out
+
+
+def test_connected_components_chain(spark):
+    # a chain a-b, b-c, c-d must collapse to one cluster rooted at min id
+    pairs = spark.createDataFrame(
+        [(10, 20, 0.9), (20, 30, 0.9), (30, 40, 0.9), (100, 200, 0.9)],
+        "id_a long, id_b long, jaccard double",
+    )
+    out = {r["id"]: r["cluster_id"] for r in dedup.connected_components(pairs).collect()}
+    assert out == {10: 10, 20: 10, 30: 10, 40: 10, 100: 100, 200: 100}
+
+
 def test_simhash_near_dups_close(spark):
     out = {r["id"]: r["simhash"] for r in dedup.simhash(dup_corpus(spark)).collect()}
     ham = lambda a, b: bin(a ^ b).count("1")
@@ -210,6 +230,25 @@ def test_media_feature_plumbing(spark):
         assert abs(sum(r["feature"]) - 1.0) < 0.01
         assert r["decode_error"] is None
         assert r["byte_len"] > 0
+
+
+def test_media_resize_and_frame_sample(spark):
+    docs = docs_df(spark).limit(30)
+    media = media_table_from_documents(docs)
+    from fscrawler_spark.functions.multimodal import resize_images, sample_frames
+
+    resized = resize_images(media.filter(F.col("kind") == "image")).collect()
+    assert resized and all(r["width"] == 224 and r["height"] == 224 and r["decode_error"] is None for r in resized)
+
+    frames = sample_frames(media).collect()
+    assert frames
+    by_media = {}
+    for fr in frames:
+        by_media.setdefault(fr["media_id"], []).append(fr)
+    for mid, frs in by_media.items():
+        idxs = sorted(f["frame_idx"] for f in frs)
+        assert idxs == list(range(len(idxs)))  # contiguous 1->N fan-out
+        assert all(f["ts_ms"] == f["frame_idx"] * 1000 for f in frs)
 
 
 # --- streaming ---------------------------------------------------------------------
