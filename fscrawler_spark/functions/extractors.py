@@ -75,6 +75,7 @@ class ExtractResult:
     extracted: str | None
     spans: list[tuple[int, int]] = field(default_factory=list)
     error: str | None = None
+    title: str | None = None  # T7 Meta.title analog (html <title> text)
 
 
 def _assemble(source: str, runs: list[tuple[int, int]], limit: int) -> tuple[str, list[tuple[int, int]]]:
@@ -152,6 +153,8 @@ def extract_html(text: str, limit: int) -> ExtractResult:
     """
     drop_depth = 0
     anchor_depth = 0
+    in_title = False
+    title: str | None = None
     # current block accumulator: list of (start, end, in_anchor)
     cur: list[tuple[int, int, bool]] = []
     blocks: list[list[tuple[int, int, bool]]] = []
@@ -160,16 +163,24 @@ def extract_html(text: str, limit: int) -> ExtractResult:
     pos = 0
     for m in _HTML_TOKEN_RE.finditer(text):
         mstart = m.start()
-        if mstart > pos and drop_depth == 0:
-            s, e = _trim_run(text, pos, mstart)
-            if e > s:
-                cur.append((s, e, anchor_depth > 0))
+        if mstart > pos:
+            if in_title and title is None:
+                t = text[pos:mstart].strip()
+                if t:
+                    title = t
+            if drop_depth == 0:
+                s, e = _trim_run(text, pos, mstart)
+                if e > s:
+                    cur.append((s, e, anchor_depth > 0))
         pos = m.end()
         closing, name = m.group(1, 2)
         if name is None:
             continue  # comment / CDATA / <! / <? / stray markup
         name = name.lower()
         closing = closing == "/"
+        if name == "title":
+            in_title = not closing
+            continue
         self_closing = name in void_tags or text[pos - 2 : pos] == "/>"
         if name in drop_tags and not self_closing:
             drop_depth += -1 if closing else 1
@@ -218,7 +229,7 @@ def extract_html(text: str, limit: int) -> ExtractResult:
             kept_runs.append((s, e))
 
     extracted, spans = _assemble(text, kept_runs, limit)
-    return ExtractResult(MIME_HTML, extracted, spans, None)
+    return ExtractResult(MIME_HTML, extracted, spans, None, title)
 
 
 # --- XML -------------------------------------------------------------------

@@ -64,7 +64,7 @@ def make_registry_udf(
 
     @F.arrow_udf(EXTRACT_TYPE)
     def registry_udf(text: pa.Array) -> pa.Array:
-        mimes, extracted, errors = [], [], []
+        mimes, extracted, errors, titles = [], [], [], []
         packed: list[int] = []
         offsets = [0]
         n = 0
@@ -83,6 +83,7 @@ def make_registry_udf(
             mimes.append(r.mime)
             extracted.append(r.extracted)
             errors.append(r.error)
+            titles.append(r.title)
             for s, e in r.spans:
                 packed.append((s << 32) | e)
             n += len(r.spans)
@@ -94,8 +95,9 @@ def make_registry_udf(
                 pa.array(extracted, pa.string()),
                 spans,
                 pa.array(errors, pa.string()),
+                pa.array(titles, pa.string()),
             ],
-            ["mime", "extracted", "spans", "error"],
+            ["mime", "extracted", "spans", "error", "title"],
         )
 
     return registry_udf

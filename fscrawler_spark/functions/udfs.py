@@ -34,6 +34,7 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("extracted", T.StringType()),
         T.StructField("spans", SPAN_TYPE),
         T.StructField("error", T.StringType()),
+        T.StructField("title", T.StringType()),
     ]
 )
 
@@ -55,6 +56,7 @@ def make_extract_udf(settings: ExtractSettings):
         mimes: list[str] = []
         extracted: list[str | None] = []
         errors: list[str | None] = []
+        titles: list[str | None] = []
         packed: list[int] = []
         offsets: list[int] = [0]
         n_spans = 0
@@ -64,6 +66,7 @@ def make_extract_udf(settings: ExtractSettings):
             mimes.append(r.mime)
             extracted.append(r.extracted)
             errors.append(r.error)
+            titles.append(r.title)
             for s, e in r.spans:
                 packed.append((s << 32) | e)
             n_spans += len(r.spans)
@@ -77,8 +80,9 @@ def make_extract_udf(settings: ExtractSettings):
                 pa.array(extracted, pa.string()),
                 spans,
                 pa.array(errors, pa.string()),
+                pa.array(titles, pa.string()),
             ],
-            ["mime", "extracted", "spans", "error"],
+            ["mime", "extracted", "spans", "error", "title"],
         )
 
     return extract_udf

@@ -86,16 +86,24 @@ def extract_transcripts(
     if settings.store_source:
         # T15 store-source: base64 of the original payload (TikaDocParser.java:471-487)
         cols.append(F.base64(F.encode(F.col("text"), "UTF-8")).alias("attachment"))
+    # T7 metadata projection: meta struct (Meta bean analog) — title from
+    # the parse, language optional (T9, TikaDocParser.java:336-355)
     if settings.lang_detect:
-        # T9 language detection over extracted content (TikaDocParser.java:336-355)
         from fscrawler_spark.functions.text_analysis import langid_udf
 
-        cols.append(
-            F.struct(
-                F.when(F.col("ex.extracted").isNotNull(), langid_udf()(F.col("ex.extracted")))
-                .otherwise(F.lit(None))
-                .alias("language")
-            ).alias("meta")
+        language = (
+            F.when(F.col("ex.extracted").isNotNull(), langid_udf()(F.col("ex.extracted")))
+            .otherwise(F.lit(None))
+            .alias("language")
         )
+    else:
+        language = F.lit(None).cast("string").alias("language")
+    cols.append(
+        F.struct(
+            F.col("ex.title").alias("title"),
+            language,
+            F.col("ex.mime").alias("format"),
+        ).alias("meta")
+    )
     out = out.select(*cols)
     return apply_post_filters(out, settings)

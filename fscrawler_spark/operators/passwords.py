@@ -38,7 +38,7 @@ def make_decrypt_udf(settings: ExtractSettings):
 
     @F.arrow_udf(EXTRACT_TYPE)
     def decrypt_udf(text: pa.Array, candidates: pa.Array) -> pa.Array:
-        mimes, extracted, errors = [], [], []
+        mimes, extracted, errors, titles = [], [], [], []
         packed: list[int] = []
         offsets = [0]
         n = 0
@@ -57,6 +57,7 @@ def make_decrypt_udf(settings: ExtractSettings):
             mimes.append(r.mime)
             extracted.append(r.extracted)
             errors.append(r.error)
+            titles.append(r.title)
             for s, e in r.spans:
                 packed.append((s << 32) | e)
             n += len(r.spans)
@@ -68,8 +69,9 @@ def make_decrypt_udf(settings: ExtractSettings):
                 pa.array(extracted, pa.string()),
                 spans,
                 pa.array(errors, pa.string()),
+                pa.array(titles, pa.string()),
             ],
-            ["mime", "extracted", "spans", "error"],
+            ["mime", "extracted", "spans", "error", "title"],
         )
 
     return decrypt_udf

@@ -93,6 +93,15 @@ def test_html_boilerplate_strip():
     assert HTML_DOC[s:e] == "This is a sample text available in page one."
 
 
+def test_html_title_captured():
+    r = extract(HTML_DOC)
+    assert r.title == "Title"
+    # title text is metadata, not content
+    assert "Title" not in r.extracted
+    r2 = extract("<html><body><p>no head here at all okay</p></body></html>")
+    assert r2.title is None
+
+
 def test_html_link_density_drops_nav_div():
     # a div of pure links (not inside <nav>) must be dropped by density
     doc = "<html><body><div><a href='/1'>one</a> <a href='/2'>two</a></div><p>Real content sentence with enough words.</p></body></html>"
