@@ -84,11 +84,26 @@ SQL_MIME_CASE = """CASE doc_id % 6
       WHEN 4 THEN 'application/pdf' ELSE 'application/octet-stream' END"""
 
 
+def _ship(spark: SparkSession) -> None:
+    """Make UDF closures importable on Python workers regardless of how
+    the caller built the session (the driver creates its own)."""
+    if not getattr(spark, "_fscrawler_shipped", False):
+        try:
+            from fscrawler_spark.artifact import ensure_shipped
+
+            ensure_shipped(spark)
+        except Exception:
+            pass  # already shipped or launched from the repo dir
+        spark._fscrawler_shipped = True
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _ship(spark)
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 

@@ -59,6 +59,7 @@ class ExtractSettings:
     index_content: bool = True
     checksum_algo: str = "sha256"
     lang_detect: bool = False
+    raw_metadata: bool = False  # T8: capture html <meta>/json top-level fields
     store_source: bool = False
     remove_deleted: bool = True
     continue_on_error: bool = True

@@ -340,6 +340,38 @@ def extract_binary(text: str) -> ExtractResult:
     return ExtractResult(MIME_BINARY, None, [], "parse_error")
 
 
+# --- raw metadata (T8) ---------------------------------------------------------
+
+_META_TAG_RE = re.compile(
+    r"<meta\s[^>]*?name\s*=\s*[\"']([^\"']+)[\"'][^>]*?content\s*=\s*[\"']([^\"']*)[\"']",
+    re.IGNORECASE | re.DOTALL,
+)
+
+
+def extract_raw_meta(text: str, mime: str) -> dict[str, str] | None:
+    """T8 raw metadata capture (TikaDocParser.java:443-463): html <meta>
+    name/content pairs; json top-level scalar fields. Keys get dots
+    replaced by colons (reference issue #256 parity). Returns None when
+    the format carries no metadata — callers gate this behind
+    settings.raw_metadata so the hot path never pays for it."""
+    try:
+        if mime == MIME_HTML:
+            pairs = {m.group(1).replace(".", ":"): m.group(2) for m in _META_TAG_RE.finditer(text)}
+            return pairs or None
+        if mime == MIME_JSON:
+            obj = json.loads(text)
+            if isinstance(obj, dict):
+                out = {
+                    str(k).replace(".", ":"): str(v)
+                    for k, v in obj.items()
+                    if isinstance(v, (str, int, float, bool))
+                }
+                return out or None
+    except Exception:
+        return None
+    return None
+
+
 # --- dispatch ----------------------------------------------------------------
 
 

@@ -96,8 +96,9 @@ def make_registry_udf(
                 spans,
                 pa.array(errors, pa.string()),
                 pa.array(titles, pa.string()),
+                pa.array([None] * len(titles), pa.map_(pa.string(), pa.string())),
             ],
-            ["mime", "extracted", "spans", "error", "title"],
+            ["mime", "extracted", "spans", "error", "title", "raw"],
         )
 
     return registry_udf

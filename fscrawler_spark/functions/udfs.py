@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fscrawler_spark.config import ExtractSettings
-from fscrawler_spark.functions.extractors import extract
+from fscrawler_spark.functions.extractors import extract, extract_raw_meta
 
 # Spans are PACKED as int64 (start << 32 | end): converting Arrow
 # array<struct<int,int>> into Spark InternalRows measured ~13us/row of
@@ -35,6 +35,7 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("spans", SPAN_TYPE),
         T.StructField("error", T.StringType()),
         T.StructField("title", T.StringType()),
+        T.StructField("raw", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -48,6 +49,7 @@ def make_extract_udf(settings: ExtractSettings):
     """
     limit = settings.indexed_chars
     pct = settings.indexed_chars_percent
+    want_raw = settings.raw_metadata
 
     @F.arrow_udf(EXTRACT_TYPE)
     def extract_udf(text: pa.Array) -> pa.Array:
@@ -57,6 +59,7 @@ def make_extract_udf(settings: ExtractSettings):
         extracted: list[str | None] = []
         errors: list[str | None] = []
         titles: list[str | None] = []
+        raws: list[dict | None] = []
         packed: list[int] = []
         offsets: list[int] = [0]
         n_spans = 0
@@ -67,6 +70,7 @@ def make_extract_udf(settings: ExtractSettings):
             extracted.append(r.extracted)
             errors.append(r.error)
             titles.append(r.title)
+            raws.append(extract_raw_meta(t, r.mime) if (want_raw and t) else None)
             for s, e in r.spans:
                 packed.append((s << 32) | e)
             n_spans += len(r.spans)
@@ -81,8 +85,9 @@ def make_extract_udf(settings: ExtractSettings):
                 spans,
                 pa.array(errors, pa.string()),
                 pa.array(titles, pa.string()),
+                pa.array(raws, pa.map_(pa.string(), pa.string())),
             ],
-            ["mime", "extracted", "spans", "error", "title"],
+            ["mime", "extracted", "spans", "error", "title", "raw"],
         )
 
     return extract_udf

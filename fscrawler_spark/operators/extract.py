@@ -103,6 +103,7 @@ def extract_transcripts(
             F.col("ex.title").alias("title"),
             language,
             F.col("ex.mime").alias("format"),
+            F.col("ex.raw").alias("raw"),
         ).alias("meta")
     )
     out = out.select(*cols)

@@ -70,8 +70,9 @@ def make_decrypt_udf(settings: ExtractSettings):
                 spans,
                 pa.array(errors, pa.string()),
                 pa.array(titles, pa.string()),
+                pa.array([None] * len(titles), pa.map_(pa.string(), pa.string())),
             ],
-            ["mime", "extracted", "spans", "error", "title"],
+            ["mime", "extracted", "spans", "error", "title", "raw"],
         )
 
     return decrypt_udf

@@ -142,6 +142,39 @@ def test_lang_detect_meta_column(spark):
     assert rows[0] == "en" and rows[1] == "es"
 
 
+# --- raw metadata (T8) ----------------------------------------------------------
+
+def test_raw_metadata_capture(spark):
+    src = spark.createDataFrame(
+        [
+            (
+                "c",
+                0,
+                '<html><head><title>t</title><meta name="author" content="Ada">'
+                '<meta name="dc.date" content="2024-01-01"></head>'
+                "<body><p>real content body text here</p></body></html>",
+            ),
+            ("c", 1, '{"title": "Doc", "count": 3, "nested": {"x": 1}}'),
+            ("c", 2, "plain text no metadata"),
+        ],
+        "conv_id string, turn_idx int, text string",
+    ).withColumns(
+        {
+            "role": F.lit("user"),
+            "tool": F.lit(None).cast("string"),
+            "ts": F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        }
+    )
+    out = extract_transcripts(src, ExtractSettings(num_buckets=2, raw_metadata=True))
+    rows = {r["turn_idx"]: r["meta"]["raw"] for r in out.collect()}
+    assert rows[0] == {"author": "Ada", "dc:date": "2024-01-01"}  # dots -> colons
+    assert rows[1] == {"title": "Doc", "count": "3"}  # scalars only
+    assert rows[2] is None
+    # default off: no raw maps materialized
+    out2 = extract_transcripts(src, ExtractSettings(num_buckets=2))
+    assert all(r["meta"]["raw"] is None for r in out2.collect())
+
+
 # --- CLI --------------------------------------------------------------------------
 
 def test_cli_end_to_end(transcripts_dir, tmp_path):

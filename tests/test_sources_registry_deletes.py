@@ -53,7 +53,12 @@ def test_registry_matches_builtin_udf(spark, transcripts_dir):
     a = src.select("conv_id", "turn_idx", make_extract_udf(ExtractSettings())("text").alias("ex_a"))
     b = src.select("conv_id", "turn_idx", make_registry_udf(ExtractSettings())("text").alias("ex_b"))
     joined = a.join(b, ["conv_id", "turn_idx"])
-    assert joined.filter(~F.col("ex_a").eqNullSafe(F.col("ex_b"))).count() == 0
+    # map-typed 'raw' is not comparable; compare the rest of the struct
+    fields = ["mime", "extracted", "spans", "error", "title"]
+    pred = F.lit(True)
+    for f in fields:
+        pred = pred & F.col(f"ex_a.{f}").eqNullSafe(F.col(f"ex_b.{f}"))
+    assert joined.filter(~pred).count() == 0
 
 
 # --- sources -------------------------------------------------------------------
