@@ -509,6 +509,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return dedup.simhash(_docs(spark, sf), id_col="doc_id", bits=32)
 
+    def q_near_dup_e2e(spark, sf):
+        # production dedup: LSH candidates -> verify -> clusters -> keepers
+        # (rows-only: iterative CC is not single-statement SQL)
+        out = dedup.near_dup_pipeline(_dup_corpus(spark, sf), id_col="id", threshold=0.5)
+        return out.select("id", "cluster_id", F.col("is_keeper").cast("boolean").alias("is_keeper"))
+
     def q_minhash_lsh_fast(spark, sf):
         # production xxhash64 minhash path (rows-only check: the md5 twin
         # above is the oracle-verified one; this one is the 100TB path)
@@ -519,6 +525,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dedup_exact=q_dedup_exact,
         q_minhash_lsh=q_minhash_lsh,
         q_minhash_lsh_fast=q_minhash_lsh_fast,
+        q_near_dup_e2e=q_near_dup_e2e,
         q_ngram_jaccard=q_ngram_jaccard,
         q_simhash=q_simhash,
     )

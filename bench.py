@@ -41,7 +41,7 @@ HEADLINE = [
     "q_run_stats",
     "q_dedup_exact",
     "q_minhash_lsh_fast",
-    "q_ngram_jaccard",
+    "q_near_dup_e2e",
     "q_simhash",
     "q_ann_topk",
     "q_token_count",

@@ -234,6 +234,10 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
+        # materialize once: every iteration joins edges twice, and without
+        # this the ENTIRE upstream (minhash -> LSH -> verify) would be
+        # recomputed per iteration (at scale: write edges to a table)
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))

@@ -36,6 +36,11 @@ class CheckpointManifest:
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
+            if "completed_buckets" in d and "completed" not in d:
+                # legacy manifest migration — the _status.json -> _checkpoint.json
+                # upgrade analog (FsCrawlerCheckpointFileHandler.java:95-120)
+                d["completed"] = d.pop("completed_buckets")
+                d.setdefault("state", "RUNNING")
             return cls(
                 path=path,
                 scan_id=d.get("scan_id", scan_id),
