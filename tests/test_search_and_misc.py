@@ -175,6 +175,63 @@ def test_raw_metadata_capture(spark):
     assert all(r["meta"]["raw"] is None for r in out2.collect())
 
 
+# --- settings variants --------------------------------------------------------------
+
+def test_indexed_chars_percent(spark):
+    src = spark.createDataFrame(
+        [("c", 0, "x" * 100)],
+        "conv_id string, turn_idx int, text string",
+    ).withColumns(
+        {
+            "role": F.lit("user"),
+            "tool": F.lit(None).cast("string"),
+            "ts": F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        }
+    )
+    # 10% of a 100-char payload -> 10 extracted chars (Percentage.java analog)
+    out = extract_transcripts(src, ExtractSettings(num_buckets=2, indexed_chars_percent=0.1))
+    r = out.collect()[0]
+    assert r["extracted"] == "x" * 10
+
+
+def test_store_source_attachment(spark):
+    import base64
+
+    src = spark.createDataFrame(
+        [("c", 0, "payload body")],
+        "conv_id string, turn_idx int, text string",
+    ).withColumns(
+        {
+            "role": F.lit("user"),
+            "tool": F.lit(None).cast("string"),
+            "ts": F.lit("2024-01-01 00:00:00").cast("timestamp"),
+        }
+    )
+    out = extract_transcripts(src, ExtractSettings(num_buckets=2, store_source=True))
+    r = out.collect()[0]
+    assert base64.b64decode(r["attachment"]).decode() == "payload body"
+
+
+def test_cli_restart_full_rescan(transcripts_dir, tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    out = str(tmp_path / "restart_out")
+    args = [
+        sys.executable, "-m", "fscrawler_spark.cli",
+        "--input", os.path.join(transcripts_dir, "transcripts.parquet"),
+        "--output", out, "--num-buckets", "4", "--master", "local[4]",
+    ]
+    r1 = subprocess.run(args, capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r1.returncode == 0, r1.stderr[-1500:]
+    # without --restart: no-op; with --restart: full rescan
+    r2 = subprocess.run(args + ["--restart"], capture_output=True, text=True, timeout=300, cwd="/root/repo")
+    assert r2.returncode == 0, r2.stderr[-1500:]
+    line = [l for l in r2.stdout.splitlines() if l.startswith("{")][0]
+    assert len(json.loads(line)["written_buckets"]) == 4
+
+
 # --- CLI --------------------------------------------------------------------------
 
 def test_cli_end_to_end(transcripts_dir, tmp_path):
