@@ -222,13 +222,15 @@ def verify_candidates(
 
 def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     """Duplicate clusters from verified pairs: iterative min-label
-    propagation (small-star style). Returns (id, cluster_id) where
-    cluster_id = min id reachable.
+    propagation. Returns (id, cluster_id) where cluster_id = min id
+    reachable.
 
-    Scale notes: each iteration is one shuffle on id; converges in
-    O(log(diameter)) rounds — near-dup clusters are tiny (diameter ~2-3),
-    so 3-5 rounds in practice; max_iters bounds the pathological chain.
-    localCheckpoint() truncates the exponentially-growing lineage.
+    Scale notes: each iteration is one shuffle on id and propagates labels
+    ONE hop, so convergence takes O(cluster diameter) rounds — near-dup
+    clusters are tiny (diameter ~2-3) so 3-5 rounds in practice;
+    ``max_iters`` bounds the pathological chain and a RuntimeWarning is
+    raised if the graph has not converged by then (results would be
+    under-merged). localCheckpoint() truncates the growing lineage.
     """
     edges = (
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -244,6 +246,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .distinct()
         .withColumn("cluster_id", F.col("id"))
     )
+    converged = False
     for _ in range(max_iters):
         neighbor_min = (
             edges.join(labels, edges.b == labels.id)
@@ -268,7 +271,17 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         )
         labels = new_labels
         if not changed:
+            converged = True
             break
+    if not converged:
+        import warnings
+
+        warnings.warn(
+            f"connected_components: not converged after {max_iters} iterations; "
+            "clusters may be under-merged (raise max_iters)",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

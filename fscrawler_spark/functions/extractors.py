@@ -107,7 +107,15 @@ def _trim_run(text: str, start: int, end: int) -> tuple[int, int]:
 
 # --- HTML ------------------------------------------------------------------
 
-_TOKEN_RE = re.compile(r"<!--.*?(?:-->|$)|<!\[CDATA\[.*?(?:\]\]>|$)|<[^>]*>?", re.DOTALL)
+# A '<' not opening a tag/markup construct is TEXT (HTML5 tokenizer
+# behavior): 'a < b' must not swallow ' b ...' as a pseudo-tag.
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"
+    r"|<\s*/?\s*[a-zA-Z][^>]*>?"
+    r"|<[!?/][^>]*>?",
+    re.DOTALL,
+)
 _TAGNAME_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)")
 
 # Elements whose entire subtree is boilerplate-by-construction.
@@ -129,11 +137,13 @@ SHORT_BLOCK_WORDS = 5
 
 # combined tokenizer: captures the tag name in the same pass (group 1 =
 # closing slash, group 2 = name); comments/CDATA/other markup have no groups
+# a bare '<' followed by anything but a tag name or markup punctuation is
+# TEXT, not a tag (HTML5 tokenizer behavior — 'a < b' keeps ' b')
 _HTML_TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
     r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>?"
-    r"|<[^>]*>?",
+    r"|<[!?/][^>]*>?",
     re.DOTALL,
 )
 
@@ -342,21 +352,26 @@ def extract_binary(text: str) -> ExtractResult:
 
 # --- raw metadata (T8) ---------------------------------------------------------
 
-_META_TAG_RE = re.compile(
-    r"<meta\s[^>]*?name\s*=\s*[\"']([^\"']+)[\"'][^>]*?content\s*=\s*[\"']([^\"']*)[\"']",
-    re.IGNORECASE | re.DOTALL,
-)
+_META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
+_ATTR_NAME_RE = re.compile(r"\bname\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE)
+_ATTR_CONTENT_RE = re.compile(r"\bcontent\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
 
 
 def extract_raw_meta(text: str, mime: str) -> dict[str, str] | None:
     """T8 raw metadata capture (TikaDocParser.java:443-463): html <meta>
-    name/content pairs; json top-level scalar fields. Keys get dots
-    replaced by colons (reference issue #256 parity). Returns None when
-    the format carries no metadata — callers gate this behind
-    settings.raw_metadata so the hot path never pays for it."""
+    name/content pairs (either attribute order); json top-level scalar
+    fields. Keys get dots replaced by colons (reference issue #256
+    parity). Returns None when the format carries no metadata — callers
+    gate this behind settings.raw_metadata so the hot path never pays."""
     try:
         if mime == MIME_HTML:
-            pairs = {m.group(1).replace(".", ":"): m.group(2) for m in _META_TAG_RE.finditer(text)}
+            pairs: dict[str, str] = {}
+            for tag in _META_TAG_RE.finditer(text):
+                t = tag.group(0)
+                nm = _ATTR_NAME_RE.search(t)
+                ct = _ATTR_CONTENT_RE.search(t)
+                if nm and ct:
+                    pairs[nm.group(1).replace(".", ":")] = ct.group(1)
             return pairs or None
         if mime == MIME_JSON:
             obj = json.loads(text)

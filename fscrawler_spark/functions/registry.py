@@ -36,7 +36,7 @@ from fscrawler_spark.functions.extractors import (
     extract_xml,
     sniff_mime,
 )
-from fscrawler_spark.functions.udfs import EXTRACT_TYPE
+from fscrawler_spark.functions.udfs import EXTRACT_TYPE, build_extract_batch, limit_for
 
 Handler = Callable[[str, int], ExtractResult]
 
@@ -60,45 +60,21 @@ def make_registry_udf(
     handlers = dict(BUILTIN_HANDLERS)
     handlers.update(overrides or {})
     sniff = sniffer or sniff_mime
-    limit = settings.indexed_chars
+
+    def _one(t: str | None) -> ExtractResult:
+        if t is None:
+            return ExtractResult(MIME_PLAIN, None, [], None)
+        if t == "":
+            return ExtractResult(MIME_PLAIN, "", [], None)
+        mime = sniff(t)
+        handler = handlers.get(mime, extract_plain)
+        try:
+            return handler(t, limit_for(settings, t))
+        except Exception:
+            return ExtractResult(mime, None, [], "parse_error")
 
     @F.arrow_udf(EXTRACT_TYPE)
     def registry_udf(text: pa.Array) -> pa.Array:
-        mimes, extracted, errors, titles = [], [], [], []
-        packed: list[int] = []
-        offsets = [0]
-        n = 0
-        for t in text.to_pylist():
-            if t is None:
-                r = ExtractResult(MIME_PLAIN, None, [], None)
-            elif t == "":
-                r = ExtractResult(MIME_PLAIN, "", [], None)
-            else:
-                mime = sniff(t)
-                handler = handlers.get(mime, extract_plain)
-                try:
-                    r = handler(t, limit)
-                except Exception:
-                    r = ExtractResult(mime, None, [], "parse_error")
-            mimes.append(r.mime)
-            extracted.append(r.extracted)
-            errors.append(r.error)
-            titles.append(r.title)
-            for s, e in r.spans:
-                packed.append((s << 32) | e)
-            n += len(r.spans)
-            offsets.append(n)
-        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(packed, pa.int64()))
-        return pa.StructArray.from_arrays(
-            [
-                pa.array(mimes, pa.string()),
-                pa.array(extracted, pa.string()),
-                spans,
-                pa.array(errors, pa.string()),
-                pa.array(titles, pa.string()),
-                pa.array([None] * len(titles), pa.map_(pa.string(), pa.string())),
-            ],
-            ["mime", "extracted", "spans", "error", "title", "raw"],
-        )
+        return build_extract_batch(((t, _one(t)) for t in text.to_pylist()), settings)
 
     return registry_udf

@@ -40,6 +40,51 @@ EXTRACT_TYPE = T.StructType(
 )
 
 
+def build_extract_batch(pairs, settings: ExtractSettings) -> pa.Array:
+    """Shared Arrow result assembly for every extraction-shaped UDF
+    (dispatch, registry, decrypt) — ONE implementation so settings
+    semantics (indexed_chars / indexed_chars_percent / raw_metadata) and
+    the packed-span encoding cannot drift between them.
+
+    ``pairs`` yields (source_text_for_metadata, ExtractResult).
+    """
+    want_raw = settings.raw_metadata
+    mimes: list[str] = []
+    extracted: list[str | None] = []
+    errors: list[str | None] = []
+    titles: list[str | None] = []
+    raws: list[dict | None] = []
+    packed: list[int] = []
+    offsets: list[int] = [0]
+    n_spans = 0
+    for t, r in pairs:
+        mimes.append(r.mime)
+        extracted.append(r.extracted)
+        errors.append(r.error)
+        titles.append(r.title)
+        raws.append(extract_raw_meta(t, r.mime) if (want_raw and t) else None)
+        for s, e in r.spans:
+            packed.append((s << 32) | e)
+        n_spans += len(r.spans)
+        offsets.append(n_spans)
+    spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(packed, pa.int64()))
+    return pa.StructArray.from_arrays(
+        [
+            pa.array(mimes, pa.string()),
+            pa.array(extracted, pa.string()),
+            spans,
+            pa.array(errors, pa.string()),
+            pa.array(titles, pa.string()),
+            pa.array(raws, pa.map_(pa.string(), pa.string())),
+        ],
+        ["mime", "extracted", "spans", "error", "title", "raw"],
+    )
+
+
+def limit_for(settings: ExtractSettings, t: str | None) -> int:
+    return settings.limit_for(len(t)) if t is not None else settings.indexed_chars
+
+
 def make_extract_udf(settings: ExtractSettings):
     """Build the dispatch+extract Arrow UDF for a settings snapshot.
 
@@ -47,47 +92,12 @@ def make_extract_udf(settings: ExtractSettings):
     executor) — the per-job parser isolation analog of
     TikaInstance.java:66-117.
     """
-    limit = settings.indexed_chars
-    pct = settings.indexed_chars_percent
-    want_raw = settings.raw_metadata
 
     @F.arrow_udf(EXTRACT_TYPE)
     def extract_udf(text: pa.Array) -> pa.Array:
-        import math
-
-        mimes: list[str] = []
-        extracted: list[str | None] = []
-        errors: list[str | None] = []
-        titles: list[str | None] = []
-        raws: list[dict | None] = []
-        packed: list[int] = []
-        offsets: list[int] = [0]
-        n_spans = 0
-        for t in text.to_pylist():
-            lim = limit if pct is None or t is None else math.ceil(len(t) * pct)
-            r = extract(t, lim)
-            mimes.append(r.mime)
-            extracted.append(r.extracted)
-            errors.append(r.error)
-            titles.append(r.title)
-            raws.append(extract_raw_meta(t, r.mime) if (want_raw and t) else None)
-            for s, e in r.spans:
-                packed.append((s << 32) | e)
-            n_spans += len(r.spans)
-            offsets.append(n_spans)
-        spans = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()), pa.array(packed, pa.int64())
-        )
-        return pa.StructArray.from_arrays(
-            [
-                pa.array(mimes, pa.string()),
-                pa.array(extracted, pa.string()),
-                spans,
-                pa.array(errors, pa.string()),
-                pa.array(titles, pa.string()),
-                pa.array(raws, pa.map_(pa.string(), pa.string())),
-            ],
-            ["mime", "extracted", "spans", "error", "title", "raw"],
+        return build_extract_batch(
+            ((t, extract(t, limit_for(settings, t))) for t in text.to_pylist()),
+            settings,
         )
 
     return extract_udf

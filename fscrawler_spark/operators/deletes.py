@@ -33,14 +33,26 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
     before = docs.filter(F.col("part_bucket").isin(affected))
     kept = before.join(keys, ["conv_id", "turn_idx"], "left_anti")
     deleted = before.count() - kept.count()
-    # dynamic partition overwrite rewrites only the affected buckets
-    (
-        kept.repartition(max(1, len(affected)), "part_bucket")
-        .sortWithinPartitions("conv_id", "turn_idx")
-        .write.mode("overwrite")
-        .partitionBy("part_bucket")
-        .parquet(output_docs)
-    )
+    # dynamic partition overwrite rewrites only partitions PRESENT in the
+    # written data — a bucket whose rows were all deleted would silently
+    # survive on disk. Track which affected buckets still have rows and
+    # remove the emptied ones explicitly (Iceberg DELETE does this via
+    # snapshot metadata; on plain parquet it is a directory drop).
+    surviving = {r["part_bucket"] for r in kept.select("part_bucket").distinct().collect()}
+    if surviving:
+        (
+            kept.repartition(max(1, len(surviving)), "part_bucket")
+            .sortWithinPartitions("conv_id", "turn_idx")
+            .write.mode("overwrite")
+            .partitionBy("part_bucket")
+            .parquet(output_docs)
+        )
+    import shutil
+
+    for b in set(affected) - surviving:
+        bucket_dir = os.path.join(output_docs, f"part_bucket={b}")
+        if os.path.isdir(bucket_dir):
+            shutil.rmtree(bucket_dir)
     return deleted
 
 

@@ -26,15 +26,18 @@ def changed_since(df: DataFrame, last_run_ts, slack_seconds: int = 2) -> DataFra
     )
 
 
-def changed_vs_snapshot(df: DataFrame, prev: DataFrame) -> DataFrame:
+def changed_vs_snapshot(df: DataFrame, prev: DataFrame, checksum_algo: str = "sha256") -> DataFrame:
     """J1 (content variant) — re-extract only turns that are new or whose
     payload checksum changed vs the previous run's output (the ACL-hash /
     mtime comparison analog, FsParser.java:1147-1215).
 
     left_anti on (identity, checksum): unchanged turns drop out. At scale
     both sides are bucketed by conv_id so this is a co-located join.
+    ``checksum_algo`` MUST match the settings.checksum_algo the snapshot
+    was written with, else every turn looks changed.
     """
-    cur = df.withColumn("_ck", F.sha2(F.col("text"), 256))
+    ck = F.sha2(F.col("text"), 256) if checksum_algo == "sha256" else F.md5(F.col("text"))
+    cur = df.withColumn("_ck", ck)
     prev_keys = prev.select(
         "conv_id", "turn_idx", F.col("file.checksum").alias("_ck")
     )

@@ -34,45 +34,26 @@ def encrypt_payload(password: str, plaintext: str) -> str:
 
 
 def make_decrypt_udf(settings: ExtractSettings):
-    limit = settings.indexed_chars
+    from fscrawler_spark.functions.udfs import build_extract_batch, limit_for
+
+    def _one(t: str | None, cands) -> tuple[str | None, "object"]:
+        plain = None
+        if t and t.startswith("ENC:") and t.count(":") >= 2:
+            tag = t.split(":", 2)[1]
+            for p in cands or []:
+                if hashlib.sha256(p.encode()).hexdigest()[:8] == tag:
+                    plain = t.split(":", 2)[2][::-1]
+                    break
+        if plain is None:
+            # stays encrypted -> (None, 'encrypted')
+            return t, extract(t, limit_for(settings, t))
+        return plain, extract(plain, limit_for(settings, plain))
 
     @F.arrow_udf(EXTRACT_TYPE)
     def decrypt_udf(text: pa.Array, candidates: pa.Array) -> pa.Array:
-        mimes, extracted, errors, titles = [], [], [], []
-        packed: list[int] = []
-        offsets = [0]
-        n = 0
-        for t, cands in zip(text.to_pylist(), candidates.to_pylist()):
-            plain = None
-            if t and t.startswith("ENC:") and t.count(":") >= 2:
-                tag = t.split(":", 2)[1]
-                for p in cands or []:
-                    if hashlib.sha256(p.encode()).hexdigest()[:8] == tag:
-                        plain = t.split(":", 2)[2][::-1]
-                        break
-            if plain is None:
-                r = extract(t, limit)  # stays encrypted -> (None, 'encrypted')
-            else:
-                r = extract(plain, limit)
-            mimes.append(r.mime)
-            extracted.append(r.extracted)
-            errors.append(r.error)
-            titles.append(r.title)
-            for s, e in r.spans:
-                packed.append((s << 32) | e)
-            n += len(r.spans)
-            offsets.append(n)
-        spans = pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), pa.array(packed, pa.int64()))
-        return pa.StructArray.from_arrays(
-            [
-                pa.array(mimes, pa.string()),
-                pa.array(extracted, pa.string()),
-                spans,
-                pa.array(errors, pa.string()),
-                pa.array(titles, pa.string()),
-                pa.array([None] * len(titles), pa.map_(pa.string(), pa.string())),
-            ],
-            ["mime", "extracted", "spans", "error", "title", "raw"],
+        return build_extract_batch(
+            (_one(t, c) for t, c in zip(text.to_pylist(), candidates.to_pylist())),
+            settings,
         )
 
     return decrypt_udf
@@ -107,6 +88,8 @@ def retry_encrypted(
             F.col("ex.extracted").alias("extracted"),
             F.col("ex.spans").alias("spans"),
             F.col("ex.error").alias("error"),
+            F.col("ex.title").alias("_new_title"),
+            F.col("ex.raw").alias("_new_raw"),
         )
     )
     keep_cols = ["mime", "extracted", "spans", "error"]
@@ -115,6 +98,17 @@ def retry_encrypted(
         docs.filter(F.col("error") == "encrypted")
         .drop(*keep_cols)
         .join(retried, ["conv_id", "turn_idx"])
-        .select(*docs.columns)
     )
+    if "meta" in docs.columns:
+        # meta must describe the DECRYPTED content, not the sealed payload
+        patched = patched.withColumn(
+            "meta",
+            F.struct(
+                F.col("_new_title").alias("title"),
+                F.col("meta.language").alias("language"),
+                F.col("mime").alias("format"),
+                F.col("_new_raw").alias("raw"),
+            ),
+        )
+    patched = patched.select(*docs.columns)
     return others.unionByName(patched)

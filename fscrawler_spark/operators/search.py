@@ -119,8 +119,15 @@ def execute_search(df: DataFrame, req: SearchRequest) -> DataFrame:
     out = df
     if req.query is not None:
         out = out.filter(req.query.to_column())
-    for fld, direction in req.sort:
-        out = out.orderBy(F.col(fld).desc() if direction == "desc" else F.col(fld).asc())
+    if req.sort:
+        # one orderBy with all keys — chained orderBy calls would each
+        # REPLACE the previous global sort, keeping only the last key
+        out = out.orderBy(
+            *[
+                F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
+                for fld, direction in req.sort
+            ]
+        )
     if req.fields:
         out = out.select(*req.fields)
     return out.limit(req.size)

@@ -84,6 +84,19 @@ def run_extraction_job(
     pending = manifest.pending(settings.num_buckets)
     run_id = f"run-{uuid.uuid4().hex[:12]}"
     if not pending:
+        # still backfill lineage rows for any completed bucket whose
+        # metrics write was lost to a crash
+        if os.path.isdir(out_data):
+            metered: set[int] = set()
+            if os.path.isdir(out_metrics):
+                metered = {
+                    r["part_bucket"]
+                    for r in spark.read.parquet(out_metrics).select("part_bucket").distinct().collect()
+                }
+            missing = sorted(manifest.completed - metered)
+            if missing:
+                out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(missing))
+                bucket_metrics(out_df, run_id).write.mode("append").parquet(out_metrics)
         manifest.finish()
         return {"run_id": run_id, "written_buckets": [], "skipped_buckets": sorted(manifest.completed)}
 
@@ -112,8 +125,19 @@ def run_extraction_job(
         manifest.mark_completed(wave)
         written.extend(wave)
 
-    # lineage/metrics: read back only the cheap columns (column pruning)
-    out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(written))
+    # lineage/metrics: read back only the cheap columns (column pruning).
+    # Targets = buckets written THIS run plus any completed bucket whose
+    # metrics never landed (a prior run that died between its bucket
+    # write and its metrics write) — keeps the every-bucket-has-a-
+    # lineage-row invariant across crash/resume.
+    already_metered: set[int] = set()
+    if os.path.isdir(out_metrics):
+        already_metered = {
+            r["part_bucket"]
+            for r in spark.read.parquet(out_metrics).select("part_bucket").distinct().collect()
+        }
+    targets = sorted(set(written) | (manifest.completed - already_metered))
+    out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
     metrics = bucket_metrics(out_df, run_id)
     metrics.write.mode("append").parquet(out_metrics)
 

@@ -27,8 +27,10 @@ def get_spark(
     extra: dict[str, str] | None = None,
 ) -> SparkSession:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if not cpus.isdigit():
+        cpus = "32"
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus) if cpus.isdigit() else 32
+    shuffle_partitions = shuffle_partitions or int(cpus)
     b = (
         SparkSession.builder.master(master)
         .appName(app)
