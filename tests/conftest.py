@@ -5,8 +5,14 @@ from fscrawler_spark.session import get_spark
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app="fscrawler-tests", master="local[4]", shuffle_partitions=8)
+def spark(tmp_path_factory):
+    wh = tmp_path_factory.mktemp("warehouse")
+    s = get_spark(
+        app="fscrawler-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra={"spark.sql.warehouse.dir": str(wh)},
+    )
     yield s
     s.stop()
 
