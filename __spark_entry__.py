@@ -92,9 +92,11 @@ def _ship(spark: SparkSession) -> None:
             from fscrawler_spark.artifact import ensure_shipped
 
             ensure_shipped(spark)
-        except Exception:
-            pass  # already shipped or launched from the repo dir
-        spark._fscrawler_shipped = True
+            spark._fscrawler_shipped = True
+        except Exception as e:  # don't latch: retry next call, stay visible
+            import warnings
+
+            warnings.warn(f"fscrawler_spark py-files shipping failed: {e!r}", RuntimeWarning)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -68,6 +68,12 @@ class ExtractSettings:
     skew_salt: int = 8             # salt fan-out for mega-conversations
     arrow_batch_rows: int = 2_000  # spark.sql.execution.arrow.maxRecordsPerBatch
 
+    def __post_init__(self) -> None:
+        if self.checksum_algo not in ("sha256", "md5"):
+            raise ValueError(
+                f"checksum_algo must be 'sha256' or 'md5', got {self.checksum_algo!r}"
+            )
+
     def limit_for(self, source_len: int) -> int:
         if self.indexed_chars_percent is not None:
             import math

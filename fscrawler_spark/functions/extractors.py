@@ -108,15 +108,17 @@ def _trim_run(text: str, start: int, end: int) -> tuple[int, int]:
 # --- HTML ------------------------------------------------------------------
 
 # A '<' not opening a tag/markup construct is TEXT (HTML5 tokenizer
-# behavior): 'a < b' must not swallow ' b ...' as a pseudo-tag.
+# behavior): 'a < b' / 'a <3' must not swallow following text as a
+# pseudo-tag — a tag is '<' or '</' IMMEDIATELY followed by a letter.
 _TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
-    r"|<\s*/?\s*[a-zA-Z][^>]*>?"
-    r"|<[!?/][^>]*>?",
+    r"|</?[a-zA-Z][^>]*>?"
+    r"|<[!?][^>]*>?"
+    r"|</[^>]*>?",
     re.DOTALL,
 )
-_TAGNAME_RE = re.compile(r"<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)")
+_TAGNAME_RE = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9-]*)")
 
 # Elements whose entire subtree is boilerplate-by-construction.
 DROP_TAGS = frozenset(
@@ -138,12 +140,14 @@ SHORT_BLOCK_WORDS = 5
 # combined tokenizer: captures the tag name in the same pass (group 1 =
 # closing slash, group 2 = name); comments/CDATA/other markup have no groups
 # a bare '<' followed by anything but a tag name or markup punctuation is
-# TEXT, not a tag (HTML5 tokenizer behavior — 'a < b' keeps ' b')
+# TEXT, not a tag (HTML5: a tag open is '<'/'</' immediately + letter —
+# 'a < b' keeps ' b', '</ x' is bogus markup not a close tag)
 _HTML_TOKEN_RE = re.compile(
     r"<!--.*?(?:-->|$)"
     r"|<!\[CDATA\[.*?(?:\]\]>|$)"
-    r"|<\s*(/?)\s*([a-zA-Z][a-zA-Z0-9-]*)[^>]*>?"
-    r"|<[!?/][^>]*>?",
+    r"|<(/?)([a-zA-Z][a-zA-Z0-9-]*)[^>]*>?"
+    r"|<[!?][^>]*>?"
+    r"|</[^>]*>?",  # '</' + non-letter: bogus comment, consumed (HTML5)
     re.DOTALL,
 )
 
@@ -162,6 +166,7 @@ def extract_html(text: str, limit: int) -> ExtractResult:
     with density heuristics per the north_star spec.
     """
     drop_depth = 0
+    nonhead_drop_depth = 0  # drop ancestors other than <head> (svg/nav/...)
     anchor_depth = 0
     in_title = False
     title: str | None = None
@@ -174,11 +179,15 @@ def extract_html(text: str, limit: int) -> ExtractResult:
     for m in _HTML_TOKEN_RE.finditer(text):
         mstart = m.start()
         if mstart > pos:
-            if in_title and title is None:
-                t = text[pos:mstart].strip()
-                if t:
-                    title = t
-            if drop_depth == 0:
+            if in_title:
+                # <title> text is METADATA only: captured as the document
+                # title when not inside svg/nav/etc., never emitted as
+                # content (even when the markup has no explicit <head>)
+                if title is None and nonhead_drop_depth == 0:
+                    t = text[pos:mstart].strip()
+                    if t:
+                        title = t
+            elif drop_depth == 0:
                 s, e = _trim_run(text, pos, mstart)
                 if e > s:
                     cur.append((s, e, anchor_depth > 0))
@@ -196,6 +205,10 @@ def extract_html(text: str, limit: int) -> ExtractResult:
             drop_depth += -1 if closing else 1
             if drop_depth < 0:
                 drop_depth = 0
+            if name != "head":
+                nonhead_drop_depth += -1 if closing else 1
+                if nonhead_drop_depth < 0:
+                    nonhead_drop_depth = 0
             if not closing and cur:
                 blocks.append(cur)
                 cur = []
@@ -210,7 +223,7 @@ def extract_html(text: str, limit: int) -> ExtractResult:
         if name in block_tags and cur:
             blocks.append(cur)
             cur = []
-    if pos < len(text) and drop_depth == 0:
+    if pos < len(text) and drop_depth == 0 and not in_title:
         s, e = _trim_run(text, pos, len(text))
         if e > s:
             cur.append((s, e, anchor_depth > 0))
@@ -352,7 +365,8 @@ def extract_binary(text: str) -> ExtractResult:
 
 # --- raw metadata (T8) ---------------------------------------------------------
 
-_META_TAG_RE = re.compile(r"<meta\s[^>]*>", re.IGNORECASE | re.DOTALL)
+# quoted attribute values may contain '>' — consume quoted runs atomically
+_META_TAG_RE = re.compile(r"<meta\s(?:\"[^\"]*\"|'[^']*'|[^>])*>", re.IGNORECASE | re.DOTALL)
 _ATTR_NAME_RE = re.compile(r"\bname\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE)
 _ATTR_CONTENT_RE = re.compile(r"\bcontent\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
 
@@ -377,7 +391,8 @@ def extract_raw_meta(text: str, mime: str) -> dict[str, str] | None:
             obj = json.loads(text)
             if isinstance(obj, dict):
                 out = {
-                    str(k).replace(".", ":"): str(v)
+                    # JSON-canonical scalar serialization ('true' not 'True')
+                    str(k).replace(".", ":"): v if isinstance(v, str) else json.dumps(v)
                     for k, v in obj.items()
                     if isinstance(v, (str, int, float, bool))
                 }

@@ -47,12 +47,15 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
             .partitionBy("part_bucket")
             .parquet(output_docs)
         )
-    import shutil
-
+    # scheme-agnostic delete (file:/, s3a://, hdfs:// all work) via the
+    # Hadoop FileSystem API — os-level rmtree would silently no-op on URIs
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
     for b in set(affected) - surviving:
-        bucket_dir = os.path.join(output_docs, f"part_bucket={b}")
-        if os.path.isdir(bucket_dir):
-            shutil.rmtree(bucket_dir)
+        hpath = jvm.org.apache.hadoop.fs.Path(f"{output_docs}/part_bucket={b}")
+        fs = hpath.getFileSystem(hconf)
+        if fs.exists(hpath):
+            fs.delete(hpath, True)
     return deleted
 
 

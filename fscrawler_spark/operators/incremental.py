@@ -36,6 +36,8 @@ def changed_vs_snapshot(df: DataFrame, prev: DataFrame, checksum_algo: str = "sh
     ``checksum_algo`` MUST match the settings.checksum_algo the snapshot
     was written with, else every turn looks changed.
     """
+    if checksum_algo not in ("sha256", "md5"):
+        raise ValueError(f"checksum_algo must be 'sha256' or 'md5', got {checksum_algo!r}")
     ck = F.sha2(F.col("text"), 256) if checksum_algo == "sha256" else F.md5(F.col("text"))
     cur = df.withColumn("_ck", ck)
     prev_keys = prev.select(

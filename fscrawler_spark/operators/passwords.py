@@ -101,11 +101,21 @@ def retry_encrypted(
     )
     if "meta" in docs.columns:
         # meta must describe the DECRYPTED content, not the sealed payload
+        if settings.lang_detect:
+            from fscrawler_spark.functions.text_analysis import langid_udf
+
+            language = (
+                F.when(F.col("extracted").isNotNull(), langid_udf()(F.col("extracted")))
+                .otherwise(F.lit(None).cast("string"))
+                .alias("language")
+            )
+        else:
+            language = F.lit(None).cast("string").alias("language")
         patched = patched.withColumn(
             "meta",
             F.struct(
                 F.col("_new_title").alias("title"),
-                F.col("meta.language").alias("language"),
+                language,
                 F.col("mime").alias("format"),
                 F.col("_new_raw").alias("raw"),
             ),

@@ -47,17 +47,30 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def bucket_metrics(out_df: DataFrame, run_id: str) -> DataFrame:
+def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = None) -> DataFrame:
     """Per-partition lineage/metrics rows (north_star requirement;
-    ScanStatistic analog, beans/ScanStatistic.java:33-38)."""
-    return out_df.groupBy("part_bucket").agg(
+    ScanStatistic analog, beans/ScanStatistic.java:33-38).
+
+    ``buckets``: when given, emits an explicit zero row for any bucket
+    with no output rows — a completed-but-empty bucket still gets its
+    lineage row (otherwise it would look permanently unmetered and
+    resume runs would re-attempt the backfill forever).
+    """
+    agg = out_df.groupBy("part_bucket").agg(
         F.approx_count_distinct("conv_id").alias("conv_count"),
         F.count(F.lit(1)).alias("turn_count"),
         F.sum(F.col("file.filesize")).alias("bytes_in"),
         F.sum(F.coalesce(F.length("extracted"), F.lit(0))).alias("bytes_out"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("parse_failures"),
         F.sum(F.size("spans")).alias("span_count"),
-    ).withColumn("run_id", F.lit(run_id)).select(LINEAGE_COLS)
+    )
+    if buckets is not None:
+        spark = out_df.sparkSession
+        base = spark.createDataFrame([(int(b),) for b in buckets], "part_bucket int")
+        agg = base.join(agg, "part_bucket", "left").fillna(
+            0, ["conv_count", "turn_count", "bytes_in", "bytes_out", "parse_failures", "span_count"]
+        )
+    return agg.withColumn("run_id", F.lit(run_id)).select(LINEAGE_COLS)
 
 
 def run_extraction_job(
@@ -96,7 +109,7 @@ def run_extraction_job(
             missing = sorted(manifest.completed - metered)
             if missing:
                 out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(missing))
-                bucket_metrics(out_df, run_id).write.mode("append").parquet(out_metrics)
+                bucket_metrics(out_df, run_id, buckets=missing).write.mode("append").parquet(out_metrics)
         manifest.finish()
         return {"run_id": run_id, "written_buckets": [], "skipped_buckets": sorted(manifest.completed)}
 
@@ -138,7 +151,7 @@ def run_extraction_job(
         }
     targets = sorted(set(written) | (manifest.completed - already_metered))
     out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
-    metrics = bucket_metrics(out_df, run_id)
+    metrics = bucket_metrics(out_df, run_id, buckets=targets)
     metrics.write.mode("append").parquet(out_metrics)
 
     manifest.finish()

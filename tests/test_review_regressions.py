@@ -34,6 +34,41 @@ def test_bare_lt_is_text_not_tag():
     assert r.extracted == "5 < 6 is certainly true"
     r2 = extract("<?xml version='1.0'?><doc>1 < 2</doc>")
     assert r2.extracted == "1 < 2"
+    # '<' + whitespace + letter is ALSO text (second-pass review finding)
+    r3 = extract("<html><body><p>a < b is certainly true</p></body></html>")
+    assert r3.extracted == "a < b is certainly true"
+
+
+def test_title_without_head_not_in_content():
+    r = extract("<html><title>My Page Title</title><body><p>real body content here okay</p></body></html>")
+    assert r.title == "My Page Title"
+    assert r.extracted == "real body content here okay"
+
+
+def test_svg_title_not_document_title():
+    r = extract(
+        "<html><head></head><body><svg><title>icon label</title></svg>"
+        "<p>body text content words</p></body></html>"
+    )
+    assert r.title is None
+    assert r.extracted == "body text content words"
+
+
+def test_meta_tag_with_gt_in_content():
+    raw = extract_raw_meta('<html><head><meta name="desc" content="a > b"></head></html>', "text/html")
+    assert raw == {"desc": "a > b"}
+
+
+def test_json_raw_meta_canonical_scalars():
+    raw = extract_raw_meta('{"ok": true, "n": 3, "s": "x"}', "application/json")
+    assert raw == {"ok": "true", "n": "3", "s": "x"}
+
+
+def test_checksum_algo_validated():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="checksum_algo"):
+        ExtractSettings(checksum_algo="SHA256")
 
 
 def test_apply_deletes_handles_fully_emptied_bucket(spark, tmp_path):
