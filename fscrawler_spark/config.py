@@ -67,6 +67,11 @@ class ExtractSettings:
     num_buckets: int = 32          # output partition buckets (conv-hash)
     skew_salt: int = 8             # salt fan-out for mega-conversations
     arrow_batch_rows: int = 2_000  # spark.sql.execution.arrow.maxRecordsPerBatch
+    # checkpoint granularity: the job commits in this many waves; each wave
+    # rescans the input (bucket filter pushed below the UDF, so extraction
+    # work is never repeated) — more waves = finer crash recovery, more
+    # scan I/O. 1 = single-pass job relying on task retries alone.
+    checkpoint_waves: int = 4
 
     def __post_init__(self) -> None:
         if self.checksum_algo not in ("sha256", "md5"):

@@ -116,10 +116,11 @@ def run_extraction_job(
     src = read_transcripts(spark, input_path)
     docs = extract_transcripts(src, settings)
 
-    # Group pending buckets into a few write waves so a mid-job failure
-    # leaves completed waves durable (checkpoint cadence analog of
-    # "every 100 files", FsParser.java:105). One wave == one Spark job.
-    wave_size = max(1, settings.num_buckets // 4)
+    # Group pending buckets into write waves so a mid-job failure leaves
+    # completed waves durable (checkpoint cadence analog of "every 100
+    # files", FsParser.java:105). One wave == one Spark job; granularity
+    # is settings.checkpoint_waves.
+    wave_size = max(1, settings.num_buckets // max(1, settings.checkpoint_waves))
     waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
 
     written: list[int] = []
