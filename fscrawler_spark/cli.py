@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 import sys
 
 
@@ -43,14 +42,50 @@ def build_parser() -> argparse.ArgumentParser:
         help="simulate: print plan + would-write counts, write nothing "
         "(REST ?simulate analog, rest/DocumentApi.java:89-92)",
     )
+    p.add_argument(
+        "--status",
+        action="store_true",
+        help="print the job status snapshot and exit "
+        "(GET /_crawler/status analog, rest/CrawlerApi.java:55-151)",
+    )
+    p.add_argument(
+        "--pause",
+        action="store_true",
+        help="request a running/future job to pause between waves "
+        "(POST /_crawler/pause analog)",
+    )
+    p.add_argument(
+        "--resume-paused",
+        action="store_true",
+        help="clear a pause request; the next run continues pending waves "
+        "(POST /_crawler/resume analog)",
+    )
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
     from fscrawler_spark.config import ExtractSettings
-    from fscrawler_spark.plans.pipeline import run_extraction_job
+    from fscrawler_spark.plans.pipeline import (
+        clear_pause,
+        job_status,
+        request_pause,
+        run_extraction_job,
+    )
     from fscrawler_spark.session import get_spark
+
+    # control-plane verbs: no SparkSession needed (CrawlerApi analog)
+    if args.status:
+        print(json.dumps(job_status(args.output)))
+        return 0
+    if args.pause:
+        request_pause(args.output)
+        print(json.dumps({"pause_requested": True}))
+        return 0
+    if args.resume_paused:
+        clear_pause(args.output)
+        print(json.dumps({"pause_requested": False}))
+        return 0
 
     settings = ExtractSettings(
         indexed_chars=args.indexed_chars,
@@ -80,9 +115,9 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"dry_run": True, "by_mime": {r["mime"]: [r["n"], r["errors"]] for r in counts.collect()}}))
             return 0
         if args.restart:
-            ckpt = os.path.join(args.output, "_checkpoint.json")
-            if os.path.exists(ckpt):
-                os.remove(ckpt)
+            from fscrawler_spark.plans.pipeline import restart_clean
+
+            restart_clean(args.output)
         for i in range(args.loop):
             res = run_extraction_job(spark, args.input, args.output, settings)
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))

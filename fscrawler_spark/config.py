@@ -60,6 +60,10 @@ class ExtractSettings:
     checksum_algo: str = "sha256"
     lang_detect: bool = False
     raw_metadata: bool = False  # T8: capture html <meta>/json top-level fields
+    # T13/T14: emit the parsed-object column (Doc.object analog,
+    # FsParser.java:1494-1555 / XmlDocParser.java:44-82) — flattened
+    # path->scalar map for JSON and XML payloads
+    parse_object: bool = False
     store_source: bool = False
     remove_deleted: bool = True
     continue_on_error: bool = True
@@ -67,6 +71,10 @@ class ExtractSettings:
     num_buckets: int = 32          # output partition buckets (conv-hash)
     skew_salt: int = 8             # salt fan-out for mega-conversations
     arrow_batch_rows: int = 2_000  # spark.sql.execution.arrow.maxRecordsPerBatch
+    # bounded driver re-drive of a failed write wave (reference: network
+    # retry x10 w/ backoff, FsParser.java:104-107,811-850); retries are
+    # recorded in the manifest (retry_count / last_error)
+    max_wave_retries: int = 2
     # checkpoint granularity: the job commits in this many waves; each wave
     # rescans the input (bucket filter pushed below the UDF, so extraction
     # work is never repeated) — more waves = finer crash recovery, more
@@ -78,6 +86,33 @@ class ExtractSettings:
             raise ValueError(
                 f"checksum_algo must be 'sha256' or 'md5', got {self.checksum_algo!r}"
             )
+
+    def fingerprint(self) -> str:
+        """Stable hash of every setting that changes the OUTPUT (content
+        or bucket assignment). Persisted in the checkpoint manifest so a
+        resume with different settings is refused instead of silently
+        mixing incompatible runs (e.g. a changed num_buckets shifts every
+        salted_bucket assignment; changed filters/indexed_chars change
+        row content) — see plans/checkpoint.py."""
+        import hashlib
+
+        key = (
+            self.indexed_chars,
+            self.indexed_chars_percent,
+            self.includes,
+            self.excludes,
+            self.filters,
+            self.ignore_above,
+            self.index_content,
+            self.checksum_algo,
+            self.lang_detect,
+            self.raw_metadata,
+            self.store_source,
+            self.parse_object,
+            self.num_buckets,
+            self.skew_salt,
+        )
+        return hashlib.sha256(repr(key).encode()).hexdigest()[:16]
 
     def limit_for(self, source_len: int) -> int:
         if self.indexed_chars_percent is not None:

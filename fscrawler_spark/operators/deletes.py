@@ -7,13 +7,19 @@ the live listing, and issues ES deletes (FsParser.java:1010-1057); the
 
 Spark shape: with an Iceberg catalog this is `MERGE/DELETE WHERE key IN
 (delete_set)`; on plain partitioned parquet we rewrite ONLY the buckets
-that contain deleted keys (anti-join) — partition-scoped rewrite, the
-same I/O shape Iceberg's copy-on-write DELETE performs.
+that contain deleted keys — partition-scoped rewrite, the same I/O shape
+Iceberg's copy-on-write DELETE performs. Crucially the rewrite goes to a
+STAGING directory first and is swapped in per bucket afterwards: a lazy
+plan that reads a path while dynamically overwriting the same path can
+see partially-replaced partitions under task retry — the staged swap
+never reads and writes the same files in one job, and a crash mid-swap
+leaves a state from which re-running the same delete is a no-op
+(idempotent).
 """
 
 from __future__ import annotations
 
-import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -24,38 +30,53 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
     only affected part_bucket partitions. Returns #rows deleted."""
     docs = spark.read.parquet(output_docs)
     keys = delete_keys.select("conv_id", "turn_idx")
-    affected = [
-        r["part_bucket"]
-        for r in docs.join(keys, ["conv_id", "turn_idx"]).select("part_bucket").distinct().collect()
-    ]
-    if not affected:
+    # ONE job yields both the affected buckets and the deleted count
+    # (previously: three jobs — affected collect + before.count + kept.count)
+    hits = (
+        docs.join(keys, ["conv_id", "turn_idx"])
+        .groupBy("part_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    if not hits:
         return 0
-    before = docs.filter(F.col("part_bucket").isin(affected))
-    kept = before.join(keys, ["conv_id", "turn_idx"], "left_anti")
-    deleted = before.count() - kept.count()
-    # dynamic partition overwrite rewrites only partitions PRESENT in the
-    # written data — a bucket whose rows were all deleted would silently
-    # survive on disk. Track which affected buckets still have rows and
-    # remove the emptied ones explicitly (Iceberg DELETE does this via
-    # snapshot metadata; on plain parquet it is a directory drop).
-    surviving = {r["part_bucket"] for r in kept.select("part_bucket").distinct().collect()}
-    if surviving:
-        (
-            kept.repartition(max(1, len(surviving)), "part_bucket")
-            .sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite")
-            .partitionBy("part_bucket")
-            .parquet(output_docs)
-        )
-    # scheme-agnostic delete (file:/, s3a://, hdfs:// all work) via the
-    # Hadoop FileSystem API — os-level rmtree would silently no-op on URIs
+    affected = [r["part_bucket"] for r in hits]
+    deleted = sum(r["n"] for r in hits)
+
+    kept = (
+        docs.filter(F.col("part_bucket").isin(affected))
+        .join(keys, ["conv_id", "turn_idx"], "left_anti")
+    )
+    # stage the surviving rows OUTSIDE the live table (fresh directory, so
+    # no partitionOverwriteMode dependency), preserving the stable
+    # within-partition turn ordering invariant (north_rule O1)
+    staging = output_docs.rstrip("/") + f"__delete_stage_{uuid.uuid4().hex[:8]}"
+    (
+        kept.repartition(max(1, len(affected)), "part_bucket")
+        .sortWithinPartitions("conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("part_bucket")
+        .parquet(staging)
+    )
+
+    # swap per bucket via the Hadoop FileSystem API (scheme-agnostic:
+    # file:/, s3a://, hdfs:// all work; os-level moves would no-op on URIs).
+    # A bucket whose rows were ALL deleted has no staged dir — dynamic
+    # partition overwrite could never empty it (a partition absent from
+    # the written data survives on disk), so the live dir is dropped
+    # explicitly. Iceberg DELETE does the same via snapshot metadata.
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
-    for b in set(affected) - surviving:
-        hpath = jvm.org.apache.hadoop.fs.Path(f"{output_docs}/part_bucket={b}")
-        fs = hpath.getFileSystem(hconf)
-        if fs.exists(hpath):
-            fs.delete(hpath, True)
+    HPath = jvm.org.apache.hadoop.fs.Path
+    fs = HPath(output_docs).getFileSystem(hconf)
+    for b in affected:
+        live = HPath(f"{output_docs}/part_bucket={b}")
+        staged = HPath(f"{staging}/part_bucket={b}")
+        if fs.exists(live):
+            fs.delete(live, True)
+        if fs.exists(staged):
+            fs.rename(staged, live)
+    fs.delete(HPath(staging), True)
     return deleted
 
 

@@ -73,9 +73,14 @@ def retry_encrypted(
     passwords: (conv_id, passwords: array<string>) — broadcast side.
     """
     settings = settings or ExtractSettings()
+    # NOTE: fully lazy — no action is triggered here. An earlier version
+    # ran enc.head(1) to short-circuit the no-encrypted-rows case, which
+    # executed the whole upstream extraction plan once (and the union
+    # branches re-executed it twice more). An empty join is cheap; in the
+    # job flow this runs over the already-materialized output table, so
+    # the branches share one parquet scan. Pinned by
+    # test_retry_encrypted_is_lazy.
     enc = docs.filter(F.col("error") == "encrypted").select("conv_id", "turn_idx")
-    if not enc.head(1):
-        return docs
     udf = make_decrypt_udf(settings)
     retried = (
         enc.join(src, ["conv_id", "turn_idx"])

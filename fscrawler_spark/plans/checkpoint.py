@@ -10,6 +10,21 @@ and deterministic, so a resumed run recomputes exactly the pending
 buckets and the result is byte-identical — exactly-once by construction
 (SURVEY §7 hard-parts).
 
+Beyond bucket ids the manifest persists:
+
+* ``num_buckets`` + ``settings_fingerprint`` — the settings the completed
+  buckets were computed with. Resuming with different settings would
+  silently mix incompatible runs (changed num_buckets shifts every
+  salted_bucket assignment; changed filters change row content), so a
+  mismatch REFUSES to resume instead.
+* ``retry_count`` / ``last_error`` — wave-failure bookkeeping, the
+  FsCrawlerCheckpoint.java:41-115 retryCount/lastError analog, driving
+  the bounded driver re-drive loop in plans/pipeline.py.
+* ``state`` RUNNING | PAUSED | COMPLETED — the FsParser state machine
+  (FsParser.java:186-307); a PAUSE is requested out-of-band via a marker
+  file (the REST /_crawler/pause analog, rest/.../CrawlerApi.java:55-151)
+  and honored between waves.
+
 The manifest is a plain JSON file next to the output table; on a real
 cluster this would live in the table's metadata (Iceberg snapshot) or an
 object-store marker — the logic is identical.
@@ -23,16 +38,30 @@ import tempfile
 from dataclasses import dataclass, field
 
 
+class SettingsMismatchError(ValueError):
+    """Resume attempted with settings incompatible with the manifest."""
+
+
 @dataclass
 class CheckpointManifest:
     path: str
     scan_id: str = "run-0"
     completed: set[int] = field(default_factory=set)
-    state: str = "RUNNING"  # RUNNING | COMPLETED (FsCrawlerCheckpoint state machine)
+    state: str = "RUNNING"  # RUNNING | PAUSED | COMPLETED
     files_processed: int = 0
+    num_buckets: int | None = None
+    settings_fingerprint: str | None = None
+    retry_count: int = 0
+    last_error: str | None = None
 
     @classmethod
-    def load_or_create(cls, path: str, scan_id: str = "run-0") -> "CheckpointManifest":
+    def load_or_create(
+        cls,
+        path: str,
+        scan_id: str = "run-0",
+        num_buckets: int | None = None,
+        settings_fingerprint: str | None = None,
+    ) -> "CheckpointManifest":
         if os.path.exists(path):
             with open(path) as f:
                 d = json.load(f)
@@ -41,14 +70,78 @@ class CheckpointManifest:
                 # upgrade analog (FsCrawlerCheckpointFileHandler.java:95-120)
                 d["completed"] = d.pop("completed_buckets")
                 d.setdefault("state", "RUNNING")
-            return cls(
+            m = cls(
                 path=path,
                 scan_id=d.get("scan_id", scan_id),
                 completed=set(d.get("completed", [])),
                 state=d.get("state", "RUNNING"),
                 files_processed=d.get("files_processed", 0),
+                num_buckets=d.get("num_buckets"),
+                settings_fingerprint=d.get("settings_fingerprint"),
+                retry_count=d.get("retry_count", 0),
+                last_error=d.get("last_error"),
             )
-        return cls(path=path, scan_id=scan_id)
+            # refuse to mix incompatible runs; a legacy manifest without a
+            # recorded fingerprint adopts the caller's (cannot verify)
+            if (
+                m.num_buckets is not None
+                and num_buckets is not None
+                and m.num_buckets != num_buckets
+            ):
+                raise SettingsMismatchError(
+                    f"checkpoint at {path} was written with num_buckets="
+                    f"{m.num_buckets}, resume requested {num_buckets}; "
+                    "bucket assignments are incompatible — delete the "
+                    "checkpoint (full rescan) or restore the old setting"
+                )
+            if (
+                m.settings_fingerprint is not None
+                and settings_fingerprint is not None
+                and m.settings_fingerprint != settings_fingerprint
+            ):
+                raise SettingsMismatchError(
+                    f"checkpoint at {path} was written with different "
+                    "extraction settings (fingerprint "
+                    f"{m.settings_fingerprint} != {settings_fingerprint}); "
+                    "completed buckets would not match pending ones — "
+                    "delete the checkpoint (full rescan) or restore the "
+                    "old settings"
+                )
+            if m.num_buckets is None:
+                m.num_buckets = num_buckets
+            if m.settings_fingerprint is None:
+                m.settings_fingerprint = settings_fingerprint
+            return m
+        return cls(
+            path=path,
+            scan_id=scan_id,
+            num_buckets=num_buckets,
+            settings_fingerprint=settings_fingerprint,
+        )
+
+    # --- pause control (REST /_crawler/pause analog) ----------------------
+
+    @property
+    def pause_marker(self) -> str:
+        return os.path.join(os.path.dirname(self.path) or ".", "_pause")
+
+    def pause_requested(self) -> bool:
+        return os.path.exists(self.pause_marker)
+
+    def request_pause(self) -> None:
+        os.makedirs(os.path.dirname(self.pause_marker) or ".", exist_ok=True)
+        with open(self.pause_marker, "w") as f:
+            f.write("")
+
+    def clear_pause(self) -> None:
+        if os.path.exists(self.pause_marker):
+            os.remove(self.pause_marker)
+
+    def mark_paused(self) -> None:
+        self.state = "PAUSED"
+        self.save()
+
+    # --- progress bookkeeping ---------------------------------------------
 
     def pending(self, num_buckets: int) -> list[int]:
         return [b for b in range(num_buckets) if b not in self.completed]
@@ -58,9 +151,37 @@ class CheckpointManifest:
         self.files_processed += rows
         self.save()
 
+    def record_error(self, err: str) -> None:
+        """Wave failure: persist the error and bump the retry counter
+        (FsCrawlerCheckpoint retryCount/lastError analog)."""
+        self.retry_count += 1
+        self.last_error = err[:2000]
+        self.save()
+
+    def clear_error(self) -> None:
+        if self.retry_count or self.last_error:
+            self.retry_count = 0
+            self.last_error = None
+            self.save()
+
     def finish(self) -> None:
         self.state = "COMPLETED"
         self.save()
+
+    def status(self) -> dict:
+        """Point-in-time snapshot (REST GET /_crawler/status analog)."""
+        total = self.num_buckets
+        return {
+            "scan_id": self.scan_id,
+            "state": self.state,
+            "paused_requested": self.pause_requested(),
+            "completed_buckets": len(self.completed),
+            "pending_buckets": (total - len(self.completed)) if total else None,
+            "num_buckets": total,
+            "files_processed": self.files_processed,
+            "retry_count": self.retry_count,
+            "last_error": self.last_error,
+        }
 
     def save(self) -> None:
         """Atomic write (tmp + rename), same crash-safety contract as
@@ -70,6 +191,10 @@ class CheckpointManifest:
             "completed": sorted(self.completed),
             "state": self.state,
             "files_processed": self.files_processed,
+            "num_buckets": self.num_buckets,
+            "settings_fingerprint": self.settings_fingerprint,
+            "retry_count": self.retry_count,
+            "last_error": self.last_error,
         }
         dir_ = os.path.dirname(self.path) or "."
         os.makedirs(dir_, exist_ok=True)

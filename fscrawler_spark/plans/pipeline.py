@@ -8,7 +8,13 @@ declarative DataFrame plan per run:
 * the BFS directory queue        -> Spark task scheduling over buckets
 * bulk processor batching (S7)   -> per-task parquet writes
 * retry/backoff (S8, W3)         -> spark.task.maxFailures + driver
-                                    re-drive of pending buckets
+                                    re-drive of failed waves (bounded by
+                                    settings.max_wave_retries, recorded
+                                    in the manifest's retry_count /
+                                    last_error — FsCrawlerCheckpoint.java:41-115)
+* pause/resume/status (REST)     -> _pause marker honored between waves +
+                                    manifest.status() snapshot
+                                    (CrawlerApi.java:55-151, FsParser.java:186-307)
 * ScanStatistic (A1/A2/A4)       -> metrics table aggregated per bucket
 * _checkpoint.json (W3/W4)       -> CheckpointManifest of completed buckets
 
@@ -23,6 +29,7 @@ from __future__ import annotations
 
 import os
 import uuid
+from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -30,6 +37,7 @@ from pyspark.sql import functions as F
 from fscrawler_spark.config import ExtractSettings
 from fscrawler_spark.operators.extract import extract_transcripts
 from fscrawler_spark.plans.checkpoint import CheckpointManifest
+from fscrawler_spark.session import dynamic_partition_overwrite
 
 LINEAGE_COLS = [
     "run_id",
@@ -42,9 +50,21 @@ LINEAGE_COLS = [
     "span_count",
 ]
 
+LINEAGE_SCHEMA = (
+    "run_id string, part_bucket int, conv_count bigint, turn_count bigint, "
+    "bytes_in bigint, bytes_out bigint, parse_failures bigint, span_count bigint"
+)
+
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def _has_parquet_files(path: str) -> bool:
+    for _root, _dirs, files in os.walk(path):
+        if any(f.endswith(".parquet") for f in files):
+            return True
+    return False
 
 
 def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = None) -> DataFrame:
@@ -55,9 +75,12 @@ def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = N
     with no output rows — a completed-but-empty bucket still gets its
     lineage row (otherwise it would look permanently unmetered and
     resume runs would re-attempt the backfill forever).
+
+    conv_count is EXACT (count_distinct): lineage rows reconcile against
+    output tables, and per-bucket conversation cardinality is small.
     """
     agg = out_df.groupBy("part_bucket").agg(
-        F.approx_count_distinct("conv_id").alias("conv_count"),
+        F.count_distinct("conv_id").alias("conv_count"),
         F.count(F.lit(1)).alias("turn_count"),
         F.sum(F.col("file.filesize")).alias("bytes_in"),
         F.sum(F.coalesce(F.length("extracted"), F.lit(0))).alias("bytes_out"),
@@ -73,6 +96,46 @@ def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = N
     return agg.withColumn("run_id", F.lit(run_id)).select(LINEAGE_COLS)
 
 
+def job_status(output_dir: str) -> dict:
+    """Status snapshot for a job directory (REST GET /_crawler/status
+    analog). Safe to call while a run is in flight — reads the manifest
+    file, never touches Spark."""
+    ckpt_path = os.path.join(output_dir, "_checkpoint.json")
+    if not os.path.exists(ckpt_path):
+        return {"state": "NOT_STARTED", "completed_buckets": 0}
+    return CheckpointManifest.load_or_create(ckpt_path).status()
+
+
+def request_pause(output_dir: str) -> None:
+    """Ask a running (or future) job to pause between waves
+    (POST /_crawler/pause analog)."""
+    CheckpointManifest(os.path.join(output_dir, "_checkpoint.json")).request_pause()
+
+
+def restart_clean(output_dir: str) -> None:
+    """Full re-index semantics (FsCrawlerCli --restart): drop checkpoint,
+    pause marker, docs AND metrics. Clearing only the checkpoint is not
+    enough — dynamic partition overwrite replaces only buckets present in
+    the new data, so rows from conversations removed from the input (and
+    stale metrics rows) would survive a rerun."""
+    import shutil
+
+    for f in ("_checkpoint.json", "_pause"):
+        p = os.path.join(output_dir, f)
+        if os.path.exists(p):
+            os.remove(p)
+    for d in ("docs", "metrics"):
+        p = os.path.join(output_dir, d)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
+def clear_pause(output_dir: str) -> None:
+    """Clear the pause request (POST /_crawler/resume analog); the next
+    run_extraction_job call resumes pending waves."""
+    CheckpointManifest(os.path.join(output_dir, "_checkpoint.json")).clear_pause()
+
+
 def run_extraction_job(
     spark: SparkSession,
     input_path: str,
@@ -80,6 +143,7 @@ def run_extraction_job(
     settings: ExtractSettings | None = None,
     resume: bool = True,
     fail_after_buckets: int | None = None,
+    wave_hook: Callable[[int, list[int]], None] | None = None,
 ) -> dict:
     """One crawl "run": extract all pending buckets, write output
     partitioned by part_bucket, append lineage metrics, maintain the
@@ -87,13 +151,22 @@ def run_extraction_job(
 
     fail_after_buckets: test hook — abort after K bucket-groups to
     exercise resume (the reference's kill-and-restart IT scenario).
+    wave_hook: test hook called before each wave attempt (wi, wave);
+    raising from it exercises the bounded re-drive path.
     """
     settings = settings or ExtractSettings()
     out_data = os.path.join(output_dir, "docs")
     out_metrics = os.path.join(output_dir, "metrics")
     ckpt_path = os.path.join(output_dir, "_checkpoint.json")
 
-    manifest = CheckpointManifest.load_or_create(ckpt_path) if resume else CheckpointManifest(ckpt_path)
+    fp = settings.fingerprint()
+    manifest = (
+        CheckpointManifest.load_or_create(
+            ckpt_path, num_buckets=settings.num_buckets, settings_fingerprint=fp
+        )
+        if resume
+        else CheckpointManifest(ckpt_path, num_buckets=settings.num_buckets, settings_fingerprint=fp)
+    )
     pending = manifest.pending(settings.num_buckets)
     run_id = f"run-{uuid.uuid4().hex[:12]}"
     if not pending:
@@ -111,7 +184,12 @@ def run_extraction_job(
                 out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(missing))
                 bucket_metrics(out_df, run_id, buckets=missing).write.mode("append").parquet(out_metrics)
         manifest.finish()
-        return {"run_id": run_id, "written_buckets": [], "skipped_buckets": sorted(manifest.completed)}
+        return {
+            "run_id": run_id,
+            "status": "completed",
+            "written_buckets": [],
+            "skipped_buckets": sorted(manifest.completed),
+        }
 
     src = read_transcripts(spark, input_path)
     docs = extract_transcripts(src, settings)
@@ -124,18 +202,40 @@ def run_extraction_job(
     waves = [pending[i : i + wave_size] for i in range(0, len(pending), wave_size)]
 
     written: list[int] = []
+    paused = False
     for wi, wave in enumerate(waves):
         if fail_after_buckets is not None and len(written) >= fail_after_buckets:
             raise RuntimeError("injected failure for resume test")
-        wave_df = docs.filter(F.col("part_bucket").isin(wave))
-        # stable turn ordering inside each output partition (north_rule O1)
-        (
-            wave_df.repartition(len(wave), "part_bucket")
-            .sortWithinPartitions("conv_id", "turn_idx")
-            .write.mode("overwrite")
-            .partitionBy("part_bucket")
-            .parquet(out_data)
-        )
+        if manifest.pause_requested():
+            # honored between waves, like the reference's pause-between-
+            # files (FsParser.java:186-307); completed waves stay durable
+            manifest.mark_paused()
+            paused = True
+            break
+        attempt = 0
+        while True:
+            try:
+                if wave_hook is not None:
+                    wave_hook(wi, wave)
+                wave_df = docs.filter(F.col("part_bucket").isin(wave))
+                # stable turn ordering inside each output partition (north_rule O1)
+                with dynamic_partition_overwrite(spark):
+                    (
+                        wave_df.repartition(len(wave), "part_bucket")
+                        .sortWithinPartitions("conv_id", "turn_idx")
+                        .write.mode("overwrite")
+                        .partitionBy("part_bucket")
+                        .parquet(out_data)
+                    )
+                break
+            except Exception as e:
+                # bounded driver re-drive of a failed wave (S8/W3; the
+                # reference's network retry x10, FsParser.java:811-850).
+                # Bucket writes are idempotent so a retry is safe.
+                manifest.record_error(repr(e))
+                attempt += 1
+                if attempt > settings.max_wave_retries:
+                    raise
         manifest.mark_completed(wave)
         written.extend(wave)
 
@@ -151,13 +251,32 @@ def run_extraction_job(
             for r in spark.read.parquet(out_metrics).select("part_bucket").distinct().collect()
         }
     targets = sorted(set(written) | (manifest.completed - already_metered))
-    out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
-    metrics = bucket_metrics(out_df, run_id, buckets=targets)
-    metrics.write.mode("append").parquet(out_metrics)
+    if targets:
+        if _has_parquet_files(out_data):
+            out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
+            metrics = bucket_metrics(out_df, run_id, buckets=targets)
+        else:
+            # every pending wave produced zero rows (empty input or
+            # filters dropped everything): no parquet exists to read back,
+            # so emit explicit zero lineage rows for the completed buckets
+            metrics = spark.createDataFrame(
+                [(run_id, int(b), 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
+            )
+        metrics.write.mode("append").parquet(out_metrics)
 
+    if paused:
+        return {
+            "run_id": run_id,
+            "status": "paused",
+            "written_buckets": written,
+            "skipped_buckets": sorted(set(manifest.completed) - set(written)),
+            "output": out_data,
+            "metrics": out_metrics,
+        }
     manifest.finish()
     return {
         "run_id": run_id,
+        "status": "completed",
         "written_buckets": written,
         "skipped_buckets": sorted(set(manifest.completed) - set(written)),
         "output": out_data,

@@ -15,8 +15,38 @@ chosen to also be the right ones at 1000-executor scale:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def dynamic_partition_overwrite(spark: SparkSession):
+    """Force partitionOverwriteMode=dynamic for the enclosed writes,
+    restoring the caller's value afterwards.
+
+    Every partitioned overwrite in this engine (wave writes in
+    plans/pipeline.py, bucket rewrites in operators/deletes.py) REQUIRES
+    dynamic mode: under Spark's default 'static' mode an overwrite drops
+    ALL existing partitions, so the first wave of a resumed run would
+    silently delete every previously completed bucket while the manifest
+    still marks them done — permanent data loss. get_spark() sets the
+    conf, but these functions accept any SparkSession, so they must not
+    depend on who built it.
+    """
+    key = "spark.sql.sources.partitionOverwriteMode"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "dynamic")
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
 
 
 def get_spark(
