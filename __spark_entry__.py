@@ -341,24 +341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return changed_vs_snapshot(cur, prev).select("conv_id")
 
-    def q_conversation_summary(spark, sf):
-        from fscrawler_spark.operators.stats import conversation_summary
-
-        out = queries()["q_pipeline_transcripts_full"](spark, sf)
-        return conversation_summary(out).select(
-            "conv_id",
-            F.col("turn_count").cast("long").alias("turn_count"),
-            "first_turn",
-            "last_turn",
-            "bytes_in",
-            "bytes_out",
-            "parse_failures",
-            "mime_kinds",
-        )
-
-    def q_pipeline_transcripts_full(spark, sf):
-        # full Doc-schema output of the flagship pipeline (internal helper
-        # exposed for summary queries; rows-only check)
+    def _pipeline_full(spark, sf):
+        # full Doc-schema output of the flagship pipeline (shared by the
+        # flattened oracle query and the conversation summary)
         d = _docs(spark, sf)
         turns = d.select(
             F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
@@ -372,6 +357,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("ts"),
         )
         return extract_transcripts(turns)
+
+    def q_conversation_summary(spark, sf):
+        from fscrawler_spark.operators.stats import conversation_summary
+
+        return conversation_summary(_pipeline_full(spark, sf)).select(
+            "conv_id",
+            F.col("turn_count").cast("long").alias("turn_count"),
+            "first_turn",
+            "last_turn",
+            "bytes_in",
+            "bytes_out",
+            "parse_failures",
+            "mime_kinds",
+        )
+
+    def q_pipeline_transcripts_full(spark, sf):
+        """Flagship FULL Doc schema, hash-checked end-to-end: identity +
+        extraction + packed spans + file(checksum/filesize/indexing_date)
+        + meta(title/language/format), flattened to scalars for the
+        driver's canonicalizer (arrays/structs are unhashable there):
+        spans encode as comma-joined packed int64s, timestamps as strings.
+        part_bucket is excluded — it is pmod(xxhash64(...)) which DuckDB
+        cannot reproduce; its semantics are pinned by the pipeline tests
+        (test_skew_salting_spreads_megaconv, resume byte-identity)."""
+        out = _pipeline_full(spark, sf)
+        return out.select(
+            "conv_id",
+            "turn_idx",
+            "role",
+            "tool",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+            "doc_id",
+            "mime",
+            "extracted",
+            F.array_join(F.transform("spans", lambda x: x.cast("string")), ",").alias(
+                "spans_packed"
+            ),
+            "error",
+            F.col("file.filesize").cast("long").alias("filesize"),
+            F.col("file.checksum").alias("checksum"),
+            F.date_format("file.indexing_date", "yyyy-MM-dd HH:mm:ss").alias("indexing_date"),
+            F.col("meta.title").alias("title"),
+            F.col("meta.language").alias("language"),
+            F.col("meta.format").alias("format"),
+        )
 
     q.update(
         q_size_gate=q_size_gate,
@@ -723,6 +753,58 @@ def oracle_sql() -> dict[str, str]:
       WHEN 3 THEN length(text) + {len(XML_PRE) + len(XML_POST)}
       WHEN 4 THEN length(text) + {len(PDF_PRE) + 1}
       ELSE length(text) + 4 END"""
+
+    # the exact payload string per class (for checksum parity); PDF_PRE
+    # newlines are injected via chr(10) to keep the SQL single-line-safe
+    pdf_pre_sql = " || chr(10) || ".join(f"'{seg}'" for seg in PDF_PRE.split("\n") if seg) + " || chr(10)"
+    payload_sql = f"""CASE doc_id % 6
+      WHEN 0 THEN '{HTML_PRE}' || text || '{HTML_POST}'
+      WHEN 1 THEN text
+      WHEN 2 THEN '{JSON_PRE}' || text || '{JSON_POST}'
+      WHEN 3 THEN '{XML_PRE}' || text || '{XML_POST}'
+      WHEN 4 THEN {pdf_pre_sql} || text || chr(10)
+      ELSE 'ENC:' || text END"""
+
+    # spans are (start << 32 | end) packed int64s over the PAYLOAD; every
+    # class yields statically-known offsets because the fixture text has
+    # no newlines / leading / trailing whitespace (verified in testdata):
+    #   html: one run inside <article><p> at HTML_PRE..+len
+    #   json: the "content" value + the "tag" value 'v' (11 chars after)
+    #   xml/pdf: one body/line run at PRE..+len; plain: (0, len); enc: []
+    def _pk(start: str, end: str) -> str:
+        return f"(({start})::BIGINT * 4294967296 + ({end}))::VARCHAR"
+
+    p0, pj, px, pp = len(HTML_PRE), len(JSON_PRE), len(XML_PRE), len(PDF_PRE)
+    vj = pj + 11  # offset of the 'v' tag value after the content value ends
+    spans_sql = f"""CASE doc_id % 6
+      WHEN 0 THEN {_pk(str(p0), f"{p0} + length(text)")}
+      WHEN 1 THEN {_pk("0", "length(text)")}
+      WHEN 2 THEN {_pk(str(pj), f"{pj} + length(text)")} || ',' ||
+                  {_pk(f"length(text) + {vj}", f"length(text) + {vj + 1}")}
+      WHEN 3 THEN {_pk(str(px), f"{px} + length(text)")}
+      WHEN 4 THEN {_pk(str(pp), f"{pp} + length(text)")}
+      ELSE '' END"""
+
+    sql["q_pipeline_transcripts_full"] = f"""
+    SELECT 'conv-' || (doc_id % 50)::VARCHAR AS conv_id,
+           (doc_id // 50)::INT AS turn_idx,
+           'assistant' AS role,
+           NULL::VARCHAR AS tool,
+           strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 SECOND,
+                    '%Y-%m-%d %H:%M:%S') AS ts,
+           sha256('conv-' || (doc_id % 50)::VARCHAR || '/' || (doc_id // 50)::VARCHAR) AS doc_id,
+           {SQL_MIME_CASE} AS mime,
+           {SQL_EXTRACTED_CASE} AS extracted,
+           {spans_sql} AS spans_packed,
+           CASE WHEN doc_id % 6 = 5 THEN 'encrypted' ELSE NULL END AS error,
+           ({payload_len})::BIGINT AS filesize,
+           sha256({payload_sql}) AS checksum,
+           '2026-01-01 00:00:00' AS indexing_date,
+           CASE WHEN doc_id % 6 = 0 THEN 't' ELSE NULL END AS title,
+           NULL::VARCHAR AS language,
+           {SQL_MIME_CASE} AS format
+    FROM documents
+    """
     sql["q_conversation_summary"] = f"""
     SELECT 'conv-' || (doc_id % 50)::VARCHAR AS conv_id,
            count(*)::BIGINT AS turn_count,
