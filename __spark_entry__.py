@@ -542,9 +542,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.simhash(_docs(spark, sf), id_col="doc_id", bits=32)
 
     def q_near_dup_e2e(spark, sf):
-        # production dedup: LSH candidates -> verify -> clusters -> keepers
-        # (rows-only: iterative CC is not single-statement SQL)
-        out = dedup.near_dup_pipeline(_dup_corpus(spark, sf), id_col="id", threshold=0.5)
+        # full dedup pipeline: LSH candidates -> exact-Jaccard verify ->
+        # iterative connected components -> keepers. Runs the md5 hash
+        # family (the cross-engine-stable twin) so the ENTIRE pipeline —
+        # including the iterative CC — is hash-checked against a DuckDB
+        # recursive-CTE oracle; the xxhash64 'fast' family is the same
+        # dataflow with a cheaper hash (recall-checked in
+        # test_round2_dedup_ann.py::test_fast_minhash_recall).
+        out = dedup.near_dup_pipeline(
+            _dup_corpus(spark, sf), id_col="id", threshold=0.5, hash_family="md5"
+        )
         return out.select("id", "cluster_id", F.col("is_keeper").cast("boolean").alias("is_keeper"))
 
     def q_minhash_lsh_fast(spark, sf):
@@ -928,6 +935,45 @@ def oracle_sql() -> dict[str, str]:
       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     """
 
+    # full near-dup pipeline oracle: md5 MinHash -> banded LSH candidates
+    # -> exact-Jaccard verify -> connected components via a recursive-CTE
+    # transitive closure (min reachable id == the Spark side's iterative
+    # min-label propagation fixpoint) -> keeper = cluster min
+    sql["q_near_dup_e2e"] = f"""
+    WITH RECURSIVE base AS (SELECT id, {_sql_shingles()} AS shingles FROM {SQL_DUP_CORPUS}),
+    sigs AS (SELECT id, {_sql_minhash_sig(16)} AS sig FROM base),
+    banded AS ({' UNION ALL '.join(band_selects)}),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ),
+    sizes AS (SELECT id, len(shingles) AS n FROM base),
+    inv AS (SELECT id, unnest(shingles) AS s FROM base),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    verified AS (
+      SELECT c.id_a, c.id_b
+      FROM cand c
+      JOIN common m ON m.id_a = c.id_a AND m.id_b = c.id_b
+      JOIN sizes na ON na.id = c.id_a
+      JOIN sizes nb ON nb.id = c.id_b
+      WHERE m.common / (na.n + nb.n - m.common) >= 0.5
+    ),
+    edges AS (SELECT id_a AS a, id_b AS b FROM verified
+              UNION SELECT id_b, id_a FROM verified),
+    walk AS (
+      SELECT a AS id, a AS reach FROM edges
+      UNION
+      SELECT w.id, e.b FROM walk w JOIN edges e ON e.a = w.reach
+    )
+    SELECT id, min(reach) AS cluster_id, (id = min(reach)) AS is_keeper
+    FROM walk GROUP BY id
+    """
+
     sql["q_ngram_jaccard"] = f"""
     WITH base AS (SELECT id, {_sql_shingles()} AS sh FROM {SQL_DUP_CORPUS}),
     sizes AS (SELECT id, len(sh) AS n FROM base),
@@ -973,18 +1019,41 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
     """
 
-    bucket_sql = " + ".join(
-        f"(CASE WHEN {{v}}[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+    # --- random-hyperplane ANN LSH oracle twins ------------------------------
+    # The SAME seeded hyperplane literals used by the Spark side
+    # (embeddings.random_hyperplanes rounds to 6dp precisely so both
+    # engines hash identical plane values); buckets are precomputed per
+    # vector in a CTE, candidates = bucket match in ANY table. Sign-of-dot
+    # parity between numpy GEMM and DuckDB list_dot_product holds unless a
+    # dot product lands within float summation error of 0 (~1e-13) —
+    # practically impossible with gaussian planes over real embeddings.
+    from fscrawler_spark.functions.embeddings import random_hyperplanes
+
+    _planes = random_hyperplanes(dim=64, bits=8, tables=4, seed=42)
+
+    def _hp_bucket_sql(v: str, table_planes) -> str:
+        terms = []
+        for b, plane in enumerate(table_planes):
+            lst = "[" + ",".join(repr(x) for x in plane) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({v}::DOUBLE[], {lst}::DOUBLE[]) > 0 "
+                f"THEN {1 << b} ELSE 0 END)"
+            )
+        return "(" + " + ".join(terms) + ")"
+
+    _bk_cols = ", ".join(
+        f"{_hp_bucket_sql('embedding', _planes[t])} AS bk{t}" for t in range(len(_planes))
     )
-    qb = bucket_sql.format(v="q.qv")
-    cb = bucket_sql.format(v="c.embedding")
+    _any_match = " OR ".join(f"q.bk{t} = c.bk{t}" for t in range(len(_planes)))
     sql["q_ann_lsh"] = f"""
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    WITH bk AS (SELECT vec_id, embedding, {_bk_cols} FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS qv, * EXCLUDE (vec_id, embedding)
+          FROM bk WHERE vec_id < 5),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
              list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
-      FROM embeddings c, q
-      WHERE c.vec_id <> q.query_id AND ({cb}) = ({qb})
+      FROM bk c, q
+      WHERE c.vec_id <> q.query_id AND ({_any_match})
     ),
     r AS (SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
@@ -992,15 +1061,15 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
     """
 
-    ab = bucket_sql.format(v="a.embedding")
-    bb = bucket_sql.format(v="b.embedding")
+    _pair_match = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(len(_planes)))
     sql["q_embed_near_dup"] = f"""
     WITH uni AS (
       SELECT vec_id AS id, embedding FROM embeddings
       UNION ALL SELECT vec_id + 100000 AS id, embedding FROM embeddings
-    )
+    ),
+    bk AS (SELECT id, embedding, {_bk_cols} FROM uni)
     SELECT a.id AS id_a, b.id AS id_b
-    FROM uni a JOIN uni b ON a.id < b.id AND ({ab}) = ({bb})
+    FROM bk a JOIN bk b ON a.id < b.id AND ({_pair_match})
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999999
     """
 

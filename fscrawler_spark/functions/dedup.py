@@ -18,7 +18,7 @@ for pure-Spark scale paths xxhash64 is the cheaper choice (see *_fast).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.text_analysis import normalized_text
@@ -112,16 +112,7 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
-def lsh_candidate_pairs(
-    sigs: DataFrame, num_hashes: int = 16, bands: int = 4
-) -> DataFrame:
-    """Band the signatures and join docs sharing any (band, band-hash)
-    bucket. Output distinct (id_a < id_b) candidate pairs.
-
-    The scale path: explode to bands (x``bands`` rows), shuffle on the
-    bucket key, self-join within buckets. Skewed buckets (e.g. empty-text
-    clusters) are handled by AQE skew-join splitting.
-    """
+def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows_per_band = num_hashes // bands
     band_entries = F.array(
         *[
@@ -140,9 +131,54 @@ def lsh_candidate_pairs(
             for b in range(bands)
         ]
     )
-    banded = sigs.select("id", F.explode(band_entries).alias("b")).select(
+    return sigs.select("id", F.explode(band_entries).alias("b")).select(
         "id", F.col("b.band").alias("band"), F.col("b.bucket").alias("bucket")
     )
+
+
+def lsh_bucket_stats(sigs: DataFrame, num_hashes: int = 16, bands: int = 4) -> DataFrame:
+    """(band, bucket, n) distribution — audit which buckets the
+    ``max_bucket`` guard would drop before running the candidate join."""
+    return (
+        _banded(sigs, num_hashes, bands)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Band the signatures and join docs sharing any (band, band-hash)
+    bucket. Output distinct (id_a < id_b) candidate pairs.
+
+    The scale path: explode to bands (x``bands`` rows), shuffle on the
+    bucket key, self-join within buckets.
+
+    Giant-bucket guard: a degenerate bucket (millions of near-empty texts
+    sharing a band signature) emits O(n^2) candidate pairs — AQE splits
+    the JOIN, not the output cardinality. Buckets larger than
+    ``max_bucket`` members are dropped from candidate generation (the
+    window count reuses the same (band, bucket) partitioning the join
+    shuffles on). Members of a dropped bucket can still pair through
+    their OTHER bands, and byte-identical texts are caught upstream by
+    exact_duplicates, so the guard costs recall only for mega-clusters
+    that near-dup dedup would collapse to one keeper anyway. Audit what
+    a cap drops via lsh_bucket_stats(). Reference pattern: every
+    production MinHash pipeline (e.g. the SURVEY §7 rule "never
+    groupBy(conv_id) on the hot path").
+    """
+    banded = _banded(sigs, num_hashes, bands)
+    if max_bucket is not None:
+        w = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -292,12 +328,19 @@ def near_dup_pipeline(
     num_hashes: int = 16,
     bands: int = 4,
     threshold: float = 0.8,
+    max_bucket: int | None = 1000,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Production near-dup dedup: MinHash -> LSH buckets -> exact-Jaccard
     verify on candidates only -> connected components -> keeper = min id
-    per cluster. Returns (id, cluster_id, is_keeper)."""
-    sigs = minhash_signatures_fast(df, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands)
+    per cluster. Returns (id, cluster_id, is_keeper).
+
+    hash_family: 'fast' (xxhash64, the 100TB path) or 'md5' (the
+    cross-engine-stable twin, reproducible in DuckDB for oracle checks).
+    """
+    sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
+    sigs = sig_fn(df, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
+    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)
     verified = verify_candidates(df, cands, id_col=id_col, text_col=text_col, threshold=threshold)
     clusters = connected_components(verified)
     return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
