@@ -245,11 +245,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = extract_transcripts(turns)
         return out.select("conv_id", "turn_idx", "mime", "extracted", "error")
 
+    def q_json_object(spark, sf):
+        # T13 Doc.object analog: parsed JSON payload as a flattened map
+        # (FsParser.java:1494-1525); the oracle independently derives the
+        # expected map entries from the payload template
+        udf = make_extract_udf(ExtractSettings(parse_object=True))
+        d = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") % 6 == 2)
+            .withColumn("ex", udf(_payload_col()))
+        )
+        return d.select(
+            "doc_id",
+            F.element_at(F.col("ex.object"), "content").alias("content_val"),
+            F.element_at(F.col("ex.object"), "tag").alias("tag_val"),
+            F.size(F.col("ex.object")).cast("long").alias("n_keys"),
+        )
+
+    def q_xml_object(spark, sf):
+        # T14 XML -> map (XmlDocParser.java:44-82; text nodes keyed '$')
+        udf = make_extract_udf(ExtractSettings(parse_object=True))
+        d = (
+            _docs(spark, sf)
+            .filter(F.col("doc_id") % 6 == 3)
+            .withColumn("ex", udf(_payload_col()))
+        )
+        return d.select(
+            "doc_id",
+            F.element_at(F.col("ex.object"), "doc.body.$").alias("body_text"),
+            F.size(F.col("ex.object")).cast("long").alias("n_keys"),
+        )
+
     q.update(
         q_html_extract=q_html_extract,
         q_pdf_extract=q_pdf_extract,
         q_json_extract=q_json_extract,
         q_xml_extract=q_xml_extract,
+        q_json_object=q_json_object,
+        q_xml_object=q_xml_object,
         q_mime_sniff=q_mime_sniff,
         q_indexed_chars_truncation=q_indexed_chars_truncation,
         q_checksum=q_checksum,
@@ -679,6 +712,16 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, {SQL_EXTRACTED_CASE} AS extracted
         FROM documents WHERE doc_id % 6 = {cls}
         """
+
+    sql["q_json_object"] = """
+    SELECT doc_id, text AS content_val, 'v' AS tag_val, 2::BIGINT AS n_keys
+    FROM documents WHERE doc_id % 6 = 2
+    """
+
+    sql["q_xml_object"] = """
+    SELECT doc_id, text AS body_text, 1::BIGINT AS n_keys
+    FROM documents WHERE doc_id % 6 = 3
+    """
 
     sql["q_mime_sniff"] = f"""
     SELECT {SQL_MIME_CASE} AS mime, count(*) AS n FROM documents GROUP BY 1

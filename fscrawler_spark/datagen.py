@@ -38,9 +38,9 @@ WORDS = (
 ROLES = ["user", "assistant", "system", "tool"]
 TOOLS = ["browser", "pdf_reader", "api", "search"]
 
-# payload class mix per FIXTURES.md §1
-CLASSES = ["plain", "html", "json", "xml", "pdfish", "encrypted", "broken", "empty"]
-CLASS_P = [0.40, 0.30, 0.10, 0.05, 0.10, 0.02, 0.02, 0.01]
+# payload class mix per FIXTURES.md §1 (+ image: the T5 needs_ocr branch)
+CLASSES = ["plain", "html", "json", "xml", "pdfish", "encrypted", "broken", "empty", "image"]
+CLASS_P = [0.38, 0.30, 0.10, 0.05, 0.10, 0.02, 0.02, 0.01, 0.02]
 
 
 def _sentences(rng: np.random.Generator, n_words: int) -> str:
@@ -85,6 +85,9 @@ def _make_payload(rng: np.random.Generator, cls: str) -> str:
         return "ENC:" + format(int(rng.integers(0, 2**31)), "08x")
     if cls == "broken":
         return "PK\x00\x01 corrupted " + body[:40]
+    if cls == "image":
+        # image-like payload: PNG magic + opaque bytes -> needs_ocr branch
+        return "\x89PNG\r\n\x1a\n" + format(int(rng.integers(0, 2**31)), "08x")
     return ""  # empty
 
 

@@ -33,6 +33,22 @@ MIME_JSON = "application/json"
 MIME_XML = "application/xml"
 MIME_PDF = "application/pdf"
 MIME_BINARY = "application/octet-stream"
+MIME_PNG = "image/png"
+MIME_JPEG = "image/jpeg"
+MIME_GIF = "image/gif"
+MIME_TIFF = "image/tiff"
+
+# magic-byte prefixes for image-like payloads (T5): these are DISPATCHED
+# to the needs_ocr branch, never mistaken for broken rows. Ordered before
+# the NUL-binary check in sniff_mime (TIFF magic contains NUL).
+IMAGE_MAGICS: tuple[tuple[str, str], ...] = (
+    ("\x89PNG", MIME_PNG),
+    ("\xff\xd8\xff", MIME_JPEG),
+    ("GIF87a", MIME_GIF),
+    ("GIF89a", MIME_GIF),
+    ("II*\x00", MIME_TIFF),
+    ("MM\x00*", MIME_TIFF),
+)
 
 _WS_RE = re.compile(r"\s+")
 
@@ -50,6 +66,9 @@ def sniff_mime(text: str | None) -> str:
     if text is None or text == "":
         return MIME_PLAIN
     head = text[:SNIFF_WINDOW]
+    for magic, mime in IMAGE_MAGICS:
+        if head.startswith(magic):
+            return mime
     if head.startswith("ENC:") or "\x00" in head:
         return MIME_BINARY
     # find first non-whitespace without copying the whole payload
@@ -76,6 +95,16 @@ class ExtractResult:
     spans: list[tuple[int, int]] = field(default_factory=list)
     error: str | None = None
     title: str | None = None  # T7 Meta.title analog (html <title> text)
+
+
+def extract_image(text: str, mime: str) -> ExtractResult:
+    """T5 OCR dispatch flag: image-like payloads are not broken rows —
+    they need an OCR pass this engine does not run at 10^12-turn scale
+    (the reference gates the Tesseract branch the same way,
+    TikaInstance.java:151-207). error='needs_ocr' makes them countable in
+    metrics and routable to a registry OCR handler (registry.py), unlike
+    the old behavior that collapsed them into 'parse_error'."""
+    return ExtractResult(mime, None, [], "needs_ocr")
 
 
 def _assemble(source: str, runs: list[tuple[int, int]], limit: int) -> tuple[str, list[tuple[int, int]]]:
@@ -402,6 +431,68 @@ def extract_raw_meta(text: str, mime: str) -> dict[str, str] | None:
     return None
 
 
+# --- parsed object (T13/T14, Doc.object analog) --------------------------------
+
+
+def extract_object(text: str, mime: str) -> dict[str, str] | None:
+    """Parsed-object column: the Doc.object analog
+    (beans/Doc.java:34-35; JSON: core/FsParser.java:1494-1525; XML->JSON:
+    tika/XmlDocParser.java:44-82).
+
+    The reference indexes the parsed payload as a nested
+    Map<String,Object>; this engine's column type is a FLAT
+    map<string,string>, so nesting flattens to dotted paths:
+
+    * JSON: {"a": {"b": 1}, "c": [true, "x"]} ->
+      {"a.b": "1", "c.0": "true", "c.1": "x"} — scalars serialize
+      JSON-canonically ('true', '1.5', bare strings verbatim).
+    * XML: element paths; text nodes keyed '$' (the XmlDocParser
+      text-node-as-$ convention), attributes as '@name':
+      <doc id="7"><body>hi</body></doc> ->
+      {"doc.@id": "7", "doc.body.$": "hi"}.
+
+    Repeated keys/elements keep the LAST occurrence (Jackson map
+    semantics). Unparseable payloads -> None (text extraction already
+    recorded the row's health; the object column is best-effort).
+    Callers gate this behind settings.parse_object so the hot path never
+    pays for it.
+    """
+    try:
+        out: dict[str, str] = {}
+        if mime == MIME_JSON:
+            def walk_json(prefix: str, v) -> None:
+                if isinstance(v, dict):
+                    for k, vv in v.items():
+                        walk_json(f"{prefix}.{k}" if prefix else str(k), vv)
+                elif isinstance(v, list):
+                    for i, vv in enumerate(v):
+                        walk_json(f"{prefix}.{i}" if prefix else str(i), vv)
+                else:
+                    out[prefix or "$"] = v if isinstance(v, str) else json.dumps(v)
+
+            walk_json("", json.loads(text))
+            return out or None
+        if mime == MIME_XML:
+            import xml.etree.ElementTree as ET
+
+            def walk_xml(prefix: str, el) -> None:
+                tag = el.tag.rsplit("}", 1)[-1]  # strip namespace uri
+                path = f"{prefix}.{tag}" if prefix else tag
+                for k, v in el.attrib.items():
+                    out[f"{path}.@{k.rsplit('}', 1)[-1]}"] = v
+                t = (el.text or "").strip()
+                if t:
+                    out[f"{path}.$"] = t
+                for child in el:
+                    walk_xml(path, child)
+
+            walk_xml("", ET.fromstring(text))
+            return out or None
+    except Exception:
+        return None
+    return None
+
+
 # --- dispatch ----------------------------------------------------------------
 
 
@@ -417,6 +508,8 @@ def extract(text: str | None, limit: int = 100_000) -> ExtractResult:
         return ExtractResult(MIME_PLAIN, "", [], None)
     mime = sniff_mime(text)
     try:
+        if mime.startswith("image/"):
+            return extract_image(text, mime)
         if mime == MIME_BINARY:
             return extract_binary(text)
         if mime == MIME_HTML:

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from fscrawler_spark.config import ExtractSettings
 from fscrawler_spark.functions.extractors import (
+    IMAGE_MAGICS,
     MIME_BINARY,
     MIME_HTML,
     MIME_JSON,
@@ -30,6 +31,7 @@ from fscrawler_spark.functions.extractors import (
     ExtractResult,
     extract_binary,
     extract_html,
+    extract_image,
     extract_json,
     extract_pdfish,
     extract_plain,
@@ -48,6 +50,10 @@ BUILTIN_HANDLERS: dict[str, Handler] = {
     MIME_PLAIN: extract_plain,
     MIME_BINARY: lambda t, lim: extract_binary(t),
 }
+# image mimes dispatch to the needs_ocr branch by default; an OCR plugin
+# registers an override for exactly these keys (TikaInstance OCR analog)
+for _m in {mime for _, mime in IMAGE_MAGICS}:
+    BUILTIN_HANDLERS[_m] = (lambda m: (lambda t, lim: extract_image(t, m)))(_m)
 
 
 def make_registry_udf(

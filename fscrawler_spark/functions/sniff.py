@@ -13,6 +13,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.extractors import (
+    IMAGE_MAGICS,
     MIME_BINARY,
     MIME_HTML,
     MIME_JSON,
@@ -25,8 +26,14 @@ from fscrawler_spark.functions.extractors import (
 def sniff_mime_col(text: Column) -> Column:
     head = F.substring(text, 1, 64)  # SNIFF_WINDOW twin
     low = F.lower(F.substring(F.regexp_replace(head, r"^[\s\x0b\x0c]+", ""), 1, 16))
+    image = F.lit(None).cast("string")
+    # build the image-magic chain in reverse so evaluation order matches
+    # the Python tuple order (first magic wins)
+    for magic, mime in reversed(IMAGE_MAGICS):
+        image = F.when(head.startswith(magic), F.lit(mime)).otherwise(image)
     return (
         F.when(text.isNull() | (text == ""), F.lit(MIME_PLAIN))
+        .when(image.isNotNull(), image)
         .when(head.startswith("ENC:") | head.contains("\x00"), F.lit(MIME_BINARY))
         .when(low.startswith("<!doctype html") | low.startswith("<html"), F.lit(MIME_HTML))
         .when(low.startswith("<?xml"), F.lit(MIME_XML))
@@ -41,9 +48,30 @@ def sniff_mime_col(text: Column) -> Column:
 def sniff_mime_sql(col: str = "text") -> str:
     head = f"substr({col}, 1, 64)"
     low = f"lower(substr(regexp_replace({head}, '^\\s+', ''), 1, 16))"
+    def _magic_sql(magic: str) -> str:
+        # express non-printable magic bytes via chr() concatenation
+        parts = []
+        run = ""
+        for ch in magic:
+            if 32 <= ord(ch) < 127 and ch != "'":
+                run += ch
+            else:
+                if run:
+                    parts.append(f"'{run}'")
+                    run = ""
+                parts.append(f"chr({ord(ch)})")
+        if run:
+            parts.append(f"'{run}'")
+        expr = " || ".join(parts)
+        return f"substr({col}, 1, {len(magic)}) = ({expr})"
+
+    image_whens = "\n      ".join(
+        f"WHEN {_magic_sql(magic)} THEN '{mime}'" for magic, mime in IMAGE_MAGICS
+    )
     return f"""
     CASE
       WHEN {col} IS NULL OR {col} = '' THEN 'text/plain'
+      {image_whens}
       WHEN {head} LIKE 'ENC:%' OR contains({head}, chr(0)) THEN 'application/octet-stream'
       WHEN substr({low}, 1, 14) = '<!doctype html' OR substr({low}, 1, 5) = '<html'
         THEN 'text/html'

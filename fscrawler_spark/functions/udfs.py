@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fscrawler_spark.config import ExtractSettings
-from fscrawler_spark.functions.extractors import extract, extract_raw_meta
+from fscrawler_spark.functions.extractors import extract, extract_object, extract_raw_meta
 
 # Spans are PACKED as int64 (start << 32 | end): converting Arrow
 # array<struct<int,int>> into Spark InternalRows measured ~13us/row of
@@ -36,6 +36,9 @@ EXTRACT_TYPE = T.StructType(
         T.StructField("error", T.StringType()),
         T.StructField("title", T.StringType()),
         T.StructField("raw", T.MapType(T.StringType(), T.StringType())),
+        # T13/T14 Doc.object analog — populated only when
+        # settings.parse_object (null map otherwise, hot path unaffected)
+        T.StructField("object", T.MapType(T.StringType(), T.StringType())),
     ]
 )
 
@@ -49,11 +52,13 @@ def build_extract_batch(pairs, settings: ExtractSettings) -> pa.Array:
     ``pairs`` yields (source_text_for_metadata, ExtractResult).
     """
     want_raw = settings.raw_metadata
+    want_obj = settings.parse_object
     mimes: list[str] = []
     extracted: list[str | None] = []
     errors: list[str | None] = []
     titles: list[str | None] = []
     raws: list[dict | None] = []
+    objects: list[dict | None] = []
     packed: list[int] = []
     offsets: list[int] = [0]
     n_spans = 0
@@ -63,6 +68,7 @@ def build_extract_batch(pairs, settings: ExtractSettings) -> pa.Array:
         errors.append(r.error)
         titles.append(r.title)
         raws.append(extract_raw_meta(t, r.mime) if (want_raw and t) else None)
+        objects.append(extract_object(t, r.mime) if (want_obj and t) else None)
         for s, e in r.spans:
             packed.append((s << 32) | e)
         n_spans += len(r.spans)
@@ -76,8 +82,9 @@ def build_extract_batch(pairs, settings: ExtractSettings) -> pa.Array:
             pa.array(errors, pa.string()),
             pa.array(titles, pa.string()),
             pa.array(raws, pa.map_(pa.string(), pa.string())),
+            pa.array(objects, pa.map_(pa.string(), pa.string())),
         ],
-        ["mime", "extracted", "spans", "error", "title", "raw"],
+        ["mime", "extracted", "spans", "error", "title", "raw", "object"],
     )
 
 

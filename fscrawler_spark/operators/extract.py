@@ -83,6 +83,10 @@ def extract_transcripts(
         "file",
         "part_bucket",
     ]
+    if settings.parse_object:
+        # T13/T14 Doc.object analog: parsed JSON/XML payload as a
+        # flattened path->scalar map (FsParser.java:1494-1555)
+        cols.append(F.col("ex.object").alias("object"))
     if settings.store_source:
         # T15 store-source: base64 of the original payload (TikaDocParser.java:471-487)
         cols.append(F.base64(F.encode(F.col("text"), "UTF-8")).alias("attachment"))

@@ -95,6 +95,7 @@ def retry_encrypted(
             F.col("ex.error").alias("error"),
             F.col("ex.title").alias("_new_title"),
             F.col("ex.raw").alias("_new_raw"),
+            F.col("ex.object").alias("_new_object"),
         )
     )
     keep_cols = ["mime", "extracted", "spans", "error"]
@@ -104,6 +105,9 @@ def retry_encrypted(
         .drop(*keep_cols)
         .join(retried, ["conv_id", "turn_idx"])
     )
+    if "object" in docs.columns:
+        # the object map must describe the decrypted payload
+        patched = patched.withColumn("object", F.col("_new_object"))
     if "meta" in docs.columns:
         # meta must describe the DECRYPTED content, not the sealed payload
         if settings.lang_detect:

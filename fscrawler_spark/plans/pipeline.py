@@ -47,12 +47,14 @@ LINEAGE_COLS = [
     "bytes_in",
     "bytes_out",
     "parse_failures",
+    "needs_ocr",
     "span_count",
 ]
 
 LINEAGE_SCHEMA = (
     "run_id string, part_bucket int, conv_count bigint, turn_count bigint, "
-    "bytes_in bigint, bytes_out bigint, parse_failures bigint, span_count bigint"
+    "bytes_in bigint, bytes_out bigint, parse_failures bigint, needs_ocr bigint, "
+    "span_count bigint"
 )
 
 
@@ -85,13 +87,25 @@ def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = N
         F.sum(F.col("file.filesize")).alias("bytes_in"),
         F.sum(F.coalesce(F.length("extracted"), F.lit(0))).alias("bytes_out"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("parse_failures"),
+        # T5: image-like rows awaiting an OCR pass, counted separately so
+        # they are distinguishable from genuinely broken rows downstream
+        F.sum(F.when(F.col("error") == "needs_ocr", 1).otherwise(0)).alias("needs_ocr"),
         F.sum(F.size("spans")).alias("span_count"),
     )
     if buckets is not None:
         spark = out_df.sparkSession
         base = spark.createDataFrame([(int(b),) for b in buckets], "part_bucket int")
         agg = base.join(agg, "part_bucket", "left").fillna(
-            0, ["conv_count", "turn_count", "bytes_in", "bytes_out", "parse_failures", "span_count"]
+            0,
+            [
+                "conv_count",
+                "turn_count",
+                "bytes_in",
+                "bytes_out",
+                "parse_failures",
+                "needs_ocr",
+                "span_count",
+            ],
         )
     return agg.withColumn("run_id", F.lit(run_id)).select(LINEAGE_COLS)
 
@@ -260,7 +274,7 @@ def run_extraction_job(
             # filters dropped everything): no parquet exists to read back,
             # so emit explicit zero lineage rows for the completed buckets
             metrics = spark.createDataFrame(
-                [(run_id, int(b), 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
+                [(run_id, int(b), 0, 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
             )
         metrics.write.mode("append").parquet(out_metrics)
 
