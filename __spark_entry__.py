@@ -504,6 +504,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         req = SearchRequest(query=Term("lang", "en"), aggregations=("source",))
         return execute_terms_aggs(_docs(spark, sf), req)["source"]
 
+    def q_search_highlight(spark, sf):
+        # ES highlighter analog (ESSearchRequest.java:27-95): query terms
+        # wrapped in <em>..</em>, whole-field fragments
+        from fscrawler_spark.operators.search import Match, SearchRequest, execute_search
+
+        req = SearchRequest(
+            query=Match("text", "spark data"),
+            size=1_000_000,
+            fields=("doc_id",),
+            highlight=("text",),
+        )
+        return execute_search(_docs(spark, sf), req)
+
+    def q_search_semantic(spark, sf):
+        # ES semantic/knn query analog (ElasticsearchClient.java:800-900):
+        # exact scoring for the oracle twin; the LSH route shares the
+        # operators verified by q_ann_lsh
+        from fscrawler_spark.operators.search import SearchRequest, Semantic, execute_search
+
+        e = _emb(spark, sf)
+        vec = e.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        req = SearchRequest(
+            query=Semantic("embedding", tuple(vec), k=5, id_col="vec_id", exact=True),
+            size=5,
+            fields=("vec_id",),
+        )
+        return execute_search(e, req).select(
+            "vec_id", F.col("rank").cast("long").alias("rank")
+        )
+
     q.update(
         q_terms_agg=q_terms_agg,
         q_top_k=q_top_k,
@@ -511,6 +541,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_search_bool=q_search_bool,
         q_search_match=q_search_match,
         q_search_terms_agg=q_search_terms_agg,
+        q_search_highlight=q_search_highlight,
+        q_search_semantic=q_search_semantic,
     )
 
     # --- text analysis ---------------------------------------------------------
@@ -887,6 +919,24 @@ def oracle_sql() -> dict[str, str]:
     sql["q_search_terms_agg"] = """
     SELECT source AS key, count(*) AS doc_count FROM documents
     WHERE lang = 'en' GROUP BY source
+    """
+
+    sql["q_search_highlight"] = """
+    SELECT doc_id,
+           regexp_replace(text, '(?i)\\b(data|spark)\\b', '<em>\\1</em>', 'g') AS text_highlight
+    FROM documents
+    WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'spark')
+       OR list_contains(string_split_regex(lower(text), '\\s+'), 'data')
+    """
+
+    sql["q_search_semantic"] = """
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    r AS (SELECT c.vec_id,
+                 row_number() OVER (
+                   ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC,
+                            c.vec_id) AS rank
+          FROM embeddings c, q)
+    SELECT vec_id, rank::BIGINT AS rank FROM r WHERE rank <= 5
     """
 
     sql["q_top_k"] = """

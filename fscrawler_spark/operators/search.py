@@ -1,18 +1,23 @@
 """Typed search surface: the analog of the reference's ES query algebra.
 
-The reference builds a small query DSL (term/match/prefix/range/bool)
-plus size/sort/terms-aggregations and lowers it to an ES _search JSON
-body (/root/reference/elasticsearch-client/.../ESSearchRequest.java:27-95,
+The reference builds a small query DSL (term/match/prefix/range/bool/
+semantic) plus size/sort/highlighters/terms-aggregations and lowers it
+to an ES _search JSON body
+(/root/reference/elasticsearch-client/.../ESSearchRequest.java:27-95,
 ESQuery subclasses, JSON lowering ElasticsearchClient.java:1313-1368,
-request build 1180-1232, response parse incl. terms buckets 1250-1310).
+request build 1180-1232, response parse incl. terms buckets 1250-1310;
+semantic/vector variant 800-900,1313-1368).
 
 Here the same algebra lowers to Catalyst column predicates — filters
-push down to the scan, terms aggregations become hash aggregates, and
-"search" over the extracted-docs table is plain DataFrame execution.
+push down to the scan, terms aggregations become hash aggregates,
+highlighting is a single JVM-side regexp_replace, the semantic query
+routes to the embeddings ANN operators, and "search" over the
+extracted-docs table is plain DataFrame execution.
 """
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
@@ -104,19 +109,91 @@ class Bool:
 
 
 @dataclass(frozen=True)
+class Semantic:
+    """ES `semantic`/knn query analog (ElasticsearchClient.java:800-900):
+    top-k rows of the corpus by cosine similarity of ``field`` (an
+    array<float> embedding column) to ``vector``.
+
+    Not a boolean predicate — a Semantic query ranks, so it is valid only
+    as the top-level ``SearchRequest.query`` (like the reference, where
+    the semantic variant replaces the query body). ``exact=True`` scores
+    the whole corpus (brute force, broadcast query); the default routes
+    through the random-hyperplane LSH candidates — the 10^9-vector path.
+    ``id_col`` names the unique row id used to join hits back.
+    """
+
+    field: str
+    vector: tuple
+    k: int = 10
+    id_col: str = "doc_id"
+    exact: bool = False
+
+
+@dataclass(frozen=True)
 class SearchRequest:
-    """ESSearchRequest analog: query + size/sort/fields/terms-aggs."""
+    """ESSearchRequest analog: query + size/sort/fields/highlight/aggs."""
 
     query: object = None
     size: int = 10  # ES default (ElasticsearchClient.java:1194)
     sort: tuple[tuple[str, str], ...] = ()  # (field, 'asc'|'desc')
     fields: tuple[str, ...] = ()
     aggregations: tuple[str, ...] = ()  # terms aggs by field
+    # highlighter fields (ESSearchRequest.java:27-95 withHighlighter):
+    # each emits a '<field>_highlight' column with query terms wrapped in
+    # <em>..</em> (ES number_of_fragments=0 whole-field mode)
+    highlight: tuple[str, ...] = ()
+
+
+def _terms_for_field(q, fld: str) -> list[str]:
+    """Collect the positive query terms touching ``fld`` (must/should
+    branches only — ES highlighters likewise ignore must_not)."""
+    if isinstance(q, Match) and q.field == fld:
+        return [t for t in q.query.lower().split() if t]
+    if isinstance(q, Term) and q.field == fld and isinstance(q.value, str):
+        return [q.value.lower()]
+    if isinstance(q, Bool):
+        out: list[str] = []
+        for sub in tuple(q.must) + tuple(q.should):
+            out.extend(_terms_for_field(sub, fld))
+        return out
+    return []
+
+
+def highlight_column(fld: str, terms: list[str]) -> Column:
+    """One codegen'd regexp_replace wrapping every whole-word query-term
+    occurrence in <em>..</em> — the match-offset information the spans
+    infra already proves is exposed in the ES highlighter's own output
+    shape (fragments with tags)."""
+    if not terms:
+        return F.col(fld)
+    pat = "(?i)\\b(" + "|".join(re.escape(t) for t in sorted(set(terms))) + ")\\b"
+    return F.regexp_replace(F.col(fld), pat, "<em>$1</em>")
+
+
+def _semantic_hits(df: DataFrame, sem: Semantic) -> DataFrame:
+    from fscrawler_spark.functions import embeddings
+
+    corpus = df.select(
+        F.col(sem.id_col).alias("vec_id"), F.col(sem.field).alias("embedding")
+    )
+    qdf = df.sparkSession.createDataFrame(
+        [(-1, [float(x) for x in sem.vector])], "vec_id long, embedding array<float>"
+    )
+    fn = embeddings.brute_force_topk if sem.exact else embeddings.lsh_topk
+    topk = fn(corpus, qdf, k=sem.k).select(
+        F.col("neighbor_id").alias(sem.id_col), "rank", "sim"
+    )
+    return df.join(topk, sem.id_col).orderBy("rank")
 
 
 def execute_search(df: DataFrame, req: SearchRequest) -> DataFrame:
     """Lower a SearchRequest to a DataFrame plan (the hits side)."""
     out = df
+    if isinstance(req.query, Semantic):
+        out = _semantic_hits(out, req.query)
+        if req.fields:
+            out = out.select(*req.fields, "rank", "sim")
+        return out.limit(req.size)
     if req.query is not None:
         out = out.filter(req.query.to_column())
     if req.sort:
@@ -128,8 +205,14 @@ def execute_search(df: DataFrame, req: SearchRequest) -> DataFrame:
                 for fld, direction in req.sort
             ]
         )
+    hl_cols = [
+        highlight_column(fld, _terms_for_field(req.query, fld)).alias(f"{fld}_highlight")
+        for fld in req.highlight
+    ]
     if req.fields:
-        out = out.select(*req.fields)
+        out = out.select(*req.fields, *hl_cols)
+    elif hl_cols:
+        out = out.select("*", *hl_cols)
     return out.limit(req.size)
 
 
