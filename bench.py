@@ -41,7 +41,10 @@ HEADLINE = [
     "q_run_stats",
     "q_dedup_exact",
     "q_minhash_lsh_fast",
-    "q_near_dup_e2e",
+    # q_near_dup_e2e deliberately absent: it runs the md5 oracle TWIN
+    # (interpreted HOFs, ~10x slower by design) whose job is DuckDB
+    # correctness parity at sf0.01, not throughput. q_near_dup_fast below
+    # is the same pipeline on the production xxhash64 family.
     "q_near_dup_fast",
     "q_simhash",
     "q_ann_topk",

@@ -173,6 +173,12 @@ def lsh_candidate_pairs(
     """
     banded = _banded(sigs, num_hashes, bands)
     if max_bucket is not None:
+        # window count over the SAME (band, bucket) key the candidate
+        # join shuffles on: the exchange is shared, so the guard is free
+        # (A/B measured 5.45s guarded vs 5.48s unguarded at sf0.1; a
+        # broadcast-anti-join variant was +15% because its aggregate
+        # branch recomputes the signature subtree). No ORDER BY -> no
+        # sort, just a per-partition count.
         w = Window.partitionBy("band", "bucket")
         banded = (
             banded.withColumn("_bsz", F.count(F.lit(1)).over(w))

@@ -145,10 +145,11 @@ def _bucketed(
 
 def _cap_buckets(bucketed: DataFrame, max_bucket: int | None) -> DataFrame:
     """Drop (table, bucket) groups above the cardinality cap — the
-    giant-bucket guard. A window count reuses the same (table, bucket)
-    partitioning the candidate join shuffles on. Dropped mass is
-    auditable via bucket_size_stats() (can't be logged inline without
-    forcing an action on a lazy plan)."""
+    giant-bucket guard. A window count over the SAME (table, bucket) key
+    the candidate join shuffles on shares that exchange, so the guard is
+    effectively free (see the A/B note in dedup.lsh_candidate_pairs).
+    Dropped mass is auditable via bucket_size_stats() (can't be logged
+    inline without forcing an action on a lazy plan)."""
     if max_bucket is None:
         return bucketed
     w = Window.partitionBy("table", "bucket")
