@@ -1019,12 +1019,21 @@ def oracle_sql() -> dict[str, str]:
                 md5(array_to_string([x::VARCHAR for x in list_slice(sig, {lo}, {lo + rows_per_band - 1})], ',')) AS bucket
                 FROM sigs"""
         )
+    # the giant-bucket guard (max_bucket=1000, dedup.lsh_candidate_pairs
+    # default) is modeled in SQL too — Spark and oracle compute the same
+    # function even on a fixture with a degenerate mega-bucket
+    banded_ok = """banded_ok AS (
+      SELECT id, band, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
+      ) WHERE bsz <= 1000
+    )"""
     sql["q_minhash_lsh"] = f"""
     WITH base AS (SELECT id, {_sql_shingles()} AS shingles FROM {SQL_DUP_CORPUS}),
     sigs AS (SELECT id, {_sql_minhash_sig(16)} AS sig FROM base),
-    banded AS ({' UNION ALL '.join(band_selects)})
+    banded AS ({' UNION ALL '.join(band_selects)}),
+    {banded_ok}
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM banded a JOIN banded b
+    FROM banded_ok a JOIN banded_ok b
       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     """
 
@@ -1036,9 +1045,10 @@ def oracle_sql() -> dict[str, str]:
     WITH RECURSIVE base AS (SELECT id, {_sql_shingles()} AS shingles FROM {SQL_DUP_CORPUS}),
     sigs AS (SELECT id, {_sql_minhash_sig(16)} AS sig FROM base),
     banded AS ({' UNION ALL '.join(band_selects)}),
+    {banded_ok},
     cand AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      FROM banded a JOIN banded b
+      FROM banded_ok a JOIN banded_ok b
         ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     ),
     sizes AS (SELECT id, len(shingles) AS n FROM base),
@@ -1116,7 +1126,10 @@ def oracle_sql() -> dict[str, str]:
     # The SAME seeded hyperplane literals used by the Spark side
     # (embeddings.random_hyperplanes rounds to 6dp precisely so both
     # engines hash identical plane values); buckets are precomputed per
-    # vector in a CTE, candidates = bucket match in ANY table. Sign-of-dot
+    # vector in a CTE, candidates = bucket match in ANY table. The ANN
+    # bucket cap (max_bucket=20000) is NOT modeled here: a 20k-member
+    # bucket cannot occur at oracle scale (500 vectors), unlike the
+    # minhash cap which IS modeled in its oracle. Sign-of-dot
     # parity between numpy GEMM and DuckDB list_dot_product holds unless a
     # dot product lands within float summation error of 0 (~1e-13) —
     # practically impossible with gaussian planes over real embeddings.

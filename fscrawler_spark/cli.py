@@ -22,7 +22,9 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="fscrawler-spark", description=__doc__)
-    p.add_argument("--input", required=True, help="transcripts parquet path")
+    # not required=True: the control verbs (--status/--pause/--resume-paused)
+    # need only --output; crawl runs validate --input in main()
+    p.add_argument("--input", default=None, help="transcripts parquet path")
     p.add_argument("--output", required=True, help="output table directory")
     p.add_argument("--loop", type=int, default=1, help="number of scan loops (default 1)")
     p.add_argument("--restart", action="store_true", help="ignore checkpoint, full rescan")
@@ -86,6 +88,9 @@ def main(argv: list[str] | None = None) -> int:
         clear_pause(args.output)
         print(json.dumps({"pause_requested": False}))
         return 0
+    if not args.input:
+        print("error: --input is required to run a crawl", file=sys.stderr)
+        return 2
 
     settings = ExtractSettings(
         indexed_chars=args.indexed_chars,

@@ -344,6 +344,8 @@ def near_dup_pipeline(
     hash_family: 'fast' (xxhash64, the 100TB path) or 'md5' (the
     cross-engine-stable twin, reproducible in DuckDB for oracle checks).
     """
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
     sigs = sig_fn(df, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
     cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)

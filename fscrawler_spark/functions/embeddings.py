@@ -40,9 +40,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# scale defaults: 16-bit buckets x 4 tables => 65,536 buckets/table; at
-# 10^9 vectors that is ~15k vectors/bucket, inside the default cap
-DEFAULT_BITS = 16
+# ONE shared default across every operator in this module (lsh_topk,
+# cosine_near_dup_pairs, bucket_size_stats) so an audit of bucket sizes
+# describes the same bucketing the joins actually use. 8 bits x 4 tables
+# suits ~10^5-10^7 vectors; at 10^9 raise bits to 16-20 (65k-1M buckets/
+# table keeps expected bucket size inside the cap) — recall follows
+# 1-(1-p^bits)^tables, so add tables as you add bits.
+DEFAULT_BITS = 8
 DEFAULT_TABLES = 4
 DEFAULT_SEED = 42
 DEFAULT_MAX_BUCKET = 20_000
@@ -131,6 +135,21 @@ def make_bucket_udf(planes: list[list[list[float]]]):
     return bucket_udf
 
 
+def _infer_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Vector dimensionality: taken from ``dim`` when the caller knows it
+    (no Spark job), else inferred from the first row (one tiny job —
+    plan-construction time)."""
+    if dim is not None:
+        return dim
+    row = df.select(vec_col).first()
+    if row is None or row[0] is None:
+        raise ValueError(
+            f"cannot infer embedding dim from an empty DataFrame/{vec_col}; "
+            "pass dim= explicitly"
+        )
+    return len(row[0])
+
+
 def _bucketed(
     df: DataFrame, id_col: str, vec_col: str, planes, id_alias: str, vec_alias: str
 ) -> DataFrame:
@@ -170,8 +189,9 @@ def bucket_size_stats(
     dim: int | None = None,
 ) -> DataFrame:
     """(table, bucket, n) distribution — audit which buckets a cap would
-    drop before running the join."""
-    dim = dim or len(df.select(vec_col).first()[0])
+    drop before running the join. Defaults MATCH the join operators', so
+    the audit describes the exact bucketing the guard filters."""
+    dim = _infer_dim(df, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)
     return (
         _bucketed(df, id_col, vec_col, planes, "id", "v")
@@ -186,17 +206,18 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 8,
+    bits: int = DEFAULT_BITS,
     tables: int = DEFAULT_TABLES,
     seed: int = DEFAULT_SEED,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing the
     query's bucket in ANY of the L tables. Same output shape as
     brute_force_topk; recall < 1 by design and tunable via (bits,
     tables) — the candidate join is keyed on (table, bucket) instead of
     a cross join, which is what survives a 10^9-vector corpus."""
-    dim = len(queries.select(vec_col).first()[0])
+    dim = _infer_dim(queries, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)
     q = _bucketed(queries, id_col, vec_col, planes, "query_id", "qv")
     c = _cap_buckets(_bucketed(corpus, id_col, vec_col, planes, "neighbor_id", "cv"), max_bucket)
@@ -221,16 +242,17 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = 8,
+    bits: int = DEFAULT_BITS,
     tables: int = DEFAULT_TABLES,
     seed: int = DEFAULT_SEED,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within hyperplane buckets
     (any table), capped per bucket. Exact near-dups (cosine ~= 1) agree
     on every sign bit, so they collide in every table — recall for the
     dedup use-case is ~1 by construction."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = _infer_dim(df, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)
     v = _cap_buckets(_bucketed(df, id_col, vec_col, planes, "id", "v"), max_bucket)
     pairs = (

@@ -8,13 +8,15 @@ the live listing, and issues ES deletes (FsParser.java:1010-1057); the
 Spark shape: with an Iceberg catalog this is `MERGE/DELETE WHERE key IN
 (delete_set)`; on plain partitioned parquet we rewrite ONLY the buckets
 that contain deleted keys — partition-scoped rewrite, the same I/O shape
-Iceberg's copy-on-write DELETE performs. Crucially the rewrite goes to a
-STAGING directory first and is swapped in per bucket afterwards: a lazy
-plan that reads a path while dynamically overwriting the same path can
-see partially-replaced partitions under task retry — the staged swap
-never reads and writes the same files in one job, and a crash mid-swap
-leaves a state from which re-running the same delete is a no-op
-(idempotent).
+Iceberg's copy-on-write DELETE performs.
+
+Crash safety (the poor man's snapshot commit): surviving rows are staged
+in a side directory, then each live bucket dir is moved ASIDE (into the
+stage dir) before the staged dir is renamed in; the aside copies are
+dropped only after every bucket swapped. Nothing is deleted while it is
+the only copy, so every crash window leaves a recoverable state, and
+``_recover_stale_stage`` (run at the start of every apply_deletes)
+finishes or rolls back an interrupted swap deterministically.
 """
 
 from __future__ import annotations
@@ -24,12 +26,56 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+_STAGE_MARK = "__delete_stage_"
+
+
+def _fs_for(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm.org.apache.hadoop.fs.Path, hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+
+
+def _recover_stale_stage(spark: SparkSession, output_docs: str) -> None:
+    """Finish or roll back swaps interrupted by a crash. For every bucket
+    found in an orphaned stage dir: if the live dir is missing, restore
+    it — preferring the STAGED (post-delete) copy, falling back to the
+    ASIDE (pre-delete) copy; then drop the stage dir. Idempotent."""
+    HPath, fs = _fs_for(spark, output_docs)
+    parent = HPath(output_docs).getParent()
+    name = HPath(output_docs).getName()
+    if parent is None or not fs.exists(parent):
+        return
+    for st in fs.listStatus(parent):
+        sname = st.getPath().getName()
+        if not sname.startswith(name + _STAGE_MARK):
+            continue
+        stage = st.getPath()
+        for entry in fs.listStatus(stage):
+            ename = entry.getPath().getName()
+            for prefix in ("part_bucket=", "aside_part_bucket="):
+                if ename.startswith(prefix):
+                    b = ename[len(prefix):]
+                    live = HPath(f"{output_docs}/part_bucket={b}")
+                    staged = HPath(f"{stage}/part_bucket={b}")
+                    aside = HPath(f"{stage}/aside_part_bucket={b}")
+                    if not fs.exists(live):
+                        if fs.exists(staged):
+                            fs.rename(staged, live)
+                        elif fs.exists(aside):
+                            fs.rename(aside, live)
+                    break
+        fs.delete(stage, True)
+
 
 def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame) -> int:
     """Remove (conv_id, turn_idx) keys from the docs table by rewriting
-    only affected part_bucket partitions. Returns #rows deleted."""
+    only affected part_bucket partitions. Returns #rows deleted.
+    Re-running with the same keys is a no-op; an interrupted run is
+    recovered by the next call (see _recover_stale_stage)."""
+    _recover_stale_stage(spark, output_docs)
     docs = spark.read.parquet(output_docs)
-    keys = delete_keys.select("conv_id", "turn_idx")
+    # duplicate keys in the delete set must not inflate the deleted count
+    keys = delete_keys.select("conv_id", "turn_idx").distinct()
     # ONE job yields both the affected buckets and the deleted count
     # (previously: three jobs — affected collect + before.count + kept.count)
     hits = (
@@ -50,7 +96,7 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
     # stage the surviving rows OUTSIDE the live table (fresh directory, so
     # no partitionOverwriteMode dependency), preserving the stable
     # within-partition turn ordering invariant (north_rule O1)
-    staging = output_docs.rstrip("/") + f"__delete_stage_{uuid.uuid4().hex[:8]}"
+    staging = output_docs.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex[:8]
     (
         kept.repartition(max(1, len(affected)), "part_bucket")
         .sortWithinPartitions("conv_id", "turn_idx")
@@ -60,22 +106,22 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
     )
 
     # swap per bucket via the Hadoop FileSystem API (scheme-agnostic:
-    # file:/, s3a://, hdfs:// all work; os-level moves would no-op on URIs).
-    # A bucket whose rows were ALL deleted has no staged dir — dynamic
-    # partition overwrite could never empty it (a partition absent from
-    # the written data survives on disk), so the live dir is dropped
-    # explicitly. Iceberg DELETE does the same via snapshot metadata.
-    jvm = spark._jvm
-    hconf = spark._jsc.hadoopConfiguration()
-    HPath = jvm.org.apache.hadoop.fs.Path
-    fs = HPath(output_docs).getFileSystem(hconf)
+    # file:/, s3a://, hdfs:// all work; os-level moves would no-op on
+    # URIs). Order matters: the live dir moves ASIDE (same stage dir)
+    # before the staged result renames in, and aside copies are deleted
+    # only after ALL buckets swapped — no crash window deletes the only
+    # copy of a row. A bucket whose rows were all deleted has no staged
+    # dir (dynamic partition overwrite could never empty it either); its
+    # aside move alone removes it from the table.
+    HPath, fs = _fs_for(spark, output_docs)
     for b in affected:
         live = HPath(f"{output_docs}/part_bucket={b}")
         staged = HPath(f"{staging}/part_bucket={b}")
-        if fs.exists(live):
-            fs.delete(live, True)
-        if fs.exists(staged):
-            fs.rename(staged, live)
+        aside = HPath(f"{staging}/aside_part_bucket={b}")
+        if fs.exists(live) and not fs.rename(live, aside):
+            raise IOError(f"apply_deletes: failed to move {live} aside")
+        if fs.exists(staged) and not fs.rename(staged, live):
+            raise IOError(f"apply_deletes: failed to swap in {staged}")
     fs.delete(HPath(staging), True)
     return deleted
 

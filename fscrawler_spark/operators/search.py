@@ -179,10 +179,12 @@ def _semantic_hits(df: DataFrame, sem: Semantic) -> DataFrame:
     qdf = df.sparkSession.createDataFrame(
         [(-1, [float(x) for x in sem.vector])], "vec_id long, embedding array<float>"
     )
-    fn = embeddings.brute_force_topk if sem.exact else embeddings.lsh_topk
-    topk = fn(corpus, qdf, k=sem.k).select(
-        F.col("neighbor_id").alias(sem.id_col), "rank", "sim"
-    )
+    if sem.exact:
+        topk = embeddings.brute_force_topk(corpus, qdf, k=sem.k)
+    else:
+        # dim is known from the query vector: no inference job
+        topk = embeddings.lsh_topk(corpus, qdf, k=sem.k, dim=len(sem.vector))
+    topk = topk.select(F.col("neighbor_id").alias(sem.id_col), "rank", "sim")
     return df.join(topk, sem.id_col).orderBy("rank")
 
 

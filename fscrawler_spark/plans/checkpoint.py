@@ -158,10 +158,21 @@ class CheckpointManifest:
         self.last_error = err[:2000]
         self.save()
 
-    def clear_error(self) -> None:
-        if self.retry_count or self.last_error:
+    def reset_retries(self) -> None:
+        """Successful wave: retry_count counts CONSECUTIVE failures (the
+        reference resets it after a successful attempt); last_error is
+        kept as history of the most recent failure."""
+        if self.retry_count:
             self.retry_count = 0
-            self.last_error = None
+            self.save()
+
+    def resume_running(self) -> None:
+        """A resumed run is RUNNING again — without this, every
+        mark_completed save would persist a stale PAUSED state and a
+        crash mid-resume would leave status() claiming the job is
+        waiting to be resumed."""
+        if self.state != "RUNNING":
+            self.state = "RUNNING"
             self.save()
 
     def finish(self) -> None:

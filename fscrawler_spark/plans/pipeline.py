@@ -217,6 +217,7 @@ def run_extraction_job(
 
     written: list[int] = []
     paused = False
+    manifest.resume_running()
     for wi, wave in enumerate(waves):
         if fail_after_buckets is not None and len(written) >= fail_after_buckets:
             raise RuntimeError("injected failure for resume test")
@@ -251,6 +252,7 @@ def run_extraction_job(
                 if attempt > settings.max_wave_retries:
                     raise
         manifest.mark_completed(wave)
+        manifest.reset_retries()  # consecutive-failure counter, reference semantics
         written.extend(wave)
 
     # lineage/metrics: read back only the cheap columns (column pruning).

@@ -178,7 +178,9 @@ def test_wave_failure_is_retried_and_recorded(spark, transcripts_dir, tmp_path):
     assert res["status"] == "completed"
     assert sorted(res["written_buckets"]) == list(range(SETTINGS.num_buckets))
     m = CheckpointManifest.load_or_create(os.path.join(out, "_checkpoint.json"))
-    assert m.retry_count == 1
+    # retry_count counts CONSECUTIVE failures (reference semantics): the
+    # successful retry reset it; last_error keeps the failure history
+    assert m.retry_count == 0
     assert "transient sink failure" in m.last_error
 
 
@@ -216,6 +218,52 @@ def test_retry_encrypted_is_lazy(spark):
     assert after == before
 
 
+def test_cli_control_verbs_need_no_input(tmp_path, capsys):
+    """--status/--pause/--resume-paused are control-plane verbs: they must
+    work without --input (and without a SparkSession)."""
+    import json as _json
+
+    from fscrawler_spark.cli import main
+
+    out = str(tmp_path / "job")
+    assert main(["--status", "--output", out]) == 0
+    assert _json.loads(capsys.readouterr().out)["state"] == "NOT_STARTED"
+    assert main(["--pause", "--output", out]) == 0
+    capsys.readouterr()
+    assert main(["--resume-paused", "--output", out]) == 0
+    capsys.readouterr()
+    # a crawl without --input is a clean error, not an argparse crash
+    assert main(["--output", out]) == 2
+
+
+def test_apply_deletes_recovers_interrupted_swap(spark, transcripts_dir, tmp_path):
+    """Crash window: live bucket moved aside but staged result not yet
+    renamed in. The next apply_deletes call must restore the bucket
+    (preferring the staged post-delete copy) instead of silently losing
+    its rows."""
+    import shutil
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "recjob")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    docs_path = os.path.join(out, "docs")
+    total = spark.read.parquet(docs_path).count()
+
+    # simulate the crash: pick a bucket, move its live dir into a stage
+    # dir under the aside_ name (as the swap does), leaving no staged copy
+    bucket_dirs = [d for d in os.listdir(docs_path) if d.startswith("part_bucket=")]
+    victim = bucket_dirs[0]
+    stage = docs_path + "__delete_stage_deadbeef"
+    os.makedirs(stage)
+    shutil.move(os.path.join(docs_path, victim), os.path.join(stage, "aside_" + victim))
+
+    # next delete call recovers the bucket before applying its own keys
+    no_keys = spark.createDataFrame([("nope", -1)], "conv_id string, turn_idx int")
+    assert apply_deletes(spark, docs_path, no_keys) == 0
+    assert spark.read.parquet(docs_path).count() == total
+    assert not os.path.exists(stage)
+
+
 def test_apply_deletes_idempotent_and_counts(spark, transcripts_dir, tmp_path):
     inp = os.path.join(transcripts_dir, "transcripts.parquet")
     out = str(tmp_path / "deljob")
@@ -227,6 +275,8 @@ def test_apply_deletes_idempotent_and_counts(spark, transcripts_dir, tmp_path):
     vdf = spark.createDataFrame(victims_rows, "conv_id string, turn_idx int")
 
     total_before = docs.count()
+    # duplicate keys in the delete set must not inflate the count
+    vdf = vdf.unionByName(vdf.limit(5))
     n = apply_deletes(spark, docs_path, vdf)
     assert n == 25
     after = spark.read.parquet(docs_path)
