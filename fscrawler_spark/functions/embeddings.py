@@ -42,10 +42,15 @@ from pyspark.sql import types as T
 
 # ONE shared default across every operator in this module (lsh_topk,
 # cosine_near_dup_pairs, bucket_size_stats) so an audit of bucket sizes
-# describes the same bucketing the joins actually use. 8 bits x 4 tables
-# suits ~10^5-10^7 vectors; at 10^9 raise bits to 16-20 (65k-1M buckets/
-# table keeps expected bucket size inside the cap) — recall follows
-# 1-(1-p^bits)^tables, so add tables as you add bits.
+# describes the same bucketing the joins actually use.
+#
+# SIZE THE BITS TO THE CORPUS: expected bucket size is n / 2^bits per
+# table, and _cap_buckets drops WHOLE buckets above max_bucket — with too
+# few bits every bucket crosses the cap and the operators return EMPTY
+# results. At the defaults (8 bits, cap 20k) the crossover is ~5M
+# vectors: fine up to ~10^6, raise bits to 16-20 at 10^8-10^9 (65k-1M
+# buckets/table). Recall follows 1-(1-p^bits)^tables, so add tables as
+# you add bits; audit with bucket_size_stats before a big run.
 DEFAULT_BITS = 8
 DEFAULT_TABLES = 4
 DEFAULT_SEED = 42

@@ -17,6 +17,14 @@ dropped only after every bucket swapped. Nothing is deleted while it is
 the only copy, so every crash window leaves a recoverable state, and
 ``_recover_stale_stage`` (run at the start of every apply_deletes)
 finishes or rolls back an interrupted swap deterministically.
+
+SINGLE-WRITER contract: like every mutation of a plain-parquet table
+(including run_extraction_job itself), at most one apply_deletes may run
+against an output table at a time — a second concurrent call would treat
+the first's in-flight stage dir as crashed state and recover it from
+under it. On a real deployment this entire module is an Iceberg
+copy-on-write DELETE, whose optimistic snapshot commit provides the
+multi-writer story.
 """
 
 from __future__ import annotations
@@ -39,7 +47,16 @@ def _recover_stale_stage(spark: SparkSession, output_docs: str) -> None:
     """Finish or roll back swaps interrupted by a crash. For every bucket
     found in an orphaned stage dir: if the live dir is missing, restore
     it — preferring the STAGED (post-delete) copy, falling back to the
-    ASIDE (pre-delete) copy; then drop the stage dir. Idempotent."""
+    ASIDE (pre-delete) copy; then drop the stage dir. Idempotent.
+
+    Restored state is CONSISTENT per bucket but the interrupted delete
+    may end half-applied (swapped buckets post-delete, rolled-back
+    buckets pre-delete). That converges because callers in the job flow
+    derive the delete set from the CURRENT table each time (J2
+    deleted_keys recomputes the full set, not a delta), so the next call
+    re-covers any rolled-back keys. A rename failure raises and leaves
+    the stage dir in place — the only copy of a bucket is never deleted.
+    """
     HPath, fs = _fs_for(spark, output_docs)
     parent = HPath(output_docs).getParent()
     name = HPath(output_docs).getName()
@@ -59,10 +76,14 @@ def _recover_stale_stage(spark: SparkSession, output_docs: str) -> None:
                     staged = HPath(f"{stage}/part_bucket={b}")
                     aside = HPath(f"{stage}/aside_part_bucket={b}")
                     if not fs.exists(live):
-                        if fs.exists(staged):
-                            fs.rename(staged, live)
-                        elif fs.exists(aside):
-                            fs.rename(aside, live)
+                        src = staged if fs.exists(staged) else (aside if fs.exists(aside) else None)
+                        if src is not None and not fs.rename(src, live):
+                            # do NOT fall through to the stage delete: the
+                            # stage still holds the only copy of this bucket
+                            raise IOError(
+                                f"delete-stage recovery: failed to restore {src} -> {live}; "
+                                "stage dir left in place"
+                            )
                     break
         fs.delete(stage, True)
 
