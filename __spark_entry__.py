@@ -577,11 +577,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.length(punct).cast("long").alias("n_punct"),
         )
 
+    # --- curation (training-data pipeline ops) -------------------------------
+
+    def q_sample_split(spark, sf):
+        # deterministic hash sampling + leakage-free split assignment
+        from fscrawler_spark.functions.curation import (
+            deterministic_sample,
+            train_val_test_split,
+        )
+
+        d = train_val_test_split(_docs(spark, sf), key_col="source", weights=(0.8, 0.1, 0.1))
+        sampled = deterministic_sample(d, rate=0.5, key_col="doc_id")
+        return sampled.groupBy("split").agg(
+            F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id")
+        )
+
+    def q_pack_sequences(spark, sf):
+        from fscrawler_spark.functions.curation import pack_sequences
+        from fscrawler_spark.functions.text_analysis import token_count
+
+        d = _docs(spark, sf).withColumn("tok", token_count(F.col("text")).cast("long"))
+        packed = pack_sequences(
+            d, token_col="tok", max_tokens=256, part_col="source", order_cols=("doc_id",)
+        )
+        return packed.groupBy("source", "pack_id").agg(
+            F.sum("tok").cast("long").alias("pack_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+
+    def q_redact_pii(spark, sf):
+        from fscrawler_spark.functions.curation import pii_counts, redact_pii
+
+        # synthetic PII woven deterministically into fixture text
+        d = _docs(spark, sf).withColumn(
+            "pii_text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-123-4567 ssn 123-45-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        red = d.select(
+            "doc_id",
+            redact_pii(F.col("pii_text")).alias("redacted"),
+            F.element_at(pii_counts(F.col("pii_text")), "email").alias("n_email"),
+            F.element_at(pii_counts(F.col("pii_text")), "ssn").alias("n_ssn"),
+        )
+        return red
+
+    def q_repetition(spark, sf):
+        from fscrawler_spark.functions.curation import repetition_stats
+
+        return repetition_stats(_docs(spark, sf), n=2).select(
+            "id", "ngram_total", "top_ngram_count", "rep_fraction"
+        )
+
+    def q_contamination(spark, sf):
+        from fscrawler_spark.functions.curation import contamination_check
+
+        d = _docs(spark, sf)
+        # benchmark = 8-word windows lifted from every 10th doc (doc_id%10==0)
+        bench = d.filter(F.col("doc_id") % 10 == 0).select(
+            F.col("doc_id").alias("bench_id"),
+            F.array_join(F.slice(F.split(F.trim(F.lower("text")), r"\s+"), 3, 12), " ").alias(
+                "text"
+            ),
+        )
+        return contamination_check(d, bench, n=8, min_hits=2)
+
     q.update(
         q_token_count=q_token_count,
         q_langid_hits=q_langid_hits,
         q_fingerprint=q_fingerprint,
         q_quality_stats=q_quality_stats,
+        q_sample_split=q_sample_split,
+        q_pack_sequences=q_pack_sequences,
+        q_redact_pii=q_redact_pii,
+        q_repetition=q_repetition,
+        q_contamination=q_contamination,
     )
 
     # --- dedup -------------------------------------------------------------------
@@ -1003,6 +1079,102 @@ def oracle_sql() -> dict[str, str]:
            length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'),
                                  '[^!-/:-@\\[-`{-~]', '', 'g'))::BIGINT AS n_punct
     FROM documents
+    """
+
+    # --- curation oracles ----------------------------------------------------
+
+    sql["q_sample_split"] = """
+    WITH d AS (
+      SELECT *,
+        ('0x'||substr(md5('split'||source),1,15))::BIGINT % 1000000 AS sb,
+        ('0x'||substr(md5(doc_id::VARCHAR),1,15))::BIGINT % 1000000 AS kb
+      FROM documents
+    )
+    SELECT CASE WHEN sb < 800000 THEN 'train' WHEN sb < 900000 THEN 'val'
+                ELSE 'test' END AS split,
+           count(*) AS n, min(doc_id) AS min_id
+    FROM d WHERE kb < 500000 GROUP BY 1
+    """
+
+    tok_expr = """CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT"""
+    sql["q_pack_sequences"] = f"""
+    WITH RECURSIVE base AS (
+      SELECT source, doc_id, {tok_expr} AS tok,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM documents
+    ),
+    r AS (
+      SELECT source, doc_id, tok, rn, tok AS acc, 0::BIGINT AS pack
+      FROM base WHERE rn = 1
+      UNION ALL
+      SELECT b.source, b.doc_id, b.tok, b.rn,
+             CASE WHEN r.acc + b.tok <= 256 THEN r.acc + b.tok ELSE b.tok END,
+             CASE WHEN r.acc + b.tok <= 256 THEN r.pack ELSE r.pack + 1 END
+      FROM r JOIN base b ON b.source = r.source AND b.rn = r.rn + 1
+    )
+    SELECT source, pack AS pack_id, sum(tok)::BIGINT AS pack_tokens,
+           count(*) AS n_docs, min(doc_id) AS first_doc
+    FROM r GROUP BY source, pack
+    """
+
+    pii_src = (
+        "text || ' contact user' || doc_id::VARCHAR || "
+        "'@example.com or 555-123-4567 ssn 123-45-' || "
+        "lpad((doc_id % 10000)::VARCHAR, 4, '0')"
+    )
+    email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    phone_pat = "(?:\\+?\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
+    ssn_pat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    ip_pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
+    sql["q_redact_pii"] = f"""
+    WITH p AS (SELECT doc_id, {pii_src} AS s FROM documents)
+    SELECT doc_id,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             s, '{email_pat}', '<EMAIL>', 'g'),
+             '{phone_pat}', '<PHONE>', 'g'),
+             '{ssn_pat}', '<SSN>', 'g'),
+             '{ip_pat}', '<IP>', 'g') AS redacted,
+           len(regexp_extract_all(s, '{email_pat}'))::BIGINT AS n_email,
+           len(regexp_extract_all(s, '{ssn_pat}'))::BIGINT AS n_ssn
+    FROM p
+    """
+
+    sql["q_repetition"] = """
+    WITH toks AS (SELECT doc_id AS id,
+                         string_split_regex(trim(lower(text)), '\\s+') AS w
+                  FROM documents),
+    grams AS (
+      SELECT id, unnest([array_to_string(list_slice(w, i, i + 1), ' ')
+                         for i in generate_series(1, len(w) - 1)]) AS g
+      FROM toks WHERE len(w) >= 2
+    ),
+    counts AS (SELECT id, g, count(*) AS c FROM grams GROUP BY id, g)
+    SELECT id, sum(c)::BIGINT AS ngram_total, max(c)::BIGINT AS top_ngram_count,
+           floor(max(c) / sum(c) * 1000000) / 1000000 AS rep_fraction
+    FROM counts GROUP BY id
+    """
+
+    sql["q_contamination"] = """
+    WITH cw AS (SELECT doc_id AS id,
+                       string_split_regex(trim(lower(text)), '\\s+') AS w
+                FROM documents),
+    cg AS (
+      SELECT id, unnest(list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+                                       for i in generate_series(1, len(w) - 7)])) AS g
+      FROM cw WHERE len(w) >= 8
+    ),
+    bw AS (SELECT doc_id AS bench_id,
+                  list_slice(string_split_regex(trim(lower(text)), '\\s+'), 3, 14) AS w
+           FROM documents WHERE doc_id % 10 = 0),
+    bg AS (
+      SELECT bench_id, unnest(list_distinct([array_to_string(list_slice(w, i, i + 7), ' ')
+                                             for i in generate_series(1, len(w) - 7)])) AS g
+      FROM bw WHERE len(w) >= 8
+    )
+    SELECT cg.id, bg.bench_id, count(*) AS hits
+    FROM cg JOIN bg ON cg.g = bg.g
+    GROUP BY 1, 2 HAVING count(*) >= 2
     """
 
     sql["q_dedup_exact"] = f"""

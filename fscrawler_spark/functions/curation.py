@@ -1,0 +1,231 @@
+"""Training-data curation operators: the pieces a large-scale LLM data
+pipeline needs AROUND extraction and dedup — stable sampling/splits,
+sequence packing, PII redaction, repetition quality, and benchmark
+contamination checks.
+
+All pure DataFrame compositions (no Python UDFs): whole-stage codegen,
+shuffles only where a groupBy/join key demands one. Determinism
+everywhere — sampling and splits hash content keys rather than using
+RNG state, so adding executors, re-running, or resuming never changes
+which rows are selected (the property that makes 100-TB incremental
+pipelines reproducible).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# hash-bucket denominator for sampling/splits: md5 (not xxhash64) so the
+# selection is reproducible in ANY engine, oracle included
+_BUCKETS = 1_000_000
+
+
+def _hash_bucket(key_col, salt: str = "") -> F.Column:
+    """Uniform bucket in [0, 1e6) from md5 of the key (+salt): the
+    cross-engine-stable selection hash. One md5 per row — cheap next to
+    extraction; use xxhash64 only if profiling ever shows otherwise."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 15), 16, 10
+                  ).cast("long") % _BUCKETS
+
+
+def deterministic_sample(
+    df: DataFrame, rate: float, key_col: str, salt: str = ""
+) -> DataFrame:
+    """Keep ~``rate`` of rows, selected by content-key hash — the same
+    rows at any parallelism, on any engine, across resumes (unlike
+    df.sample whose output depends on partitioning). ``salt`` decorrelates
+    independent samples over the same keys."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.filter(_hash_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    key_col: str,
+    weights: tuple[float, float, float] = (0.98, 0.01, 0.01),
+    salt: str = "split",
+) -> DataFrame:
+    """Add a ``split`` column ('train'|'val'|'test') assigned by key hash:
+    stable under reshuffling/resume, and rows sharing a key (e.g. all
+    turns of a conversation) land in the SAME split — no leakage of one
+    conversation across train and eval."""
+    if abs(sum(weights) - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {weights}")
+    b = _hash_bucket(F.col(key_col), salt)
+    t1 = int(weights[0] * _BUCKETS)
+    t2 = t1 + int(weights[1] * _BUCKETS)
+    return df.withColumn(
+        "split",
+        F.when(b < t1, "train").when(b < t2, "val").otherwise("test"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    max_tokens: int,
+    part_col: str,
+    order_cols: tuple[str, ...],
+) -> DataFrame:
+    """Greedy in-order sequence packing: assign each row a ``pack_id``
+    (numbered per ``part_col`` group) so consecutive rows in
+    ``order_cols`` order share a pack while their token total stays
+    <= max_tokens; a row that doesn't fit starts a new pack (an oversize
+    single row gets a pack alone). First-fit in arrival order — the
+    packing streaming tokenizer pipelines use; deterministic, one scan.
+
+    Greedy packing carries running state row-to-row (the bin RESETS at a
+    boundary), which no plain window function expresses (a cumsum
+    ceil-division variant silently overflows packs at bin boundaries) —
+    so this is an ``applyInPandas`` grouped map: sequential WITHIN a
+    group, all ``part_col`` groups in parallel.
+
+    Scale note: one shuffle on ``part_col`` (conversation, shard,
+    bucket) — never a global order, which would serialize 10^12 rows
+    through one task. Groups must individually fit an Arrow batch
+    (bounded conversations/shards do); pack density costs only one
+    underfull tail pack per group.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    order = list(order_cols)
+    # NOT df.schema.add(...): StructType.add MUTATES in place and
+    # DataFrame caches its schema object — df.columns would grow a
+    # phantom pack_id and applyInPandas would fail to resolve it
+    out_schema = T.StructType(
+        list(df.schema.fields) + [T.StructField("pack_id", T.LongType())]
+    )
+
+    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        packs = []
+        acc = 0
+        pack = -1
+        for t in pdf[token_col].astype("int64"):
+            if pack < 0 or acc + t > max_tokens:
+                pack += 1
+                acc = int(t)
+            else:
+                acc += int(t)
+            packs.append(pack)
+        pdf["pack_id"] = packs
+        return pdf
+
+    return df.groupBy(part_col).applyInPandas(_pack, schema=out_schema)
+
+
+# --- PII redaction ----------------------------------------------------------
+
+# deliberately conservative, precision-first patterns (a 100-TB pass that
+# over-redacts code/numbers destroys data; recall-first scrubbing belongs
+# in a dedicated pass with review). Kept ANSI-regex simple so the exact
+# same patterns run on any engine.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(text_col, kinds: tuple[str, ...] | None = None) -> F.Column:
+    """Replace PII occurrences with typed placeholder tags — chained
+    regexp_replace, all inside whole-stage codegen."""
+    out = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    for kind, pat, tag in PII_PATTERNS:
+        if kinds is None or kind in kinds:
+            out = F.regexp_replace(out, pat, tag)
+    return out
+
+
+def pii_counts(text_col) -> F.Column:
+    """map<kind, count> of PII matches per row — audit before redacting."""
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    entries = []
+    for kind, pat, _tag in PII_PATTERNS:
+        entries.append(F.lit(kind))
+        entries.append(F.size(F.regexp_extract_all(col, F.lit(pat), F.lit(0))).cast("long"))
+    return F.create_map(*entries)
+
+
+# --- repetition quality -----------------------------------------------------
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 2
+) -> DataFrame:
+    """Per-doc repetition metrics: (id, ngram_total, top_ngram_count,
+    rep_fraction) where rep_fraction = occurrences of the most frequent
+    word n-gram / total n-grams. High values flag degenerate loops
+    (the 'repeated n-gram fraction' filter from data-quality pipelines
+    à la Gopher/C4 rules).
+
+    Shape: explode n-grams -> two hash aggregates keyed on id — linear,
+    partial-aggregated map-side, no joins.
+    """
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    k = F.size(words) - (n - 1)
+    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    ex = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    counts = ex.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("id")
+        .agg(
+            F.sum("c").alias("ngram_total"),
+            F.max("c").alias("top_ngram_count"),
+        )
+        .withColumn(
+            "rep_fraction",
+            F.floor(F.col("top_ngram_count") / F.col("ngram_total") * 1_000_000) / 1_000_000,
+        )
+    )
+
+
+# --- benchmark contamination ------------------------------------------------
+
+
+def contamination_check(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Flag corpus docs sharing >= min_hits distinct word n-grams with any
+    benchmark item (the eval-leakage scan every training corpus needs).
+    Returns (id, bench_id, hits).
+
+    Shape: both sides explode to distinct n-gram rows keyed by a 64-bit
+    hash; inner join on the hash; count per (doc, bench) pair. The
+    benchmark side is small (eval suites are ~10^5 items) — its exploded
+    n-gram table broadcasts, so the corpus side never shuffles: scan ->
+    explode -> broadcast-hash-join -> partial count. n=8 long-gram
+    default keeps hits specific (and the n-gram table narrow).
+    """
+
+    def grams(d: DataFrame, idc: str, txtc: str, out_id: str) -> DataFrame:
+        words = F.split(F.trim(F.lower(F.col(txtc))), r"\s+")
+        k = F.size(words) - (n - 1)
+        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
+        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+        gs = F.array_distinct(
+            F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")))
+        )
+        return d.select(F.col(idc).alias(out_id), F.explode(gs).alias("gh"))
+
+    c = grams(corpus, id_col, text_col, "id")
+    b = grams(benchmark, bench_id_col, bench_text_col, "bench_id")
+    return (
+        c.join(F.broadcast(b), "gh")
+        .groupBy("id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .filter(F.col("hits") >= min_hits)
+    )
