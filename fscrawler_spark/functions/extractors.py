@@ -205,8 +205,10 @@ def extract_html(text: str, limit: int) -> ExtractResult:
     drop_tags, block_tags, void_tags = DROP_TAGS, BLOCK_TAGS, VOID_TAGS
 
     pos = 0
+    blocks_append = blocks.append
+    cur_append = cur.append
     for m in _HTML_TOKEN_RE.finditer(text):
-        mstart = m.start()
+        mstart, mend = m.span()
         if mstart > pos:
             if in_title:
                 # <title> text is METADATA only: captured as the document
@@ -219,18 +221,28 @@ def extract_html(text: str, limit: int) -> ExtractResult:
             elif drop_depth == 0:
                 s, e = _trim_run(text, pos, mstart)
                 if e > s:
-                    cur.append((s, e, anchor_depth > 0))
-        pos = m.end()
-        closing, name = m.group(1, 2)
+                    cur_append((s, e, anchor_depth > 0))
+        pos = mend
+        name = m.group(2)
         if name is None:
             continue  # comment / CDATA / <! / <? / stray markup
         name = name.lower()
-        closing = closing == "/"
+        closing = m.group(1) == "/"
+        if name in block_tags:  # the overwhelmingly common tag case first
+            # (disjoint from drop_tags/'title'/'a' by construction; br/hr
+            # being void changes nothing — a block boundary either way)
+            if cur:
+                blocks_append(cur)
+                cur = []
+                cur_append = cur.append
+            continue
         if name == "title":
             in_title = not closing
             continue
-        self_closing = name in void_tags or text[pos - 2 : pos] == "/>"
-        if name in drop_tags and not self_closing:
+        # self-closing only matters for drop/anchor handling (lazy compute)
+        if name in drop_tags:
+            if name in void_tags or text[pos - 2 : pos] == "/>":
+                continue
             drop_depth += -1 if closing else 1
             if drop_depth < 0:
                 drop_depth = 0
@@ -239,19 +251,17 @@ def extract_html(text: str, limit: int) -> ExtractResult:
                 if nonhead_drop_depth < 0:
                     nonhead_drop_depth = 0
             if not closing and cur:
-                blocks.append(cur)
+                blocks_append(cur)
                 cur = []
+                cur_append = cur.append
             continue
         if name == "a":
             if closing:
                 if anchor_depth > 0:
                     anchor_depth -= 1
-            elif not self_closing:
+            elif not (text[pos - 2 : pos] == "/>"):
                 anchor_depth += 1
             continue
-        if name in block_tags and cur:
-            blocks.append(cur)
-            cur = []
     if pos < len(text) and drop_depth == 0 and not in_title:
         s, e = _trim_run(text, pos, len(text))
         if e > s:
@@ -364,14 +374,17 @@ def extract_json(text: str, limit: int) -> ExtractResult:
     except Exception:
         return ExtractResult(MIME_JSON, None, [], "parse_error")
     runs: list[tuple[int, int]] = []
+    n = len(text)
+    append = runs.append
     for m in _JSON_STR_RE.finditer(text):
-        after = m.end()
-        while after < len(text) and text[after] in " \t\r\n":
+        s, e = m.span()
+        after = e
+        while after < n and text[after] in " \t\r\n":
             after += 1
-        if after < len(text) and text[after] == ":":
+        if after < n and text[after] == ":":
             continue  # key, not value
-        if m.end() - 1 > m.start() + 1:
-            runs.append((m.start() + 1, m.end() - 1))
+        if e - 1 > s + 1:
+            append((s + 1, e - 1))
     extracted, spans = _assemble(text, runs, limit)
     return ExtractResult(MIME_JSON, extracted, spans, None)
 
