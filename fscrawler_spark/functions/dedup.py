@@ -357,22 +357,26 @@ def near_dup_pipeline(
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:
     """SimHash: per token, hash to ``bits`` bits; each bit votes +1/-1;
     sign of the vote sum forms the fingerprint bit. Near-dups share most
-    bits. Implemented as explode(token) x explode(bit) -> groupBy —
-    pure aggregations, linear in tokens*bits."""
+    bits.
+
+    Shape: ONE explode (tokens) -> ONE hash aggregate carrying ``bits``
+    sum columns -> JVM-side bit assembly. An earlier variant exploded a
+    second time by bit position: 32x the rows through the aggregate (32
+    hash-map probes per token instead of 1) and 32 shuffle rows per id
+    instead of one wide row (~3x the shuffle bytes with row overhead).
+    Identical results; equal at toy SF, wins at scale.
+    """
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
     ).withColumn("h", _md5_int(F.col("tok")))
-    votes = (
-        toks.select(
-            "id",
-            F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-            F.col("h"),
-        )
-        .withColumn("vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
-        .groupBy("id", "bit")
-        .agg(F.sum("vote").alias("v"))
-    )
-    return votes.groupBy("id").agg(
-        F.sum(F.when(F.col("v") > 0, F.expr("1::bigint << bit")).otherwise(0)).alias("simhash")
-    )
+    votes = [
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)).alias(f"_v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("id").agg(*votes)
+    fp = None
+    for b in range(bits):
+        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return agg.select("id", fp.alias("simhash"))

@@ -39,6 +39,6 @@ def run_statistics(docs: DataFrame) -> DataFrame:
     return docs.agg(
         F.count(F.lit(1)).cast("long").alias("nb_doc_scan"),
         F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).cast("long").alias("nb_parse_failures"),
-        F.approx_count_distinct("conv_id").alias("nb_conversations"),
+        F.count_distinct("conv_id").alias("nb_conversations"),
         F.sum(F.size("spans")).cast("long").alias("nb_spans"),
     )
