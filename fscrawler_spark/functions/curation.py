@@ -3,12 +3,13 @@ pipeline needs AROUND extraction and dedup — stable sampling/splits,
 sequence packing, PII redaction, repetition quality, and benchmark
 contamination checks.
 
-All pure DataFrame compositions (no Python UDFs): whole-stage codegen,
-shuffles only where a groupBy/join key demands one. Determinism
-everywhere — sampling and splits hash content keys rather than using
-RNG state, so adding executors, re-running, or resuming never changes
-which rows are selected (the property that makes 100-TB incremental
-pipelines reproducible).
+Everything except pack_sequences is a pure DataFrame composition (no
+Python UDFs — whole-stage codegen, shuffles only where a groupBy/join
+key demands one); pack_sequences alone carries running state and runs as
+an applyInPandas grouped map. Determinism everywhere — sampling and
+splits hash content keys rather than using RNG state, so adding
+executors, re-running, or resuming never changes which rows are selected
+(the property that makes 100-TB incremental pipelines reproducible).
 """
 
 from __future__ import annotations
@@ -16,17 +17,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from fscrawler_spark.functions.dedup import _md5_int
+
 # hash-bucket denominator for sampling/splits: md5 (not xxhash64) so the
 # selection is reproducible in ANY engine, oracle included
 _BUCKETS = 1_000_000
 
 
 def _hash_bucket(key_col, salt: str = "") -> F.Column:
-    """Uniform bucket in [0, 1e6) from md5 of the key (+salt): the
-    cross-engine-stable selection hash. One md5 per row — cheap next to
-    extraction; use xxhash64 only if profiling ever shows otherwise."""
-    return F.conv(F.substring(F.md5(F.concat(F.lit(salt), key_col.cast("string"))), 1, 15), 16, 10
-                  ).cast("long") % _BUCKETS
+    """Uniform bucket in [0, 1e6) from md5 of the key (+salt), built on
+    the shared cross-engine hash (dedup._md5_int). NULL keys hash as the
+    literal '<null>' group: they all share one bucket (and therefore one
+    split) instead of silently vanishing from every sample."""
+    key = F.coalesce(key_col.cast("string"), F.lit("<null>"))
+    return _md5_int(F.concat(F.lit(salt), key)) % _BUCKETS
+
+
+def _word_ngrams(text_col, n: int):
+    """Distinct-free word n-gram array of the trimmed, lowercased text.
+    Guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
+    shorter than n words must yield an empty array."""
+    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+    k = F.size(words) - (n - 1)
+    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
 
 
 def deterministic_sample(
@@ -73,8 +87,11 @@ def pack_sequences(
     (numbered per ``part_col`` group) so consecutive rows in
     ``order_cols`` order share a pack while their token total stays
     <= max_tokens; a row that doesn't fit starts a new pack (an oversize
-    single row gets a pack alone). First-fit in arrival order — the
-    packing streaming tokenizer pipelines use; deterministic, one scan.
+    single row gets a pack alone; a NULL token count packs as 0 tokens).
+    First-fit in arrival order — the packing streaming tokenizer
+    pipelines use; one scan. Deterministic PROVIDED ``order_cols``
+    uniquely orders rows within each ``part_col`` group — ties fall back
+    to arrival order, which depends on upstream partitioning.
 
     Greedy packing carries running state row-to-row (the bin RESETS at a
     boundary), which no plain window function expresses (a cumsum
@@ -104,7 +121,7 @@ def pack_sequences(
         packs = []
         acc = 0
         pack = -1
-        for t in pdf[token_col].astype("int64"):
+        for t in pdf[token_col].fillna(0).astype("int64"):
             if pack < 0 or acc + t > max_tokens:
                 pack += 1
                 acc = int(t)
@@ -166,12 +183,9 @@ def repetition_stats(
     Shape: explode n-grams -> two hash aggregates keyed on id — linear,
     partial-aggregated map-side, no joins.
     """
-    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
-    k = F.size(words) - (n - 1)
-    # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
-    idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
-    ex = df.select(F.col(id_col).alias("id"), F.explode(grams).alias("g"))
+    ex = df.select(
+        F.col(id_col).alias("id"), F.explode(_word_ngrams(F.col(text_col), n)).alias("g")
+    )
     counts = ex.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
     return (
         counts.groupBy("id")
@@ -212,12 +226,8 @@ def contamination_check(
     """
 
     def grams(d: DataFrame, idc: str, txtc: str, out_id: str) -> DataFrame:
-        words = F.split(F.trim(F.lower(F.col(txtc))), r"\s+")
-        k = F.size(words) - (n - 1)
-        # guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty
-        idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
         gs = F.array_distinct(
-            F.transform(idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i, n), " ")))
+            F.transform(_word_ngrams(F.col(txtc), n), lambda g: F.xxhash64(g))
         )
         return d.select(F.col(idc).alias(out_id), F.explode(gs).alias("gh"))
 

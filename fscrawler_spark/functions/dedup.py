@@ -377,6 +377,11 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     agg = toks.groupBy("id").agg(*votes)
     fp = None
     for b in range(bits):
-        term = F.when(F.col(f"_v{b}") > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        # shiftleft, not a Python-side 1 << b literal: bit 63's literal
+        # (2^63) overflows a JVM long at plan build; the JVM shift wraps
+        # into the sign bit like the reference '1::bigint << bit' did
+        term = F.when(
+            F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return agg.select("id", fp.alias("simhash"))

@@ -81,6 +81,36 @@ def test_pii_counts_map(spark):
     assert m["email"] == 2 and m["ssn"] == 1 and m["phone"] == 0
 
 
+def test_null_keys_sample_and_split(spark):
+    """NULL keys must not vanish from samples (rate=1.0 keeps ALL rows)
+    and must land deterministically in one split group."""
+    df = spark.createDataFrame([("a",), (None,), (None,)], "k string")
+    assert curation.deterministic_sample(df, 1.0, "k").count() == 3
+    out = curation.train_val_test_split(df, key_col="k").collect()
+    null_splits = {r["split"] for r in out if r["k"] is None}
+    assert len(null_splits) == 1  # one deterministic group
+
+
+def test_pack_sequences_null_tokens(spark):
+    """A NULL token count packs as 0 tokens instead of crashing the task."""
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, None), ("a", 3, 20)], "src string, i int, tok long"
+    )
+    got = {
+        r.i: r.pack_id
+        for r in curation.pack_sequences(df, "tok", 100, "src", ("i",)).collect()
+    }
+    assert got == {1: 0, 2: 0, 3: 0}
+
+
+def test_simhash_bits_64(spark):
+    from fscrawler_spark.functions import dedup
+
+    df = spark.createDataFrame([(1, "alpha beta gamma")], "doc_id long, text string")
+    row = dedup.simhash(df, bits=64).collect()[0]
+    assert isinstance(row["simhash"], int)  # bit 63 shift must not overflow plan build
+
+
 def test_repetition_stats_known_values(spark):
     df = spark.createDataFrame(
         [(1, "go go go go"), (2, "all words differ here now"), (3, "one")],
