@@ -347,6 +347,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", F.element_at(F.col("tags"), "owner").alias("owner")
         )
 
+    def q_tag_merge_deep(spark, sf):
+        # J3 nested variant: DocUtils.merge semantics (tags win scalars,
+        # doc-only keys copied); oracle reconstructs the exact merged JSON
+        from fscrawler_spark.operators.incremental import merge_tags_deep
+
+        d = _docs(spark, sf).select(
+            F.col("source").alias("conv_id"),
+            "doc_id",
+            F.concat(
+                F.lit('{"n": '),
+                F.col("n_chars").cast("string"),
+                F.lit(', "source": "'),
+                F.col("source"),
+                F.lit('"}'),
+            ).alias("external"),
+        )
+        tags = (
+            _docs(spark, sf)
+            .select("source")
+            .distinct()
+            .select(
+                F.col("source").alias("conv_id"),
+                F.concat(
+                    F.lit('{"n": 999, "owner": "'), F.upper("source"), F.lit('"}')
+                ).alias("tags_json"),
+            )
+        )
+        return merge_tags_deep(d, tags).select("doc_id", "external")
+
     def q_changed_vs_snapshot(spark, sf):
         # J1 content variant: re-extract only new-or-changed turns vs the
         # previous run's checksums (FsParser.java:1147-1215 analog)
@@ -444,6 +473,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_deletion_detection=q_deletion_detection,
         q_tag_merge=q_tag_merge,
         q_changed_vs_snapshot=q_changed_vs_snapshot,
+        q_tag_merge_deep=q_tag_merge_deep,
         q_conversation_summary=q_conversation_summary,
         q_pipeline_transcripts_full=q_pipeline_transcripts_full,
     )
@@ -897,6 +927,15 @@ def oracle_sql() -> dict[str, str]:
 
     sql["q_tag_merge"] = """
     SELECT doc_id, upper(source) AS owner FROM documents
+    """
+
+    # json.dumps(sort_keys=True) output: keys n < owner < source, ', ' / ': '
+    # separators; tags' n=999 wins the scalar conflict (DocUtils precedence)
+    sql["q_tag_merge_deep"] = """
+    SELECT doc_id,
+           '{"n": 999, "owner": "' || upper(source) || '", "source": "' || source || '"}'
+             AS external
+    FROM documents
     """
 
     sql["q_changed_vs_snapshot"] = """

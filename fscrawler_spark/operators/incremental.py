@@ -8,6 +8,7 @@ anti-joins sort-merge with AQE skew splitting.
 
 from __future__ import annotations
 
+import pyarrow as pa  # module top: arrow_udf type hints must resolve at import
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,27 +59,102 @@ def deleted_keys(prev: DataFrame, current: DataFrame) -> DataFrame:
 
 
 def merge_tags(docs: DataFrame, conv_tags: DataFrame) -> DataFrame:
-    """J3 — per-conversation metadata merge (DocUtils.java:54-148 deep
-    merge; doc wins on conflict).
+    """J3 — per-conversation metadata merge, flat-map variant
+    (DocUtils.java:54-148; for nested payloads use ``merge_tags_deep``).
 
     conv_tags: (conv_id, tags:map<string,string>). Broadcast hash join —
-    tag tables are tiny relative to the turns table. If the doc already
-    carries a ``tags`` map, doc entries win (map_concat order + coalesce).
+    tag tables are tiny relative to the turns table. Precedence follows
+    the reference: DocUtils.merge(mainNode=tags, updateNode=doc) keeps
+    the TAGS value on a key conflict — the tags file is the operator's
+    override channel ("you can overwrite metadata", docs/crawler
+    tags docs) — and copies doc-only keys in.
     """
     conv_side = conv_tags.select("conv_id", F.col("tags").alias("_conv_tags"))
     tagged = docs.join(F.broadcast(conv_side), "conv_id", "left")
     if "tags" in docs.columns:
-        # deep-merge maps, doc value winning per key (DocUtils.java:125-148)
         doc_m = F.coalesce(F.col("tags"), F.expr("map()"))
         conv_m = F.coalesce(F.col("_conv_tags"), F.expr("map()"))
         merged = F.map_from_arrays(
             F.array_union(F.map_keys(conv_m), F.map_keys(doc_m)),
             F.transform(
                 F.array_union(F.map_keys(conv_m), F.map_keys(doc_m)),
-                lambda k: F.coalesce(F.element_at(doc_m, k), F.element_at(conv_m, k)),
+                # tags (conv side) win conflicts, per the reference
+                lambda k: F.coalesce(F.element_at(conv_m, k), F.element_at(doc_m, k)),
             ),
         )
         return tagged.withColumn("tags", merged).drop("_conv_tags")
     return tagged.withColumnRenamed("_conv_tags", "tags").withColumn(
         "tags", F.coalesce(F.col("tags"), F.expr("map()"))
+    )
+
+
+def deep_merge_json(tags: object, doc: object):
+    """The exact DocUtils.merge(mainNode=tags, updateNode=doc) semantics
+    (beans/.../DocUtils.java:125-148) over parsed JSON values:
+
+    * key in both, both objects  -> recursive merge (tags side rules)
+    * key in both, both arrays   -> element-wise recursive merge over the
+      TAGS array's length (extra doc elements are not appended — the
+      reference iterates mainNode's size)
+    * key in both, scalar        -> tags value kept
+    * key only in doc            -> copied into the result
+    """
+    if isinstance(tags, dict) and isinstance(doc, dict):
+        out = {}
+        for k, tv in tags.items():
+            if k in doc:
+                out[k] = deep_merge_json(tv, doc[k])
+            else:
+                out[k] = tv
+        for k, dv in doc.items():
+            if k not in tags:
+                out[k] = dv
+        return out
+    if isinstance(tags, list) and isinstance(doc, list):
+        return [
+            deep_merge_json(tv, doc[i]) if i < len(doc) else tv
+            for i, tv in enumerate(tags)
+        ]
+    return tags  # scalar or type conflict: main (tags) node rules
+
+
+def merge_tags_deep(
+    docs: DataFrame, conv_tags: DataFrame, doc_col: str = "external", out_col: str | None = None
+) -> DataFrame:
+    """J3 nested variant: per-conversation tag JSON deep-merged into a
+    per-row JSON column with the reference's DocUtils.merge semantics
+    (Doc.external analog — the free-form payload the .meta.yml tags file
+    populates, FsParser.java:908-936,1334-1343).
+
+    docs[doc_col]: JSON string (or null). conv_tags: (conv_id,
+    tags_json:string) — broadcast side. Runs as one Arrow-batched UDF
+    over only the matched rows' JSON; not on the extraction hot path.
+    """
+    import json as _json
+
+    out_col = out_col or doc_col
+
+    @F.arrow_udf("string")
+    def _merge(doc_js: pa.Array, tag_js: pa.Array) -> pa.Array:
+        out = []
+        for d, t in zip(doc_js.to_pylist(), tag_js.to_pylist()):
+            if not t:
+                out.append(d)
+                continue
+            try:
+                tv = _json.loads(t)
+                dv = _json.loads(d) if d else None
+                merged = deep_merge_json(tv, dv) if dv is not None else tv
+                out.append(_json.dumps(merged, sort_keys=True))
+            except Exception:
+                # unparseable tags: keep the doc side untouched (the
+                # reference raises config errors at load time; at row
+                # scope we keep the record, continue_on_error style)
+                out.append(d)
+        return pa.array(out, pa.string())
+
+    conv_side = conv_tags.select("conv_id", F.col("tags_json").alias("_tags_json"))
+    tagged = docs.join(F.broadcast(conv_side), "conv_id", "left")
+    return tagged.withColumn(out_col, _merge(F.col(doc_col), F.col("_tags_json"))).drop(
+        "_tags_json"
     )

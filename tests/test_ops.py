@@ -60,7 +60,10 @@ def test_deleted_keys(spark):
     assert sorted((r["conv_id"], r["turn_idx"]) for r in out.collect()) == [("c", 1), ("d", 0)]
 
 
-def test_merge_tags_doc_wins(spark):
+def test_merge_tags_reference_precedence(spark):
+    """DocUtils.merge(mainNode=tags, updateNode=doc): the TAGS value is
+    kept on a key conflict (the tags file is the override channel);
+    doc-only keys are copied in. (Round-1 had this backwards.)"""
     docs = spark.createDataFrame(
         [("c", 0, {"k": "docval", "only_doc": "x"}), ("d", 0, None)],
         "conv_id string, turn_idx int, tags map<string,string>",
@@ -70,8 +73,51 @@ def test_merge_tags_doc_wins(spark):
         "conv_id string, tags map<string,string>",
     )
     out = {r["conv_id"]: r["tags"] for r in incremental.merge_tags(docs, tags).collect()}
-    assert out["c"] == {"k": "docval", "only_doc": "x", "only_conv": "y"}
+    assert out["c"] == {"k": "convval", "only_doc": "x", "only_conv": "y"}
     assert out["d"] == {}
+
+
+def test_deep_merge_json_docutils_semantics():
+    """Golden cases mirroring DocUtils.merge (beans/DocUtils.java:125-148)."""
+    from fscrawler_spark.operators.incremental import deep_merge_json
+
+    tags = {
+        "external": {"tenantId": 23, "arr": [{"a": 1}, {"a": 2}]},
+        "meta": {"title": "forced"},
+    }
+    doc = {
+        "content": "This is a test",
+        "external": {"docOnly": "x", "arr": [{"a": 9, "b": 9}, {"a": 9}, {"a": 3}]},
+        "meta": {"title": "doc title", "author": "me"},
+    }
+    out = deep_merge_json(tags, doc)
+    assert out["content"] == "This is a test"          # doc-only copied
+    assert out["external"]["tenantId"] == 23           # tags-only kept
+    assert out["external"]["docOnly"] == "x"           # nested doc-only copied
+    assert out["meta"]["title"] == "forced"            # scalar conflict: tags win
+    assert out["meta"]["author"] == "me"
+    # arrays: element-wise over the TAGS array length (extra doc elems dropped)
+    assert out["external"]["arr"] == [{"a": 1, "b": 9}, {"a": 2}]
+
+
+def test_merge_tags_deep_udf(spark):
+    docs = spark.createDataFrame(
+        [("c", '{"k": 1, "nested": {"x": "doc"}}'), ("d", None), ("e", '{"z": 0}')],
+        "conv_id string, external string",
+    )
+    tags = spark.createDataFrame(
+        [("c", '{"nested": {"x": "tag", "y": 2}}'), ("d", '{"fresh": true}')],
+        "conv_id string, tags_json string",
+    )
+    out = {
+        r["conv_id"]: r["external"]
+        for r in incremental.merge_tags_deep(docs, tags).collect()
+    }
+    import json
+
+    assert json.loads(out["c"]) == {"k": 1, "nested": {"x": "tag", "y": 2}}
+    assert json.loads(out["d"]) == {"fresh": True}  # null doc side -> tags
+    assert out["e"] == '{"z": 0}'  # no tags row -> untouched
 
 
 # --- text analysis -------------------------------------------------------------
