@@ -27,9 +27,25 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--input", default=None, help="transcripts parquet path")
     p.add_argument("--output", required=True, help="output table directory")
     p.add_argument("--loop", type=int, default=1, help="number of scan loops (default 1)")
+    p.add_argument(
+        "--update-rate",
+        default=None,
+        help="sleep between loops, reference TimeValue syntax ('15m', '30s'; "
+        "default: no sleep) — fs.update_rate analog, settings/Fs.java:38",
+    )
     p.add_argument("--restart", action="store_true", help="ignore checkpoint, full rescan")
-    p.add_argument("--indexed-chars", type=int, default=100_000)
-    p.add_argument("--ignore-above", type=int, default=None)
+    p.add_argument(
+        "--indexed-chars",
+        default="100000",
+        help="max extracted chars per turn; int, or a percentage of the "
+        "source length like '30%%' (TikaDocParser.java:141-156)",
+    )
+    p.add_argument(
+        "--ignore-above",
+        default=None,
+        help="skip turns larger than this; bytes or '2kb'/'1mb' "
+        "(ByteSizeValue syntax, FsParser.java:960-974)",
+    )
     p.add_argument("--includes", nargs="*", default=[])
     p.add_argument("--excludes", nargs="*", default=["*/~*"])
     p.add_argument("--filters", nargs="*", default=[], help="content regexes (all must match)")
@@ -65,7 +81,9 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. ``spark``: optional externally-owned session (tests /
+    embedding callers) — the CLI then neither creates nor stops it."""
     args = build_parser().parse_args(argv)
     from fscrawler_spark.config import ExtractSettings
     from fscrawler_spark.plans.pipeline import (
@@ -92,9 +110,14 @@ def main(argv: list[str] | None = None) -> int:
         print("error: --input is required to run a crawl", file=sys.stderr)
         return 2
 
+    from fscrawler_spark.config import parse_byte_size, parse_percentage, parse_time_value
+
+    ic = str(args.indexed_chars).strip()
+    ic_percent = parse_percentage(ic) if ic.endswith("%") else None
     settings = ExtractSettings(
-        indexed_chars=args.indexed_chars,
-        ignore_above=args.ignore_above,
+        indexed_chars=int(ic) if ic_percent is None else 100_000,
+        indexed_chars_percent=ic_percent,
+        ignore_above=parse_byte_size(args.ignore_above),
         includes=tuple(args.includes),
         excludes=tuple(args.excludes),
         filters=tuple(args.filters),
@@ -103,7 +126,9 @@ def main(argv: list[str] | None = None) -> int:
         lang_detect=args.lang_detect,
         store_source=args.store_source,
     )
-    spark = get_spark(app="fscrawler-spark-cli", master=args.master)
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(app="fscrawler-spark-cli", master=args.master)
     try:
         if args.dry_run:
             from pyspark.sql import functions as F
@@ -123,11 +148,17 @@ def main(argv: list[str] | None = None) -> int:
             from fscrawler_spark.plans.pipeline import restart_clean
 
             restart_clean(args.output)
+        sleep_s = parse_time_value(args.update_rate)
         for i in range(args.loop):
             res = run_extraction_job(spark, args.input, args.output, settings)
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))
+            if sleep_s and i + 1 < args.loop:
+                import time
+
+                time.sleep(sleep_s)
     finally:
-        spark.stop()
+        if owns_session:
+            spark.stop()
     return 0
 
 

@@ -236,6 +236,33 @@ def test_cli_control_verbs_need_no_input(tmp_path, capsys):
     assert main(["--output", out]) == 2
 
 
+def test_cli_value_type_arguments(spark, transcripts_dir, tmp_path, capsys):
+    """--ignore-above takes ByteSizeValue syntax, --indexed-chars takes a
+    percentage — the reference's human-readable config forms."""
+    from fscrawler_spark.cli import main
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "cli_vt")
+    rc = main(
+        ["--input", inp, "--output", out, "--ignore-above", "1kb",
+         "--indexed-chars", "50%", "--num-buckets", "4"],
+        spark=spark,  # externally owned: the CLI must not stop it
+    )
+    assert rc == 0
+    capsys.readouterr()
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    src = spark.read.parquet(inp)
+    # the 1kb size gate dropped the oversize turns
+    assert docs.count() == src.filter(F.length("text") <= 1024).count()
+    # 50% cap: extracted length never exceeds ceil(source/2) for plain turns
+    joined = docs.filter(F.col("mime") == "text/plain").join(
+        src.select("conv_id", "turn_idx", F.length("text").alias("srclen")),
+        ["conv_id", "turn_idx"],
+    )
+    bad = joined.filter(F.length("extracted") > F.ceil(F.col("srclen") / 2)).count()
+    assert bad == 0
+
+
 def test_apply_deletes_recovers_interrupted_swap(spark, transcripts_dir, tmp_path):
     """Crash window: live bucket moved aside but staged result not yet
     renamed in. The next apply_deletes call must restore the bucket

@@ -123,6 +123,58 @@ def test_repetition_stats_known_values(spark):
     assert 3 not in got  # single-word doc has no bigrams (sequence guard)
 
 
+def test_value_type_parsers():
+    """Reference value-type syntax (framework ByteSizeValue / TimeValue /
+    Percentage parse semantics)."""
+    from fscrawler_spark.config import parse_byte_size, parse_percentage, parse_time_value
+
+    assert parse_byte_size("2kb") == 2048
+    assert parse_byte_size("1m") == 1 << 20
+    assert parse_byte_size("3GB") == 3 << 30
+    assert parse_byte_size("512b") == 512
+    assert parse_byte_size("1024") == 1024
+    assert parse_byte_size(77) == 77 and parse_byte_size(None) is None
+    assert parse_time_value("15m") == 900.0
+    assert parse_time_value("500ms") == 0.5
+    assert parse_time_value("2h") == 7200.0
+    assert parse_time_value("250") == 0.25  # bare = milliseconds (reference default)
+    assert parse_percentage("30%") == 0.3
+    assert parse_percentage("0.5") == 0.5
+    assert parse_percentage(None) is None
+
+
+def test_pack_sequences_property(spark):
+    """Property: every pack's token total is <= max_tokens unless it holds
+    a single oversize row, and pack ids are consecutive from 0 per group
+    in order."""
+    from hypothesis import given, settings as hsettings, strategies as st
+
+    @hsettings(max_examples=12, deadline=None)
+    @given(
+        toks=st.lists(st.integers(min_value=0, max_value=150), min_size=1, max_size=24),
+        cap=st.integers(min_value=50, max_value=200),
+    )
+    def check(toks, cap):
+        rows = [("g", i, t) for i, t in enumerate(toks)]
+        df = spark.createDataFrame(rows, "src string, i int, tok long")
+        got = sorted(
+            (r.i, r.pack_id, r.tok)
+            for r in curation.pack_sequences(df, "tok", cap, "src", ("i",)).collect()
+        )
+        from collections import defaultdict
+
+        sums = defaultdict(list)
+        last_pack = -1
+        for i, pack, tok in got:
+            assert pack in (last_pack, last_pack + 1)  # consecutive, in order
+            last_pack = max(last_pack, pack)
+            sums[pack].append(tok)
+        for members in sums.values():
+            assert sum(members) <= cap or len(members) == 1  # oversize alone
+
+    check()
+
+
 def test_contamination_plan_broadcasts_benchmark(spark):
     """Scale shape: the benchmark n-gram side must broadcast so the
     corpus side never shuffles for the join."""
