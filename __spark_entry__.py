@@ -294,9 +294,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- filters / joins (F1-F3, J1-J3) --------------------------------------
 
     def q_size_gate(spark, sf):
+        from fscrawler_spark.operators.filters import size_gate_predicate
+
         return (
             _docs(spark, sf)
-            .filter(F.length("text") <= 300)
+            .filter(size_gate_predicate(F.col("text"), 300))
             .groupBy("source")
             .agg(F.count(F.lit(1)).alias("n"))
         )
@@ -900,8 +902,8 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q_size_gate"] = """
-    SELECT source, count(*) AS n FROM documents WHERE length(text) <= 300 GROUP BY source
-    """
+    SELECT source, count(*) AS n FROM documents WHERE strlen(text) <= 300 GROUP BY source
+    """  # strlen = BYTE length in DuckDB, octet_length twin
 
     sql["q_include_exclude_glob"] = """
     SELECT source, count(*) AS n FROM documents

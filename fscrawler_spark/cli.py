@@ -112,12 +112,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from fscrawler_spark.config import parse_byte_size, parse_percentage, parse_time_value
 
-    ic = str(args.indexed_chars).strip()
-    ic_percent = parse_percentage(ic) if ic.endswith("%") else None
+    # value-type parsing errors are config errors: clean message + exit 2
+    # (argparse type= semantics), never a traceback
+    try:
+        ic = str(args.indexed_chars).strip()
+        ic_percent = parse_percentage(ic) if ic.endswith("%") else None
+        ic_chars = int(ic) if ic_percent is None else 100_000
+        ignore_above = parse_byte_size(args.ignore_above)
+        sleep_s = parse_time_value(args.update_rate)
+        if sleep_s is not None and sleep_s < 0:
+            raise ValueError(f"--update-rate must be >= 0, got {args.update_rate!r}")
+    except ValueError as e:
+        print(f"error: invalid argument value: {e}", file=sys.stderr)
+        return 2
     settings = ExtractSettings(
-        indexed_chars=int(ic) if ic_percent is None else 100_000,
+        indexed_chars=ic_chars,
         indexed_chars_percent=ic_percent,
-        ignore_above=parse_byte_size(args.ignore_above),
+        ignore_above=ignore_above,
         includes=tuple(args.includes),
         excludes=tuple(args.excludes),
         filters=tuple(args.filters),
@@ -148,7 +159,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from fscrawler_spark.plans.pipeline import restart_clean
 
             restart_clean(args.output)
-        sleep_s = parse_time_value(args.update_rate)
         for i in range(args.loop):
             res = run_extraction_job(spark, args.input, args.output, settings)
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))

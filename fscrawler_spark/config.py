@@ -35,12 +35,14 @@ def glob_to_regex(pattern: str) -> str:
 def parse_byte_size(value: str | int | None) -> int | None:
     """Human byte sizes -> bytes, with the reference's suffix semantics
     (framework/.../ByteSizeValue.java:132-160: k/kb=1024, m/mb=1024^2,
-    g/gb=1024^3, b or bare = bytes; case-insensitive, trimmed)."""
+    g/gb, t/tb, p/pb; 'b' or bare = bytes; case-insensitive, trimmed)."""
     if value is None or isinstance(value, int):
         return value
     s = value.strip().lower()
     for suffix, mult in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30),
-                         ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("b", 1)):
+                         ("tb", 1 << 40), ("pb", 1 << 50),
+                         ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30),
+                         ("t", 1 << 40), ("p", 1 << 50), ("b", 1)):
         if s.endswith(suffix):
             return int(float(s[: -len(suffix)]) * mult)
     return int(s)
@@ -48,17 +50,19 @@ def parse_byte_size(value: str | int | None) -> int | None:
 
 def parse_time_value(value: str | float | None) -> float | None:
     """Human durations -> seconds (framework/.../TimeValue.java:181-210:
-    ms/s/m/h/d/w suffixes; bare number = milliseconds, like the
-    reference's TimeUnit.MILLISECONDS default)."""
+    ms/s/m/h/d suffixes; a bare number is REJECTED like the reference's
+    'unit is missing or unrecognized'). Numeric inputs pass through as
+    seconds (programmatic-API convenience, documented here)."""
     if value is None or isinstance(value, (int, float)):
         return value
     s = value.strip().lower()
-    units = (("ms", 0.001), ("s", 1.0), ("m", 60.0), ("h", 3600.0),
-             ("d", 86400.0), ("w", 604800.0))
+    units = (("ms", 0.001), ("s", 1.0), ("m", 60.0), ("h", 3600.0), ("d", 86400.0))
     for suffix, mult in units:
         if s.endswith(suffix):
             return float(s[: -len(suffix)]) * mult
-    return float(s) / 1000.0
+    raise ValueError(
+        f"failed to parse time value {value!r}: unit is missing or unrecognized"
+    )
 
 
 def parse_percentage(value: str | float | None) -> float | None:

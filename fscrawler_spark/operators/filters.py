@@ -32,10 +32,12 @@ def include_exclude_predicate(
 
 
 def size_gate_predicate(text_col: Column, ignore_above: int | None) -> Column:
-    """F3 — skip payloads larger than threshold (FsParser.java:960-974)."""
+    """F3 — skip payloads larger than ``ignore_above`` BYTES
+    (FsParser.java:960-974 gates on file byte size; octet_length, not
+    character length — a 1500-char CJK payload is ~4.5KB UTF-8)."""
     if ignore_above is None:
         return F.lit(True)
-    return F.length(text_col) <= F.lit(ignore_above)
+    return F.octet_length(text_col) <= F.lit(ignore_above)
 
 
 def content_filter_predicate(extracted_col: Column, filters: tuple[str, ...]) -> Column:

@@ -143,9 +143,17 @@ def merge_tags_deep(
                 continue
             try:
                 tv = _json.loads(t)
+                if tv == {} or tv == [] or tv is None:
+                    # DocUtils.getMergedDoc returns the doc UNCHANGED for
+                    # empty tags (tagsNode.isEmpty() early return) — no
+                    # re-serialization, byte-identical passthrough
+                    out.append(d)
+                    continue
                 dv = _json.loads(d) if d else None
                 merged = deep_merge_json(tv, dv) if dv is not None else tv
-                out.append(_json.dumps(merged, sort_keys=True))
+                # merged rows are canonically re-serialized (sorted keys,
+                # raw unicode); untouched rows keep their original bytes
+                out.append(_json.dumps(merged, sort_keys=True, ensure_ascii=False))
             except Exception:
                 # unparseable tags: keep the doc side untouched (the
                 # reference raises config errors at load time; at row

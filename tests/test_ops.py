@@ -120,6 +120,16 @@ def test_merge_tags_deep_udf(spark):
     assert out["e"] == '{"z": 0}'  # no tags row -> untouched
 
 
+def test_merge_tags_deep_empty_tags_passthrough(spark):
+    """DocUtils.getMergedDoc early-returns the doc unchanged for empty
+    tags — byte-identical passthrough, no re-serialization."""
+    original = '{"b": 1,   "a": "é"}'  # odd spacing + unicode preserved
+    docs = spark.createDataFrame([("c", original)], "conv_id string, external string")
+    tags = spark.createDataFrame([("c", "{}")], "conv_id string, tags_json string")
+    out = incremental.merge_tags_deep(docs, tags).collect()[0]["external"]
+    assert out == original
+
+
 # --- text analysis -------------------------------------------------------------
 
 def test_token_count_and_quality(spark):

@@ -234,6 +234,14 @@ def test_cli_control_verbs_need_no_input(tmp_path, capsys):
     capsys.readouterr()
     # a crawl without --input is a clean error, not an argparse crash
     assert main(["--output", out]) == 2
+    capsys.readouterr()
+    # malformed value-type arguments: clean exit 2, no traceback
+    assert main(["--input", "x", "--output", out, "--indexed-chars", "abc"]) == 2
+    capsys.readouterr()
+    assert main(["--input", "x", "--output", out, "--ignore-above", "junk"]) == 2
+    capsys.readouterr()
+    assert main(["--input", "x", "--output", out, "--update-rate=-5s"]) == 2
+    capsys.readouterr()
 
 
 def test_cli_value_type_arguments(spark, transcripts_dir, tmp_path, capsys):
@@ -252,8 +260,8 @@ def test_cli_value_type_arguments(spark, transcripts_dir, tmp_path, capsys):
     capsys.readouterr()
     docs = spark.read.parquet(os.path.join(out, "docs"))
     src = spark.read.parquet(inp)
-    # the 1kb size gate dropped the oversize turns
-    assert docs.count() == src.filter(F.length("text") <= 1024).count()
+    # the 1kb size gate dropped the oversize turns (BYTE length, F3)
+    assert docs.count() == src.filter(F.octet_length("text") <= 1024).count()
     # 50% cap: extracted length never exceeds ceil(source/2) for plain turns
     joined = docs.filter(F.col("mime") == "text/plain").join(
         src.select("conv_id", "turn_idx", F.length("text").alias("srclen")),

@@ -131,13 +131,15 @@ def test_value_type_parsers():
     assert parse_byte_size("2kb") == 2048
     assert parse_byte_size("1m") == 1 << 20
     assert parse_byte_size("3GB") == 3 << 30
+    assert parse_byte_size("1tb") == 1 << 40
     assert parse_byte_size("512b") == 512
     assert parse_byte_size("1024") == 1024
     assert parse_byte_size(77) == 77 and parse_byte_size(None) is None
     assert parse_time_value("15m") == 900.0
     assert parse_time_value("500ms") == 0.5
     assert parse_time_value("2h") == 7200.0
-    assert parse_time_value("250") == 0.25  # bare = milliseconds (reference default)
+    with pytest.raises(ValueError, match="unit is missing"):
+        parse_time_value("250")  # bare rejected, like TimeValue.java
     assert parse_percentage("30%") == 0.3
     assert parse_percentage("0.5") == 0.5
     assert parse_percentage(None) is None
