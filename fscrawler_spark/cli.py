@@ -35,6 +35,13 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--restart", action="store_true", help="ignore checkpoint, full rescan")
     p.add_argument(
+        "--incremental",
+        action="store_true",
+        help="steady-state tick over an existing output: re-extract only "
+        "new/changed turns, apply deletions (the reference's recurring "
+        "update_rate scan body, FsParser.java:488-556)",
+    )
+    p.add_argument(
         "--indexed-chars",
         default="100000",
         help="max extracted chars per turn; int, or a percentage of the "
@@ -160,7 +167,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
             restart_clean(args.output)
         for i in range(args.loop):
-            res = run_extraction_job(spark, args.input, args.output, settings)
+            if args.incremental:
+                from fscrawler_spark.plans.pipeline import run_incremental_update
+
+                res = run_incremental_update(spark, args.input, args.output, settings)
+            else:
+                res = run_extraction_job(spark, args.input, args.output, settings)
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))
             if sleep_s and i + 1 < args.loop:
                 import time

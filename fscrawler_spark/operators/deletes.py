@@ -114,37 +114,46 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
         docs.filter(F.col("part_bucket").isin(affected))
         .join(keys, ["conv_id", "turn_idx"], "left_anti")
     )
-    # stage the surviving rows OUTSIDE the live table (fresh directory, so
-    # no partitionOverwriteMode dependency), preserving the stable
-    # within-partition turn ordering invariant (north_rule O1)
+    stage_and_swap_buckets(spark, output_docs, kept, affected)
+    return deleted
+
+
+def stage_and_swap_buckets(
+    spark: SparkSession, output_docs: str, rows: DataFrame, buckets: list
+) -> None:
+    """Copy-on-write replacement of ``buckets`` with ``rows`` (which may
+    lazily READ from output_docs — the write goes to a fresh staging
+    directory, never the path being read).
+
+    Staging preserves the stable within-partition turn ordering invariant
+    (north_rule O1) and needs no partitionOverwriteMode. The swap runs
+    per bucket via the Hadoop FileSystem API (scheme-agnostic: file:/,
+    s3a://, hdfs:// all work; os-level moves would no-op on URIs). Order
+    matters: the live dir moves ASIDE (same stage dir) before the staged
+    result renames in, and aside copies are deleted only after ALL
+    buckets swapped — no crash window deletes the only copy of a row. A
+    bucket with no surviving rows has no staged dir; its aside move alone
+    removes it from the table (dynamic partition overwrite could never
+    empty it).
+    """
     staging = output_docs.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex[:8]
     (
-        kept.repartition(max(1, len(affected)), "part_bucket")
+        rows.repartition(max(1, len(buckets)), "part_bucket")
         .sortWithinPartitions("conv_id", "turn_idx")
         .write.mode("overwrite")
         .partitionBy("part_bucket")
         .parquet(staging)
     )
-
-    # swap per bucket via the Hadoop FileSystem API (scheme-agnostic:
-    # file:/, s3a://, hdfs:// all work; os-level moves would no-op on
-    # URIs). Order matters: the live dir moves ASIDE (same stage dir)
-    # before the staged result renames in, and aside copies are deleted
-    # only after ALL buckets swapped — no crash window deletes the only
-    # copy of a row. A bucket whose rows were all deleted has no staged
-    # dir (dynamic partition overwrite could never empty it either); its
-    # aside move alone removes it from the table.
     HPath, fs = _fs_for(spark, output_docs)
-    for b in affected:
+    for b in buckets:
         live = HPath(f"{output_docs}/part_bucket={b}")
         staged = HPath(f"{staging}/part_bucket={b}")
         aside = HPath(f"{staging}/aside_part_bucket={b}")
         if fs.exists(live) and not fs.rename(live, aside):
-            raise IOError(f"apply_deletes: failed to move {live} aside")
+            raise IOError(f"bucket swap: failed to move {live} aside")
         if fs.exists(staged) and not fs.rename(staged, live):
-            raise IOError(f"apply_deletes: failed to swap in {staged}")
+            raise IOError(f"bucket swap: failed to swap in {staged}")
     fs.delete(HPath(staging), True)
-    return deleted
 
 
 def prune_ignored(turns: DataFrame, ignored_convs: DataFrame) -> DataFrame:

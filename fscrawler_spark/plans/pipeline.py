@@ -126,6 +126,86 @@ def request_pause(output_dir: str) -> None:
     CheckpointManifest(os.path.join(output_dir, "_checkpoint.json")).request_pause()
 
 
+def run_incremental_update(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    settings: ExtractSettings | None = None,
+) -> dict:
+    """Steady-state incremental tick — the reference's recurring-scan
+    loop body (FsParser.run() per update_rate, FsParser.java:488-556)
+    over an already-extracted output:
+
+      1. J1 change detection: checksum anti-join against the previous
+         output — only NEW or CHANGED turns re-extract (the 100-TB
+         property: work scales with the delta, not the corpus).
+      2. Write changed turns into their buckets via dynamic partition
+         overwrite... except buckets are coarse: a bucket rewrite must
+         carry its UNCHANGED rows too, so changed buckets are rebuilt
+         from (previous kept rows) ∪ (fresh extractions) — the same
+         partition-scoped copy-on-write shape as apply_deletes/Iceberg.
+      3. J2 deletion detection: keys in the previous output but absent
+         from the current input are removed (staged bucket swap).
+      4. Metrics rows appended for the touched buckets.
+
+    Returns counts {changed, deleted, touched_buckets}. Requires a
+    completed prior run_extraction_job at output_dir.
+    """
+    from fscrawler_spark.operators.deletes import apply_deletes, stage_and_swap_buckets
+    from fscrawler_spark.operators.incremental import changed_vs_snapshot, deleted_keys
+
+    settings = settings or ExtractSettings()
+    out_data = os.path.join(output_dir, "docs")
+    out_metrics = os.path.join(output_dir, "metrics")
+    if not os.path.isdir(out_data):
+        raise FileNotFoundError(
+            f"{out_data} does not exist — run run_extraction_job first (full scan)"
+        )
+    run_id = f"incr-{uuid.uuid4().hex[:12]}"
+
+    src = read_transcripts(spark, input_path)
+    prev = spark.read.parquet(out_data)
+
+    # 1. changed/new turns only -> re-extract (same plan as the full job)
+    changed_src = changed_vs_snapshot(src, prev, checksum_algo=settings.checksum_algo)
+    fresh = extract_transcripts(changed_src, settings)
+    # materialize the small delta once: its bucket list drives the
+    # copy-on-write rewrite and re-deriving it would re-run extraction
+    fresh = fresh.localCheckpoint(eager=True)
+    changed = fresh.count()
+    touched = [r["part_bucket"] for r in fresh.select("part_bucket").distinct().collect()]
+
+    # deletion keys MUST materialize before any bucket rewrite: their lazy
+    # plan reads the CURRENT output files, which the swap below replaces
+    gone = deleted_keys(prev.select("conv_id", "turn_idx"), src).localCheckpoint(eager=True)
+
+    if touched:
+        # 2. rebuild ONLY the touched buckets: previous rows that were not
+        # re-extracted + the fresh rows (a bucket rewrite must carry its
+        # unchanged rows). Staged swap — never an in-place overwrite of
+        # the path being read.
+        prev_keep = prev.filter(F.col("part_bucket").isin(touched)).join(
+            fresh.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+        )
+        rebuilt = prev_keep.unionByName(fresh.filter(F.col("part_bucket").isin(touched)))
+        stage_and_swap_buckets(spark, out_data, rebuilt, touched)
+
+    # 3. deletions: previous keys gone from the current input
+    deleted = apply_deletes(spark, out_data, gone)
+
+    # 4. lineage for the touched buckets (deletes already counted per row)
+    if touched:
+        out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(touched))
+        bucket_metrics(out_df, run_id, buckets=touched).write.mode("append").parquet(out_metrics)
+
+    return {
+        "run_id": run_id,
+        "changed": changed,
+        "deleted": deleted,
+        "touched_buckets": sorted(touched),
+    }
+
+
 def restart_clean(output_dir: str) -> None:
     """Full re-index semantics (FsCrawlerCli --restart): drop checkpoint,
     pause marker, docs AND metrics. Clearing only the checkpoint is not
