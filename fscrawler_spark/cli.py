@@ -162,6 +162,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             print(json.dumps({"dry_run": True, "by_mime": {r["mime"]: [r["n"], r["errors"]] for r in counts.collect()}}))
             return 0
+        if args.restart and args.incremental:
+            print(
+                "error: --restart (full re-index) contradicts --incremental "
+                "(tick over existing output); pick one",
+                file=sys.stderr,
+            )
+            return 2
         if args.restart:
             from fscrawler_spark.plans.pipeline import restart_clean
 
@@ -170,7 +177,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.incremental:
                 from fscrawler_spark.plans.pipeline import run_incremental_update
 
-                res = run_incremental_update(spark, args.input, args.output, settings)
+                try:
+                    res = run_incremental_update(spark, args.input, args.output, settings)
+                except (FileNotFoundError, RuntimeError) as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
             else:
                 res = run_extraction_job(spark, args.input, args.output, settings)
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))

@@ -88,9 +88,22 @@ def _recover_stale_stage(spark: SparkSession, output_docs: str) -> None:
         fs.delete(stage, True)
 
 
-def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame) -> int:
+def recover_stale_stage(spark: SparkSession, output_docs: str) -> None:
+    """Public recovery entry: callers that READ the table before mutating
+    it (run_incremental_update) must recover interrupted swaps FIRST, or
+    a crashed bucket's rows are invisible to their snapshot reads."""
+    _recover_stale_stage(spark, output_docs)
+
+
+def apply_deletes(
+    spark: SparkSession,
+    output_docs: str,
+    delete_keys: DataFrame,
+    return_details: bool = False,
+):
     """Remove (conv_id, turn_idx) keys from the docs table by rewriting
-    only affected part_bucket partitions. Returns #rows deleted.
+    only affected part_bucket partitions. Returns #rows deleted (or a
+    {deleted, buckets} dict with ``return_details``).
     Re-running with the same keys is a no-op; an interrupted run is
     recovered by the next call (see _recover_stale_stage)."""
     _recover_stale_stage(spark, output_docs)
@@ -106,7 +119,7 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
         .collect()
     )
     if not hits:
-        return 0
+        return {"deleted": 0, "buckets": []} if return_details else 0
     affected = [r["part_bucket"] for r in hits]
     deleted = sum(r["n"] for r in hits)
 
@@ -115,7 +128,7 @@ def apply_deletes(spark: SparkSession, output_docs: str, delete_keys: DataFrame)
         .join(keys, ["conv_id", "turn_idx"], "left_anti")
     )
     stage_and_swap_buckets(spark, output_docs, kept, affected)
-    return deleted
+    return {"deleted": deleted, "buckets": sorted(affected)} if return_details else deleted
 
 
 def stage_and_swap_buckets(

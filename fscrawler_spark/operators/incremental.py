@@ -27,7 +27,12 @@ def changed_since(df: DataFrame, last_run_ts, slack_seconds: int = 2) -> DataFra
     )
 
 
-def changed_vs_snapshot(df: DataFrame, prev: DataFrame, checksum_algo: str = "sha256") -> DataFrame:
+def changed_vs_snapshot(
+    df: DataFrame,
+    prev: DataFrame,
+    checksum_algo: str = "sha256",
+    attr_cols: tuple[str, ...] = (),
+) -> DataFrame:
     """J1 (content variant) — re-extract only turns that are new or whose
     payload checksum changed vs the previous run's output (the ACL-hash /
     mtime comparison analog, FsParser.java:1147-1215).
@@ -36,17 +41,28 @@ def changed_vs_snapshot(df: DataFrame, prev: DataFrame, checksum_algo: str = "sh
     both sides are bucketed by conv_id so this is a co-located join.
     ``checksum_algo`` MUST match the settings.checksum_algo the snapshot
     was written with, else every turn looks changed.
+
+    ``attr_cols``: passthrough attribute columns (role/tool/ts) also
+    compared — the checksum covers only ``text``, so a metadata-only edit
+    would otherwise never re-extract (the reference's ACL-hash comparison
+    catches attribute changes the same way). Compared null-safely: a
+    null-tool row equals a null-tool row.
     """
     if checksum_algo not in ("sha256", "md5"):
         raise ValueError(f"checksum_algo must be 'sha256' or 'md5', got {checksum_algo!r}")
     ck = F.sha2(F.col("text"), 256) if checksum_algo == "sha256" else F.md5(F.col("text"))
     cur = df.withColumn("_ck", ck)
     prev_keys = prev.select(
-        "conv_id", "turn_idx", F.col("file.checksum").alias("_ck")
+        "conv_id", "turn_idx", F.col("file.checksum").alias("_ck"), *attr_cols
     )
-    return (
-        cur.join(prev_keys, ["conv_id", "turn_idx", "_ck"], "left_anti").drop("_ck")
+    cond = (
+        (cur["conv_id"] == prev_keys["conv_id"])
+        & (cur["turn_idx"] == prev_keys["turn_idx"])
+        & (cur["_ck"] == prev_keys["_ck"])
     )
+    for c in attr_cols:
+        cond = cond & cur[c].eqNullSafe(prev_keys[c])
+    return cur.join(prev_keys, cond, "left_anti").drop("_ck")
 
 
 def deleted_keys(prev: DataFrame, current: DataFrame) -> DataFrame:

@@ -151,7 +151,12 @@ def run_incremental_update(
     Returns counts {changed, deleted, touched_buckets}. Requires a
     completed prior run_extraction_job at output_dir.
     """
-    from fscrawler_spark.operators.deletes import apply_deletes, stage_and_swap_buckets
+    from fscrawler_spark.operators.deletes import (
+        apply_deletes,
+        recover_stale_stage,
+        stage_and_swap_buckets,
+    )
+    from fscrawler_spark.operators.extract import salted_bucket
     from fscrawler_spark.operators.incremental import changed_vs_snapshot, deleted_keys
 
     settings = settings or ExtractSettings()
@@ -161,48 +166,84 @@ def run_incremental_update(
         raise FileNotFoundError(
             f"{out_data} does not exist — run run_extraction_job first (full scan)"
         )
+    # settings drift would silently corrupt the table (changed num_buckets
+    # shifts every salted_bucket; changed filters change content) — the
+    # manifest fingerprint guard applies to ticks exactly as to resumes,
+    # and a half-complete table cannot be incrementally updated
+    manifest = CheckpointManifest.load_or_create(
+        os.path.join(output_dir, "_checkpoint.json"),
+        num_buckets=settings.num_buckets,
+        settings_fingerprint=settings.fingerprint(),
+    )
+    if manifest.pending(settings.num_buckets):
+        raise RuntimeError(
+            "incremental update requires a COMPLETED full run; "
+            f"{len(manifest.pending(settings.num_buckets))} buckets are pending "
+            "— finish run_extraction_job first"
+        )
+    # finish interrupted swaps BEFORE reading the table: a crashed bucket's
+    # rows live only in the stage dir and must be visible to prev/gone
+    recover_stale_stage(spark, out_data)
     run_id = f"incr-{uuid.uuid4().hex[:12]}"
 
     src = read_transcripts(spark, input_path)
     prev = spark.read.parquet(out_data)
 
-    # 1. changed/new turns only -> re-extract (same plan as the full job)
-    changed_src = changed_vs_snapshot(src, prev, checksum_algo=settings.checksum_algo)
-    fresh = extract_transcripts(changed_src, settings)
-    # materialize the small delta once: its bucket list drives the
-    # copy-on-write rewrite and re-deriving it would re-run extraction
-    fresh = fresh.localCheckpoint(eager=True)
-    changed = fresh.count()
-    touched = [r["part_bucket"] for r in fresh.select("part_bucket").distinct().collect()]
-
-    # deletion keys MUST materialize before any bucket rewrite: their lazy
-    # plan reads the CURRENT output files, which the swap below replaces
+    # 1. the changed-key set comes from the RAW input (before filters):
+    # a changed turn that no longer passes a filter must still purge its
+    # stale row. Attribute columns compare too — a metadata-only edit
+    # (role/tool/ts) re-extracts like the reference's ACL-hash comparison.
+    changed_src = changed_vs_snapshot(
+        src, prev, checksum_algo=settings.checksum_algo, attr_cols=("role", "tool", "ts")
+    )
+    changed_keys = (
+        changed_src.select(
+            "conv_id",
+            "turn_idx",
+            salted_bucket(settings.num_buckets, settings.skew_salt).alias("part_bucket"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    changed = changed_keys.count()
+    # deletion keys materialize before any rewrite: their lazy plan reads
+    # the CURRENT output files, which the swaps below replace
     gone = deleted_keys(prev.select("conv_id", "turn_idx"), src).localCheckpoint(eager=True)
 
+    # touched = buckets of every changed KEY (bucket is a pure function of
+    # the key, so a filtered-out row's stale bucket is still covered)
+    touched = [r["part_bucket"] for r in changed_keys.select("part_bucket").distinct().collect()]
+
+    deleted_in_rebuild = 0
     if touched:
-        # 2. rebuild ONLY the touched buckets: previous rows that were not
-        # re-extracted + the fresh rows (a bucket rewrite must carry its
-        # unchanged rows). Staged swap — never an in-place overwrite of
-        # the path being read.
-        prev_keep = prev.filter(F.col("part_bucket").isin(touched)).join(
-            fresh.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
-        )
-        rebuilt = prev_keep.unionByName(fresh.filter(F.col("part_bucket").isin(touched)))
+        fresh = extract_transcripts(changed_src, settings)
+        # 2. rebuild ONLY the touched buckets: previous rows minus changed
+        # keys minus deleted keys, plus the fresh extractions. Deletions
+        # hitting touched buckets are folded into this single swap so no
+        # bucket is staged twice in one tick.
+        prev_touched = prev.filter(F.col("part_bucket").isin(touched))
+        deleted_in_rebuild = prev_touched.join(gone, ["conv_id", "turn_idx"], "left_semi").count()
+        prev_keep = prev_touched.join(
+            changed_keys.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+        ).join(gone, ["conv_id", "turn_idx"], "left_anti")
+        rebuilt = prev_keep.unionByName(fresh)
         stage_and_swap_buckets(spark, out_data, rebuilt, touched)
 
-    # 3. deletions: previous keys gone from the current input
-    deleted = apply_deletes(spark, out_data, gone)
+    # 3. remaining deletions (buckets not touched by the rebuild)
+    del_res = apply_deletes(spark, out_data, gone, return_details=True)
+    deleted = deleted_in_rebuild + del_res["deleted"]
 
-    # 4. lineage for the touched buckets (deletes already counted per row)
-    if touched:
-        out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(touched))
-        bucket_metrics(out_df, run_id, buckets=touched).write.mode("append").parquet(out_metrics)
+    # 4. lineage for every mutated bucket — including delete-only ones,
+    # so the latest metrics row always reconciles with the table
+    targets = sorted(set(touched) | set(del_res["buckets"]))
+    if targets:
+        out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
+        bucket_metrics(out_df, run_id, buckets=targets).write.mode("append").parquet(out_metrics)
 
     return {
         "run_id": run_id,
         "changed": changed,
         "deleted": deleted,
-        "touched_buckets": sorted(touched),
+        "touched_buckets": sorted(set(touched) | set(del_res["buckets"])),
     }
 
 

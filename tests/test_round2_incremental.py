@@ -89,3 +89,107 @@ def test_incremental_requires_prior_run(spark, transcripts_dir, tmp_path):
     inp = os.path.join(transcripts_dir, "transcripts.parquet")
     with pytest.raises(FileNotFoundError, match="run_extraction_job first"):
         run_incremental_update(spark, inp, str(tmp_path / "nope"), SETTINGS)
+
+
+def test_incremental_refuses_settings_drift(spark, transcripts_dir, tmp_path):
+    """A tick with different num_buckets would scatter fresh rows into new
+    buckets while stale copies survive — the fingerprint guard applies."""
+    import pytest
+
+    from fscrawler_spark.plans.checkpoint import SettingsMismatchError
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "drift")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    with pytest.raises(SettingsMismatchError):
+        run_incremental_update(
+            spark, inp, out, ExtractSettings(num_buckets=16, skew_salt=4)
+        )
+
+
+def test_incremental_metadata_only_change_converges(spark, transcripts_dir, tmp_path):
+    """role/tool/ts edits with identical text must still re-extract (the
+    checksum covers text only; attributes compare separately)."""
+    inp_v1 = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "metaedit")
+    run_extraction_job(spark, inp_v1, out, SETTINGS)
+    src = spark.read.parquet(inp_v1)
+    v2 = src.withColumn(
+        "role",
+        F.when((F.col("conv_id") == "megaconv-0") & (F.col("turn_idx") < 3), "flipped")
+        .otherwise(F.col("role")),
+    )
+    inp_v2 = str(tmp_path / "v2meta.parquet")
+    v2.write.parquet(inp_v2)
+    res = run_incremental_update(spark, inp_v2, out, SETTINGS)
+    assert res["changed"] == 3
+    got = (
+        spark.read.parquet(os.path.join(out, "docs"))
+        .filter((F.col("conv_id") == "megaconv-0") & (F.col("turn_idx") < 3))
+        .select("role")
+        .collect()
+    )
+    assert all(r["role"] == "flipped" for r in got)
+
+
+def test_incremental_newly_filtered_row_is_purged(spark, transcripts_dir, tmp_path):
+    """A changed turn that now exceeds ignore_above must disappear from
+    the output (a full recompute would exclude it), not linger stale."""
+    st = ExtractSettings(num_buckets=8, skew_salt=4, ignore_above=2000)
+    inp_v1 = os.path.join(transcripts_dir, "transcripts.parquet")
+    src = spark.read.parquet(inp_v1).filter(F.octet_length("text") <= 2000)
+    inp_small = str(tmp_path / "small.parquet")
+    src.write.parquet(inp_small)
+    out = str(tmp_path / "filtered")
+    run_extraction_job(spark, inp_small, out, st)
+
+    victim = src.select("conv_id", "turn_idx").orderBy("conv_id", "turn_idx").first()
+    v2 = spark.read.parquet(inp_small).withColumn(
+        "text",
+        F.when(
+            (F.col("conv_id") == victim["conv_id"]) & (F.col("turn_idx") == victim["turn_idx"]),
+            F.rpad(F.lit("x"), 3000, "x"),  # grows past the 2000-byte gate
+        ).otherwise(F.col("text")),
+    )
+    inp_v2 = str(tmp_path / "v2big.parquet")
+    v2.write.parquet(inp_v2)
+    res = run_incremental_update(spark, inp_v2, out, st)
+    assert res["changed"] == 1
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    assert (
+        docs.filter(
+            (F.col("conv_id") == victim["conv_id"]) & (F.col("turn_idx") == victim["turn_idx"])
+        ).count()
+        == 0
+    )
+    # matches a full recompute of v2
+    full = str(tmp_path / "filtered_full")
+    run_extraction_job(spark, inp_v2, full, st)
+    assert _docs_sorted(spark, out) == _docs_sorted(spark, full)
+
+
+def test_incremental_delete_only_tick_updates_metrics(spark, transcripts_dir, tmp_path):
+    """A tick that only deletes must still append fresh lineage rows for
+    the buckets it mutates."""
+    inp_v1 = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "delonly")
+    run_extraction_job(spark, inp_v1, out, SETTINGS)
+    src = spark.read.parquet(inp_v1)
+    victim = src.select("conv_id").orderBy("conv_id").first()["conv_id"]
+    inp_v2 = str(tmp_path / "v2del.parquet")
+    src.filter(F.col("conv_id") != victim).write.parquet(inp_v2)
+
+    res = run_incremental_update(spark, inp_v2, out, SETTINGS)
+    assert res["changed"] == 0 and res["deleted"] > 0
+    assert res["touched_buckets"]  # delete-only buckets reported
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    latest = metrics.filter(F.col("run_id") == res["run_id"])
+    assert {r["part_bucket"] for r in latest.select("part_bucket").collect()} == set(
+        res["touched_buckets"]
+    )
+    # the latest lineage row reconciles with the table per bucket
+    docs = spark.read.parquet(os.path.join(out, "docs"))
+    for b in res["touched_buckets"]:
+        want = docs.filter(F.col("part_bucket") == b).count()
+        got = latest.filter(F.col("part_bucket") == b).collect()[0]["turn_count"]
+        assert got == want
