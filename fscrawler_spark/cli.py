@@ -116,6 +116,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if not args.input:
         print("error: --input is required to run a crawl", file=sys.stderr)
         return 2
+    if args.restart and args.incremental:
+        # usage contradiction: validated BEFORE spinning up a JVM, and
+        # before --dry-run could mask it
+        print(
+            "error: --restart (full re-index) contradicts --incremental "
+            "(tick over existing output); pick one",
+            file=sys.stderr,
+        )
+        return 2
 
     from fscrawler_spark.config import parse_byte_size, parse_percentage, parse_time_value
 
@@ -162,13 +171,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             print(json.dumps({"dry_run": True, "by_mime": {r["mime"]: [r["n"], r["errors"]] for r in counts.collect()}}))
             return 0
-        if args.restart and args.incremental:
-            print(
-                "error: --restart (full re-index) contradicts --incremental "
-                "(tick over existing output); pick one",
-                file=sys.stderr,
-            )
-            return 2
         if args.restart:
             from fscrawler_spark.plans.pipeline import restart_clean
 
@@ -179,7 +181,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
                 try:
                     res = run_incremental_update(spark, args.input, args.output, settings)
-                except (FileNotFoundError, RuntimeError) as e:
+                except (FileNotFoundError, RuntimeError, ValueError) as e:
+                    # ValueError covers SettingsMismatchError (drifted
+                    # settings vs the manifest fingerprint)
                     print(f"error: {e}", file=sys.stderr)
                     return 2
             else:

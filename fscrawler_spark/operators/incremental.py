@@ -58,7 +58,9 @@ def changed_vs_snapshot(
     cond = (
         (cur["conv_id"] == prev_keys["conv_id"])
         & (cur["turn_idx"] == prev_keys["turn_idx"])
-        & (cur["_ck"] == prev_keys["_ck"])
+        # null-safe: a null-text row (null checksum both sides) is
+        # UNCHANGED, not perpetually re-extracted
+        & cur["_ck"].eqNullSafe(prev_keys["_ck"])
     )
     for c in attr_cols:
         cond = cond & cur[c].eqNullSafe(prev_keys[c])

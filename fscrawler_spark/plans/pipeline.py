@@ -175,11 +175,11 @@ def run_incremental_update(
         num_buckets=settings.num_buckets,
         settings_fingerprint=settings.fingerprint(),
     )
-    if manifest.pending(settings.num_buckets):
+    still_pending = manifest.pending(settings.num_buckets)
+    if still_pending:
         raise RuntimeError(
             "incremental update requires a COMPLETED full run; "
-            f"{len(manifest.pending(settings.num_buckets))} buckets are pending "
-            "— finish run_extraction_job first"
+            f"{len(still_pending)} buckets are pending — finish run_extraction_job first"
         )
     # finish interrupted swaps BEFORE reading the table: a crashed bucket's
     # rows live only in the stage dir and must be visible to prev/gone
@@ -189,19 +189,32 @@ def run_incremental_update(
     src = read_transcripts(spark, input_path)
     prev = spark.read.parquet(out_data)
 
-    # 1. the changed-key set comes from the RAW input (before filters):
-    # a changed turn that no longer passes a filter must still purge its
-    # stale row. Attribute columns compare too — a metadata-only edit
-    # (role/tool/ts) re-extracts like the reference's ACL-hash comparison.
-    changed_src = changed_vs_snapshot(
+    # 1. raw delta: input rows that differ from the snapshot — checksum
+    # plus attribute columns (a metadata-only role/tool/ts edit
+    # re-extracts, like the reference's ACL-hash comparison). Computed on
+    # the RAW input so a changed turn that no longer passes a filter can
+    # still purge its stale row.
+    changed_raw = changed_vs_snapshot(
         src, prev, checksum_algo=settings.checksum_algo, attr_cols=("role", "tool", "ts")
     )
+    # materialize the extracted delta ONCE: the rebuild, the key set, and
+    # the counts all consume it, and re-deriving would re-run the big
+    # anti-join + extraction (bounded by the delta size)
+    fresh = extract_transcripts(changed_raw, settings).localCheckpoint(eager=True)
+    # the key set that must be REPLACED/PURGED in the table:
+    #   (changed rows that exist in prev)   — stale copies to remove
+    # ∪ (fresh extraction keys)             — rows to (re)insert.
+    # NOT all of changed_raw: a row the filters have ALWAYS excluded is
+    # "changed vs prev" on every tick (it is never IN prev) but demands no
+    # work — including it would rewrite its bucket forever.
+    bucket_col = salted_bucket(settings.num_buckets, settings.skew_salt)
     changed_keys = (
-        changed_src.select(
-            "conv_id",
-            "turn_idx",
-            salted_bucket(settings.num_buckets, settings.skew_salt).alias("part_bucket"),
+        changed_raw.join(
+            prev.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_semi"
         )
+        .select("conv_id", "turn_idx", bucket_col.alias("part_bucket"))
+        .unionByName(fresh.select("conv_id", "turn_idx", "part_bucket"))
+        .distinct()
         .localCheckpoint(eager=True)
     )
     changed = changed_keys.count()
@@ -215,7 +228,6 @@ def run_incremental_update(
 
     deleted_in_rebuild = 0
     if touched:
-        fresh = extract_transcripts(changed_src, settings)
         # 2. rebuild ONLY the touched buckets: previous rows minus changed
         # keys minus deleted keys, plus the fresh extractions. Deletions
         # hitting touched buckets are folded into this single swap so no
@@ -233,17 +245,25 @@ def run_incremental_update(
     deleted = deleted_in_rebuild + del_res["deleted"]
 
     # 4. lineage for every mutated bucket — including delete-only ones,
-    # so the latest metrics row always reconciles with the table
+    # so the latest metrics row always reconciles with the table. A tick
+    # that deleted the LAST remaining rows leaves no parquet to read back:
+    # emit explicit zero rows (same guard as run_extraction_job).
     targets = sorted(set(touched) | set(del_res["buckets"]))
     if targets:
-        out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
-        bucket_metrics(out_df, run_id, buckets=targets).write.mode("append").parquet(out_metrics)
+        if _has_parquet_files(out_data):
+            out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
+            metrics = bucket_metrics(out_df, run_id, buckets=targets)
+        else:
+            metrics = spark.createDataFrame(
+                [(run_id, int(b), 0, 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
+            )
+        metrics.write.mode("append").parquet(out_metrics)
 
     return {
         "run_id": run_id,
         "changed": changed,
         "deleted": deleted,
-        "touched_buckets": sorted(set(touched) | set(del_res["buckets"])),
+        "touched_buckets": targets,
     }
 
 

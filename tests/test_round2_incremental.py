@@ -168,6 +168,48 @@ def test_incremental_newly_filtered_row_is_purged(spark, transcripts_dir, tmp_pa
     assert _docs_sorted(spark, out) == _docs_sorted(spark, full)
 
 
+def test_incremental_converges_with_always_filtered_rows(spark, tmp_path):
+    """Rows the filters have ALWAYS excluded are never in prev; they must
+    not be re-flagged as 'changed' on every tick (the tick would rewrite
+    their buckets forever). Second tick on unchanged input == no-op."""
+    st = ExtractSettings(num_buckets=4, skew_salt=2, ignore_above=100)
+    rows = [
+        ("c", 0, "user", "small turn", None, None),
+        ("c", 1, "user", "x" * 500, None, None),   # always filtered out
+        ("d", 0, "user", None, None, None),        # null text: null checksum
+    ]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    inp = str(tmp_path / "in.parquet")
+    spark.createDataFrame(rows, schema).write.parquet(inp)
+    out = str(tmp_path / "conv")
+    run_extraction_job(spark, inp, out, st)
+
+    res1 = run_incremental_update(spark, inp, out, st)
+    assert res1["changed"] == 0 and res1["deleted"] == 0
+    assert res1["touched_buckets"] == []
+    res2 = run_incremental_update(spark, inp, out, st)
+    assert res2["changed"] == 0 and res2["touched_buckets"] == []
+
+
+def test_incremental_tick_that_empties_the_table(spark, tmp_path):
+    """Deleting every remaining row must not crash the metrics read-back
+    (no parquet left to infer a schema from)."""
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    st = ExtractSettings(num_buckets=4, skew_salt=2)
+    inp1 = str(tmp_path / "in1.parquet")
+    spark.createDataFrame([("c", 0, "u", "hello", None, None)], schema).write.parquet(inp1)
+    out = str(tmp_path / "emptied")
+    run_extraction_job(spark, inp1, out, st)
+    inp2 = str(tmp_path / "in2.parquet")
+    spark.createDataFrame([], schema).write.parquet(inp2)
+    res = run_incremental_update(spark, inp2, out, st)
+    assert res["deleted"] == 1 and res["changed"] == 0
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    latest = metrics.filter(F.col("run_id") == res["run_id"])
+    assert latest.count() == len(res["touched_buckets"]) > 0
+    assert latest.agg(F.sum("turn_count")).collect()[0][0] == 0
+
+
 def test_incremental_delete_only_tick_updates_metrics(spark, transcripts_dir, tmp_path):
     """A tick that only deletes must still append fresh lineage rows for
     the buckets it mutates."""
