@@ -714,6 +714,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def q_simhash(spark, sf):
         return dedup.simhash(_docs(spark, sf), id_col="doc_id", bits=32)
 
+    def q_simhash_pairs(spark, sf):
+        # SimHash near-dup pairs (Manku WWW'07 pigeonhole banding)
+        sims = dedup.simhash(_dup_corpus(spark, sf), id_col="id", bits=32)
+        return dedup.simhash_near_dup_pairs(sims, max_hamming=3, bits=32).select(
+            "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+        )
+
     def q_near_dup_e2e(spark, sf):
         # full dedup pipeline: LSH candidates -> exact-Jaccard verify ->
         # iterative connected components -> keepers. Runs the md5 hash
@@ -740,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_near_dup_e2e=q_near_dup_e2e,
         q_ngram_jaccard=q_ngram_jaccard,
         q_simhash=q_simhash,
+        q_simhash_pairs=q_simhash_pairs,
     )
 
     # --- embeddings -----------------------------------------------------------------
@@ -1320,6 +1328,39 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
     FROM votes GROUP BY id
+    """
+
+    # masks for 4 pigeonhole bands of the 32-bit simhash (max_hamming=3)
+    _sh_masks = ", ".join(f"({b}, {((1 << 8) - 1) << (b * 8)})" for b in range(4))
+    sql["q_simhash_pairs"] = f"""
+    WITH toks AS (
+      SELECT id, unnest(list_distinct(string_split({SQL_NORM}, ' '))) AS tok
+      FROM {SQL_DUP_CORPUS}
+    ),
+    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+    votes AS (
+      SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) bits
+      GROUP BY id, bit
+    ),
+    sh AS (
+      SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+      FROM votes GROUP BY id
+    ),
+    banded AS (
+      SELECT id, simhash, m.band, simhash & m.mask AS bucket
+      FROM sh, (VALUES {_sh_masks}) AS m(band, mask)
+    ),
+    capped AS (
+      SELECT id, simhash, band, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
+      ) WHERE bsz <= 1000
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+           bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+    FROM capped a JOIN capped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
     sql["q_ann_topk"] = """

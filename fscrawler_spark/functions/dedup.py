@@ -274,14 +274,23 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     raised if the graph has not converged by then (results would be
     under-merged). localCheckpoint() truncates the growing lineage.
     """
-    edges = (
+    def _materialize(df: DataFrame) -> DataFrame:
+        # every iteration joins edges/labels repeatedly — without
+        # materialization the ENTIRE upstream (minhash -> LSH -> verify)
+        # recomputes per round. localCheckpoint stores blocks on
+        # executors (lost with an executor — fine in local mode / short
+        # jobs); when the caller has set a RELIABLE checkpoint dir
+        # (sc.setCheckpointDir to HDFS/S3), use it: a 1000-executor run
+        # survives executor loss mid-iteration.
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
-        # materialize once: every iteration joins edges twice, and without
-        # this the ENTIRE upstream (minhash -> LSH -> verify) would be
-        # recomputed per iteration (at scale: write edges to a table)
-        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("a").alias("id"))
@@ -304,7 +313,7 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
                 ),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _materialize(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "id")
@@ -352,6 +361,64 @@ def near_dup_pipeline(
     verified = verify_candidates(df, cands, id_col=id_col, text_col=text_col, threshold=threshold)
     clusters = connected_components(verified)
     return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
+
+
+def simhash_near_dup_pairs(
+    sims: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance (Manku/Jain/
+    Sarma WWW'07 pigeonhole scheme, public): split the ``bits``-bit
+    fingerprint into ``max_hamming + 1`` bands — any pair within
+    ``max_hamming`` bit flips agrees EXACTLY on at least one band — so
+    candidates join per (band, band-bits) bucket and verify with one
+    JVM-side popcount of the XOR. Input: (id, simhash) from simhash().
+
+    Same scale shape as MinHash-LSH candidates: keyed shuffle, never
+    all-pairs, giant buckets capped (shared-exchange window count).
+    Returns (id_a, id_b, hamming).
+    """
+    bands = max_hamming + 1
+    width = bits // bands
+    entries = []
+    for b in range(bands):
+        lo = b * width
+        w = width + (bits - bands * width if b == bands - 1 else 0)  # last takes remainder
+        mask = ((1 << w) - 1) << lo
+        entries.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.col("simhash").bitwiseAND(F.lit(mask)).alias("bucket"),
+            )
+        )
+    banded = sims.select(
+        F.col("id"), F.col("simhash"), F.explode(F.array(*entries)).alias("bb")
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    if max_bucket is not None:
+        w_ = Window.partitionBy("band", "bucket")
+        banded = (
+            banded.withColumn("_bsz", F.count(F.lit(1)).over(w_))
+            .filter(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+    left, right = banded.alias("l"), banded.alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.bit_count(F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32) -> DataFrame:

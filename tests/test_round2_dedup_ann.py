@@ -111,6 +111,45 @@ def test_fast_minhash_recall(spark):
     assert recall >= 0.95, f"fast-path LSH recall = {recall}"
 
 
+def test_simhash_pairs_pigeonhole(spark):
+    """Hand-crafted fingerprints: pairs within max_hamming=3 found via
+    band collision, pairs beyond excluded — and the pigeonhole guarantee
+    (<=3 flips across 4 bands leaves one band intact) holds for flips
+    spread across distinct bands."""
+    base = 0b1010_1100_0011_0101_1111_0000_1010_0110
+    rows = [
+        (1, base),
+        (2, base ^ 0b1),                       # hamming 1 (band 0)
+        (3, base ^ (1 << 8) ^ (1 << 16) ^ (1 << 24)),  # hamming 3, three bands
+        (4, base ^ (1 << 0) ^ (1 << 8) ^ (1 << 16) ^ (1 << 24)),  # hamming 4 vs base
+        (5, ~base & 0xFFFFFFFF),               # hamming 32
+    ]
+    df = spark.createDataFrame(rows, "id long, simhash long")
+    got = {(r.id_a, r.id_b): r.hamming for r in dedup.simhash_near_dup_pairs(df).collect()}
+    assert got[(1, 2)] == 1
+    assert got[(1, 3)] == 3
+    assert (1, 4) not in got  # hamming 4 > max
+    assert (1, 5) not in got
+    assert got[(3, 4)] == 1  # 3 and 4 differ only in bit 0
+
+
+def test_connected_components_uses_reliable_checkpoint_when_set(spark, tmp_path):
+    """With sc.setCheckpointDir, the iterative CC materializes via
+    reliable checkpoints (executor-loss-safe at cluster scale)."""
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    try:
+        sc.setCheckpointDir(str(tmp_path / "ckpt"))
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+        out = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        import os as _os
+
+        assert any(_os.scandir(str(tmp_path / "ckpt")))  # checkpoint files written
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+
+
 def test_minhash_cap_none_restores_full_candidates(spark):
     rows = [(i, "same text for everyone here") for i in range(50)]
     df = spark.createDataFrame(rows, "id long, text string")
