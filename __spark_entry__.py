@@ -762,6 +762,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = embeddings.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
         return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
+    def q_ann_ivf(spark, sf):
+        # IVF-flat with deterministically sampled centroids (the brief's
+        # "IVF variant as the scale path"); cells + probes reproduced by
+        # the SQL twin from the same md5-sampled centroid set
+        e = _emb(spark, sf)
+        out = embeddings.ivf_topk(
+            e, e.filter(F.col("vec_id") < 5), k=5, n_centroids=16, nprobe=2
+        )
+        return out.select(
+            "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+        )
+
     def q_embed_near_dup(spark, sf):
         e = _emb(spark, sf)
         dup = e.withColumn("vec_id", F.col("vec_id") + 100000)
@@ -769,7 +781,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             e.unionByName(dup), threshold=0.999999
         ).select("id_a", "id_b")
 
-    q.update(q_ann_topk=q_ann_topk, q_ann_lsh=q_ann_lsh, q_embed_near_dup=q_embed_near_dup)
+    q.update(
+        q_ann_topk=q_ann_topk,
+        q_ann_lsh=q_ann_lsh,
+        q_ann_ivf=q_ann_ivf,
+        q_embed_near_dup=q_embed_near_dup,
+    )
 
     # --- general analytics over the star schema (joins / windows / aggs) ------------
 
@@ -1415,6 +1432,38 @@ def oracle_sql() -> dict[str, str]:
       FROM bk c, q
       WHERE c.vec_id <> q.query_id AND ({_any_match})
     ),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
+    """
+
+    sql["q_ann_ivf"] = """
+    WITH cent AS (
+      SELECT vec_id AS cid, embedding AS cv
+      FROM (SELECT *, ('0x'||substr(md5(vec_id::VARCHAR),1,15))::BIGINT AS h
+            FROM embeddings ORDER BY h, vec_id LIMIT 16)
+    ),
+    assign AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                        c.cid) AS crnk
+      FROM embeddings e, cent c
+    ),
+    corpus AS (SELECT vec_id AS neighbor_id, embedding AS cv2, cid AS cell
+               FROM assign WHERE crnk = 1),
+    qcells AS (SELECT vec_id AS query_id, embedding AS qv, cid AS cell
+               FROM assign WHERE vec_id < 5 AND crnk <= 2),
+    cand AS (
+      SELECT DISTINCT q.query_id, q.qv, c.neighbor_id, c.cv2
+      FROM corpus c JOIN qcells q USING (cell)
+      WHERE c.neighbor_id <> q.query_id
+    ),
+    scored AS (SELECT query_id, neighbor_id,
+                      list_cosine_similarity(cv2::DOUBLE[], qv::DOUBLE[]) AS sim
+               FROM cand),
     r AS (SELECT query_id, neighbor_id,
                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
           FROM scored)

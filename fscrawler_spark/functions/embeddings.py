@@ -205,6 +205,111 @@ def bucket_size_stats(
     )
 
 
+def make_ivf_assign_udf(centroids: list[tuple[int, list[float]]], nprobe: int = 1):
+    """arrow_udf: embedding -> array<int> of the ``nprobe`` nearest
+    centroid ids by cosine (one GEMM per Arrow batch; ties break on the
+    LOWER centroid id, matching the SQL twin's ORDER BY sim DESC, cid)."""
+    cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
+    mat = np.asarray([v for _, v in centroids], dtype=np.float64)  # (C, dim)
+    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    dim = mat.shape[1]
+
+    @F.arrow_udf(T.ArrayType(T.IntegerType()))
+    def assign_udf(emb: pa.Array) -> pa.Array:
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        n = len(emb)
+        m = vals.reshape(n, dim)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        sims = (m / norms) @ mat_n.T  # (n, C)
+        # stable top-nprobe: sort by (-sim, cid); argsort is stable on ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        out = cids[order].astype(np.int32)
+        return pa.array(out.tolist(), pa.list_(pa.int32()))
+
+    return assign_udf
+
+
+def sampled_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """IVF coarse centroids = a deterministic hash-sample of the corpus
+    (FAISS-style IVF commonly trains on a random subset; taking sampled
+    vectors AS the centroids is the zero-training 'IVF-flat-random'
+    variant — fully reproducible in any engine, no RNG/Lloyd state).
+    Selection: the n_centroids smallest md5-hash ids (cross-engine).
+    Returned sorted by cid so similarity TIES break on the lower cid in
+    both the numpy argsort (stable over list order) and the SQL twin's
+    ORDER BY sim DESC, cid."""
+    rows = (
+        corpus.select(
+            F.col(id_col).alias("cid"),
+            F.col(vec_col).alias("v"),
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+        .orderBy("h", "cid")
+        .limit(n_centroids)
+        .collect()
+    )
+    return sorted(((int(r["cid"]), [float(x) for x in r["v"]]) for r in rows))
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: corpus vectors partition into coarse
+    cells (nearest sampled centroid); a query scans only its ``nprobe``
+    nearest cells. The complementary scale path to hyperplane LSH —
+    cells adapt to the data's density (clustered corpora concentrate
+    comparisons where the mass is), while LSH is data-independent.
+
+    Scale shape: cell assignment is a pure map (one GEMM per batch, no
+    shuffle); the candidate join is keyed on cell id; expected work per
+    query = nprobe/n_centroids of the corpus. Recall grows with nprobe
+    (nprobe = n_centroids degenerates to exact search).
+    """
+    centroids = centroids or sampled_centroids(corpus, n_centroids, id_col, vec_col)
+    assign1 = make_ivf_assign_udf(centroids, nprobe=1)
+    assignp = make_ivf_assign_udf(centroids, nprobe=nprobe)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.element_at(assign1(F.col(vec_col)), 1).alias("cell"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.explode(assignp(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "qv", "neighbor_id", "cv")
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
