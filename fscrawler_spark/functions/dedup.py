@@ -112,6 +112,22 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
 
 
+def cap_groups(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
+    """Shared giant-bucket guard: drop groups over ``max_bucket`` members
+    via a window count over the SAME keys the downstream join shuffles on
+    (the exchange is shared, so the guard is ~free — see the A/B note in
+    lsh_candidate_pairs). One implementation for MinHash bands, SimHash
+    bands, and ANN buckets so cap semantics cannot drift."""
+    if max_bucket is None:
+        return df
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
+
+
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     rows_per_band = num_hashes // bands
     band_entries = F.array(
@@ -171,20 +187,10 @@ def lsh_candidate_pairs(
     production MinHash pipeline (e.g. the SURVEY §7 rule "never
     groupBy(conv_id) on the hot path").
     """
-    banded = _banded(sigs, num_hashes, bands)
-    if max_bucket is not None:
-        # window count over the SAME (band, bucket) key the candidate
-        # join shuffles on: the exchange is shared, so the guard is free
-        # (A/B measured 5.45s guarded vs 5.48s unguarded at sf0.1; a
-        # broadcast-anti-join variant was +15% because its aggregate
-        # branch recomputes the signature subtree). No ORDER BY -> no
-        # sort, just a per-partition count.
-        w = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+    # A/B measured 5.45s guarded vs 5.48s unguarded at sf0.1; a
+    # broadcast-anti-join variant was +15% because its aggregate branch
+    # recomputes the signature subtree.
+    banded = cap_groups(_banded(sigs, num_hashes, bands), ["band", "bucket"], max_bucket)
     left = banded.alias("l")
     right = banded.alias("r")
     return (
@@ -281,7 +287,11 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         # executors (lost with an executor — fine in local mode / short
         # jobs); when the caller has set a RELIABLE checkpoint dir
         # (sc.setCheckpointDir to HDFS/S3), use it: a 1000-executor run
-        # survives executor loss mid-iteration.
+        # survives executor loss mid-iteration. Reliable checkpoint
+        # files are cleaned on RDD GC only when
+        # spark.cleaner.referenceTracking.cleanCheckpoints=true
+        # (get_spark sets it); on other sessions schedule a periodic
+        # sweep of the checkpoint dir or orphans accumulate per run.
         sc = df.sparkSession.sparkContext
         if sc.getCheckpointDir() is not None:
             return df.checkpoint(eager=True)
@@ -396,13 +406,7 @@ def simhash_near_dup_pairs(
     banded = sims.select(
         F.col("id"), F.col("simhash"), F.explode(F.array(*entries)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    if max_bucket is not None:
-        w_ = Window.partitionBy("band", "bucket")
-        banded = (
-            banded.withColumn("_bsz", F.count(F.lit(1)).over(w_))
-            .filter(F.col("_bsz") <= max_bucket)
-            .drop("_bsz")
-        )
+    banded = cap_groups(banded, ["band", "bucket"], max_bucket)
     left, right = banded.alias("l"), banded.alias("r")
     return (
         left.join(

@@ -174,14 +174,9 @@ def _cap_buckets(bucketed: DataFrame, max_bucket: int | None) -> DataFrame:
     effectively free (see the A/B note in dedup.lsh_candidate_pairs).
     Dropped mass is auditable via bucket_size_stats() (can't be logged
     inline without forcing an action on a lazy plan)."""
-    if max_bucket is None:
-        return bucketed
-    w = Window.partitionBy("table", "bucket")
-    return (
-        bucketed.withColumn("_bsz", F.count(F.lit(1)).over(w))
-        .filter(F.col("_bsz") <= max_bucket)
-        .drop("_bsz")
-    )
+    from fscrawler_spark.functions.dedup import cap_groups
+
+    return cap_groups(bucketed, ["table", "bucket"], max_bucket)
 
 
 def bucket_size_stats(
@@ -211,13 +206,17 @@ def make_ivf_assign_udf(centroids: list[tuple[int, list[float]]], nprobe: int = 
     LOWER centroid id, matching the SQL twin's ORDER BY sim DESC, cid)."""
     cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
     mat = np.asarray([v for _, v in centroids], dtype=np.float64)  # (C, dim)
-    mat_n = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    cnorms = np.linalg.norm(mat, axis=1, keepdims=True)
+    cnorms[cnorms == 0] = 1.0  # zero-vector centroid: keep finite sims
+    mat_n = mat / cnorms
     dim = mat.shape[1]
 
     @F.arrow_udf(T.ArrayType(T.IntegerType()))
     def assign_udf(emb: pa.Array) -> pa.Array:
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
+        if emb.null_count:
+            raise ValueError("IVF assignment requires non-null embeddings")
         vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
         n = len(emb)
         m = vals.reshape(n, dim)
@@ -298,8 +297,11 @@ def ivf_topk(
     scored = (
         c.join(F.broadcast(q), "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # no dedup needed (unlike lsh_topk): each corpus vector has ONE
+        # cell and a query's probed cells are distinct, so a pair can
+        # arise from at most one join row — a dropDuplicates here would
+        # be a pure extra shuffle over the candidate set
         .select("query_id", "qv", "neighbor_id", "cv")
-        .dropDuplicates(["query_id", "neighbor_id"])
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))

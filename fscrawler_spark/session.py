@@ -72,6 +72,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # reliable checkpoints (dedup.connected_components when a
+        # checkpoint dir is set) are deleted on RDD GC only with this on;
+        # default-false would orphan one snapshot per CC iteration
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )

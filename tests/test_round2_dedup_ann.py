@@ -173,7 +173,14 @@ def test_connected_components_uses_reliable_checkpoint_when_set(spark, tmp_path)
         assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
         import os as _os
 
-        assert any(_os.scandir(str(tmp_path / "ckpt")))  # checkpoint files written
+        # setCheckpointDir alone creates the uuid dir — assert actual
+        # rdd-* checkpoint payloads exist INSIDE it (the branch really ran)
+        rdd_dirs = [
+            e.name
+            for u in _os.scandir(str(tmp_path / "ckpt"))
+            for e in _os.scandir(u.path)
+        ]
+        assert any(n.startswith("rdd-") for n in rdd_dirs), rdd_dirs
     finally:
         sc._jsc.sc().setCheckpointDir(None)
 
