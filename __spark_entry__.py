@@ -222,9 +222,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_run_stats(spark, sf):
+        from fscrawler_spark.operators.stats import parse_failure_flag
+
         return _extracted(spark, sf).agg(
             F.count(F.lit(1)).cast("long").alias("turn_count"),
-            F.sum(F.when(F.col("ex.error").isNotNull(), 1).otherwise(0))
+            # needs_ocr rows are excluded (they have their own counter);
+            # the fixture's error class (doc_id % 6 = 5) is a genuine
+            # parse failure, so the SQL twin is unchanged
+            F.sum(parse_failure_flag(F.col("ex.error")))
             .cast("long")
             .alias("parse_failures"),
             F.sum(F.coalesce(F.length("ex.extracted"), F.lit(0))).cast("long").alias("bytes_out"),

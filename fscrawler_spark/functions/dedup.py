@@ -251,9 +251,18 @@ def verify_candidates(
 ) -> DataFrame:
     """Exact Jaccard computed ONLY on LSH candidate pairs — the scale-path
     verification step (LSH recall, exact precision). Joins each pair to
-    its two shingle sets and intersects JVM-side (array_intersect)."""
+    its two shingle sets and intersects JVM-side (array_intersect).
+
+    The shingle sets ride the candidate joins as xxhash64 arrays, not
+    k-word string arrays (same trick as jaccard_pairs): intersection
+    COUNTS are unchanged absent 64-bit collisions (~n^2/2^65), and the
+    per-row join payload drops from ~k*8 bytes per shingle string to 8.
+    """
     sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
+        F.col(id_col).alias("id"),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_k), lambda x: F.xxhash64(x)
+        ).alias("sh"),
     )
     return (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -280,22 +289,16 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     raised if the graph has not converged by then (results would be
     under-merged). localCheckpoint() truncates the growing lineage.
     """
-    def _materialize(df: DataFrame) -> DataFrame:
-        # every iteration joins edges/labels repeatedly — without
-        # materialization the ENTIRE upstream (minhash -> LSH -> verify)
-        # recomputes per round. localCheckpoint stores blocks on
-        # executors (lost with an executor — fine in local mode / short
-        # jobs); when the caller has set a RELIABLE checkpoint dir
-        # (sc.setCheckpointDir to HDFS/S3), use it: a 1000-executor run
-        # survives executor loss mid-iteration. Reliable checkpoint
-        # files are cleaned on RDD GC only when
-        # spark.cleaner.referenceTracking.cleanCheckpoints=true
-        # (get_spark sets it); on other sessions schedule a periodic
-        # sweep of the checkpoint dir or orphans accumulate per run.
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    # every iteration joins edges/labels repeatedly — without
+    # materialization the ENTIRE upstream (minhash -> LSH -> verify)
+    # recomputes per round. session.materialize uses a RELIABLE
+    # checkpoint when sc.setCheckpointDir points at HDFS/S3 (a
+    # 1000-executor run survives executor loss mid-iteration), else
+    # localCheckpoint. Reliable checkpoint files are cleaned on RDD GC
+    # only when spark.cleaner.referenceTracking.cleanCheckpoints=true
+    # (get_spark sets it); on other sessions schedule a periodic sweep
+    # of the checkpoint dir or orphans accumulate per run.
+    from fscrawler_spark.session import materialize as _materialize
 
     edges = _materialize(
         pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
@@ -390,19 +393,28 @@ def simhash_near_dup_pairs(
     all-pairs, giant buckets capped (shared-exchange window count).
     Returns (id_a, id_b, hamming).
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     bands = max_hamming + 1
     width = bits // bands
+    if width < 1:
+        raise ValueError(
+            f"max_hamming={max_hamming} needs at least {bands} bands but the "
+            f"fingerprint has only {bits} bits"
+        )
     entries = []
     for b in range(bands):
         lo = b * width
         w = width + (bits - bands * width if b == bands - 1 else 0)  # last takes remainder
-        mask = ((1 << w) - 1) << lo
-        entries.append(
-            F.struct(
-                F.lit(b).alias("band"),
-                F.col("simhash").bitwiseAND(F.lit(mask)).alias("bucket"),
-            )
+        # band bucket = the band's bits shifted DOWN, not masked in place:
+        # an in-place mask for the top band would need a (1<<w)-1)<<lo
+        # literal that can exceed a signed int64 (e.g. bits=64 bands=4),
+        # which F.lit rejects. shiftrightunsigned keeps every literal
+        # small and the grouping is the same up to a bijection.
+        bucket = F.col("simhash") if w >= 64 else (
+            F.shiftrightunsigned(F.col("simhash"), lo).bitwiseAND(F.lit((1 << w) - 1))
         )
+        entries.append(F.struct(F.lit(b).alias("band"), bucket.alias("bucket")))
     banded = sims.select(
         F.col("id"), F.col("simhash"), F.explode(F.array(*entries)).alias("bb")
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))

@@ -32,6 +32,8 @@ regardless of the data's axis alignment.
 
 from __future__ import annotations
 
+import logging
+import math
 import random
 
 import numpy as np
@@ -40,21 +42,92 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+logger = logging.getLogger(__name__)
+
 # ONE shared default across every operator in this module (lsh_topk,
 # cosine_near_dup_pairs, bucket_size_stats) so an audit of bucket sizes
 # describes the same bucketing the joins actually use.
 #
 # SIZE THE BITS TO THE CORPUS: expected bucket size is n / 2^bits per
 # table, and _cap_buckets drops WHOLE buckets above max_bucket — with too
-# few bits every bucket crosses the cap and the operators return EMPTY
-# results. At the defaults (8 bits, cap 20k) the crossover is ~5M
-# vectors: fine up to ~10^6, raise bits to 16-20 at 10^8-10^9 (65k-1M
-# buckets/table). Recall follows 1-(1-p^bits)^tables, so add tables as
-# you add bits; audit with bucket_size_stats before a big run.
+# few bits every bucket crosses the cap and the operators would return
+# EMPTY results. The join operators therefore AUTO-SIZE bits from a
+# corpus count when ``bits`` is not given (one count job at plan time,
+# or pass ``corpus_count`` to skip it), and REFUSE an explicit ``bits``
+# whose expected bucket size already exceeds the cap — a silent empty
+# result at exactly the scale the operator exists for is never ok.
+# Recall follows 1-(1-p^bits)^tables, so add tables as you add bits;
+# audit with bucket_size_stats() before a big run.
 DEFAULT_BITS = 8
 DEFAULT_TABLES = 4
 DEFAULT_SEED = 42
 DEFAULT_MAX_BUCKET = 20_000
+# bucket ids are packed into int32: 2^30 buckets/table (cap 20k each)
+# covers ~2e13 vectors — past int32 we'd widen the bucket type, not bits.
+MAX_BITS = 30
+# auto-sizing targets an EXPECTED bucket of max_bucket / HEADROOM so
+# ordinary skew (a few x the mean) stays under the cap.
+AUTO_BITS_HEADROOM = 4
+
+
+def _validate_bits(bits: int) -> None:
+    if not 1 <= bits <= MAX_BITS:
+        raise ValueError(
+            f"bits must be in [1, {MAX_BITS}] (bucket ids are packed into "
+            f"int32; 2^{MAX_BITS} buckets/table is the widest supported), got {bits}"
+        )
+
+
+def auto_bits(
+    n: int,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    floor_bits: int = DEFAULT_BITS,
+    headroom: int = AUTO_BITS_HEADROOM,
+) -> int:
+    """Bits sized to the corpus: smallest b >= floor_bits with expected
+    bucket n/2^b <= max_bucket/headroom. Logged when it raises bits past
+    the floor so a recall-sensitive caller knows to add tables."""
+    _validate_bits(floor_bits)
+    if max_bucket is None or n <= 0:
+        return floor_bits
+    need = math.ceil(math.log2(max(1.0, headroom * n / max_bucket)))
+    bits = min(max(floor_bits, need), MAX_BITS)
+    if bits > floor_bits:
+        logger.warning(
+            "hyperplane LSH: auto-sized bits %d -> %d for corpus n=%d "
+            "(expected bucket %.0f vs cap %d); recall per table drops with "
+            "bits — consider raising tables",
+            floor_bits, bits, n, n / (1 << bits), max_bucket,
+        )
+    return bits
+
+
+def _resolve_bits(
+    corpus: DataFrame,
+    bits: int | None,
+    max_bucket: int | None,
+    corpus_count: int | None,
+    op: str,
+) -> int:
+    """Explicit bits are validated against the cap crossover (when a count
+    is known or cheap); bits=None auto-sizes from the corpus count."""
+    if bits is not None:
+        _validate_bits(bits)
+        if (
+            max_bucket is not None
+            and corpus_count is not None
+            and corpus_count / (1 << bits) > max_bucket
+        ):
+            raise ValueError(
+                f"{op}: bits={bits} gives an EXPECTED bucket of "
+                f"{corpus_count / (1 << bits):.0f} > max_bucket={max_bucket}; "
+                f"every bucket would be dropped and the result would be empty. "
+                f"Raise bits (>= {auto_bits(corpus_count, max_bucket, bits)}), "
+                f"raise max_bucket, or pass bits=None to auto-size."
+            )
+        return bits
+    n = corpus_count if corpus_count is not None else corpus.count()
+    return auto_bits(n, max_bucket)
 
 
 def _dot(a, b) -> F.Column:
@@ -109,6 +182,7 @@ def random_hyperplanes(
     """Seeded gaussian hyperplanes, shape (tables, bits, dim), rounded to
     6 decimals so the SAME literals are embeddable in any engine (the
     DuckDB oracle reproduces buckets from these exact values)."""
+    _validate_bits(bits)  # packed int32 buckets: bits > 30 would overflow
     rng = random.Random(seed)
     return [
         [[round(rng.gauss(0.0, 1.0), 6) for _ in range(dim)] for _ in range(bits)]
@@ -318,29 +392,43 @@ def lsh_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = DEFAULT_BITS,
+    bits: int | None = None,
     tables: int = DEFAULT_TABLES,
     seed: int = DEFAULT_SEED,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing the
     query's bucket in ANY of the L tables. Same output shape as
     brute_force_topk; recall < 1 by design and tunable via (bits,
     tables) — the candidate join is keyed on (table, bucket) instead of
-    a cross join, which is what survives a 10^9-vector corpus."""
+    a cross join, which is what survives a 10^9-vector corpus.
+
+    bits=None (default) auto-sizes to the corpus so the giant-bucket cap
+    can never silently drop everything (one count job at plan time;
+    pass corpus_count when the size is already known). Explicit bits are
+    rejected when a known count says every bucket would cross the cap.
+    """
+    bits = _resolve_bits(corpus, bits, max_bucket, corpus_count, "lsh_topk")
     dim = _infer_dim(queries, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)
     q = _bucketed(queries, id_col, vec_col, planes, "query_id", "qv")
     c = _cap_buckets(_bucketed(corpus, id_col, vec_col, planes, "neighbor_id", "cv"), max_bucket)
-    cand = (
+    # score INSIDE the bucket join (both vectors are already co-located
+    # there), so the dedup exchange below carries only (ids, sim) — the
+    # vector payload never rides a shuffle. A pair matching in several
+    # tables computes the same sim each time; dropDuplicates keeps one.
+    scored = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        # a pair can match in several tables: dedupe before scoring
-        .select("query_id", "qv", "neighbor_id", "cv")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("sim"),
+        )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -354,19 +442,28 @@ def cosine_near_dup_pairs(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = DEFAULT_BITS,
+    bits: int | None = None,
     tables: int = DEFAULT_TABLES,
     seed: int = DEFAULT_SEED,
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     dim: int | None = None,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within hyperplane buckets
     (any table), capped per bucket. Exact near-dups (cosine ~= 1) agree
     on every sign bit, so they collide in every table — recall for the
-    dedup use-case is ~1 by construction."""
+    dedup use-case is ~1 by construction.
+
+    bits auto-sizes to the corpus count like lsh_topk (same footgun
+    guard: a cap that would drop every bucket raises instead of
+    silently returning no pairs)."""
+    bits = _resolve_bits(df, bits, max_bucket, corpus_count, "cosine_near_dup_pairs")
     dim = _infer_dim(df, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)
     v = _cap_buckets(_bucketed(df, id_col, vec_col, planes, "id", "v"), max_bucket)
+    # score + threshold-filter INSIDE the bucket join, so the pair-dedup
+    # exchange carries (id_a, id_b, sim) — never the two vectors. The
+    # filter also shrinks the dedup input to just the rows that survive.
     pairs = (
         v.alias("a")
         .join(
@@ -378,13 +475,9 @@ def cosine_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.v").alias("va"),
-            F.col("b.v").alias("vb"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
         )
+        .filter(F.col("sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
-    return (
-        pairs.withColumn("sim", cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
-        .select("id_a", "id_b", F.round("sim", 6).alias("sim"))
-    )
+    return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))

@@ -171,13 +171,37 @@ def highlight_column(fld: str, terms: list[str]) -> Column:
 
 
 def _semantic_hits(df: DataFrame, sem: Semantic) -> DataFrame:
+    from pyspark.sql import types as T
+
     from fscrawler_spark.functions import embeddings
 
     corpus = df.select(
         F.col(sem.id_col).alias("vec_id"), F.col(sem.field).alias("embedding")
     )
+    # the query row's id must be TYPED like the corpus id: the operators
+    # compare neighbor_id != query_id, and a long sentinel against e.g. a
+    # sha256 STRING doc_id fails at runtime under ANSI (CAST_INVALID_INPUT).
+    # The sentinel value only needs to collide with no real id.
+    id_type = df.schema[sem.id_col].dataType
+    if isinstance(id_type, T.StringType):
+        sentinel = "\x00__semantic_query__"  # NUL prefix: no real id starts with it
+    elif isinstance(id_type, (T.LongType, T.IntegerType, T.ShortType, T.ByteType)):
+        sentinel = -1
+    elif isinstance(id_type, (T.DoubleType, T.FloatType)):
+        sentinel = -1.0
+    else:
+        raise TypeError(
+            f"Semantic.id_col {sem.id_col!r} has unsupported type {id_type}; "
+            "use a string or numeric id column"
+        )
     qdf = df.sparkSession.createDataFrame(
-        [(-1, [float(x) for x in sem.vector])], "vec_id long, embedding array<float>"
+        [(sentinel, [float(x) for x in sem.vector])],
+        T.StructType(
+            [
+                T.StructField("vec_id", id_type),
+                T.StructField("embedding", T.ArrayType(T.FloatType())),
+            ]
+        ),
     )
     if sem.exact:
         topk = embeddings.brute_force_topk(corpus, qdf, k=sem.k)

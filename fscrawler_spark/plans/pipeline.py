@@ -36,8 +36,9 @@ from pyspark.sql import functions as F
 
 from fscrawler_spark.config import ExtractSettings
 from fscrawler_spark.operators.extract import extract_transcripts
+from fscrawler_spark.operators.stats import parse_failure_flag
 from fscrawler_spark.plans.checkpoint import CheckpointManifest
-from fscrawler_spark.session import dynamic_partition_overwrite
+from fscrawler_spark.session import dynamic_partition_overwrite, materialize
 
 LINEAGE_COLS = [
     "run_id",
@@ -62,9 +63,20 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _has_parquet_files(path: str) -> bool:
-    for _root, _dirs, files in os.walk(path):
-        if any(f.endswith(".parquet") for f in files):
+def _has_parquet_files(spark: SparkSession, path: str) -> bool:
+    """True when any parquet data file exists under ``path`` — via the
+    Hadoop FileSystem API so non-local URIs (s3a://, hdfs://) probe the
+    real store (an os.walk would silently say False there and lineage
+    would record all-zero rows for buckets that contain data; same
+    scheme-agnostic rationale as operators/deletes._fs_for)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
             return True
     return False
 
@@ -86,7 +98,9 @@ def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = N
         F.count(F.lit(1)).alias("turn_count"),
         F.sum(F.col("file.filesize")).alias("bytes_in"),
         F.sum(F.coalesce(F.length("extracted"), F.lit(0))).alias("bytes_out"),
-        F.sum(F.when(F.col("error").isNotNull(), 1).otherwise(0)).alias("parse_failures"),
+        # genuine failures only: needs_ocr rows are NOT parse failures —
+        # the two counters partition the error space (stats.parse_failure_flag)
+        F.sum(parse_failure_flag()).alias("parse_failures"),
         # T5: image-like rows awaiting an OCR pass, counted separately so
         # they are distinguishable from genuinely broken rows downstream
         F.sum(F.when(F.col("error") == "needs_ocr", 1).otherwise(0)).alias("needs_ocr"),
@@ -200,7 +214,7 @@ def run_incremental_update(
     # materialize the extracted delta ONCE: the rebuild, the key set, and
     # the counts all consume it, and re-deriving would re-run the big
     # anti-join + extraction (bounded by the delta size)
-    fresh = extract_transcripts(changed_raw, settings).localCheckpoint(eager=True)
+    fresh = materialize(extract_transcripts(changed_raw, settings))
     # the key set that must be REPLACED/PURGED in the table:
     #   (changed rows that exist in prev)   — stale copies to remove
     # ∪ (fresh extraction keys)             — rows to (re)insert.
@@ -215,12 +229,12 @@ def run_incremental_update(
         .select("conv_id", "turn_idx", bucket_col.alias("part_bucket"))
         .unionByName(fresh.select("conv_id", "turn_idx", "part_bucket"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    changed_keys = materialize(changed_keys)
     changed = changed_keys.count()
     # deletion keys materialize before any rewrite: their lazy plan reads
     # the CURRENT output files, which the swaps below replace
-    gone = deleted_keys(prev.select("conv_id", "turn_idx"), src).localCheckpoint(eager=True)
+    gone = materialize(deleted_keys(prev.select("conv_id", "turn_idx"), src))
 
     # touched = buckets of every changed KEY (bucket is a pure function of
     # the key, so a filtered-out row's stale bucket is still covered)
@@ -250,7 +264,7 @@ def run_incremental_update(
     # emit explicit zero rows (same guard as run_extraction_job).
     targets = sorted(set(touched) | set(del_res["buckets"]))
     if targets:
-        if _has_parquet_files(out_data):
+        if _has_parquet_files(spark, out_data):
             out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
             metrics = bucket_metrics(out_df, run_id, buckets=targets)
         else:
@@ -409,7 +423,7 @@ def run_extraction_job(
         }
     targets = sorted(set(written) | (manifest.completed - already_metered))
     if targets:
-        if _has_parquet_files(out_data):
+        if _has_parquet_files(spark, out_data):
             out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
             metrics = bucket_metrics(out_df, run_id, buckets=targets)
         else:

@@ -49,6 +49,22 @@ def dynamic_partition_overwrite(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
+def materialize(df):
+    """Materialize a DataFrame and cut its lineage, durably when possible.
+
+    Reliable checkpoint() when the session has a checkpoint dir set
+    (HDFS/S3 on a real cluster: the materialized blocks survive executor
+    loss, so a 100-TB iteration or incremental tick does not restart
+    because one executor died), else localCheckpoint (executor-local
+    blocks — fine in local mode / short jobs). Shared by
+    dedup.connected_components and the incremental tick so the
+    durability policy cannot drift between operators."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def get_spark(
     app: str = "fscrawler_spark",
     master: str | None = None,

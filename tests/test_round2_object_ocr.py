@@ -152,8 +152,10 @@ def test_needs_ocr_countable_in_metrics(spark, tmp_path):
         .agg(F.sum("needs_ocr").alias("o"), F.sum("parse_failures").alias("f"))
         .collect()[0]
     )
-    assert m["o"] == 1  # the image row, distinguishable...
-    assert m["f"] == 2  # ...within the overall error count
+    # the image row counts ONLY as needs_ocr; parse_failures is the
+    # genuinely broken row — the two counters partition the error space
+    assert m["o"] == 1
+    assert m["f"] == 1
 
 
 def test_decrypt_retry_carries_object(spark):
