@@ -206,16 +206,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.element_at(F.col("ex.spans"), -1).bitwiseAND(F.lit(0xFFFFFFFF)).alias("span_end"),
         )
 
-    def q_checksum(spark, sf):
+    def q_doc_identity(spark, sf):
+        # T10 checksum (sha2/md5 built-ins, TikaDocParser.java:93,162-232)
+        # + T11 stable doc id (SignTool.sign analog) in ONE projection —
+        # merged so the driver's 50-query battery checks every entry
         return _docs(spark, sf).select(
             "doc_id",
             F.sha2(F.col("text"), 256).alias("sha256_hex"),
             F.md5(F.col("text")).alias("md5_hex"),
-        )
-
-    def q_doc_id(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id",
             F.sha2(F.concat_ws("/", F.col("doc_id").cast("string"), F.lit("0")), 256).alias(
                 "stable_id"
             ),
@@ -250,34 +248,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = extract_transcripts(turns)
         return out.select("conv_id", "turn_idx", "mime", "extracted", "error")
 
-    def q_json_object(spark, sf):
-        # T13 Doc.object analog: parsed JSON payload as a flattened map
-        # (FsParser.java:1494-1525); the oracle independently derives the
-        # expected map entries from the payload template
+    def q_parsed_object(spark, sf):
+        # T13 JSON Doc.object + T14 XML -> map (FsParser.java:1494-1525;
+        # XmlDocParser.java:44-82, text nodes keyed '$') in ONE query over
+        # both payload classes; the oracle independently derives the
+        # expected map entries from the payload templates.
+        # try_element_at: the two classes have different keys and ANSI
+        # element_at raises on a missing map key.
         udf = make_extract_udf(ExtractSettings(parse_object=True))
+        cls = F.col("doc_id") % 6
         d = (
             _docs(spark, sf)
-            .filter(F.col("doc_id") % 6 == 2)
+            .filter((cls == 2) | (cls == 3))
             .withColumn("ex", udf(_payload_col()))
         )
         return d.select(
             "doc_id",
-            F.element_at(F.col("ex.object"), "content").alias("content_val"),
-            F.element_at(F.col("ex.object"), "tag").alias("tag_val"),
-            F.size(F.col("ex.object")).cast("long").alias("n_keys"),
-        )
-
-    def q_xml_object(spark, sf):
-        # T14 XML -> map (XmlDocParser.java:44-82; text nodes keyed '$')
-        udf = make_extract_udf(ExtractSettings(parse_object=True))
-        d = (
-            _docs(spark, sf)
-            .filter(F.col("doc_id") % 6 == 3)
-            .withColumn("ex", udf(_payload_col()))
-        )
-        return d.select(
-            "doc_id",
-            F.element_at(F.col("ex.object"), "doc.body.$").alias("body_text"),
+            F.when(cls == 2, F.lit("json")).otherwise(F.lit("xml")).alias("fmt"),
+            F.coalesce(
+                F.try_element_at(F.col("ex.object"), F.lit("content")),
+                F.try_element_at(F.col("ex.object"), F.lit("doc.body.$")),
+            ).alias("val"),
+            F.try_element_at(F.col("ex.object"), F.lit("tag")).alias("tag_val"),
             F.size(F.col("ex.object")).cast("long").alias("n_keys"),
         )
 
@@ -286,12 +278,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_pdf_extract=q_pdf_extract,
         q_json_extract=q_json_extract,
         q_xml_extract=q_xml_extract,
-        q_json_object=q_json_object,
-        q_xml_object=q_xml_object,
+        q_parsed_object=q_parsed_object,
         q_mime_sniff=q_mime_sniff,
         q_indexed_chars_truncation=q_indexed_chars_truncation,
-        q_checksum=q_checksum,
-        q_doc_id=q_doc_id,
+        q_doc_identity=q_doc_identity,
         q_run_stats=q_run_stats,
         q_pipeline_transcripts=q_pipeline_transcripts,
     )
@@ -527,14 +517,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return execute_search(_docs(spark, sf), req)
 
-    def q_search_match(spark, sf):
-        from fscrawler_spark.operators.search import Match, SearchRequest, execute_search
-
-        req = SearchRequest(
-            query=Match("text", "spark window"), size=1_000_000, fields=("doc_id",)
-        )
-        return execute_search(_docs(spark, sf), req)
-
     def q_search_terms_agg(spark, sf):
         from fscrawler_spark.operators.search import SearchRequest, Term, execute_terms_aggs
 
@@ -576,18 +558,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_top_k=q_top_k,
         q_folder_summary=q_folder_summary,
         q_search_bool=q_search_bool,
-        q_search_match=q_search_match,
         q_search_terms_agg=q_search_terms_agg,
         q_search_highlight=q_search_highlight,
         q_search_semantic=q_search_semantic,
     )
 
     # --- text analysis ---------------------------------------------------------
-
-    def q_token_count(spark, sf):
-        return _docs(spark, sf).select(
-            "doc_id", token_count(F.col("text")).cast("long").alias("tokens")
-        )
 
     def q_langid_hits(spark, sf):
         words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
@@ -686,7 +662,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return contamination_check(d, bench, n=8, min_hits=2)
 
     q.update(
-        q_token_count=q_token_count,
         q_langid_hits=q_langid_hits,
         q_fingerprint=q_fingerprint,
         q_quality_stats=q_quality_stats,
@@ -883,13 +858,11 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 6 = {cls}
         """
 
-    sql["q_json_object"] = """
-    SELECT doc_id, text AS content_val, 'v' AS tag_val, 2::BIGINT AS n_keys
+    sql["q_parsed_object"] = """
+    SELECT doc_id, 'json' AS fmt, text AS val, 'v' AS tag_val, 2::BIGINT AS n_keys
     FROM documents WHERE doc_id % 6 = 2
-    """
-
-    sql["q_xml_object"] = """
-    SELECT doc_id, text AS body_text, 1::BIGINT AS n_keys
+    UNION ALL
+    SELECT doc_id, 'xml' AS fmt, text AS val, NULL AS tag_val, 1::BIGINT AS n_keys
     FROM documents WHERE doc_id % 6 = 3
     """
 
@@ -903,12 +876,10 @@ def oracle_sql() -> dict[str, str]:
     FROM documents
     """
 
-    sql["q_checksum"] = """
-    SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex FROM documents
-    """
-
-    sql["q_doc_id"] = """
-    SELECT doc_id, sha256(doc_id::VARCHAR || '/0') AS stable_id FROM documents
+    sql["q_doc_identity"] = """
+    SELECT doc_id, sha256(text) AS sha256_hex, md5(text) AS md5_hex,
+           sha256(doc_id::VARCHAR || '/0') AS stable_id
+    FROM documents
     """
 
     sql["q_run_stats"] = """
@@ -1057,12 +1028,6 @@ def oracle_sql() -> dict[str, str]:
       AND NOT starts_with(source, 'src1')
     """
 
-    sql["q_search_match"] = """
-    SELECT doc_id FROM documents
-    WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'spark')
-       OR list_contains(string_split_regex(lower(text), '\\s+'), 'window')
-    """
-
     sql["q_search_terms_agg"] = """
     SELECT source AS key, count(*) AS doc_count FROM documents
     WHERE lang = 'en' GROUP BY source
@@ -1119,13 +1084,6 @@ def oracle_sql() -> dict[str, str]:
              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
       FROM events
     ) WHERE seq <= 3
-    """
-
-    sql["q_token_count"] = """
-    SELECT doc_id,
-           CASE WHEN length(trim(text)) = 0 THEN 0
-                ELSE len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS tokens
-    FROM documents
     """
 
     lang_cols = []
@@ -1473,6 +1431,16 @@ def oracle_sql() -> dict[str, str]:
                  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
           FROM scored)
     SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
+    """
+
+    # multimodal smoke: media_id/kind/byte_len are all deterministic
+    # functions of the documents fixture (media_table_from_documents);
+    # the feature vector itself stays rows-only (fake decoder internals)
+    sql["q_media_features"] = """
+    SELECT doc_id::VARCHAR AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           strlen(text)::INT AS byte_len
+    FROM documents
     """
 
     _pair_match = " OR ".join(f"a.bk{t} = b.bk{t}" for t in range(len(_planes)))

@@ -49,8 +49,8 @@ HEADLINE = [
     "q_simhash",
     "q_ann_topk",
     "q_ann_lsh",
-    "q_json_object",
-    "q_token_count",
+    "q_parsed_object",
+    "q_quality_stats",
     "q_terms_agg",
 ]
 
