@@ -85,6 +85,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="clear a pause request; the next run continues pending waves "
         "(POST /_crawler/resume analog)",
     )
+    p.add_argument(
+        "--rest-port",
+        type=int,
+        default=None,
+        help="serve GET /status, POST /pause, POST /resume over HTTP while "
+        "the job runs (0 = pick a free port; the reference's --rest "
+        "control plane, rest/CrawlerApi.java:55-151)",
+    )
     return p
 
 
@@ -153,6 +161,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         lang_detect=args.lang_detect,
         store_source=args.store_source,
     )
+    rest_server = None
+    if args.rest_port is not None:
+        from fscrawler_spark.rest import StatusServer
+
+        rest_server = StatusServer(args.output, port=args.rest_port).start()
+        print(json.dumps({"rest": f"http://{rest_server.host}:{rest_server.port}"}))
     owns_session = spark is None
     if owns_session:
         spark = get_spark(app="fscrawler-spark-cli", master=args.master)
@@ -189,11 +203,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             else:
                 res = run_extraction_job(spark, args.input, args.output, settings)
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))
-            if sleep_s and i + 1 < args.loop:
-                import time
+            if sleep_s is not None:
+                from fscrawler_spark.plans.pipeline import schedule_next_check
 
-                time.sleep(sleep_s)
+                # persist when the next run is due (nextCheck analog);
+                # a delete-heavy tick schedules HALF the update rate so
+                # follow-up deletions are noticed sooner — and any
+                # external actor can pull next_check forward to wake the
+                # sleeping loop below early
+                delay = sleep_s / 2 if (args.incremental and res.get("deleted")) else sleep_s
+                schedule_next_check(args.output, delay)
+            if sleep_s and i + 1 < args.loop:
+                from fscrawler_spark.plans.pipeline import sleep_until_next_run
+
+                reason = sleep_until_next_run(args.output, sleep_s)
+                if reason != "timeout":
+                    print(json.dumps({"woke_early": reason}))
     finally:
+        if rest_server is not None:
+            rest_server.stop()
         if owns_session:
             spark.stop()
     return 0

@@ -82,6 +82,7 @@ def pack_sequences(
     max_tokens: int,
     part_col: str,
     order_cols: tuple[str, ...],
+    max_group_rows: int | None = 1_000_000,
 ) -> DataFrame:
     """Greedy in-order sequence packing: assign each row a ``pack_id``
     (numbered per ``part_col`` group) so consecutive rows in
@@ -101,11 +102,20 @@ def pack_sequences(
 
     Scale note: one shuffle on ``part_col`` (conversation, shard,
     bucket) — never a global order, which would serialize 10^12 rows
-    through one task. Groups must individually fit an Arrow batch
-    (bounded conversations/shards do); pack density costs only one
-    underfull tail pack per group.
+    through one task. An applyInPandas group materializes as ONE pandas
+    frame in the worker, so a mega-group would OOM: groups larger than
+    ``max_group_rows`` are auto-split into deterministic CONSECUTIVE
+    chunks (row_number over ``order_cols`` — the window sorts with disk
+    spill, unlike the pandas materialization) and packed per chunk. A
+    pack never spans a chunk boundary, so the split costs at most one
+    underfull pack per chunk; pack ids stay unique and monotone within
+    the group (chunk_idx * max_group_rows + within-chunk pack) but are
+    only CONSECUTIVE when the group fit one chunk. The splitter adds a
+    second exchange — pass max_group_rows=None when every group is known
+    to be small (restores the single-shuffle plan and consecutive ids).
     """
     import pandas as pd
+    from pyspark.sql import Window
     from pyspark.sql import types as T
 
     order = list(order_cols)
@@ -116,7 +126,7 @@ def pack_sequences(
         list(df.schema.fields) + [T.StructField("pack_id", T.LongType())]
     )
 
-    def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def _pack_frame(pdf: "pd.DataFrame", pack_offset: int) -> "pd.DataFrame":
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         packs = []
         acc = 0
@@ -127,11 +137,30 @@ def pack_sequences(
                 acc = int(t)
             else:
                 acc += int(t)
-            packs.append(pack)
+            packs.append(pack + pack_offset)
         pdf["pack_id"] = packs
         return pdf
 
-    return df.groupBy(part_col).applyInPandas(_pack, schema=out_schema)
+    if max_group_rows is None:
+        def _pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            return _pack_frame(pdf, 0)
+
+        return df.groupBy(part_col).applyInPandas(_pack, schema=out_schema)
+
+    if max_group_rows < 1:
+        raise ValueError(f"max_group_rows must be >= 1, got {max_group_rows}")
+
+    w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order])
+    chunked = df.withColumn(
+        "_chunk",
+        F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_group_rows)).cast("long"),
+    )
+
+    def _pack_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        offset = int(pdf["_chunk"].iloc[0]) * max_group_rows
+        return _pack_frame(pdf.drop(columns=["_chunk"]), offset)
+
+    return chunked.groupBy(part_col, "_chunk").applyInPandas(_pack_chunk, schema=out_schema)
 
 
 # --- PII redaction ----------------------------------------------------------

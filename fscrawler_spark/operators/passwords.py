@@ -59,6 +59,138 @@ def make_decrypt_udf(settings: ExtractSettings):
     return decrypt_udf
 
 
+# ---------------------------------------------------------------------------
+# Password provider SPI — plugins/password-{static,disk,chained,noop}
+# (FsCrawlerExtensionPasswordProvider; chained session semantics in
+# PasswordChainedPlugin.java: providers consulted IN ORDER, each one's
+# candidates exhausted before the next, nested 'chained' rejected).
+# A provider yields the candidate table (conv_id, passwords array<string>)
+# that retry_encrypted broadcasts; candidate ORDER in the array is the
+# order the decrypt UDF attempts them.
+# ---------------------------------------------------------------------------
+
+
+class PasswordProvider:
+    """SPI: build the per-conversation candidate table. ``convs`` is the
+    conversation universe (a DataFrame with a conv_id column) so global
+    providers can enumerate it."""
+
+    def candidates(self, convs: DataFrame) -> DataFrame:
+        raise NotImplementedError
+
+
+class NoopPasswordProvider(PasswordProvider):
+    """password-noop-plugin analog: never yields a candidate."""
+
+    def candidates(self, convs: DataFrame) -> DataFrame:
+        return convs.select("conv_id").distinct().withColumn(
+            "passwords", F.array().cast("array<string>")
+        )
+
+
+class StaticPasswordProvider(PasswordProvider):
+    """password-static-plugin analog: fixed candidates from config —
+    a global list (every conversation) and/or a per-conv mapping."""
+
+    def __init__(
+        self,
+        passwords: list[str] | None = None,
+        per_conv: dict[str, list[str]] | None = None,
+    ):
+        self.passwords = list(passwords or [])
+        self.per_conv = dict(per_conv or {})
+
+    def candidates(self, convs: DataFrame) -> DataFrame:
+        base = convs.select("conv_id").distinct()
+        glob = F.array(*[F.lit(p) for p in self.passwords]).cast("array<string>")
+        if not self.per_conv:
+            return base.withColumn("passwords", glob)
+        spark = convs.sparkSession
+        mapping = spark.createDataFrame(
+            [(k, list(v)) for k, v in self.per_conv.items()],
+            "conv_id string, _pc array<string>",
+        )
+        return (
+            base.join(F.broadcast(mapping), "conv_id", "left")
+            .withColumn(
+                "passwords",
+                F.concat(F.coalesce(F.col("_pc"), F.array().cast("array<string>")), glob),
+            )
+            .drop("_pc")
+        )
+
+
+class DiskPasswordProvider(PasswordProvider):
+    """password-disk-plugin analog: sidecar password files on disk —
+    ``<root>/<conv_id>.password``, one candidate per line (the reference
+    reads a '.password' sidecar next to each document). Files are tiny
+    and read driver-side; the result broadcasts like any candidate table.
+    """
+
+    SIDECAR_SUFFIX = ".password"
+
+    def __init__(self, root: str):
+        self.root = root
+
+    def candidates(self, convs: DataFrame) -> DataFrame:
+        import os
+
+        rows = []
+        if os.path.isdir(self.root):
+            for name in sorted(os.listdir(self.root)):
+                if not name.endswith(self.SIDECAR_SUFFIX):
+                    continue
+                conv_id = name[: -len(self.SIDECAR_SUFFIX)]
+                with open(os.path.join(self.root, name)) as f:
+                    pws = [ln.rstrip("\n") for ln in f if ln.strip()]
+                if pws:
+                    rows.append((conv_id, pws))
+        spark = convs.sparkSession
+        base = convs.select("conv_id").distinct()
+        if not rows:
+            return base.withColumn("passwords", F.array().cast("array<string>"))
+        found = spark.createDataFrame(rows, "conv_id string, passwords array<string>")
+        return base.join(F.broadcast(found), "conv_id", "left").withColumn(
+            "passwords", F.coalesce(F.col("passwords"), F.array().cast("array<string>"))
+        )
+
+
+class ChainedPasswordProvider(PasswordProvider):
+    """password-chained-plugin analog: consult providers IN ORDER; an
+    earlier provider's candidates are attempted before a later one's
+    (the decrypt UDF walks the array left to right). Duplicates keep
+    their FIRST position (array_distinct preserves first occurrence).
+    Nesting a chained provider is rejected, like the reference's
+    'providers cannot contain [chained]' validation."""
+
+    def __init__(self, providers: list[PasswordProvider]):
+        if not providers:
+            raise ValueError("ChainedPasswordProvider requires at least one provider")
+        if any(isinstance(p, ChainedPasswordProvider) for p in providers):
+            raise ValueError("chained password providers cannot nest a chained provider")
+        self.providers = list(providers)
+
+    def candidates(self, convs: DataFrame) -> DataFrame:
+        out = None
+        for p in self.providers:
+            nxt = p.candidates(convs).withColumnsRenamed({"passwords": "_nxt"})
+            if out is None:
+                out = nxt.withColumnsRenamed({"_nxt": "passwords"})
+            else:
+                out = (
+                    out.join(nxt, "conv_id", "full")
+                    .withColumn(
+                        "passwords",
+                        F.concat(
+                            F.coalesce(F.col("passwords"), F.array().cast("array<string>")),
+                            F.coalesce(F.col("_nxt"), F.array().cast("array<string>")),
+                        ),
+                    )
+                    .drop("_nxt")
+                )
+        return out.withColumn("passwords", F.array_distinct("passwords"))
+
+
 def retry_encrypted(
     docs: DataFrame,
     src: DataFrame,

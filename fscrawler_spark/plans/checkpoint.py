@@ -53,6 +53,13 @@ class CheckpointManifest:
     settings_fingerprint: str | None = None
     retry_count: int = 0
     last_error: str | None = None
+    # epoch seconds of the next scheduled scan (FsCrawlerCheckpoint
+    # nextCheck, FsParser.java:431-452): the CLI loop re-reads the FILE
+    # while sleeping and wakes early when this passes — so an external
+    # actor (REST, another process editing the manifest) can pull the
+    # next run forward, like the reference's shouldWakeFromCheckpoint
+    # (FsParser.java:1401-1417)
+    next_check: float | None = None
 
     @classmethod
     def load_or_create(
@@ -80,6 +87,7 @@ class CheckpointManifest:
                 settings_fingerprint=d.get("settings_fingerprint"),
                 retry_count=d.get("retry_count", 0),
                 last_error=d.get("last_error"),
+                next_check=d.get("next_check"),
             )
             # refuse to mix incompatible runs; a legacy manifest without a
             # recorded fingerprint adopts the caller's (cannot verify)
@@ -166,6 +174,12 @@ class CheckpointManifest:
             self.retry_count = 0
             self.save()
 
+    def set_next_check(self, epoch_seconds: float | None) -> None:
+        """Persist the next scheduled scan time (updateCheckpointAsCompleted
+        analog, FsParser.java:663-688)."""
+        self.next_check = epoch_seconds
+        self.save()
+
     def resume_running(self) -> None:
         """A resumed run is RUNNING again — without this, every
         mark_completed save would persist a stale PAUSED state and a
@@ -192,6 +206,7 @@ class CheckpointManifest:
             "files_processed": self.files_processed,
             "retry_count": self.retry_count,
             "last_error": self.last_error,
+            "next_check": self.next_check,
         }
 
     def save(self) -> None:
@@ -206,6 +221,7 @@ class CheckpointManifest:
             "settings_fingerprint": self.settings_fingerprint,
             "retry_count": self.retry_count,
             "last_error": self.last_error,
+            "next_check": self.next_check,
         }
         dir_ = os.path.dirname(self.path) or "."
         os.makedirs(dir_, exist_ok=True)

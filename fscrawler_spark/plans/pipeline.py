@@ -134,6 +134,54 @@ def job_status(output_dir: str) -> dict:
     return CheckpointManifest.load_or_create(ckpt_path).status()
 
 
+def schedule_next_check(output_dir: str, delay_s: float) -> float:
+    """Persist next_check = now + delay into the manifest
+    (updateCheckpointAsCompleted analog, FsParser.java:663-688).
+    Returns the epoch written."""
+    import time
+
+    nc = time.time() + delay_s
+    CheckpointManifest.load_or_create(
+        os.path.join(output_dir, "_checkpoint.json")
+    ).set_next_check(nc)
+    return nc
+
+
+def should_wake(
+    elapsed_s: float,
+    max_wait_s: float,
+    next_check_epoch: float | None,
+    now_epoch: float,
+) -> str | None:
+    """Pure wake decision for the between-runs sleep loop
+    (FsParser.java:488-556 + shouldWakeFromCheckpoint :1401-1417):
+    'timeout' when the full update-rate elapsed, 'next_check' when the
+    PERSISTED next_check has passed (an external actor pulled the next
+    run forward), else None (keep sleeping)."""
+    if elapsed_s >= max_wait_s:
+        return "timeout"
+    if next_check_epoch is not None and now_epoch >= next_check_epoch:
+        return "next_check"
+    return None
+
+
+def sleep_until_next_run(
+    output_dir: str, max_wait_s: float, poll_s: float = 1.0
+) -> str:
+    """Sleep up to ``max_wait_s``, re-reading the manifest each poll so a
+    next_check moved into the past wakes the loop early. Returns the wake
+    reason ('timeout' | 'next_check')."""
+    import time
+
+    started = time.monotonic()
+    while True:
+        nc = job_status(output_dir).get("next_check")
+        reason = should_wake(time.monotonic() - started, max_wait_s, nc, time.time())
+        if reason:
+            return reason
+        time.sleep(min(poll_s, max(0.0, max_wait_s - (time.monotonic() - started))))
+
+
 def request_pause(output_dir: str) -> None:
     """Ask a running (or future) job to pause between waves
     (POST /_crawler/pause analog)."""
