@@ -81,3 +81,42 @@ def test_lsh_join_is_keyed_not_cross(spark):
     plan = plan_of(dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+def test_simhash_is_one_wide_aggregate(spark):
+    """VERDICT r2 #6: pin the wide-aggregate claim — the simhash plan
+    must carry ONE shuffle row per id (a single exchange on id feeding a
+    single final hash aggregate with the 32 vote columns), never the old
+    per-bit explode (32 rows/id through the aggregate)."""
+    from fscrawler_spark.functions import dedup
+
+    df = spark.createDataFrame(
+        [(i, f"words shared across documents {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = plan_of(dedup.simhash(df, bits=32))
+    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
+    assert len(exchanges) == 1, plan
+    assert "hashpartitioning(id" in exchanges[0], exchanges[0]
+    # no bit-position explode: exactly one Generate (the token explode)
+    assert plan.count("Generate explode") == 1, plan
+
+
+def test_lsh_topk_dedup_exchange_is_slim(spark):
+    """VERDICT r2 #2 (plan pin, complements the byte A/B in
+    tools/shuffle_audit.py): the pair-dedup exchange of
+    cosine_near_dup_pairs carries (id_a, id_b, sim) only — never the
+    vector payloads."""
+    import numpy as np
+
+    from fscrawler_spark.functions import embeddings
+
+    rng = np.random.default_rng(1)
+    rows = [(i, [float(x) for x in rng.normal(0, 1, 8)]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    plan = plan_of(embeddings.cosine_near_dup_pairs(df, threshold=0.9, bits=8))
+    dedup_exchanges = [
+        ln for ln in plan.splitlines() if "Exchange hashpartitioning(id_a" in ln
+    ]
+    assert dedup_exchanges, plan
+    for ln in dedup_exchanges:
+        assert "va#" not in ln and "vb#" not in ln and "embedding#" not in ln, ln
