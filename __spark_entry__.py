@@ -738,8 +738,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
     def q_ann_lsh(spark, sf):
+        # bits PINNED to 8: the DuckDB twin embeds the 8-bit plane
+        # literals, so the engine must never auto-size past them. The
+        # crossover guard still applies — past ~5M fixture vectors this
+        # raises loudly (driver error row) instead of silently diverging
+        # from the oracle.
         e = _emb(spark, sf)
-        out = embeddings.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+        out = embeddings.lsh_topk(e, e.filter(F.col("vec_id") < 5), k=5, bits=8)
         return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
     def q_ann_ivf(spark, sf):
@@ -755,10 +760,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_embed_near_dup(spark, sf):
+        # bits pinned to 8 for the same oracle-literal reason as q_ann_lsh
         e = _emb(spark, sf)
         dup = e.withColumn("vec_id", F.col("vec_id") + 100000)
         return embeddings.cosine_near_dup_pairs(
-            e.unionByName(dup), threshold=0.999999
+            e.unionByName(dup), threshold=0.999999, bits=8
         ).select("id_a", "id_b")
 
     q.update(

@@ -162,15 +162,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         store_source=args.store_source,
     )
     rest_server = None
-    if args.rest_port is not None:
-        from fscrawler_spark.rest import StatusServer
-
-        rest_server = StatusServer(args.output, port=args.rest_port).start()
-        print(json.dumps({"rest": f"http://{rest_server.host}:{rest_server.port}"}))
     owns_session = spark is None
-    if owns_session:
-        spark = get_spark(app="fscrawler-spark-cli", master=args.master)
+    # everything from the server start onward sits inside the try: a
+    # get_spark failure (bad --master, port conflict) must not leak the
+    # bound HTTP thread into the host process
     try:
+        if args.rest_port is not None:
+            from fscrawler_spark.rest import StatusServer
+
+            rest_server = StatusServer(args.output, port=args.rest_port).start()
+            print(json.dumps({"rest": f"http://{rest_server.host}:{rest_server.port}"}))
+        if owns_session:
+            spark = get_spark(app="fscrawler-spark-cli", master=args.master)
         if args.dry_run:
             from pyspark.sql import functions as F
 
@@ -222,7 +225,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     finally:
         if rest_server is not None:
             rest_server.stop()
-        if owns_session:
+        if owns_session and spark is not None:
             spark.stop()
     return 0
 

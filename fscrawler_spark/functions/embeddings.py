@@ -86,12 +86,24 @@ def auto_bits(
 ) -> int:
     """Bits sized to the corpus: smallest b >= floor_bits with expected
     bucket n/2^b <= max_bucket/headroom. Logged when it raises bits past
-    the floor so a recall-sensitive caller knows to add tables."""
+    the floor so a recall-sensitive caller knows to add tables. Raises
+    (never silently returns empty-result sizing) when even MAX_BITS
+    cannot bring the expected bucket under the cap (~2e13 vectors at the
+    defaults — at that scale widen max_bucket or pre-partition)."""
     _validate_bits(floor_bits)
     if max_bucket is None or n <= 0:
         return floor_bits
     need = math.ceil(math.log2(max(1.0, headroom * n / max_bucket)))
-    bits = min(max(floor_bits, need), MAX_BITS)
+    bits = max(floor_bits, need)
+    if bits > MAX_BITS:
+        if n / (1 << MAX_BITS) > max_bucket:
+            raise ValueError(
+                f"hyperplane LSH cannot bucket n={n} under max_bucket="
+                f"{max_bucket} even at {MAX_BITS} bits (expected bucket "
+                f"{n / (1 << MAX_BITS):.0f}); raise max_bucket or shard "
+                "the corpus before bucketing"
+            )
+        bits = MAX_BITS
     if bits > floor_bits:
         logger.warning(
             "hyperplane LSH: auto-sized bits %d -> %d for corpus n=%d "
@@ -109,25 +121,43 @@ def _resolve_bits(
     corpus_count: int | None,
     op: str,
 ) -> int:
-    """Explicit bits are validated against the cap crossover (when a count
-    is known or cheap); bits=None auto-sizes from the corpus count."""
+    """Size/validate bits against the giant-bucket cap.
+
+    Needs the corpus cardinality: ``corpus_count`` when the caller knows
+    it, else ONE count job at plan time (skipped entirely when
+    max_bucket is None — no cap, no footgun, floor bits). Explicit bits
+    are validated against the same crossover, so `bits=8` on a 100M-
+    vector corpus raises instead of silently returning an empty frame
+    (the round-2 footgun)."""
     if bits is not None:
         _validate_bits(bits)
-        if (
-            max_bucket is not None
-            and corpus_count is not None
-            and corpus_count / (1 << bits) > max_bucket
-        ):
-            raise ValueError(
-                f"{op}: bits={bits} gives an EXPECTED bucket of "
-                f"{corpus_count / (1 << bits):.0f} > max_bucket={max_bucket}; "
-                f"every bucket would be dropped and the result would be empty. "
-                f"Raise bits (>= {auto_bits(corpus_count, max_bucket, bits)}), "
-                f"raise max_bucket, or pass bits=None to auto-size."
-            )
-        return bits
+    if max_bucket is None:
+        return bits if bits is not None else DEFAULT_BITS
     n = corpus_count if corpus_count is not None else corpus.count()
-    return auto_bits(n, max_bucket)
+    if bits is None:
+        return auto_bits(n, max_bucket)
+    if n / (1 << bits) > max_bucket:
+        need = math.ceil(math.log2(max(1.0, AUTO_BITS_HEADROOM * n / max_bucket)))
+        if need <= MAX_BITS:
+            remedy = (
+                f"Raise bits (~{need}), raise max_bucket, or pass "
+                f"bits=None to auto-size."
+            )
+        else:
+            # even MAX_BITS cannot satisfy the cap: suggesting more bits
+            # or auto-sizing would fail the same way — say so
+            remedy = (
+                f"No bits value <= {MAX_BITS} can satisfy this cap at "
+                f"n={n}; raise max_bucket or shard the corpus before "
+                "bucketing. Audit the distribution with "
+                "bucket_size_stats(df, bits=..., max_bucket=None)."
+            )
+        raise ValueError(
+            f"{op}: bits={bits} gives an EXPECTED bucket of "
+            f"{n / (1 << bits):.0f} > max_bucket={max_bucket}; every bucket "
+            f"would be dropped and the result would be empty. {remedy}"
+        )
+    return bits
 
 
 def _dot(a, b) -> F.Column:
@@ -257,14 +287,30 @@ def bucket_size_stats(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    bits: int = DEFAULT_BITS,
+    bits: int | None = None,
     tables: int = DEFAULT_TABLES,
     seed: int = DEFAULT_SEED,
     dim: int | None = None,
+    max_bucket: int | None = DEFAULT_MAX_BUCKET,
+    corpus_count: int | None = None,
 ) -> DataFrame:
     """(table, bucket, n) distribution — audit which buckets a cap would
-    drop before running the join. Defaults MATCH the join operators', so
-    the audit describes the exact bucketing the guard filters."""
+    drop before running the join. bits=None auto-sizes like the join
+    operators do, so the default audit describes the bucketing the guard
+    filters; EXPLICIT bits are audited as-given WITHOUT the crossover
+    validation (and without any count job) — this is the diagnostic for
+    exactly the configuration the join operators refuse, so it must
+    never raise where they do."""
+    if bits is None:
+        n = corpus_count if corpus_count is not None else df.count()
+        try:
+            bits = auto_bits(n, max_bucket) if max_bucket is not None else DEFAULT_BITS
+        except ValueError:
+            # past the MAX_BITS feasibility ceiling: audit the closest
+            # achievable bucketing instead of refusing to diagnose
+            bits = MAX_BITS
+    else:
+        _validate_bits(bits)
     dim = _infer_dim(df, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)
     return (
@@ -406,9 +452,12 @@ def lsh_topk(
     a cross join, which is what survives a 10^9-vector corpus.
 
     bits=None (default) auto-sizes to the corpus so the giant-bucket cap
-    can never silently drop everything (one count job at plan time;
-    pass corpus_count when the size is already known). Explicit bits are
-    rejected when a known count says every bucket would cross the cap.
+    can never silently drop everything; explicit bits are validated
+    against the same crossover. Either way ONE count job runs at plan
+    time when max_bucket is set — pass ``corpus_count`` to skip it.
+    corpus_count is TRUSTED: a stale undercount passes validation while
+    the real bucketing overflows the cap (the silent-empty mode again) —
+    supply it only from a fresh count/table snapshot, else leave None.
     """
     bits = _resolve_bits(corpus, bits, max_bucket, corpus_count, "lsh_topk")
     dim = _infer_dim(queries, vec_col, dim)
@@ -456,7 +505,7 @@ def cosine_near_dup_pairs(
 
     bits auto-sizes to the corpus count like lsh_topk (same footgun
     guard: a cap that would drop every bucket raises instead of
-    silently returning no pairs)."""
+    silently returning no pairs; same trusted-corpus_count caveat)."""
     bits = _resolve_bits(df, bits, max_bucket, corpus_count, "cosine_near_dup_pairs")
     dim = _infer_dim(df, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)

@@ -127,6 +127,12 @@ class Semantic:
     k: int = 10
     id_col: str = "doc_id"
     exact: bool = False
+    # corpus cardinality, when the caller knows it: lets the LSH route
+    # auto-size its bucket bits WITHOUT a count job per search request.
+    # None = one count job at plan time (correct, loud at scale, slower).
+    # TRUSTED value — a stale undercount silently under-buckets (see
+    # embeddings.lsh_topk); refresh it when the corpus grows.
+    corpus_count: int | None = None
 
 
 @dataclass(frozen=True)
@@ -206,8 +212,12 @@ def _semantic_hits(df: DataFrame, sem: Semantic) -> DataFrame:
     if sem.exact:
         topk = embeddings.brute_force_topk(corpus, qdf, k=sem.k)
     else:
-        # dim is known from the query vector: no inference job
-        topk = embeddings.lsh_topk(corpus, qdf, k=sem.k, dim=len(sem.vector))
+        # dim is known from the query vector (no inference job); the
+        # bucket-bit sizing needs the corpus cardinality — supplied via
+        # Semantic.corpus_count, else lsh_topk runs one count job
+        topk = embeddings.lsh_topk(
+            corpus, qdf, k=sem.k, dim=len(sem.vector), corpus_count=sem.corpus_count
+        )
     topk = topk.select(F.col("neighbor_id").alias(sem.id_col), "rank", "sim")
     return df.join(topk, sem.id_col).orderBy("rank")
 

@@ -28,8 +28,13 @@ def test_auto_bits_sizing_math():
     # uncapped or empty corpora keep the floor
     assert embeddings.auto_bits(10**12, None) == embeddings.DEFAULT_BITS
     assert embeddings.auto_bits(0, 20_000) == embeddings.DEFAULT_BITS
-    # never past the int32-packing ceiling
-    assert embeddings.auto_bits(10**15, 2) == embeddings.MAX_BITS
+    # past the int32-packing ceiling: clamped while the cap still holds...
+    n_clamp = 20_000 * (1 << embeddings.MAX_BITS)
+    assert embeddings.auto_bits(n_clamp, 20_000) == embeddings.MAX_BITS
+    # ...but RAISES (never a silent all-dropped sizing) when even
+    # MAX_BITS cannot bring the expected bucket under the cap
+    with pytest.raises(ValueError, match="even at 30 bits"):
+        embeddings.auto_bits(10**15, 2)
 
 
 def test_lsh_topk_auto_bits_survives_cap_crossover(spark):

@@ -133,8 +133,11 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf}/documents.parquet")
     q = e.filter(F.col("vec_id") < 50)
 
+    n_e = e.count()
     measure(spark, "lsh_topk_r2", lsh_topk_r2(e, q))
-    measure(spark, "lsh_topk_r3", embeddings.lsh_topk(e, q, bits=8))
+    # corpus_count: keep the A/B clean — the r2 shape never counted, so
+    # the r3 measurement must not include the validation count job
+    measure(spark, "lsh_topk_r3", embeddings.lsh_topk(e, q, bits=8, corpus_count=n_e))
 
     dup = e.withColumn("vec_id", F.col("vec_id") + 100000)
     both = e.unionByName(dup)
@@ -142,7 +145,9 @@ def main() -> None:
     measure(
         spark,
         "near_dup_r3",
-        embeddings.cosine_near_dup_pairs(both, threshold=0.999999, bits=8),
+        embeddings.cosine_near_dup_pairs(
+            both, threshold=0.999999, bits=8, corpus_count=2 * n_e
+        ),
     )
 
     sigs = dedup.minhash_signatures_fast(docs)
