@@ -257,13 +257,25 @@ def verify_candidates(
     k-word string arrays (same trick as jaccard_pairs): intersection
     COUNTS are unchanged absent 64-bit collisions (~n^2/2^65), and the
     per-row join payload drops from ~k*8 bytes per shingle string to 8.
+
+    A semi-join prefilter restricts the shingle table to ids that appear
+    in ANY candidate pair before the equi-joins: without it both joins
+    shuffle the WHOLE corpus's shingle arrays even when LSH produced
+    candidates for 0.1% of documents. AQE turns the prefilter into a
+    broadcast when the candidate id set is small (the common case); in
+    the worst case it degrades to the shuffle the joins paid anyway.
     """
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
     sh = df.select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), shingle_k), lambda x: F.xxhash64(x)
         ).alias("sh"),
-    )
+    ).join(cand_ids, "id", "left_semi")
     return (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
