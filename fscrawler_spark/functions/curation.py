@@ -150,17 +150,22 @@ def pack_sequences(
     if max_group_rows < 1:
         raise ValueError(f"max_group_rows must be >= 1, got {max_group_rows}")
 
+    # collision-safe internal name: a user column named "_chunk" must
+    # neither be clobbered nor dropped from the output schema
+    chunk_col = "__fsc_pack_chunk"
+    if chunk_col in df.columns:
+        raise ValueError(f"input must not contain the reserved column {chunk_col!r}")
     w = Window.partitionBy(part_col).orderBy(*[F.col(c) for c in order])
     chunked = df.withColumn(
-        "_chunk",
+        chunk_col,
         F.floor((F.row_number().over(w) - F.lit(1)) / F.lit(max_group_rows)).cast("long"),
     )
 
     def _pack_chunk(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        offset = int(pdf["_chunk"].iloc[0]) * max_group_rows
-        return _pack_frame(pdf.drop(columns=["_chunk"]), offset)
+        offset = int(pdf[chunk_col].iloc[0]) * max_group_rows
+        return _pack_frame(pdf.drop(columns=[chunk_col]), offset)
 
-    return chunked.groupBy(part_col, "_chunk").applyInPandas(_pack_chunk, schema=out_schema)
+    return chunked.groupBy(part_col, chunk_col).applyInPandas(_pack_chunk, schema=out_schema)
 
 
 # --- PII redaction ----------------------------------------------------------

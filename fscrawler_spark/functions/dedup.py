@@ -264,6 +264,10 @@ def verify_candidates(
     candidates for 0.1% of documents. AQE turns the prefilter into a
     broadcast when the candidate id set is small (the common case); in
     the worst case it degrades to the shuffle the joins paid anyway.
+
+    ``candidates`` is referenced three times (both prefilter id
+    projections + the pair join): pass a materialized/cached frame when
+    the candidate plan is expensive — near_dup_pipeline does.
     """
     cand_ids = (
         candidates.select(F.col("id_a").alias("id"))
@@ -381,8 +385,18 @@ def near_dup_pipeline(
     if hash_family not in ("fast", "md5"):
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
+    from fscrawler_spark.session import materialize as _materialize
+
     sigs = sig_fn(df, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
-    cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)
+    # materialize the candidate pairs before verification:
+    # verify_candidates references the candidate plan THREE times (two
+    # id projections for the semi-join prefilter + the pair join), so a
+    # live minhash->band->self-join subtree would re-execute for each
+    # scan. connected_components materializes downstream anyway, so the
+    # pipeline was already eager at call time.
+    cands = _materialize(
+        lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)
+    )
     verified = verify_candidates(df, cands, id_col=id_col, text_col=text_col, threshold=threshold)
     clusters = connected_components(verified)
     return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))

@@ -123,41 +123,39 @@ def _resolve_bits(
 ) -> int:
     """Size/validate bits against the giant-bucket cap.
 
-    Needs the corpus cardinality: ``corpus_count`` when the caller knows
-    it, else ONE count job at plan time (skipped entirely when
-    max_bucket is None — no cap, no footgun, floor bits). Explicit bits
-    are validated against the same crossover, so `bits=8` on a 100M-
-    vector corpus raises instead of silently returning an empty frame
-    (the round-2 footgun)."""
+    The DEFAULT path (bits=None) is the footgun-proof one: it needs the
+    corpus cardinality — ``corpus_count`` when the caller knows it, else
+    ONE count job at plan time (skipped entirely when max_bucket is None
+    — no cap, no footgun, floor bits) — and sizes bits so the cap can
+    never drop every bucket.
+
+    EXPLICIT bits are an expert override: no count job runs for them
+    (plan-build stays job-free, which matters for benched queries), and
+    when ``corpus_count`` IS supplied and puts the uniform-expectation
+    bucket over the cap this WARNS rather than raising — a skewed corpus
+    concentrates mass in a few dense buckets the cap drops while its
+    tail still returns valid neighbors, so a hard error would refuse
+    working configurations. Audit real bucket sizes with
+    ``bucket_size_stats`` before trusting explicit bits at scale."""
     if bits is not None:
         _validate_bits(bits)
     if max_bucket is None:
         return bits if bits is not None else DEFAULT_BITS
+    if bits is not None:
+        n = corpus_count
+        if n is not None and n / (1 << bits) > max_bucket:
+            need = math.ceil(math.log2(max(1.0, AUTO_BITS_HEADROOM * n / max_bucket)))
+            logger.warning(
+                "%s: bits=%d gives an EXPECTED bucket of %.0f > max_bucket=%d "
+                "for n=%d; under a near-uniform distribution most buckets "
+                "exceed the cap and are dropped (empty or severely truncated "
+                "result). Raise bits (~%d), raise max_bucket, or pass "
+                "bits=None to auto-size; audit with bucket_size_stats.",
+                op, bits, n / (1 << bits), max_bucket, n, min(need, MAX_BITS),
+            )
+        return bits
     n = corpus_count if corpus_count is not None else corpus.count()
-    if bits is None:
-        return auto_bits(n, max_bucket)
-    if n / (1 << bits) > max_bucket:
-        need = math.ceil(math.log2(max(1.0, AUTO_BITS_HEADROOM * n / max_bucket)))
-        if need <= MAX_BITS:
-            remedy = (
-                f"Raise bits (~{need}), raise max_bucket, or pass "
-                f"bits=None to auto-size."
-            )
-        else:
-            # even MAX_BITS cannot satisfy the cap: suggesting more bits
-            # or auto-sizing would fail the same way — say so
-            remedy = (
-                f"No bits value <= {MAX_BITS} can satisfy this cap at "
-                f"n={n}; raise max_bucket or shard the corpus before "
-                "bucketing. Audit the distribution with "
-                "bucket_size_stats(df, bits=..., max_bucket=None)."
-            )
-        raise ValueError(
-            f"{op}: bits={bits} gives an EXPECTED bucket of "
-            f"{n / (1 << bits):.0f} > max_bucket={max_bucket}; every bucket "
-            f"would be dropped and the result would be empty. {remedy}"
-        )
-    return bits
+    return auto_bits(n, max_bucket)
 
 
 def _dot(a, b) -> F.Column:
@@ -302,13 +300,18 @@ def bucket_size_stats(
     exactly the configuration the join operators refuse, so it must
     never raise where they do."""
     if bits is None:
-        n = corpus_count if corpus_count is not None else df.count()
-        try:
-            bits = auto_bits(n, max_bucket) if max_bucket is not None else DEFAULT_BITS
-        except ValueError:
-            # past the MAX_BITS feasibility ceiling: audit the closest
-            # achievable bucketing instead of refusing to diagnose
-            bits = MAX_BITS
+        if max_bucket is None:
+            # no cap to audit against: floor bits, and no count job —
+            # the cardinality would be ignored anyway
+            bits = DEFAULT_BITS
+        else:
+            n = corpus_count if corpus_count is not None else df.count()
+            try:
+                bits = auto_bits(n, max_bucket)
+            except ValueError:
+                # past the MAX_BITS feasibility ceiling: audit the closest
+                # achievable bucketing instead of refusing to diagnose
+                bits = MAX_BITS
     else:
         _validate_bits(bits)
     dim = _infer_dim(df, vec_col, dim)
@@ -452,12 +455,13 @@ def lsh_topk(
     a cross join, which is what survives a 10^9-vector corpus.
 
     bits=None (default) auto-sizes to the corpus so the giant-bucket cap
-    can never silently drop everything; explicit bits are validated
-    against the same crossover. Either way ONE count job runs at plan
-    time when max_bucket is set — pass ``corpus_count`` to skip it.
+    can never silently drop everything; that path runs ONE count job at
+    plan time when max_bucket is set — pass ``corpus_count`` to skip it.
     corpus_count is TRUSTED: a stale undercount passes validation while
     the real bucketing overflows the cap (the silent-empty mode again) —
     supply it only from a fresh count/table snapshot, else leave None.
+    Explicit bits never count; they warn (not raise) when a supplied
+    corpus_count crosses the cap crossover — see _resolve_bits.
     """
     bits = _resolve_bits(corpus, bits, max_bucket, corpus_count, "lsh_topk")
     dim = _infer_dim(queries, vec_col, dim)
@@ -504,8 +508,8 @@ def cosine_near_dup_pairs(
     dedup use-case is ~1 by construction.
 
     bits auto-sizes to the corpus count like lsh_topk (same footgun
-    guard: a cap that would drop every bucket raises instead of
-    silently returning no pairs; same trusted-corpus_count caveat)."""
+    guard: auto-sizing keeps the cap from ever dropping every bucket;
+    same trusted-corpus_count caveat, same explicit-bits warning)."""
     bits = _resolve_bits(df, bits, max_bucket, corpus_count, "cosine_near_dup_pairs")
     dim = _infer_dim(df, vec_col, dim)
     planes = random_hyperplanes(dim, bits, tables, seed)

@@ -142,7 +142,9 @@ class DiskPasswordProvider(PasswordProvider):
                     continue
                 conv_id = name[: -len(self.SIDECAR_SUFFIX)]
                 with open(os.path.join(self.root, name)) as f:
-                    pws = [ln.rstrip("\n") for ln in f if ln.strip()]
+                    # rstrip \r too: CRLF sidecars (Windows editors, git
+                    # autocrlf) must not yield candidates with trailing \r
+                    pws = [ln.rstrip("\r\n") for ln in f if ln.strip()]
                 if pws:
                     rows.append((conv_id, pws))
         spark = convs.sparkSession

@@ -150,6 +150,19 @@ def test_chained_password_provider_precedence(spark, tmp_path):
         ChainedPasswordProvider([])
 
 
+def test_disk_provider_strips_crlf_sidecars(spark, tmp_path):
+    """A CRLF sidecar (Windows editor, git autocrlf) must not yield
+    candidates with a trailing \\r that never match the real password."""
+    from fscrawler_spark.operators.passwords import DiskPasswordProvider
+
+    convs = spark.createDataFrame([("c1",)], "conv_id string")
+    root = tmp_path / "pw"
+    root.mkdir()
+    (root / "c1.password").write_bytes(b"good-pw\r\nsecond\r\n")
+    got = DiskPasswordProvider(str(root)).candidates(convs).collect()
+    assert got[0]["passwords"] == ["good-pw", "second"]
+
+
 def test_chained_providers_drive_retry_encrypted(spark, tmp_path):
     from fscrawler_spark.operators.extract import extract_transcripts
     from fscrawler_spark.operators.passwords import (
@@ -176,6 +189,25 @@ def test_chained_providers_drive_retry_encrypted(spark, tmp_path):
     out = retry_encrypted(docs, src.select("conv_id", "turn_idx", "text"), pws, st).collect()[0]
     assert out["error"] is None
     assert out["extracted"] == "the secret body"
+
+
+def test_pack_sequences_rejects_reserved_chunk_column(spark):
+    """A user column named like the internal chunk key must error
+    explicitly, never be clobbered/dropped (and '_chunk' is NOT
+    reserved — users may own it)."""
+    from fscrawler_spark.functions.curation import pack_sequences
+
+    ok = spark.createDataFrame(
+        [("s", 1, 5, "x")], "shard string, turn_idx int, n_tokens int, _chunk string"
+    )
+    out = pack_sequences(ok, token_col="n_tokens", max_tokens=10,
+                         part_col="shard", order_cols=("turn_idx",), max_group_rows=2)
+    assert out.select("_chunk").first()["_chunk"] == "x"
+
+    bad = ok.withColumnRenamed("_chunk", "__fsc_pack_chunk")
+    with pytest.raises(ValueError, match="reserved column"):
+        pack_sequences(bad, token_col="n_tokens", max_tokens=10,
+                       part_col="shard", order_cols=("turn_idx",), max_group_rows=2)
 
 
 def test_pack_sequences_auto_splits_oversize_groups(spark):
