@@ -53,9 +53,11 @@ logger = logging.getLogger(__name__)
 # few bits every bucket crosses the cap and the operators would return
 # EMPTY results. The join operators therefore AUTO-SIZE bits from a
 # corpus count when ``bits`` is not given (one count job at plan time,
-# or pass ``corpus_count`` to skip it), and REFUSE an explicit ``bits``
-# whose expected bucket size already exceeds the cap — a silent empty
-# result at exactly the scale the operator exists for is never ok.
+# or pass ``corpus_count`` to skip it), and WARN LOUDLY on an explicit
+# ``bits`` whose expected bucket size already exceeds the cap (a warning,
+# not an error: skewed corpora can still return valid tail-bucket
+# results) — a SILENT empty result at exactly the scale the operator
+# exists for is never ok.
 # Recall follows 1-(1-p^bits)^tables, so add tables as you add bits;
 # audit with bucket_size_stats() before a big run.
 DEFAULT_BITS = 8
@@ -129,33 +131,44 @@ def _resolve_bits(
     — no cap, no footgun, floor bits) — and sizes bits so the cap can
     never drop every bucket.
 
-    EXPLICIT bits are an expert override: no count job runs for them
-    (plan-build stays job-free, which matters for benched queries), and
-    when ``corpus_count`` IS supplied and puts the uniform-expectation
-    bucket over the cap this WARNS rather than raising — a skewed corpus
-    concentrates mass in a few dense buckets the cap drops while its
-    tail still returns valid neighbors, so a hard error would refuse
-    working configurations. Audit real bucket sizes with
-    ``bucket_size_stats`` before trusting explicit bits at scale."""
+    EXPLICIT bits are an expert override, but never a SILENT one: the
+    crossover check still needs the cardinality (``corpus_count`` when
+    supplied, else the same one count job the auto path pays — repeat
+    callers should cache the count), and a crossover WARNS rather than
+    raising — a skewed corpus concentrates mass in a few dense buckets
+    the cap drops while its tail still returns valid neighbors, so a
+    hard error would refuse working configurations. Audit real bucket
+    sizes with ``bucket_size_stats`` before trusting explicit bits at
+    scale."""
     if bits is not None:
         _validate_bits(bits)
     if max_bucket is None:
         return bits if bits is not None else DEFAULT_BITS
-    if bits is not None:
-        n = corpus_count
-        if n is not None and n / (1 << bits) > max_bucket:
-            need = math.ceil(math.log2(max(1.0, AUTO_BITS_HEADROOM * n / max_bucket)))
-            logger.warning(
-                "%s: bits=%d gives an EXPECTED bucket of %.0f > max_bucket=%d "
-                "for n=%d; under a near-uniform distribution most buckets "
-                "exceed the cap and are dropped (empty or severely truncated "
-                "result). Raise bits (~%d), raise max_bucket, or pass "
-                "bits=None to auto-size; audit with bucket_size_stats.",
-                op, bits, n / (1 << bits), max_bucket, n, min(need, MAX_BITS),
-            )
-        return bits
     n = corpus_count if corpus_count is not None else corpus.count()
-    return auto_bits(n, max_bucket)
+    if bits is None:
+        return auto_bits(n, max_bucket)
+    if n / (1 << bits) > max_bucket:
+        need = math.ceil(math.log2(max(1.0, AUTO_BITS_HEADROOM * n / max_bucket)))
+        if need <= MAX_BITS:
+            remedy = (
+                f"Raise bits (~{need}), raise max_bucket, or pass "
+                "bits=None to auto-size"
+            )
+        else:
+            # even MAX_BITS cannot satisfy the cap: more bits or
+            # auto-sizing cannot help — say what can
+            remedy = (
+                f"No bits value <= {MAX_BITS} satisfies this cap at n={n}; "
+                "raise max_bucket or shard the corpus before bucketing"
+            )
+        logger.warning(
+            "%s: bits=%d gives an EXPECTED bucket of %.0f > max_bucket=%d "
+            "for n=%d; under a near-uniform distribution most buckets "
+            "exceed the cap and are dropped (empty or severely truncated "
+            "result). %s; audit with bucket_size_stats.",
+            op, bits, n / (1 << bits), max_bucket, n, remedy,
+        )
+    return bits
 
 
 def _dot(a, b) -> F.Column:
@@ -296,9 +309,9 @@ def bucket_size_stats(
     drop before running the join. bits=None auto-sizes like the join
     operators do, so the default audit describes the bucketing the guard
     filters; EXPLICIT bits are audited as-given WITHOUT the crossover
-    validation (and without any count job) — this is the diagnostic for
-    exactly the configuration the join operators refuse, so it must
-    never raise where they do."""
+    check (and without any count job) — this is the diagnostic for
+    exactly the configuration the join operators warn about, so it must
+    never raise (or nag) where they do."""
     if bits is None:
         if max_bucket is None:
             # no cap to audit against: floor bits, and no count job —
@@ -455,13 +468,13 @@ def lsh_topk(
     a cross join, which is what survives a 10^9-vector corpus.
 
     bits=None (default) auto-sizes to the corpus so the giant-bucket cap
-    can never silently drop everything; that path runs ONE count job at
-    plan time when max_bucket is set — pass ``corpus_count`` to skip it.
+    can never silently drop everything; ONE count job runs at plan time
+    when max_bucket is set — pass ``corpus_count`` to skip it.
     corpus_count is TRUSTED: a stale undercount passes validation while
     the real bucketing overflows the cap (the silent-empty mode again) —
     supply it only from a fresh count/table snapshot, else leave None.
-    Explicit bits never count; they warn (not raise) when a supplied
-    corpus_count crosses the cap crossover — see _resolve_bits.
+    Explicit bits warn (not raise) past the cap crossover — see
+    _resolve_bits.
     """
     bits = _resolve_bits(corpus, bits, max_bucket, corpus_count, "lsh_topk")
     dim = _infer_dim(queries, vec_col, dim)

@@ -142,8 +142,9 @@ class DiskPasswordProvider(PasswordProvider):
                     continue
                 conv_id = name[: -len(self.SIDECAR_SUFFIX)]
                 with open(os.path.join(self.root, name)) as f:
-                    # rstrip \r too: CRLF sidecars (Windows editors, git
-                    # autocrlf) must not yield candidates with trailing \r
+                    # text-mode open already normalizes CRLF to \n
+                    # (universal newlines); rstrip covers \r anyway so a
+                    # future newline=''/binary reader can't regress this
                     pws = [ln.rstrip("\r\n") for ln in f if ln.strip()]
                 if pws:
                     rows.append((conv_id, pws))

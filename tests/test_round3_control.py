@@ -152,7 +152,10 @@ def test_chained_password_provider_precedence(spark, tmp_path):
 
 def test_disk_provider_strips_crlf_sidecars(spark, tmp_path):
     """A CRLF sidecar (Windows editor, git autocrlf) must not yield
-    candidates with a trailing \\r that never match the real password."""
+    candidates with a trailing \\r that never match the real password.
+    (Pins behavior end-to-end; text-mode universal newlines already
+    normalize \\r\\n, and rstrip('\\r\\n') keeps it safe under any
+    future newline=''/binary reader.)"""
     from fscrawler_spark.operators.passwords import DiskPasswordProvider
 
     convs = spark.createDataFrame([("c1",)], "conv_id string")

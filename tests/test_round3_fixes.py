@@ -49,10 +49,10 @@ def test_lsh_topk_auto_bits_survives_cap_crossover(spark):
 
 
 def test_lsh_topk_explicit_bits_past_crossover_warns_not_raises(spark, caplog):
-    """Explicit bits are an expert override: a supplied corpus_count past
-    the cap crossover WARNS (a skewed corpus can still return valid
-    tail-bucket neighbors) instead of hard-failing, and no count job
-    runs at plan time (plan-build stays job-free for benched queries)."""
+    """Explicit bits are an expert override: a cardinality past the cap
+    crossover WARNS (a skewed corpus can still return valid tail-bucket
+    neighbors) instead of hard-failing; the supplied corpus_count is
+    trusted, so no count job runs at plan time."""
     import logging
 
     corpus = _random_corpus(spark, 200)
