@@ -21,6 +21,7 @@ Prints ONE JSON line:
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -172,13 +173,19 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_near_dup_fast"] = _q_near_dup_fast
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
+        trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
         out: dict[str, float] = {}
         for name in HEADLINE:
             # time construction + write: iterative queries (connected
-            # components) execute eagerly during construction
-            t0 = time.perf_counter()
-            noop_write(qs[name](spark, SF_DIR))
-            out[name] = round(time.perf_counter() - t0, 3)
+            # components) execute eagerly during construction. min-of-N
+            # trials: this host shows bursty 2-3x co-tenant noise (see
+            # BENCH.md), and a single shot regularly lands in a burst.
+            best = math.inf
+            for _ in range(max(1, trials)):
+                t0 = time.perf_counter()
+                noop_write(qs[name](spark, SF_DIR))
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 3)
         return out
     finally:
         spark.stop()
