@@ -193,19 +193,22 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, rank, neighbor_id, sim).
 
     queries MUST be small (broadcast side). Ties break on neighbor id for
-    determinism. Self-matches excluded.
+    determinism. Self-matches excluded by id equality when
+    ``exclude_self`` (pass False for synthetic query rows — e.g. the
+    semantic-search sentinel — so an accidental id collision with a real
+    corpus row can never silently hide that row from results).
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
-    )
+    scored = c.crossJoin(F.broadcast(q))
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -405,6 +408,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors partition into coarse
     cells (nearest sampled centroid); a query scans only its ``nprobe``
@@ -430,14 +434,15 @@ def ivf_topk(
         F.col(vec_col).alias("qv"),
         F.explode(assignp(F.col(vec_col))).alias("cell"),
     )
+    scored = c.join(F.broadcast(q), "cell")
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = (
-        c.join(F.broadcast(q), "cell")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
         # no dedup needed (unlike lsh_topk): each corpus vector has ONE
         # cell and a query's probed cells are distinct, so a pair can
         # arise from at most one join row — a dropDuplicates here would
         # be a pure extra shuffle over the candidate set
-        .select("query_id", "qv", "neighbor_id", "cv")
+        scored.select("query_id", "qv", "neighbor_id", "cv")
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
@@ -460,6 +465,7 @@ def lsh_topk(
     max_bucket: int | None = DEFAULT_MAX_BUCKET,
     dim: int | None = None,
     corpus_count: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Approximate top-k: candidates restricted to vectors sharing the
     query's bucket in ANY of the L tables. Same output shape as
@@ -485,16 +491,14 @@ def lsh_topk(
     # there), so the dedup exchange below carries only (ids, sim) — the
     # vector payload never rides a shuffle. A pair matching in several
     # tables computes the same sim each time; dropDuplicates keeps one.
-    scored = (
-        c.join(F.broadcast(q), ["table", "bucket"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("sim"),
-        )
-        .dropDuplicates(["query_id", "neighbor_id"])
-    )
+    scored = c.join(F.broadcast(q), ["table", "bucket"])
+    if exclude_self:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("sim"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -46,7 +46,11 @@ class Match:
     def to_column(self) -> Column:
         tokens = [t for t in self.query.lower().split() if t]
         if not tokens:
-            return F.lit(True)
+            # ES `match` with zero analyzed terms matches NO documents
+            # (zero_terms_query default "none") — an empty/whitespace
+            # user query must not degrade to match-all, especially
+            # inside Bool.must where it would silently drop the clause
+            return F.lit(False)
         words = F.split(F.lower(F.col(self.field)), r"\s+")
         pred = F.lit(False)
         for t in tokens:
@@ -209,14 +213,18 @@ def _semantic_hits(df: DataFrame, sem: Semantic) -> DataFrame:
             ]
         ),
     )
+    # exclude_self=False: the query row is synthetic (not a corpus row),
+    # so self-exclusion is meaningless — and skipping it means a corpus
+    # row whose real id happens to equal the sentinel can still be a hit
     if sem.exact:
-        topk = embeddings.brute_force_topk(corpus, qdf, k=sem.k)
+        topk = embeddings.brute_force_topk(corpus, qdf, k=sem.k, exclude_self=False)
     else:
         # dim is known from the query vector (no inference job); the
         # bucket-bit sizing needs the corpus cardinality — supplied via
         # Semantic.corpus_count, else lsh_topk runs one count job
         topk = embeddings.lsh_topk(
-            corpus, qdf, k=sem.k, dim=len(sem.vector), corpus_count=sem.corpus_count
+            corpus, qdf, k=sem.k, dim=len(sem.vector),
+            corpus_count=sem.corpus_count, exclude_self=False,
         )
     topk = topk.select(F.col("neighbor_id").alias(sem.id_col), "rank", "sim")
     return df.join(topk, sem.id_col).orderBy("rank")
@@ -227,8 +235,29 @@ def execute_search(df: DataFrame, req: SearchRequest) -> DataFrame:
     out = df
     if isinstance(req.query, Semantic):
         out = _semantic_hits(out, req.query)
+        if req.sort:
+            # explicit sort overrides similarity rank (ES sort-on-knn);
+            # default order is rank (already applied by _semantic_hits)
+            out = out.orderBy(
+                *[
+                    F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
+                    for fld, direction in req.sort
+                ]
+            )
+        # highlight over semantic hits: columns exist for a uniform hit
+        # shape, but a pure-knn query carries no analyzed text terms, so
+        # they pass the field through unwrapped (same as a no-match ES
+        # highlight with number_of_fragments=0)
+        hl_cols = [
+            highlight_column(fld, _terms_for_field(req.query, fld)).alias(
+                f"{fld}_highlight"
+            )
+            for fld in req.highlight
+        ]
         if req.fields:
-            out = out.select(*req.fields, "rank", "sim")
+            out = out.select(*req.fields, *hl_cols, "rank", "sim")
+        elif hl_cols:
+            out = out.select("*", *hl_cols)
         return out.limit(req.size)
     if req.query is not None:
         out = out.filter(req.query.to_column())
@@ -254,8 +283,15 @@ def execute_search(df: DataFrame, req: SearchRequest) -> DataFrame:
 
 def execute_terms_aggs(df: DataFrame, req: SearchRequest) -> dict[str, DataFrame]:
     """Terms aggregations (ES bucket aggs -> hash aggregates), computed on
-    the filtered set like ES does (A3, ESTermsAggregation)."""
-    base = df.filter(req.query.to_column()) if req.query is not None else df
+    the filtered set like ES does (A3, ESTermsAggregation). A Semantic
+    query aggregates over its k nearest hits (the ES knn+aggs shape),
+    not the whole corpus."""
+    if isinstance(req.query, Semantic):
+        base = _semantic_hits(df, req.query)
+    elif req.query is not None:
+        base = df.filter(req.query.to_column())
+    else:
+        base = df
     return {
         fld: base.groupBy(F.col(fld).alias("key")).agg(F.count(F.lit(1)).alias("doc_count"))
         for fld in req.aggregations

@@ -60,7 +60,13 @@ LINEAGE_SCHEMA = (
 
 
 def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(path)
+    """Delegates to the validated source reader: the preflight the CLI
+    dry-run performs (SchemaError on missing columns, cast projection)
+    must be the SAME read path the real job takes, or the dry-run
+    checks a road the job never drives."""
+    from fscrawler_spark.sources.transcripts import read_transcripts as _read
+
+    return _read(spark, path)
 
 
 def _has_parquet_files(spark: SparkSession, path: str) -> bool:

@@ -77,7 +77,11 @@ class StatusServer:
         return self
 
     def stop(self) -> None:
-        self._server.shutdown()
+        # shutdown() waits on an event only serve_forever() sets — calling
+        # it before start() (e.g. a finally block around a failed setup)
+        # would deadlock forever; just release the port in that case
+        if self._thread.is_alive():
+            self._server.shutdown()
         self._server.server_close()
 
     def __enter__(self) -> "StatusServer":

@@ -62,13 +62,35 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
 
 
 def ingest_documents(
-    spark: SparkSession, docs: list[dict], default_conv: str = "_upload_"
+    spark: SparkSession,
+    docs: list[dict],
+    default_conv: str | None = None,
 ) -> DataFrame:
     """REST /_document upload analog: driver-side ingest of ad-hoc
     documents into the canonical shape (id defaulting mirrors
-    DocumentApi.java:324-334)."""
+    DocumentApi.java:324-334 — the reference generates a UNIQUE id per
+    upload when none is given).
+
+    ``default_conv=None`` (default) assigns each CALL a fresh
+    ``_upload_<uuid>`` conversation, so two separate ingests of
+    id-less documents can never collide on (conv_id, turn_idx) — the
+    key doc_id derives from downstream (a collision would silently
+    merge distinct uploads in dedup/incremental flows). Pass an
+    explicit default_conv to opt into a stable identity instead.
+
+    ``ts`` accepts a datetime or an ISO-ish string; malformed strings
+    null the field (try_cast) rather than failing the whole ingest
+    under ANSI."""
+    import datetime as _dt
+    import uuid
+
+    if default_conv is None:
+        default_conv = f"_upload_{uuid.uuid4().hex[:12]}"
     rows = []
     for i, d in enumerate(docs):
+        ts = d.get("ts", "2026-01-01 00:00:00")
+        if isinstance(ts, (_dt.datetime, _dt.date)):
+            ts = ts.isoformat(sep=" ") if isinstance(ts, _dt.datetime) else ts.isoformat()
         rows.append(
             (
                 str(d.get("conv_id", default_conv)),
@@ -76,10 +98,10 @@ def ingest_documents(
                 d.get("role", "user"),
                 d.get("text"),
                 d.get("tool"),
-                d.get("ts", "2026-01-01 00:00:00"),
+                ts if ts is None else str(ts),
             )
         )
     df = spark.createDataFrame(
         rows, "conv_id string, turn_idx int, role string, text string, tool string, ts string"
-    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ).withColumn("ts", F.expr("try_cast(ts as timestamp)"))
     return validate_schema(df)

@@ -12,21 +12,13 @@ the watermark predicate in operators.incremental.changed_since.
 from __future__ import annotations
 
 from pyspark.sql import SparkSession
-from pyspark.sql import types as T
 
 from fscrawler_spark.config import ExtractSettings
 from fscrawler_spark.operators.extract import extract_transcripts
 
-TRANSCRIPT_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType()),
-        T.StructField("turn_idx", T.IntegerType()),
-        T.StructField("role", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("tool", T.StringType()),
-        T.StructField("ts", T.TimestampType()),
-    ]
-)
+# ONE source of truth for the record contract: the batch reader's schema
+# (a hand-maintained copy here had already drifted on nullability)
+from fscrawler_spark.sources.transcripts import TRANSCRIPT_SCHEMA, validate_schema
 
 
 def run_streaming_extraction(
@@ -49,11 +41,18 @@ def run_streaming_extraction(
         .option("maxFilesPerTrigger", 64)
         .parquet(input_dir)
     )
-    docs = extract_transcripts(stream, settings)
+    # same cast/projection preflight as the batch path (pure projection,
+    # streaming-safe) so batch and streaming outputs share one schema
+    docs = extract_transcripts(validate_schema(stream), settings)
     q = (
         docs.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
+        # same docs/part_bucket=N/ layout as the batch sink
+        # (pipeline.write_docs): the bucket-scoped machinery (staged
+        # bucket swaps, dynamic partition overwrite, lineage backfill)
+        # assumes partition directories, not a plain column
+        .partitionBy("part_bucket")
         .outputMode("append")
         .trigger(availableNow=True)
         .start()

@@ -81,6 +81,32 @@ def test_ingest_documents(spark):
     assert out.count() == 2
 
 
+def test_ingest_documents_separate_calls_never_collide(spark):
+    """Reference DocumentApi generates a unique id per upload: two
+    id-less ingests must not share (conv_id, turn_idx) or the derived
+    doc_id would silently merge distinct documents downstream."""
+    a = ingest_documents(spark, [{"text": "A"}]).first()
+    b = ingest_documents(spark, [{"text": "B"}]).first()
+    assert (a["conv_id"], a["turn_idx"]) != (b["conv_id"], b["turn_idx"])
+    # explicit default_conv opts back into a stable identity
+    c = ingest_documents(spark, [{"text": "C"}], default_conv="fixed").first()
+    assert c["conv_id"] == "fixed"
+
+
+def test_ingest_documents_ts_datetime_and_malformed(spark):
+    import datetime
+
+    rows = ingest_documents(
+        spark,
+        [
+            {"text": "x", "ts": datetime.datetime(2026, 2, 3, 4, 5, 6)},
+            {"text": "y", "ts": "not-a-date"},  # nulls, never ANSI-crashes
+        ],
+    ).orderBy("turn_idx").collect()
+    assert rows[0]["ts"] == datetime.datetime(2026, 2, 3, 4, 5, 6)
+    assert rows[1]["ts"] is None
+
+
 # --- deletes / pruning -----------------------------------------------------------
 
 def test_apply_deletes_rewrites_only_affected_buckets(spark, transcripts_dir, tmp_path):
