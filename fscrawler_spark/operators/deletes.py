@@ -148,7 +148,21 @@ def stage_and_swap_buckets(
     bucket with no surviving rows has no staged dir; its aside move alone
     removes it from the table (dynamic partition overwrite could never
     empty it).
+
+    REFUSES a directory owned by a Structured Streaming file sink
+    (``_spark_metadata`` present): reads of such a dir go through the
+    sink's transaction log, not directory listing, so swapped files
+    would be invisible (or stale files resurrected) to every downstream
+    read. Compact the streaming output into a plain batch table first.
     """
+    HPath, fs = _fs_for(spark, output_docs)
+    meta = HPath(output_docs.rstrip("/") + "/_spark_metadata")
+    if fs.exists(meta):
+        raise ValueError(
+            f"{output_docs} is a Structured Streaming sink output "
+            "(_spark_metadata present); bucket swaps would desync the "
+            "sink log from the files. Compact it to a batch table first."
+        )
     staging = output_docs.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex[:8]
     (
         rows.repartition(max(1, len(buckets)), "part_bucket")

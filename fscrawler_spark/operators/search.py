@@ -231,39 +231,29 @@ def _semantic_hits(df: DataFrame, sem: Semantic) -> DataFrame:
 
 
 def execute_search(df: DataFrame, req: SearchRequest) -> DataFrame:
-    """Lower a SearchRequest to a DataFrame plan (the hits side)."""
-    out = df
+    """Lower a SearchRequest to a DataFrame plan (the hits side).
+
+    The Semantic branch differs from the boolean branch only in the hits
+    source (ANN join, default-ordered by rank) and in appending
+    rank/sim to a ``fields`` projection; sort/highlight/limit are the
+    same shared tail. Semantic highlight columns exist for a uniform hit
+    shape but pass the field through unwrapped — a pure-knn query
+    carries no analyzed text terms (same as a no-match ES highlight
+    with number_of_fragments=0).
+    """
+    extra_cols: tuple[str, ...] = ()
     if isinstance(req.query, Semantic):
-        out = _semantic_hits(out, req.query)
-        if req.sort:
-            # explicit sort overrides similarity rank (ES sort-on-knn);
-            # default order is rank (already applied by _semantic_hits)
-            out = out.orderBy(
-                *[
-                    F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
-                    for fld, direction in req.sort
-                ]
-            )
-        # highlight over semantic hits: columns exist for a uniform hit
-        # shape, but a pure-knn query carries no analyzed text terms, so
-        # they pass the field through unwrapped (same as a no-match ES
-        # highlight with number_of_fragments=0)
-        hl_cols = [
-            highlight_column(fld, _terms_for_field(req.query, fld)).alias(
-                f"{fld}_highlight"
-            )
-            for fld in req.highlight
-        ]
-        if req.fields:
-            out = out.select(*req.fields, *hl_cols, "rank", "sim")
-        elif hl_cols:
-            out = out.select("*", *hl_cols)
-        return out.limit(req.size)
-    if req.query is not None:
-        out = out.filter(req.query.to_column())
+        out = _semantic_hits(df, req.query)
+        extra_cols = ("rank", "sim")
+    elif req.query is not None:
+        out = df.filter(req.query.to_column())
+    else:
+        out = df
     if req.sort:
         # one orderBy with all keys — chained orderBy calls would each
-        # REPLACE the previous global sort, keeping only the last key
+        # REPLACE the previous global sort, keeping only the last key.
+        # On the semantic path an explicit sort overrides similarity
+        # rank (ES sort-on-knn); the default order is rank.
         out = out.orderBy(
             *[
                 F.col(fld).desc() if direction == "desc" else F.col(fld).asc()
@@ -275,7 +265,7 @@ def execute_search(df: DataFrame, req: SearchRequest) -> DataFrame:
         for fld in req.highlight
     ]
     if req.fields:
-        out = out.select(*req.fields, *hl_cols)
+        out = out.select(*req.fields, *hl_cols, *extra_cols)
     elif hl_cols:
         out = out.select("*", *hl_cols)
     return out.limit(req.size)
@@ -287,7 +277,12 @@ def execute_terms_aggs(df: DataFrame, req: SearchRequest) -> dict[str, DataFrame
     query aggregates over its k nearest hits (the ES knn+aggs shape),
     not the whole corpus."""
     if isinstance(req.query, Semantic):
-        base = _semantic_hits(df, req.query)
+        from fscrawler_spark.session import materialize
+
+        # materialize the k hits ONCE: each returned DataFrame's lazy
+        # plan would otherwise embed its own ANN scan of the corpus
+        # (N agg fields = N brute-force/LSH jobs); the hit set is tiny
+        base = materialize(_semantic_hits(df, req.query))
     elif req.query is not None:
         base = df.filter(req.query.to_column())
     else:

@@ -78,9 +78,10 @@ def ingest_documents(
     merge distinct uploads in dedup/incremental flows). Pass an
     explicit default_conv to opt into a stable identity instead.
 
-    ``ts`` accepts a datetime or an ISO-ish string; malformed strings
-    null the field (try_cast) rather than failing the whole ingest
-    under ANSI."""
+    ``ts`` accepts a datetime, an epoch number (seconds, or millis when
+    > 10^11 — the ES convention), or an ISO-ish string; malformed
+    strings null the field (try_cast) rather than failing the whole
+    ingest under ANSI."""
     import datetime as _dt
     import uuid
 
@@ -89,6 +90,14 @@ def ingest_documents(
     rows = []
     for i, d in enumerate(docs):
         ts = d.get("ts", "2026-01-01 00:00:00")
+        if isinstance(ts, bool):
+            raise TypeError(f"ts must be a datetime, epoch number or string, got {ts!r}")
+        if isinstance(ts, (int, float)):
+            # epoch upload (ES-style): > 10^11 can only be milliseconds
+            # (year ~5138 in seconds); anything below reads as seconds
+            ts = _dt.datetime.fromtimestamp(
+                ts / 1000.0 if abs(ts) > 1e11 else ts, tz=_dt.timezone.utc
+            ).replace(tzinfo=None)
         if isinstance(ts, (_dt.datetime, _dt.date)):
             ts = ts.isoformat(sep=" ") if isinstance(ts, _dt.datetime) else ts.isoformat()
         rows.append(

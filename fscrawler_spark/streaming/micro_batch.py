@@ -21,6 +21,33 @@ from fscrawler_spark.operators.extract import extract_transcripts
 from fscrawler_spark.sources.transcripts import TRANSCRIPT_SCHEMA, validate_schema
 
 
+def _reject_unpartitioned_legacy_output(spark: SparkSession, output_dir: str) -> None:
+    """A pre-partitionBy output dir has part-*.parquet files at the ROOT;
+    appending part_bucket=N/ dirs next to them leaves mixed leaf depths
+    and partition discovery fails with 'Conflicting directory structures'
+    on the NEXT read — fail at the write with a migration hint instead."""
+    from py4j.protocol import Py4JJavaError
+
+    jvm = spark._jvm
+    root = jvm.org.apache.hadoop.fs.Path(output_dir)
+    try:
+        fs = root.getFileSystem(spark._jsc.hadoopConfiguration())
+        if not fs.exists(root):
+            return
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if st.isFile() and name.startswith("part-") and name.endswith(".parquet"):
+                raise ValueError(
+                    f"{output_dir} holds an UNPARTITIONED (pre-round-3) "
+                    "streaming output; appending partitioned data would mix "
+                    "layouts. Compact it (read + write partitionBy "
+                    "'part_bucket' elsewhere) or point at a fresh dir."
+                )
+    except Py4JJavaError:
+        # unreadable store: let the sink raise its own, better error
+        return
+
+
 def run_streaming_extraction(
     spark: SparkSession,
     input_dir: str,
@@ -36,6 +63,7 @@ def run_streaming_extraction(
     CheckpointManifest.
     """
     settings = settings or ExtractSettings()
+    _reject_unpartitioned_legacy_output(spark, output_dir)
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)
         .option("maxFilesPerTrigger", 64)
@@ -48,10 +76,15 @@ def run_streaming_extraction(
         docs.writeStream.format("parquet")
         .option("path", output_dir)
         .option("checkpointLocation", checkpoint_dir)
-        # same docs/part_bucket=N/ layout as the batch sink
-        # (pipeline.write_docs): the bucket-scoped machinery (staged
-        # bucket swaps, dynamic partition overwrite, lineage backfill)
-        # assumes partition directories, not a plain column
+        # same docs/part_bucket=N/ DIRECTORY layout as the batch sink
+        # (partition-pruned reads work identically). Two deliberate
+        # divergences from full batch parity: (1) this dir is OWNED by
+        # the file sink's _spark_metadata log — the batch bucket-swap /
+        # delete machinery refuses it (stage_and_swap_buckets guard) and
+        # a compaction to a plain table is the migration path; (2) the
+        # O1 within-file (conv_id, turn_idx) ordering is NOT guaranteed:
+        # Spark disallows sort on streaming DataFrames, so byte-stable
+        # listing output requires the batch job.
         .partitionBy("part_bucket")
         .outputMode("append")
         .trigger(availableNow=True)

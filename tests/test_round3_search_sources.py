@@ -102,6 +102,59 @@ def test_streaming_sink_uses_partition_directories(spark, transcripts_dir, tmp_p
     assert "part_bucket" in got.columns  # recovered as partition column
 
 
+def test_ingest_documents_epoch_ts(spark):
+    import datetime
+
+    from fscrawler_spark.sources.transcripts import ingest_documents
+
+    rows = ingest_documents(
+        spark,
+        [
+            {"text": "s", "ts": 1754000000},          # epoch seconds
+            {"text": "m", "ts": 1754000000000},       # epoch millis (ES-style)
+        ],
+    ).orderBy("turn_idx").collect()
+    want = datetime.datetime(2025, 7, 31, 22, 13, 20)
+    assert rows[0]["ts"] == want
+    assert rows[1]["ts"] == want
+
+
+def test_bucket_swap_refuses_streaming_sink_dir(spark, transcripts_dir, tmp_path):
+    """stage_and_swap_buckets must refuse a _spark_metadata-owned dir:
+    reads of a streaming sink output go through the sink log, so a swap
+    would desync files from the log."""
+    from fscrawler_spark.operators.deletes import stage_and_swap_buckets
+    from fscrawler_spark.streaming.micro_batch import run_streaming_extraction
+
+    stream_in = tmp_path / "sin2"
+    stream_in.mkdir()
+    os.symlink(
+        os.path.join(transcripts_dir, "transcripts.parquet"),
+        stream_in / "transcripts.parquet",
+    )
+    out = str(tmp_path / "sout2")
+    run_streaming_extraction(spark, str(stream_in), out, str(tmp_path / "sckpt2"))
+    rows = spark.read.parquet(out)
+    with pytest.raises(ValueError, match="_spark_metadata"):
+        stage_and_swap_buckets(spark, out, rows, [0])
+
+
+def test_streaming_refuses_legacy_unpartitioned_output(spark, transcripts_dir, tmp_path):
+    from fscrawler_spark.streaming.micro_batch import run_streaming_extraction
+
+    out = tmp_path / "legacy_out"
+    # fake a pre-partitionBy output: a root-level part file
+    spark.range(3).coalesce(1).write.parquet(str(out))
+    stream_in = tmp_path / "sin3"
+    stream_in.mkdir()
+    os.symlink(
+        os.path.join(transcripts_dir, "transcripts.parquet"),
+        stream_in / "transcripts.parquet",
+    )
+    with pytest.raises(ValueError, match="UNPARTITIONED"):
+        run_streaming_extraction(spark, str(stream_in), str(out), str(tmp_path / "ck3"))
+
+
 def test_status_server_stop_before_start_does_not_deadlock(tmp_path):
     from fscrawler_spark.rest import StatusServer
 
