@@ -9,16 +9,34 @@ extraction UDF closures regardless of the driver's working directory.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 import zipfile
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
+_DEFAULT_ZIP: str | None = None  # per-process cache of the default artifact
+
+
+def _default_zip_path() -> str:
+    """A per-PROCESS temp path, created once and reused.
+
+    NOT a fixed world-shared /tmp name: on a multi-user host another
+    user's leftover zip makes ZipFile(path, 'w') raise PermissionError,
+    and two concurrent same-user jobs would race a shared file while
+    executors fetch it via addPyFile (BadZipFile mid-rewrite)."""
+    global _DEFAULT_ZIP
+    if _DEFAULT_ZIP is None:
+        fd, path = tempfile.mkstemp(prefix="fscrawler_spark_pyfiles_", suffix=".zip")
+        os.close(fd)
+        atexit.register(lambda: os.path.exists(path) and os.remove(path))
+        _DEFAULT_ZIP = path
+    return _DEFAULT_ZIP
 
 
 def build_pyfiles_zip(out_path: str | None = None) -> str:
     """Zip the fscrawler_spark package (sources only, deterministic order)."""
-    out_path = out_path or os.path.join(tempfile.gettempdir(), "fscrawler_spark_pyfiles.zip")
+    out_path = out_path or _default_zip_path()
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, dirs, files in os.walk(_PKG_DIR):
             dirs.sort()

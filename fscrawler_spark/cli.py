@@ -134,33 +134,42 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         )
         return 2
 
-    from fscrawler_spark.config import parse_byte_size, parse_percentage, parse_time_value
+    from fscrawler_spark.config import (
+        DEFAULT_INDEXED_CHARS,
+        parse_byte_size,
+        parse_percentage,
+        parse_time_value,
+    )
 
-    # value-type parsing errors are config errors: clean message + exit 2
-    # (argparse type= semantics), never a traceback
+    # value-type parsing AND settings-range errors are config errors:
+    # clean message + exit 2 (argparse type= semantics), never a
+    # traceback — ExtractSettings.__post_init__ validates every numeric
+    # knob (negative --indexed-chars, --num-buckets 0, ...)
     try:
         ic = str(args.indexed_chars).strip()
         ic_percent = parse_percentage(ic) if ic.endswith("%") else None
-        ic_chars = int(ic) if ic_percent is None else 100_000
+        ic_chars = int(ic) if ic_percent is None else DEFAULT_INDEXED_CHARS
         ignore_above = parse_byte_size(args.ignore_above)
         sleep_s = parse_time_value(args.update_rate)
         if sleep_s is not None and sleep_s < 0:
             raise ValueError(f"--update-rate must be >= 0, got {args.update_rate!r}")
+        if args.loop < 1:
+            raise ValueError(f"--loop must be >= 1, got {args.loop}")
+        settings = ExtractSettings(
+            indexed_chars=ic_chars,
+            indexed_chars_percent=ic_percent,
+            ignore_above=ignore_above,
+            includes=tuple(args.includes),
+            excludes=tuple(args.excludes),
+            filters=tuple(args.filters),
+            num_buckets=args.num_buckets,
+            skew_salt=args.skew_salt,
+            lang_detect=args.lang_detect,
+            store_source=args.store_source,
+        )
     except ValueError as e:
         print(f"error: invalid argument value: {e}", file=sys.stderr)
         return 2
-    settings = ExtractSettings(
-        indexed_chars=ic_chars,
-        indexed_chars_percent=ic_percent,
-        ignore_above=ignore_above,
-        includes=tuple(args.includes),
-        excludes=tuple(args.excludes),
-        filters=tuple(args.filters),
-        num_buckets=args.num_buckets,
-        skew_salt=args.skew_salt,
-        lang_detect=args.lang_detect,
-        store_source=args.store_source,
-    )
     rest_server = None
     owns_session = spark is None
     # everything from the server start onward sits inside the try: a
@@ -175,6 +184,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if owns_session:
             spark = get_spark(app="fscrawler-spark-cli", master=args.master)
         if args.dry_run:
+            if args.incremental:
+                # preview the TICK's plan, not a full-corpus extraction:
+                # the real delta (checksum anti-join + deletions) is what
+                # "would write" — full-corpus counts would be wildly wrong
+                from fscrawler_spark.plans.pipeline import run_incremental_update
+
+                try:
+                    res = run_incremental_update(
+                        spark, args.input, args.output, settings, dry_run=True
+                    )
+                except (FileNotFoundError, RuntimeError, ValueError) as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+                print(json.dumps(res))
+                return 0
             from pyspark.sql import functions as F
 
             from fscrawler_spark.operators.extract import extract_transcripts
@@ -204,7 +228,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     print(f"error: {e}", file=sys.stderr)
                     return 2
             else:
-                res = run_extraction_job(spark, args.input, args.output, settings)
+                try:
+                    res = run_extraction_job(spark, args.input, args.output, settings)
+                except (FileNotFoundError, RuntimeError, ValueError) as e:
+                    # ValueError covers SettingsMismatchError: a resume
+                    # with drifted settings gets the same clean exit-2
+                    # contract as the --incremental branch, not a traceback
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))
             if sleep_s is not None:
                 from fscrawler_spark.plans.pipeline import schedule_next_check

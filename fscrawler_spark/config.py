@@ -130,6 +130,35 @@ class ExtractSettings:
             raise ValueError(
                 f"checksum_algo must be 'sha256' or 'md5', got {self.checksum_algo!r}"
             )
+        # numeric-knob validation: a typo'd 0/negative must fail HERE, not
+        # as an instantly-"completed" empty job (num_buckets=0 makes
+        # manifest.pending() empty) or an ANSI DIVIDE_BY_ZERO mid-wave
+        # (skew_salt=0 reaches pmod(turn_idx, 0)) or silently corrupt
+        # truncation (negative indexed_chars tail-slices text[:-N])
+        if self.num_buckets < 1:
+            raise ValueError(f"num_buckets must be >= 1, got {self.num_buckets}")
+        if self.skew_salt < 1:
+            raise ValueError(f"skew_salt must be >= 1, got {self.skew_salt}")
+        if self.indexed_chars < 0:
+            raise ValueError(
+                f"indexed_chars must be >= 0, got {self.indexed_chars} "
+                "(for 'index everything' use indexed_chars_percent=1.0 / '100%')"
+            )
+        if self.indexed_chars_percent is not None and not (
+            0 < self.indexed_chars_percent <= 1
+        ):
+            raise ValueError(
+                "indexed_chars_percent must be in (0, 1] "
+                f"(i.e. '0%' < p <= '100%'), got {self.indexed_chars_percent}"
+            )
+        if self.ignore_above is not None and self.ignore_above < 0:
+            raise ValueError(f"ignore_above must be >= 0, got {self.ignore_above}")
+        if self.arrow_batch_rows < 1:
+            raise ValueError(f"arrow_batch_rows must be >= 1, got {self.arrow_batch_rows}")
+        if self.max_wave_retries < 0:
+            raise ValueError(f"max_wave_retries must be >= 0, got {self.max_wave_retries}")
+        if self.checkpoint_waves < 1:
+            raise ValueError(f"checkpoint_waves must be >= 1, got {self.checkpoint_waves}")
 
     def fingerprint(self) -> str:
         """Stable hash of every setting that changes the OUTPUT (content

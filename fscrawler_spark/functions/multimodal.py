@@ -175,6 +175,19 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, max_frames: int = 8, fake
     return df.filter(F.col("kind") == "video").mapInPandas(gen, FRAME_SCHEMA)
 
 
+def _kind_index(df: DataFrame) -> F.Column:
+    """1-based round-robin index over the 3 kinds, dispatched on the id
+    TYPE: numeric ids keep the oracle-pinned `doc_id % 3` (DuckDB twin:
+    CASE doc_id % 3), while string ids (the real docs table's sha256
+    doc_id) hash first — a bare `% 3` on a hex string throws
+    CAST_INVALID_INPUT under Spark 4 ANSI."""
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["doc_id"].dataType, T.NumericType):
+        return (F.col("doc_id") % 3 + 1).cast("int")
+    return (F.pmod(F.xxhash64(F.col("doc_id")), F.lit(3)) + 1).cast("int")
+
+
 def media_table_from_documents(df: DataFrame) -> DataFrame:
     """Derive a deterministic media fixture from a text table: payload =
     UTF-8 bytes, kind round-robins by id. Used by tests and the smoke
@@ -183,7 +196,7 @@ def media_table_from_documents(df: DataFrame) -> DataFrame:
         F.col("doc_id").cast("string").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.col("doc_id") % 3 + 1).cast("int"),
+            _kind_index(df),
         ).alias("kind"),
         F.encode(F.col("text"), "UTF-8").alias("payload"),
         F.struct(

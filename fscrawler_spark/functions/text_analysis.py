@@ -97,8 +97,13 @@ def langid_heuristic(text: Column) -> Column:
                 F.lit(lang).alias("lang"),
             )
         )
-    best = F.array_max(F.array(*scores))
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    arr = F.array(*scores)
+    best = F.array_max(arr)
+    # a TIE between profiles is genuinely undetermined: array_max would
+    # otherwise break it on the lang string (lexicographically greatest
+    # wins) — 'de la' scoring es=2, fr=2 must be 'und', not 'fr'
+    tie = F.size(F.filter(arr, lambda s: s["hits"] == best["hits"])) > 1
+    return F.when((best["hits"] > 0) & ~tie, best["lang"]).otherwise(F.lit("und"))
 
 
 def langid_udf():
@@ -128,9 +133,14 @@ def langid_udf():
             tt = trigrams(t[:2000])
             best, best_score = "und", 0.0
             for lang in sorted(prof_tris):
-                inter = len(tt & prof_tris[lang])
-                if inter > best_score:
-                    best, best_score = lang, inter
+                prof = prof_tris[lang]
+                inter = len(tt & prof)
+                # true binary cosine (|A∩B| / sqrt(|A||B|)) — raw
+                # intersection counts would bias toward languages with
+                # larger trigram profiles
+                score = inter / ((len(tt) * len(prof)) ** 0.5) if tt else 0.0
+                if score > best_score:
+                    best, best_score = lang, score
             out.append(best)
         return pd.Series(out)
 

@@ -159,6 +159,13 @@ class CheckpointManifest:
         self.files_processed += rows
         self.save()
 
+    def add_processed(self, rows: int) -> None:
+        """Bump the files_processed counter (FsCrawlerCheckpoint analog)
+        once the run's lineage rows are known — the status surface
+        (CLI --status / GET /status) reports it."""
+        self.files_processed += int(rows)
+        self.save()
+
     def record_error(self, err: str) -> None:
         """Wave failure: persist the error and bump the retry counter
         (FsCrawlerCheckpoint retryCount/lastError analog)."""

@@ -199,6 +199,7 @@ def run_incremental_update(
     input_path: str,
     output_dir: str,
     settings: ExtractSettings | None = None,
+    dry_run: bool = False,
 ) -> dict:
     """Steady-state incremental tick — the reference's recurring-scan
     loop body (FsParser.run() per update_rate, FsParser.java:488-556)
@@ -218,6 +219,12 @@ def run_incremental_update(
 
     Returns counts {changed, deleted, touched_buckets}. Requires a
     completed prior run_extraction_job at output_dir.
+
+    ``settings.remove_deleted=False`` (reference remove_deleted knob,
+    settings/Fs.java) keeps rows whose input keys vanished: the
+    deletion step is skipped entirely. ``dry_run=True`` computes the
+    SAME delta the tick would act on (changed/deleted counts, touched
+    buckets) but writes nothing and leaves the manifest untouched.
     """
     from fscrawler_spark.operators.deletes import (
         apply_deletes,
@@ -250,8 +257,11 @@ def run_incremental_update(
             f"{len(still_pending)} buckets are pending — finish run_extraction_job first"
         )
     # finish interrupted swaps BEFORE reading the table: a crashed bucket's
-    # rows live only in the stage dir and must be visible to prev/gone
-    recover_stale_stage(spark, out_data)
+    # rows live only in the stage dir and must be visible to prev/gone.
+    # (Skipped in dry_run — a preview must not mutate; counts over a
+    # table with an interrupted swap may differ from the real tick's.)
+    if not dry_run:
+        recover_stale_stage(spark, out_data)
     run_id = f"incr-{uuid.uuid4().hex[:12]}"
 
     src = read_transcripts(spark, input_path)
@@ -287,12 +297,25 @@ def run_incremental_update(
     changed_keys = materialize(changed_keys)
     changed = changed_keys.count()
     # deletion keys materialize before any rewrite: their lazy plan reads
-    # the CURRENT output files, which the swaps below replace
-    gone = materialize(deleted_keys(prev.select("conv_id", "turn_idx"), src))
+    # the CURRENT output files, which the swaps below replace.
+    # remove_deleted=False (reference knob): vanished keys stay — empty set.
+    if settings.remove_deleted:
+        gone = materialize(deleted_keys(prev.select("conv_id", "turn_idx"), src))
+    else:
+        gone = spark.createDataFrame([], "conv_id string, turn_idx int")
 
     # touched = buckets of every changed KEY (bucket is a pure function of
     # the key, so a filtered-out row's stale bucket is still covered)
     touched = [r["part_bucket"] for r in changed_keys.select("part_bucket").distinct().collect()]
+
+    if dry_run:
+        return {
+            "dry_run": True,
+            "run_id": run_id,
+            "changed": changed,
+            "deleted": gone.count(),
+            "touched_buckets": sorted(touched),
+        }
 
     deleted_in_rebuild = 0
     if touched:
@@ -327,6 +350,7 @@ def run_incremental_update(
             )
         metrics.write.mode("append").parquet(out_metrics)
 
+    manifest.add_processed(changed)
     return {
         "run_id": run_id,
         "changed": changed,
@@ -488,6 +512,30 @@ def run_extraction_job(
                 [(run_id, int(b), 0, 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
             )
         metrics.write.mode("append").parquet(out_metrics)
+        if written:
+            # files_processed (FsCrawlerCheckpoint counter) + fail-fast:
+            # both read THIS run's lineage rows (pruned-column read-back,
+            # backfilled buckets excluded)
+            stats = (
+                metrics.filter(F.col("part_bucket").isin(list(written)))
+                .agg(
+                    F.sum("turn_count").alias("rows"),
+                    F.sum("parse_failures").alias("failures"),
+                )
+                .first()
+            )
+            manifest.add_processed(int(stats["rows"] or 0))
+            if not settings.continue_on_error and int(stats["failures"] or 0) > 0:
+                # reference continue_on_error=false: stop the crawl on
+                # parser errors (needs_ocr/encrypted rows are NOT parse
+                # failures — parse_failure_flag partitions the space).
+                # Buckets already written stay durable; the job reports
+                # failure instead of completed.
+                raise RuntimeError(
+                    f"{int(stats['failures'])} parse failure(s) with "
+                    "continue_on_error=False; failing rows carry the error "
+                    "column in the output"
+                )
 
     if paused:
         return {

@@ -1,0 +1,171 @@
+"""Round-3 review fixes on config validation, CLI contract, checkpoint
+counters, artifact shipping, multimodal id typing and langid ties.
+
+Reference parity: remove_deleted / continue_on_error knobs
+(settings/Fs.java), FsCrawlerCheckpoint files_processed counter,
+fail-fast crawl semantics.
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.config import ExtractSettings
+
+
+# --- settings validation ----------------------------------------------------
+
+@pytest.mark.parametrize(
+    "kwargs",
+    [
+        {"num_buckets": 0},
+        {"skew_salt": 0},
+        {"indexed_chars": -5},
+        {"indexed_chars_percent": -0.3},
+        {"indexed_chars_percent": 1.5},
+        {"ignore_above": -1},
+        {"arrow_batch_rows": 0},
+        {"max_wave_retries": -1},
+        {"checkpoint_waves": 0},
+    ],
+)
+def test_settings_reject_bad_numeric_knobs(kwargs):
+    with pytest.raises(ValueError):
+        ExtractSettings(**kwargs)
+
+
+def test_cli_rejects_negative_indexed_chars(spark, transcripts_dir, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    rc = main(
+        [
+            "--input", os.path.join(transcripts_dir, "transcripts.parquet"),
+            "--output", str(tmp_path / "o"),
+            "--indexed-chars=-30%",
+        ],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "error:" in capsys.readouterr().err
+
+
+def test_cli_settings_drift_exits_cleanly(spark, transcripts_dir, tmp_path, capsys):
+    """Non-incremental resume with drifted settings: clean exit 2, not a
+    traceback (the CLI's own promise)."""
+    from fscrawler_spark.cli import main
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "drift")
+    assert main(["--input", inp, "--output", out, "--num-buckets", "8"], spark=spark) == 0
+    capsys.readouterr()
+    rc = main(["--input", inp, "--output", out, "--num-buckets", "16"], spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "Traceback" not in err
+
+
+# --- incremental knobs ------------------------------------------------------
+
+def _run_full(spark, transcripts_dir, tmp_path, name, **kw):
+    from fscrawler_spark.plans.pipeline import run_extraction_job
+
+    out = str(tmp_path / name)
+    settings = ExtractSettings(num_buckets=8, **kw)
+    run_extraction_job(
+        spark, os.path.join(transcripts_dir, "transcripts.parquet"), out, settings
+    )
+    return out, settings
+
+
+def test_incremental_dry_run_previews_without_writing(spark, transcripts_dir, tmp_path):
+    from fscrawler_spark.plans.pipeline import run_incremental_update
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out, settings = _run_full(spark, transcripts_dir, tmp_path, "dry")
+    before = spark.read.parquet(os.path.join(out, "docs")).count()
+    # shrink the input: some conversations vanish -> deletions in preview
+    src = spark.read.parquet(inp)
+    convs = [r["conv_id"] for r in src.select("conv_id").distinct().limit(3).collect()]
+    small_in = str(tmp_path / "small_in")
+    src.filter(~F.col("conv_id").isin(convs)).write.parquet(small_in)
+
+    res = run_incremental_update(spark, small_in, out, settings, dry_run=True)
+    assert res["dry_run"] is True
+    assert res["deleted"] > 0
+    # nothing written, manifest untouched
+    assert spark.read.parquet(os.path.join(out, "docs")).count() == before
+    manifest = json.load(open(os.path.join(out, "_checkpoint.json")))
+    # the REAL tick then performs what the preview predicted
+    real = run_incremental_update(spark, small_in, out, settings)
+    assert real["deleted"] == res["deleted"]
+
+
+def test_incremental_remove_deleted_false_keeps_rows(spark, transcripts_dir, tmp_path):
+    from fscrawler_spark.plans.pipeline import run_incremental_update
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out, _ = _run_full(spark, transcripts_dir, tmp_path, "keep")
+    before = spark.read.parquet(os.path.join(out, "docs")).count()
+    src = spark.read.parquet(inp)
+    convs = [r["conv_id"] for r in src.select("conv_id").distinct().limit(3).collect()]
+    small_in = str(tmp_path / "keep_in")
+    src.filter(~F.col("conv_id").isin(convs)).write.parquet(small_in)
+
+    settings = ExtractSettings(num_buckets=8, remove_deleted=False)
+    res = run_incremental_update(spark, small_in, out, settings)
+    assert res["deleted"] == 0
+    assert spark.read.parquet(os.path.join(out, "docs")).count() == before
+
+
+def test_files_processed_counter_tracks_rows(spark, transcripts_dir, tmp_path):
+    out, _ = _run_full(spark, transcripts_dir, tmp_path, "fp")
+    rows = spark.read.parquet(os.path.join(out, "docs")).count()
+    manifest = json.load(open(os.path.join(out, "_checkpoint.json")))
+    assert manifest["files_processed"] == rows
+
+
+def test_continue_on_error_false_fails_fast(spark, tmp_path):
+    """The fixture generator plants encrypted/broken payloads; with
+    continue_on_error=False the job must FAIL (reference fail-fast)
+    while the error-carrying rows stay inspectable on disk."""
+    from fscrawler_spark.datagen import generate_transcripts
+    from fscrawler_spark.plans.pipeline import run_extraction_job
+
+    paths = generate_transcripts(str(tmp_path / "data"), n_turns=2000, seed=11)
+    settings = ExtractSettings(num_buckets=4, continue_on_error=False)
+    with pytest.raises(RuntimeError, match="parse failure"):
+        run_extraction_job(spark, paths["transcripts"], str(tmp_path / "ff"), settings)
+
+
+# --- artifact / multimodal / langid ----------------------------------------
+
+def test_pyfiles_zip_is_per_process_and_cached(tmp_path):
+    from fscrawler_spark import artifact
+
+    a = artifact.build_pyfiles_zip()
+    b = artifact.build_pyfiles_zip()
+    assert a == b  # cached within the process
+    assert os.path.basename(a) != "fscrawler_spark_pyfiles.zip"  # not the shared name
+    explicit = artifact.build_pyfiles_zip(str(tmp_path / "x.zip"))
+    assert explicit.endswith("x.zip")
+
+
+def test_media_table_accepts_string_doc_ids(spark):
+    from fscrawler_spark.functions.multimodal import media_table_from_documents
+
+    docs = spark.createDataFrame(
+        [("9f86d081884c7d65", "hello"), ("aa11bb22cc33dd44", "world")],
+        "doc_id string, text string",
+    )
+    rows = media_table_from_documents(docs).collect()  # must not ANSI-crash
+    assert {r["kind"] for r in rows} <= {"image", "audio", "video"}
+
+
+def test_langid_tie_returns_und(spark):
+    from fscrawler_spark.functions import text_analysis
+
+    df = spark.createDataFrame([("de la",)], "text string")
+    got = df.select(text_analysis.langid_heuristic(F.col("text")).alias("l")).first()["l"]
+    assert got == "und"
