@@ -12,31 +12,15 @@ from __future__ import annotations
 import atexit
 import os
 import tempfile
+import threading
 import zipfile
 
 _PKG_DIR = os.path.dirname(os.path.abspath(__file__))
 _DEFAULT_ZIP: str | None = None  # per-process cache of the default artifact
+_DEFAULT_ZIP_LOCK = threading.Lock()
 
 
-def _default_zip_path() -> str:
-    """A per-PROCESS temp path, created once and reused.
-
-    NOT a fixed world-shared /tmp name: on a multi-user host another
-    user's leftover zip makes ZipFile(path, 'w') raise PermissionError,
-    and two concurrent same-user jobs would race a shared file while
-    executors fetch it via addPyFile (BadZipFile mid-rewrite)."""
-    global _DEFAULT_ZIP
-    if _DEFAULT_ZIP is None:
-        fd, path = tempfile.mkstemp(prefix="fscrawler_spark_pyfiles_", suffix=".zip")
-        os.close(fd)
-        atexit.register(lambda: os.path.exists(path) and os.remove(path))
-        _DEFAULT_ZIP = path
-    return _DEFAULT_ZIP
-
-
-def build_pyfiles_zip(out_path: str | None = None) -> str:
-    """Zip the fscrawler_spark package (sources only, deterministic order)."""
-    out_path = out_path or _default_zip_path()
+def _write_zip(out_path: str) -> str:
     with zipfile.ZipFile(out_path, "w", zipfile.ZIP_DEFLATED) as zf:
         for root, dirs, files in os.walk(_PKG_DIR):
             dirs.sort()
@@ -49,6 +33,29 @@ def build_pyfiles_zip(out_path: str | None = None) -> str:
                 rel = os.path.join("fscrawler_spark", os.path.relpath(full, _PKG_DIR))
                 zf.write(full, rel)
     return out_path
+
+
+def build_pyfiles_zip(out_path: str | None = None) -> str:
+    """Zip the fscrawler_spark package (sources only, deterministic order).
+
+    The default artifact is a per-PROCESS temp file built ONCE (lock-
+    guarded): a fixed world-shared /tmp name broke multi-user hosts
+    (PermissionError on another user's leftover), and rebuilding on
+    every get_spark() call would truncate the very file a live session's
+    executors fetch via addPyFile (BadZipFile mid-rewrite). Package
+    sources cannot change mid-process, so the first build is the build.
+    An explicit ``out_path`` always (re)writes."""
+    global _DEFAULT_ZIP
+    if out_path is not None:
+        return _write_zip(out_path)
+    with _DEFAULT_ZIP_LOCK:
+        if _DEFAULT_ZIP is None:
+            fd, path = tempfile.mkstemp(prefix="fscrawler_spark_pyfiles_", suffix=".zip")
+            os.close(fd)
+            atexit.register(lambda: os.path.exists(path) and os.remove(path))
+            _write_zip(path)
+            _DEFAULT_ZIP = path
+    return _DEFAULT_ZIP
 
 
 def ensure_shipped(spark) -> None:

@@ -309,12 +309,21 @@ def run_incremental_update(
     touched = [r["part_bucket"] for r in changed_keys.select("part_bucket").distinct().collect()]
 
     if dry_run:
+        # the real tick mutates touched ∪ delete-only buckets (both get
+        # swaps + lineage rows) — the preview must list the same set
+        del_buckets = {
+            r["part_bucket"]
+            for r in prev.join(gone, ["conv_id", "turn_idx"], "left_semi")
+            .select("part_bucket")
+            .distinct()
+            .collect()
+        }
         return {
             "dry_run": True,
             "run_id": run_id,
             "changed": changed,
             "deleted": gone.count(),
-            "touched_buckets": sorted(touched),
+            "touched_buckets": sorted(set(touched) | del_buckets),
         }
 
     deleted_in_rebuild = 0
@@ -350,7 +359,10 @@ def run_incremental_update(
             )
         metrics.write.mode("append").parquet(out_metrics)
 
-    manifest.add_processed(changed)
+    # counter semantics match the full job: rows actually WRITTEN this
+    # tick (fresh extractions) — changed_keys also holds purge-only keys
+    # (rows removed, nothing written), which must not inflate it
+    manifest.add_processed(fresh.count())
     return {
         "run_id": run_id,
         "changed": changed,
@@ -430,6 +442,23 @@ def run_extraction_job(
             if missing:
                 out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(missing))
                 bucket_metrics(out_df, run_id, buckets=missing).write.mode("append").parquet(out_metrics)
+        if not settings.continue_on_error and _has_parquet_files(spark, out_data):
+            # fail-fast must be STICKY: the failing run marked its
+            # buckets completed before raising, so a rerun lands here.
+            # Re-derive the failure count from the TABLE itself (one
+            # pruned error-column scan) — self-healing once a tick or
+            # restart cleans the rows, unlike any recorded marker
+            failures = (
+                spark.read.parquet(out_data).agg(F.sum(parse_failure_flag())).first()[0]
+                or 0
+            )
+            if failures > 0:
+                raise RuntimeError(
+                    f"{int(failures)} parse failure(s) in the completed table "
+                    "with continue_on_error=False; fix the input and re-run "
+                    "(--restart or an incremental tick), or set "
+                    "continue_on_error=True"
+                )
         manifest.finish()
         return {
             "run_id": run_id,
@@ -511,28 +540,34 @@ def run_extraction_job(
             metrics = spark.createDataFrame(
                 [(run_id, int(b), 0, 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
             )
-        metrics.write.mode("append").parquet(out_metrics)
+        # ONE execution of the lineage aggregation: collect the (≤
+        # num_buckets) rows, write them back as literals, and fold the
+        # run's counters in Python — metrics.write + a second .agg()
+        # would scan the docs read-back twice
+        mrows = metrics.collect()
+        spark.createDataFrame(mrows, LINEAGE_SCHEMA).write.mode("append").parquet(
+            out_metrics
+        )
         if written:
-            # files_processed (FsCrawlerCheckpoint counter) + fail-fast:
-            # both read THIS run's lineage rows (pruned-column read-back,
-            # backfilled buckets excluded)
-            stats = (
-                metrics.filter(F.col("part_bucket").isin(list(written)))
-                .agg(
-                    F.sum("turn_count").alias("rows"),
-                    F.sum("parse_failures").alias("failures"),
-                )
-                .first()
-            )
-            manifest.add_processed(int(stats["rows"] or 0))
-            if not settings.continue_on_error and int(stats["failures"] or 0) > 0:
+            wset = set(written)
+            rows_written = sum(r["turn_count"] for r in mrows if r["part_bucket"] in wset)
+            failures = sum(r["parse_failures"] for r in mrows if r["part_bucket"] in wset)
+            # files_processed (FsCrawlerCheckpoint counter): rows
+            # actually written THIS run (backfilled buckets excluded)
+            manifest.add_processed(rows_written)
+            if not settings.continue_on_error and failures > 0:
                 # reference continue_on_error=false: stop the crawl on
                 # parser errors (needs_ocr/encrypted rows are NOT parse
                 # failures — parse_failure_flag partitions the space).
                 # Buckets already written stay durable; the job reports
-                # failure instead of completed.
+                # failure instead of completed, the manifest records it,
+                # and the not-pending rerun path re-derives the failure
+                # from the table so the error stays sticky-but-self-healing.
+                manifest.record_error(
+                    f"FAIL_FAST: {failures} parse failure(s) with continue_on_error=False"
+                )
                 raise RuntimeError(
-                    f"{int(stats['failures'])} parse failure(s) with "
+                    f"{failures} parse failure(s) with "
                     "continue_on_error=False; failing rows carry the error "
                     "column in the output"
                 )

@@ -91,15 +91,18 @@ def test_incremental_dry_run_previews_without_writing(spark, transcripts_dir, tm
     small_in = str(tmp_path / "small_in")
     src.filter(~F.col("conv_id").isin(convs)).write.parquet(small_in)
 
+    manifest_before = json.load(open(os.path.join(out, "_checkpoint.json")))
     res = run_incremental_update(spark, small_in, out, settings, dry_run=True)
     assert res["dry_run"] is True
     assert res["deleted"] > 0
+    assert res["touched_buckets"]  # delete-only buckets ARE in the preview
     # nothing written, manifest untouched
     assert spark.read.parquet(os.path.join(out, "docs")).count() == before
-    manifest = json.load(open(os.path.join(out, "_checkpoint.json")))
+    assert json.load(open(os.path.join(out, "_checkpoint.json"))) == manifest_before
     # the REAL tick then performs what the preview predicted
     real = run_incremental_update(spark, small_in, out, settings)
     assert real["deleted"] == res["deleted"]
+    assert sorted(real["touched_buckets"]) == res["touched_buckets"]
 
 
 def test_incremental_remove_deleted_false_keeps_rows(spark, transcripts_dir, tmp_path):
@@ -135,8 +138,20 @@ def test_continue_on_error_false_fails_fast(spark, tmp_path):
 
     paths = generate_transcripts(str(tmp_path / "data"), n_turns=2000, seed=11)
     settings = ExtractSettings(num_buckets=4, continue_on_error=False)
+    out = str(tmp_path / "ff")
     with pytest.raises(RuntimeError, match="parse failure"):
-        run_extraction_job(spark, paths["transcripts"], str(tmp_path / "ff"), settings)
+        run_extraction_job(spark, paths["transcripts"], out, settings)
+    # STICKY: the failing run marked its buckets completed, so a rerun
+    # takes the not-pending path — it must re-derive the failure from
+    # the table and fail again, not report 'completed'
+    with pytest.raises(RuntimeError, match="parse failure"):
+        run_extraction_job(spark, paths["transcripts"], out, settings)
+    # the error is visible on the status surface
+    manifest = json.load(open(os.path.join(out, "_checkpoint.json")))
+    assert "FAIL_FAST" in (manifest["last_error"] or "")
+    # opting back into continue_on_error completes over the same table
+    ok = ExtractSettings(num_buckets=4, continue_on_error=True)
+    assert run_extraction_job(spark, paths["transcripts"], out, ok)["status"] == "completed"
 
 
 # --- artifact / multimodal / langid ----------------------------------------
