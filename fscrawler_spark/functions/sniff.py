@@ -41,43 +41,3 @@ def sniff_mime_col(text: Column) -> Column:
         .when(F.substring(low, 1, 1).isin("{", "["), F.lit(MIME_JSON))
         .otherwise(F.lit(MIME_PLAIN))
     )
-
-
-# ANSI-SQL twin for the DuckDB oracle (same rules, same order, same
-# 64-char sniff window).
-def sniff_mime_sql(col: str = "text") -> str:
-    head = f"substr({col}, 1, 64)"
-    low = f"lower(substr(regexp_replace({head}, '^\\s+', ''), 1, 16))"
-    def _magic_sql(magic: str) -> str:
-        # express non-printable magic bytes via chr() concatenation
-        parts = []
-        run = ""
-        for ch in magic:
-            if 32 <= ord(ch) < 127 and ch != "'":
-                run += ch
-            else:
-                if run:
-                    parts.append(f"'{run}'")
-                    run = ""
-                parts.append(f"chr({ord(ch)})")
-        if run:
-            parts.append(f"'{run}'")
-        expr = " || ".join(parts)
-        return f"substr({col}, 1, {len(magic)}) = ({expr})"
-
-    image_whens = "\n      ".join(
-        f"WHEN {_magic_sql(magic)} THEN '{mime}'" for magic, mime in IMAGE_MAGICS
-    )
-    return f"""
-    CASE
-      WHEN {col} IS NULL OR {col} = '' THEN 'text/plain'
-      {image_whens}
-      WHEN {head} LIKE 'ENC:%' OR contains({head}, chr(0)) THEN 'application/octet-stream'
-      WHEN substr({low}, 1, 14) = '<!doctype html' OR substr({low}, 1, 5) = '<html'
-        THEN 'text/html'
-      WHEN substr({low}, 1, 5) = '<?xml' THEN 'application/xml'
-      WHEN strpos({head}, '%PDF-') = 1 THEN 'application/pdf'
-      WHEN substr({low}, 1, 1) IN ('{{', '[') THEN 'application/json'
-      ELSE 'text/plain'
-    END
-    """

@@ -95,6 +95,23 @@ def recover_stale_stage(spark: SparkSession, output_docs: str) -> None:
     _recover_stale_stage(spark, output_docs)
 
 
+def has_parquet_files(spark: SparkSession, path: str) -> bool:
+    """True when any parquet data file exists under ``path`` — via the
+    Hadoop FileSystem API so non-local URIs (s3a://, hdfs://) probe the
+    real store (an os.walk would silently say False there; same
+    scheme-agnostic rationale as _fs_for). Shared by the pipeline's
+    lineage read-backs and apply_deletes' emptied-table no-op."""
+    HPath, fs = _fs_for(spark, path)
+    hpath = HPath(path)
+    if not fs.exists(hpath):
+        return False
+    it = fs.listFiles(hpath, True)
+    while it.hasNext():
+        if it.next().getPath().getName().endswith(".parquet"):
+            return True
+    return False
+
+
 def apply_deletes(
     spark: SparkSession,
     output_docs: str,
@@ -107,6 +124,11 @@ def apply_deletes(
     Re-running with the same keys is a no-op; an interrupted run is
     recovered by the next call (see _recover_stale_stage)."""
     _recover_stale_stage(spark, output_docs)
+    if not has_parquet_files(spark, output_docs):
+        # a prior delete emptied the whole table (no bucket dirs left):
+        # re-running, or a tick over a vanished input, is a documented
+        # no-op — reading the empty dir would AnalysisException instead
+        return {"deleted": 0, "buckets": []} if return_details else 0
     docs = spark.read.parquet(output_docs)
     # duplicate keys in the delete set must not inflate the deleted count
     keys = delete_keys.select("conv_id", "turn_idx").distinct()
@@ -171,7 +193,6 @@ def stage_and_swap_buckets(
         .partitionBy("part_bucket")
         .parquet(staging)
     )
-    HPath, fs = _fs_for(spark, output_docs)
     for b in buckets:
         live = HPath(f"{output_docs}/part_bucket={b}")
         staged = HPath(f"{staging}/part_bucket={b}")

@@ -69,22 +69,9 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
     return _read(spark, path)
 
 
-def _has_parquet_files(spark: SparkSession, path: str) -> bool:
-    """True when any parquet data file exists under ``path`` — via the
-    Hadoop FileSystem API so non-local URIs (s3a://, hdfs://) probe the
-    real store (an os.walk would silently say False there and lineage
-    would record all-zero rows for buckets that contain data; same
-    scheme-agnostic rationale as operators/deletes._fs_for)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    if not fs.exists(hpath):
-        return False
-    it = fs.listFiles(hpath, True)
-    while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            return True
-    return False
+# scheme-agnostic parquet-file probe, shared with apply_deletes' emptied-
+# table no-op (one Hadoop-FS implementation, no drift)
+from fscrawler_spark.operators.deletes import has_parquet_files as _has_parquet_files  # noqa: E402
 
 
 def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = None) -> DataFrame:

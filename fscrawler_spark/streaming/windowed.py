@@ -33,7 +33,9 @@ def windowed_turn_counts(
         .groupBy(F.window("ts", window), F.col("role"))
         .agg(
             F.count(F.lit(1)).alias("turn_count"),
-            F.sum(F.length("text")).alias("bytes_in"),
+            # octet_length: BYTES, the repo-wide convention (size gate F3)
+            # — F.length counts characters and undercounts CJK ~3x
+            F.sum(F.octet_length("text")).alias("bytes_in"),
         )
         .select(
             F.col("window.start").alias("window_start"),

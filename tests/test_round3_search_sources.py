@@ -155,6 +155,28 @@ def test_streaming_refuses_legacy_unpartitioned_output(spark, transcripts_dir, t
         run_streaming_extraction(spark, str(stream_in), str(out), str(tmp_path / "ck3"))
 
 
+def test_apply_deletes_noop_on_fully_emptied_table(spark, transcripts_dir, tmp_path):
+    """Deleting every row, then re-running the same delete (the
+    documented idempotent contract) must return 0, not AnalysisException
+    on the emptied directory."""
+    from fscrawler_spark.config import ExtractSettings
+    from fscrawler_spark.operators.deletes import apply_deletes
+    from fscrawler_spark.plans.pipeline import run_extraction_job
+
+    out = str(tmp_path / "empty_all")
+    run_extraction_job(
+        spark,
+        os.path.join(transcripts_dir, "transcripts.parquet"),
+        out,
+        ExtractSettings(num_buckets=4),
+    )
+    docs_path = os.path.join(out, "docs")
+    all_keys = spark.read.parquet(docs_path).select("conv_id", "turn_idx")
+    all_keys = spark.createDataFrame(all_keys.collect(), "conv_id string, turn_idx int")
+    assert apply_deletes(spark, docs_path, all_keys) > 0
+    assert apply_deletes(spark, docs_path, all_keys) == 0  # idempotent no-op
+
+
 def test_status_server_stop_before_start_does_not_deadlock(tmp_path):
     from fscrawler_spark.rest import StatusServer
 
