@@ -243,7 +243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.sum(parse_failure_flag(F.col("ex.error")))
             .cast("long")
             .alias("parse_failures"),
-            F.sum(F.coalesce(F.length("ex.extracted"), F.lit(0))).cast("long").alias("bytes_out"),
+            F.sum(F.coalesce(F.octet_length("ex.extracted"), F.lit(0))).cast("long").alias("bytes_out"),
             F.sum(F.size("ex.spans")).cast("long").alias("span_count"),
         )
 
@@ -910,9 +910,9 @@ def oracle_sql() -> dict[str, str]:
     SELECT count(*)::BIGINT AS turn_count,
            (count(*) FILTER (WHERE doc_id % 6 = 5))::BIGINT AS parse_failures,
            sum(CASE doc_id % 6
-                 WHEN 0 THEN length(trim(text)) WHEN 1 THEN length(text)
-                 WHEN 2 THEN length(text) + 2 WHEN 3 THEN length(trim(text))
-                 WHEN 4 THEN length(trim(text)) ELSE 0 END)::BIGINT AS bytes_out,
+                 WHEN 0 THEN strlen(trim(text)) WHEN 1 THEN strlen(text)
+                 WHEN 2 THEN strlen(text) + 2 WHEN 3 THEN strlen(trim(text))
+                 WHEN 4 THEN strlen(trim(text)) ELSE 0 END)::BIGINT AS bytes_out,
            sum(CASE doc_id % 6 WHEN 2 THEN 2 WHEN 5 THEN 0 ELSE 1 END)::BIGINT AS span_count
     FROM documents
     """
@@ -927,8 +927,9 @@ def oracle_sql() -> dict[str, str]:
     """
 
     sql["q_size_gate"] = """
-    SELECT source, count(*) AS n FROM documents WHERE strlen(text) <= 300 GROUP BY source
-    """  # strlen = BYTE length in DuckDB, octet_length twin
+    SELECT source, count(*) AS n FROM documents
+    WHERE text IS NULL OR strlen(text) <= 300 GROUP BY source
+    """  # strlen = BYTE length in DuckDB, octet_length twin; nulls kept
 
     sql["q_include_exclude_glob"] = """
     SELECT source, count(*) AS n FROM documents
@@ -971,12 +972,12 @@ def oracle_sql() -> dict[str, str]:
     """
 
     payload_len = f"""CASE doc_id % 6
-      WHEN 0 THEN length(text) + {len(HTML_PRE) + len(HTML_POST)}
-      WHEN 1 THEN length(text)
-      WHEN 2 THEN length(text) + {len(JSON_PRE) + len(JSON_POST)}
-      WHEN 3 THEN length(text) + {len(XML_PRE) + len(XML_POST)}
-      WHEN 4 THEN length(text) + {len(PDF_PRE) + 1}
-      ELSE length(text) + 4 END"""
+      WHEN 0 THEN strlen(text) + {len(HTML_PRE.encode()) + len(HTML_POST.encode())}
+      WHEN 1 THEN strlen(text)
+      WHEN 2 THEN strlen(text) + {len(JSON_PRE.encode()) + len(JSON_POST.encode())}
+      WHEN 3 THEN strlen(text) + {len(XML_PRE.encode()) + len(XML_POST.encode())}
+      WHEN 4 THEN strlen(text) + {len(PDF_PRE.encode()) + 1}
+      ELSE strlen(text) + 4 END"""
 
     # the exact payload string per class (for checksum parity); PDF_PRE
     # newlines are injected via chr(10) to keep the SQL single-line-safe
@@ -1036,9 +1037,9 @@ def oracle_sql() -> dict[str, str]:
            max(doc_id // 50)::INT AS last_turn,
            sum({payload_len})::BIGINT AS bytes_in,
            sum(CASE doc_id % 6
-                 WHEN 0 THEN length(trim(text)) WHEN 1 THEN length(text)
-                 WHEN 2 THEN length(text) + 2 WHEN 3 THEN length(trim(text))
-                 WHEN 4 THEN length(trim(text)) ELSE 0 END)::BIGINT AS bytes_out,
+                 WHEN 0 THEN strlen(trim(text)) WHEN 1 THEN strlen(text)
+                 WHEN 2 THEN strlen(text) + 2 WHEN 3 THEN strlen(trim(text))
+                 WHEN 4 THEN strlen(trim(text)) ELSE 0 END)::BIGINT AS bytes_out,
            (count(*) FILTER (WHERE doc_id % 6 = 5))::BIGINT AS parse_failures,
            count(DISTINCT {SQL_MIME_CASE})::BIGINT AS mime_kinds
     FROM documents GROUP BY 1
@@ -1177,7 +1178,9 @@ def oracle_sql() -> dict[str, str]:
         "lpad((doc_id % 10000)::VARCHAR, 4, '0')"
     )
     email_pat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    phone_pat = "(?:\\+?\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b"
+    # leading captured boundary (re-emitted as \\1 — RE2 backref syntax;
+    # the Spark twin uses $1) so digit-run tails never match
+    phone_pat = "(^|[^\\d.])((?:\\+?\\d{1,2}[-. ])?\\(?\\d{3}\\)?[-. ]\\d{3}[-. ]\\d{4}\\b)"
     ssn_pat = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
     ip_pat = "\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b"
     sql["q_redact_pii"] = f"""
@@ -1185,7 +1188,7 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id,
            regexp_replace(regexp_replace(regexp_replace(regexp_replace(
              s, '{email_pat}', '<EMAIL>', 'g'),
-             '{phone_pat}', '<PHONE>', 'g'),
+             '{phone_pat}', '\\1<PHONE>', 'g'),
              '{ssn_pat}', '<SSN>', 'g'),
              '{ip_pat}', '<IP>', 'g') AS redacted,
            len(regexp_extract_all(s, '{email_pat}'))::BIGINT AS n_email,
@@ -1202,10 +1205,18 @@ def oracle_sql() -> dict[str, str]:
                          for i in generate_series(1, len(w) - 1)]) AS g
       FROM toks WHERE len(w) >= 2
     ),
-    counts AS (SELECT id, g, count(*) AS c FROM grams GROUP BY id, g)
-    SELECT id, sum(c)::BIGINT AS ngram_total, max(c)::BIGINT AS top_ngram_count,
-           floor(max(c) / sum(c) * 1000000) / 1000000 AS rep_fraction
-    FROM counts GROUP BY id
+    counts AS (SELECT id, g, count(*) AS c FROM grams GROUP BY id, g),
+    agg AS (SELECT id, sum(c)::BIGINT AS ngram_total, max(c)::BIGINT AS top_ngram_count
+            FROM counts GROUP BY id)
+    -- EVERY doc gets a row (short/null-text docs: explicit zeros), like
+    -- the engine's explode_outer
+    SELECT t.id,
+           coalesce(a.ngram_total, 0)::BIGINT AS ngram_total,
+           coalesce(a.top_ngram_count, 0)::BIGINT AS top_ngram_count,
+           CASE WHEN coalesce(a.ngram_total, 0) > 0
+                THEN floor(a.top_ngram_count / a.ngram_total * 1000000) / 1000000
+                ELSE 0.0 END AS rep_fraction
+    FROM toks t LEFT JOIN agg a ON a.id = t.id
     """
 
     sql["q_contamination"] = """

@@ -174,9 +174,14 @@ def pack_sequences(
 # over-redacts code/numbers destroys data; recall-first scrubbing belongs
 # in a dedicated pass with review). Kept ANSI-regex simple so the exact
 # same patterns run on any engine.
+# the phone pattern anchors its START with a captured boundary char
+# (re-emitted via $1) instead of \b — \b fails before '+', and an
+# unanchored start matched the TAIL of longer digit runs ('2023.456.7890
+# units' became '2<PHONE> units'). Lookbehind would be cleaner but RE2
+# (the DuckDB oracle engine) has none; (^|[^\d.]) runs on both engines.
 PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
     ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
-    ("phone", r"(?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b", "<PHONE>"),
+    ("phone", r"(^|[^\d.])((?:\+?\d{1,2}[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b)", "$1<PHONE>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("ipv4", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
 )
@@ -215,12 +220,20 @@ def repetition_stats(
     à la Gopher/C4 rules).
 
     Shape: explode n-grams -> two hash aggregates keyed on id — linear,
-    partial-aggregated map-side, no joins.
+    partial-aggregated map-side, no joins. EVERY input doc gets a row:
+    explode_outer keeps docs with fewer than ``n`` words (or null text)
+    as an explicit all-zero row (rep_fraction 0.0 = not repetitive) —
+    a plain explode silently dropped them, and a downstream
+    rep_fraction <= threshold join then dropped every short doc.
     """
     ex = df.select(
-        F.col(id_col).alias("id"), F.explode(_word_ngrams(F.col(text_col), n)).alias("g")
+        F.col(id_col).alias("id"),
+        F.explode_outer(_word_ngrams(F.col(text_col), n)).alias("g"),
     )
-    counts = ex.groupBy("id", "g").agg(F.count(F.lit(1)).alias("c"))
+    counts = ex.groupBy("id", "g").agg(
+        # the null-gram marker row (zero n-grams) must count 0, not 1
+        F.count(F.col("g")).alias("c")
+    )
     return (
         counts.groupBy("id")
         .agg(
@@ -229,7 +242,11 @@ def repetition_stats(
         )
         .withColumn(
             "rep_fraction",
-            F.floor(F.col("top_ngram_count") / F.col("ngram_total") * 1_000_000) / 1_000_000,
+            F.when(
+                F.col("ngram_total") > 0,
+                F.floor(F.col("top_ngram_count") / F.col("ngram_total") * 1_000_000)
+                / 1_000_000,
+            ).otherwise(F.lit(0.0)),
         )
     )
 

@@ -59,7 +59,7 @@ def extract_transcripts(
         .withColumn(
             "file",
             F.struct(
-                F.length(F.col("text")).alias("filesize"),
+                F.octet_length(F.col("text")).alias("filesize"),
                 (
                     F.sha2(F.col("text"), 256)
                     if settings.checksum_algo == "sha256"
@@ -69,6 +69,15 @@ def extract_transcripts(
             ),
         )
     )
+    if settings.index_content:
+        extracted_col = F.col("ex.extracted").alias("extracted")
+        spans_col = F.col("ex.spans").alias("spans")
+    else:
+        # reference Fs.index_content=false: metadata only — the parse
+        # still runs (mime/title/meta/error need it) but no content or
+        # span offsets are stored (FsParser indexedChars/content gating)
+        extracted_col = F.lit(None).cast("string").alias("extracted")
+        spans_col = F.array().cast("array<bigint>").alias("spans")
     cols = [
         "conv_id",
         "turn_idx",
@@ -77,8 +86,8 @@ def extract_transcripts(
         "ts",
         "doc_id",
         F.col("ex.mime").alias("mime"),
-        F.col("ex.extracted").alias("extracted"),
-        F.col("ex.spans").alias("spans"),
+        extracted_col,
+        spans_col,
         F.col("ex.error").alias("error"),
         "file",
         "part_bucket",

@@ -37,7 +37,10 @@ def size_gate_predicate(text_col: Column, ignore_above: int | None) -> Column:
     character length — a 1500-char CJK payload is ~4.5KB UTF-8)."""
     if ignore_above is None:
         return F.lit(True)
-    return F.octet_length(text_col) <= F.lit(ignore_above)
+    # null text is a first-class input (extract(None) is supported):
+    # octet_length(NULL) <= N is NULL and a bare filter would silently
+    # drop the row — keep nulls explicitly, like apply_post_filters
+    return text_col.isNull() | (F.octet_length(text_col) <= F.lit(ignore_above))
 
 
 def content_filter_predicate(extracted_col: Column, filters: tuple[str, ...]) -> Column:

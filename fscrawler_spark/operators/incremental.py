@@ -96,8 +96,13 @@ def merge_tags(docs: DataFrame, conv_tags: DataFrame) -> DataFrame:
             F.array_union(F.map_keys(conv_m), F.map_keys(doc_m)),
             F.transform(
                 F.array_union(F.map_keys(conv_m), F.map_keys(doc_m)),
-                # tags (conv side) win conflicts, per the reference
-                lambda k: F.coalesce(F.element_at(conv_m, k), F.element_at(doc_m, k)),
+                # tags (conv side) win conflicts, per the reference —
+                # KEY-presence-aware, not coalesce: a tags entry whose
+                # value is NULL is still an override (coalesce would let
+                # the doc value win for exactly that deliberate null)
+                lambda k: F.when(
+                    F.map_contains_key(conv_m, k), F.element_at(conv_m, k)
+                ).otherwise(F.element_at(doc_m, k)),
             ),
         )
         return tagged.withColumn("tags", merged).drop("_conv_tags")

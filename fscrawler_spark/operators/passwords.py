@@ -137,11 +137,20 @@ class DiskPasswordProvider(PasswordProvider):
 
         rows = []
         if os.path.isdir(self.root):
-            for name in sorted(os.listdir(self.root)):
-                if not name.endswith(self.SIDECAR_SUFFIX):
-                    continue
-                conv_id = name[: -len(self.SIDECAR_SUFFIX)]
-                with open(os.path.join(self.root, name)) as f:
+            # RECURSIVE walk: conv_ids are virtual paths elsewhere
+            # (include/exclude globs match '/' segments), so the sidecar
+            # for conv 'teamA/conv1' lives at <root>/teamA/conv1.password
+            # — a flat listdir could never see it
+            sidecars = []
+            for dirpath, dirnames, files in os.walk(self.root):
+                dirnames.sort()
+                for name in sorted(files):
+                    if name.endswith(self.SIDECAR_SUFFIX):
+                        sidecars.append(os.path.join(dirpath, name))
+            for path in sidecars:
+                rel = os.path.relpath(path, self.root)
+                conv_id = rel[: -len(self.SIDECAR_SUFFIX)].replace(os.sep, "/")
+                with open(path) as f:
                     # text-mode open already normalizes CRLF to \n
                     # (universal newlines); rstrip covers \r anyway so a
                     # future newline=''/binary reader can't regress this
@@ -194,11 +203,24 @@ class ChainedPasswordProvider(PasswordProvider):
         return out.withColumn("passwords", F.array_distinct("passwords"))
 
 
+def passwords_for_encrypted(provider: "PasswordProvider", docs: DataFrame) -> DataFrame:
+    """Build the candidate table over ONLY conversations that still hold
+    encrypted turns. Providers enumerate (and Static fan-outs per-conv
+    rows over) whatever universe they receive, and retry_encrypted
+    broadcasts the result — passing the full corpus universe makes that
+    broadcast corpus-conversation-sized. This keeps it genuinely tiny:
+    candidates for the rows the retry can actually fix."""
+    enc_convs = (
+        docs.filter(F.col("error") == "encrypted").select("conv_id").distinct()
+    )
+    return provider.candidates(enc_convs)
+
+
 def retry_encrypted(
     docs: DataFrame,
     src: DataFrame,
     passwords: DataFrame,
-    settings: ExtractSettings | None = None,
+    settings: ExtractSettings,
 ) -> DataFrame:
     """Re-extract turns that failed with error='encrypted' using per-conv
     password candidates; leave everything else untouched.
@@ -206,8 +228,17 @@ def retry_encrypted(
     docs: extraction output (needs conv_id, turn_idx, error columns).
     src:  the raw input (conv_id, turn_idx, text).
     passwords: (conv_id, passwords: array<string>) — broadcast side.
+    settings: REQUIRED, and must be the settings ``docs`` was extracted
+    with — a defaulted ExtractSettings() here would silently re-extract
+    the decrypted rows without parse_object/lang_detect/raw_metadata,
+    leaving exactly those rows unenriched. The object-column guard below
+    catches the detectable half of that mismatch.
     """
-    settings = settings or ExtractSettings()
+    if "object" in docs.columns and not settings.parse_object:
+        raise ValueError(
+            "docs carries an 'object' column but settings.parse_object is "
+            "False — pass the SAME settings the table was extracted with"
+        )
     # NOTE: fully lazy — no action is triggered here. An earlier version
     # ran enc.head(1) to short-circuit the no-encrypted-rows case, which
     # executed the whole upstream extraction plan once (and the union

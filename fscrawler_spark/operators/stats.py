@@ -41,7 +41,7 @@ def conversation_summary(docs: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
         F.sum(F.col("file.filesize")).cast("long").alias("bytes_in"),
-        F.sum(F.coalesce(F.length("extracted"), F.lit(0))).cast("long").alias("bytes_out"),
+        F.sum(F.coalesce(F.octet_length("extracted"), F.lit(0))).cast("long").alias("bytes_out"),
         F.sum(parse_failure_flag()).cast("long").alias("parse_failures"),
         F.count_distinct("mime").cast("long").alias("mime_kinds"),
     )

@@ -90,7 +90,7 @@ def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = N
         F.count_distinct("conv_id").alias("conv_count"),
         F.count(F.lit(1)).alias("turn_count"),
         F.sum(F.col("file.filesize")).alias("bytes_in"),
-        F.sum(F.coalesce(F.length("extracted"), F.lit(0))).alias("bytes_out"),
+        F.sum(F.coalesce(F.octet_length("extracted"), F.lit(0))).alias("bytes_out"),
         # genuine failures only: needs_ocr rows are NOT parse failures —
         # the two counters partition the error space (stats.parse_failure_flag)
         F.sum(parse_failure_flag()).alias("parse_failures"),

@@ -120,7 +120,9 @@ def test_repetition_stats_known_values(spark):
     assert got[1]["ngram_total"] == 3 and got[1]["top_ngram_count"] == 3
     assert got[1]["rep_fraction"] == 1.0
     assert got[2]["top_ngram_count"] == 1
-    assert 3 not in got  # single-word doc has no bigrams (sequence guard)
+    # single-word doc has no bigrams (sequence guard) — emitted as an
+    # explicit zero row since round 3, never silently dropped
+    assert got[3]["ngram_total"] == 0 and got[3]["rep_fraction"] == 0.0
 
 
 def test_value_type_parsers():
