@@ -119,5 +119,17 @@ def extract_transcripts(
             F.col("ex.raw").alias("raw"),
         ).alias("meta")
     )
+    if not settings.index_content and settings.filters:
+        # F2 content filters must see the PARSE output: the stored
+        # `extracted` column was just nulled (metadata-only mode), and
+        # apply_post_filters' null-keep arm would turn the filter into a
+        # keep-all no-op — gate on ex.extracted here instead
+        from fscrawler_spark.operators.filters import content_filter_predicate
+
+        out = out.filter(
+            F.col("ex.extracted").isNull()
+            | content_filter_predicate(F.col("ex.extracted"), settings.filters)
+        )
+        return out.select(*cols)
     out = out.select(*cols)
     return apply_post_filters(out, settings)

@@ -234,10 +234,12 @@ def retry_encrypted(
     leaving exactly those rows unenriched. The object-column guard below
     catches the detectable half of that mismatch.
     """
-    if "object" in docs.columns and not settings.parse_object:
+    if ("object" in docs.columns) != settings.parse_object:
         raise ValueError(
-            "docs carries an 'object' column but settings.parse_object is "
-            "False — pass the SAME settings the table was extracted with"
+            f"settings.parse_object={settings.parse_object} but docs "
+            f"{'carries' if 'object' in docs.columns else 'lacks'} an "
+            "'object' column — pass the SAME settings the table was "
+            "extracted with"
         )
     # NOTE: fully lazy — no action is triggered here. An earlier version
     # ran enc.head(1) to short-circuit the no-encrypted-rows case, which
@@ -256,8 +258,16 @@ def retry_encrypted(
             "conv_id",
             "turn_idx",
             F.col("ex.mime").alias("mime"),
-            F.col("ex.extracted").alias("extracted"),
-            F.col("ex.spans").alias("spans"),
+            # metadata-only tables stay metadata-only: the decrypted
+            # content must not leak where index_content=False nulled it
+            (
+                F.col("ex.extracted") if settings.index_content
+                else F.lit(None).cast("string")
+            ).alias("extracted"),
+            (
+                F.col("ex.spans") if settings.index_content
+                else F.array().cast("array<bigint>")
+            ).alias("spans"),
             F.col("ex.error").alias("error"),
             F.col("ex.title").alias("_new_title"),
             F.col("ex.raw").alias("_new_raw"),

@@ -122,6 +122,57 @@ def test_index_content_false_stores_metadata_only(spark):
     assert on["extracted"] is not None
 
 
+def test_index_content_false_filters_still_apply(spark):
+    """F2 content filters must gate on the PARSE output even in
+    metadata-only mode (nulled stored content must not turn the filter
+    into keep-all)."""
+    from fscrawler_spark.operators.extract import extract_transcripts
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "keep confidential data", None, None),
+         ("c", 1, "user", "nothing to see", None, None)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    st = ExtractSettings(num_buckets=2, index_content=False, filters=("confidential",))
+    rows = extract_transcripts(df, st).collect()
+    assert [r["turn_idx"] for r in rows] == [0]
+    assert rows[0]["extracted"] is None  # still metadata-only
+
+
+def test_retry_encrypted_respects_index_content(spark):
+    from fscrawler_spark.operators.passwords import retry_encrypted
+
+    st = ExtractSettings(num_buckets=2, index_content=False)
+    docs = spark.createDataFrame(
+        [("c", 0, "application/octet-stream", None, [], "encrypted")],
+        "conv_id string, turn_idx int, mime string, extracted string, "
+        "spans array<bigint>, error string",
+    )
+    from fscrawler_spark.operators.passwords import encrypt_payload
+
+    src = spark.createDataFrame(
+        [("c", 0, encrypt_payload("secret", "the hidden body"))],
+        "conv_id string, turn_idx int, text string",
+    )
+    pws = spark.createDataFrame([("c", ["secret"])], "conv_id string, passwords array<string>")
+    out = retry_encrypted(docs, src, pws, st).filter("conv_id = 'c'").first()
+    # decryption succeeded (error cleared) but content stays unstored
+    assert out["error"] is None or out["error"] != "encrypted"
+    assert out["extracted"] is None and out["spans"] == []
+
+
+def test_retry_encrypted_guard_is_bidirectional(spark):
+    from fscrawler_spark.operators.passwords import retry_encrypted
+
+    docs = spark.createDataFrame(
+        [("c", 0, "encrypted")], "conv_id string, turn_idx int, error string"
+    )
+    src = spark.createDataFrame([("c", 0, "ENC:x")], "conv_id string, turn_idx int, text string")
+    pws = spark.createDataFrame([("c", ["p"])], "conv_id string, passwords array<string>")
+    with pytest.raises(ValueError, match="lacks"):
+        retry_encrypted(docs, src, pws, ExtractSettings(parse_object=True))
+
+
 def test_passwords_for_encrypted_restricts_universe(spark):
     from fscrawler_spark.operators.passwords import (
         StaticPasswordProvider,
