@@ -181,6 +181,17 @@ _HTML_TOKEN_RE = re.compile(
 )
 
 
+def _self_closes(text: str, name_end: int, tag_end: int) -> bool:
+    """True when the '/>' ending at ``tag_end`` is a GENUINE self-closing
+    marker: the char before the '/' must end the tag name, whitespace,
+    or a quoted value — per the HTML5 tokenizer a '/' directly after an
+    UNQUOTED attribute value is part of that value
+    ('<script src=https://x/>' does NOT self-close; the body is script
+    data until </script>, like browsers treat it)."""
+    seg = text[name_end : tag_end - 2]
+    return (not seg) or seg[-1] in " \t\r\n\"'"
+
+
 def extract_html(text: str, limit: int) -> ExtractResult:
     """DOM-tree text-density boilerplate strip (Boilerpipe/readability-style).
 
@@ -241,7 +252,9 @@ def extract_html(text: str, limit: int) -> ExtractResult:
             continue
         # self-closing only matters for drop/anchor handling (lazy compute)
         if name in drop_tags:
-            if name in void_tags or text[pos - 2 : pos] == "/>":
+            if name in void_tags or (
+                text[pos - 2 : pos] == "/>" and _self_closes(text, m.end(2), pos)
+            ):
                 continue
             drop_depth += -1 if closing else 1
             if drop_depth < 0:
@@ -259,7 +272,9 @@ def extract_html(text: str, limit: int) -> ExtractResult:
             if closing:
                 if anchor_depth > 0:
                     anchor_depth -= 1
-            elif not (text[pos - 2 : pos] == "/>"):
+            elif not (
+                text[pos - 2 : pos] == "/>" and _self_closes(text, m.end(2), pos)
+            ):
                 anchor_depth += 1
             continue
     if pos < len(text) and drop_depth == 0 and not in_title:
@@ -372,7 +387,11 @@ def extract_json(text: str, limit: int) -> ExtractResult:
     try:
         json.loads(text)
     except Exception:
-        return ExtractResult(MIME_JSON, None, [], "parse_error")
+        # first-char sniff ('{'/'[') is not proof of JSON: log lines
+        # ('[INFO] ...') and prose with braces must not lose their
+        # content. Mirror Tika: a failed JSON detection degrades to
+        # plain text (mime included — Tika would never claim JSON here).
+        return extract_plain(text, limit)
     runs: list[tuple[int, int]] = []
     n = len(text)
     append = runs.append
@@ -407,18 +426,32 @@ def extract_binary(text: str) -> ExtractResult:
 
 # --- raw metadata (T8) ---------------------------------------------------------
 
-# quoted attribute values may contain '>' — consume quoted runs atomically
-_META_TAG_RE = re.compile(r"<meta\s(?:\"[^\"]*\"|'[^']*'|[^>])*>", re.IGNORECASE | re.DOTALL)
-_ATTR_NAME_RE = re.compile(r"\bname\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE)
-_ATTR_CONTENT_RE = re.compile(r"\bcontent\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE)
+# quoted attribute values may contain '>' — consume quoted runs
+# atomically. The catch-all branch EXCLUDES quotes ([^>"']): with a
+# plain [^>] the alternation is ambiguous (quotes match both branches)
+# and a truncated '<meta "a" "a" ...' with no '>' backtracks
+# exponentially — measured >10s at 24 quote pairs (ReDoS)
+_META_TAG_RE = re.compile(
+    r"<meta\s(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>", re.IGNORECASE | re.DOTALL
+)
+# (?:^|[\s\"']) start guard: \b alone lets 'data-name=' match (hyphen is
+# a word boundary) and lets a name= inside another attribute's value match
+_ATTR_NAME_RE = re.compile(r"(?:^|[\s\"'])name\s*=\s*[\"']([^\"']+)[\"']", re.IGNORECASE)
+_ATTR_CONTENT_RE = re.compile(
+    r"(?:^|[\s\"'])content\s*=\s*[\"']([^\"']*)[\"']", re.IGNORECASE
+)
 
 
-def extract_raw_meta(text: str, mime: str) -> dict[str, str] | None:
+def extract_raw_meta(
+    text: str, mime: str, parsed: object | None = None
+) -> dict[str, str] | None:
     """T8 raw metadata capture (TikaDocParser.java:443-463): html <meta>
     name/content pairs (either attribute order); json top-level scalar
     fields. Keys get dots replaced by colons (reference issue #256
     parity). Returns None when the format carries no metadata — callers
-    gate this behind settings.raw_metadata so the hot path never pays."""
+    gate this behind settings.raw_metadata so the hot path never pays.
+    ``parsed``: an already-json.loads'd value for JSON payloads — the
+    batch builder passes it so raw+object extraction share ONE parse."""
     try:
         if mime == MIME_HTML:
             pairs: dict[str, str] = {}
@@ -430,7 +463,7 @@ def extract_raw_meta(text: str, mime: str) -> dict[str, str] | None:
                     pairs[nm.group(1).replace(".", ":")] = ct.group(1)
             return pairs or None
         if mime == MIME_JSON:
-            obj = json.loads(text)
+            obj = parsed if parsed is not None else json.loads(text)
             if isinstance(obj, dict):
                 out = {
                     # JSON-canonical scalar serialization ('true' not 'True')
@@ -447,7 +480,9 @@ def extract_raw_meta(text: str, mime: str) -> dict[str, str] | None:
 # --- parsed object (T13/T14, Doc.object analog) --------------------------------
 
 
-def extract_object(text: str, mime: str) -> dict[str, str] | None:
+def extract_object(
+    text: str, mime: str, parsed: object | None = None
+) -> dict[str, str] | None:
     """Parsed-object column: the Doc.object analog
     (beans/Doc.java:34-35; JSON: core/FsParser.java:1494-1525; XML->JSON:
     tika/XmlDocParser.java:44-82).
@@ -483,7 +518,7 @@ def extract_object(text: str, mime: str) -> dict[str, str] | None:
                 else:
                     out[prefix or "$"] = v if isinstance(v, str) else json.dumps(v)
 
-            walk_json("", json.loads(text))
+            walk_json("", parsed if parsed is not None else json.loads(text))
             return out or None
         if mime == MIME_XML:
             import xml.etree.ElementTree as ET
@@ -493,7 +528,13 @@ def extract_object(text: str, mime: str) -> dict[str, str] | None:
                 path = f"{prefix}.{tag}" if prefix else tag
                 for k, v in el.attrib.items():
                     out[f"{path}.@{k.rsplit('}', 1)[-1]}"] = v
-                t = (el.text or "").strip()
+                # mixed content: an element's text nodes are its leading
+                # .text plus each child's .tail ('<doc>a<b/>z</doc>' has
+                # text nodes 'a' and 'z') — join what exists so tail
+                # text is never silently dropped
+                parts = [(el.text or "").strip()]
+                parts.extend((c.tail or "").strip() for c in el)
+                t = " ".join(p for p in parts if p)
                 if t:
                     out[f"{path}.$"] = t
                 for child in el:

@@ -14,6 +14,8 @@ partitioning / resume boundaries is by construction.
 
 from __future__ import annotations
 
+import json
+
 import pyarrow as pa
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -67,8 +69,17 @@ def build_extract_batch(pairs, settings: ExtractSettings) -> pa.Array:
         extracted.append(r.extracted)
         errors.append(r.error)
         titles.append(r.title)
-        raws.append(extract_raw_meta(t, r.mime) if (want_raw and t) else None)
-        objects.append(extract_object(t, r.mime) if (want_obj and t) else None)
+        # ONE json.loads shared by raw-meta and object extraction (they
+        # each re-parse only when parsed is absent); the validation parse
+        # inside extract_json is separate — 2 parses total, not 3
+        parsed = None
+        if t and r.mime == "application/json" and (want_raw or want_obj):
+            try:
+                parsed = json.loads(t)
+            except Exception:
+                parsed = None
+        raws.append(extract_raw_meta(t, r.mime, parsed) if (want_raw and t) else None)
+        objects.append(extract_object(t, r.mime, parsed) if (want_obj and t) else None)
         for s, e in r.spans:
             packed.append((s << 32) | e)
         n_spans += len(r.spans)

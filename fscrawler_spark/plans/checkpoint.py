@@ -60,6 +60,9 @@ class CheckpointManifest:
     # next run forward, like the reference's shouldWakeFromCheckpoint
     # (FsParser.java:1401-1417)
     next_check: float | None = None
+    # True while an explicit set_next_check is pending its save — save()
+    # then skips the on-disk pull-forward merge (the overwrite path)
+    _next_check_dirty: bool = field(default=False, repr=False, compare=False)
 
     @classmethod
     def load_or_create(
@@ -70,8 +73,21 @@ class CheckpointManifest:
         settings_fingerprint: str | None = None,
     ) -> "CheckpointManifest":
         if os.path.exists(path):
-            with open(path) as f:
-                d = json.load(f)
+            try:
+                with open(path) as f:
+                    d = json.load(f)
+            except (json.JSONDecodeError, OSError) as e:
+                # torn/zero-length manifest (crash before the fsync'd
+                # replace landed): extraction is idempotent, so the SAFE
+                # recovery is a fresh manifest (full rescan) — not an
+                # unhandled JSONDecodeError the operator must hand-fix
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "checkpoint at %s is unreadable (%s); starting a fresh "
+                    "manifest — the idempotent rescan re-creates state", path, e,
+                )
+                d = {}
             if "completed_buckets" in d and "completed" not in d:
                 # legacy manifest migration — the _status.json -> _checkpoint.json
                 # upgrade analog (FsCrawlerCheckpointFileHandler.java:95-120)
@@ -183,9 +199,14 @@ class CheckpointManifest:
 
     def set_next_check(self, epoch_seconds: float | None) -> None:
         """Persist the next scheduled scan time (updateCheckpointAsCompleted
-        analog, FsParser.java:663-688)."""
+        analog, FsParser.java:663-688). This is the EXPLICIT overwrite
+        path: it replaces any on-disk value, including an earlier one."""
         self.next_check = epoch_seconds
-        self.save()
+        self._next_check_dirty = True
+        try:
+            self.save()
+        finally:
+            self._next_check_dirty = False
 
     def resume_running(self) -> None:
         """A resumed run is RUNNING again — without this, every
@@ -217,8 +238,26 @@ class CheckpointManifest:
         }
 
     def save(self) -> None:
-        """Atomic write (tmp + rename), same crash-safety contract as
-        FsCrawlerCheckpointFileHandler.java:45-93."""
+        """Atomic write (tmp + fsync + rename), same crash-safety contract
+        as FsCrawlerCheckpointFileHandler.java:45-93. The fsync matters:
+        os.replace is atomic for the NAME, not the unsynced data — a
+        power cut shortly after rename can otherwise leave a zero-length
+        manifest.
+
+        next_check pull-forward preservation: an external actor (REST,
+        operator edit) may move next_check EARLIER on disk while the job
+        holds a stale in-memory copy — an earlier on-disk value survives
+        this save; set_next_check remains the explicit overwrite path."""
+        if not self._next_check_dirty and os.path.exists(self.path):
+            try:
+                with open(self.path) as f:
+                    disk_nc = json.load(f).get("next_check")
+                if disk_nc is not None and (
+                    self.next_check is None or disk_nc < self.next_check
+                ):
+                    self.next_check = disk_nc
+            except (OSError, json.JSONDecodeError):
+                pass  # unreadable/corrupt on-disk copy: our state wins
         d = {
             "scan_id": self.scan_id,
             "completed": sorted(self.completed),
@@ -233,6 +272,14 @@ class CheckpointManifest:
         dir_ = os.path.dirname(self.path) or "."
         os.makedirs(dir_, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=dir_, prefix=".ckpt-")
-        with os.fdopen(fd, "w") as f:
-            json.dump(d, f)
-        os.replace(tmp, self.path)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(d, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, self.path)
+        except BaseException:
+            # ENOSPC mid-dump etc.: don't leave orphaned .ckpt-* files
+            if os.path.exists(tmp):
+                os.remove(tmp)
+            raise

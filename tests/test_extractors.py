@@ -198,9 +198,15 @@ def test_json_string_values():
     check_invariant(doc, r)
 
 
-def test_json_broken():
+def test_json_broken_degrades_to_plain_text():
+    """A failed JSON detection must not destroy content: first-char
+    sniff is not proof ('[INFO] log line', prose with braces). Mirror
+    Tika — degrade to plain text, mime included."""
     r = extract('{"a": unterminated')
-    assert r.extracted is None and r.error == "parse_error"
+    assert r.error is None and r.extracted == '{"a": unterminated'
+    assert r.mime == "text/plain"
+    r2 = extract("[INFO] server started on port 8080")
+    assert r2.extracted == "[INFO] server started on port 8080"
 
 
 def test_json_escapes_verbatim():
