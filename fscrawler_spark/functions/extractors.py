@@ -17,8 +17,11 @@ Canonical extraction contract (every format):
   ``limit`` chars; the partial final block is KEPT, mirroring the
   reference's WriteLimitReached handling (TikaInstance.java:249-258).
 * failures never raise: encrypted payloads yield (None, [], 'encrypted'),
-  unparseable ones (None, [], 'parse_error') — mirroring
-  TikaDocParser.java:580-589 / TikaDocParserTest.java:1408-1416.
+  unparseable binaries (None, [], 'parse_error') — mirroring
+  TikaDocParser.java:580-589 / TikaDocParserTest.java:1408-1416. A
+  failed JSON *detection* (first-char sniff, text unparseable) instead
+  degrades to plain-text extraction — content is never destroyed over a
+  wrong sniff.
 """
 
 from __future__ import annotations
@@ -382,7 +385,8 @@ def extract_json(text: str, limit: int) -> ExtractResult:
     Extracted = string *values* (keys skipped) in document order, joined by
     '\\n'; spans are the raw (unescaped-source) extents of each value, so
     the verbatim-slice invariant holds even for escaped content. Parse
-    failure -> (None, 'parse_error'), never an exception.
+    failure degrades to plain-text extraction (the sniff was wrong, the
+    content survives); never an exception.
     """
     try:
         json.loads(text)
@@ -426,13 +430,16 @@ def extract_binary(text: str) -> ExtractResult:
 
 # --- raw metadata (T8) ---------------------------------------------------------
 
-# quoted attribute values may contain '>' — consume quoted runs
-# atomically. The catch-all branch EXCLUDES quotes ([^>"']): with a
-# plain [^>] the alternation is ambiguous (quotes match both branches)
-# and a truncated '<meta "a" "a" ...' with no '>' backtracks
-# exponentially — measured >10s at 24 quote pairs (ReDoS)
+# quoted attribute values may contain '>' — consume quoted runs whole.
+# The repetition is wrapped in an ATOMIC group (?>...): the alternation
+# is ambiguous (quotes also match [^>]) and without atomicity a
+# truncated '<meta "a" "a" ...' with no '>' backtracks exponentially —
+# measured >10s at 24 quote pairs (ReDoS). Atomic = first greedy parse
+# or nothing, which also keeps stray apostrophes in unquoted values
+# tolerated ([^>] still eats them). A stray quote can still mis-scope a
+# tag past its '>' (pre-existing, inherent without real tokenization).
 _META_TAG_RE = re.compile(
-    r"<meta\s(?:\"[^\"]*\"|'[^']*'|[^>\"'])*>", re.IGNORECASE | re.DOTALL
+    r"<meta\s(?>(?:\"[^\"]*\"|'[^']*'|[^>])*)>", re.IGNORECASE | re.DOTALL
 )
 # (?:^|[\s\"']) start guard: \b alone lets 'data-name=' match (hyphen is
 # a word boundary) and lets a name= inside another attribute's value match

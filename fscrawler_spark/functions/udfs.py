@@ -21,7 +21,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from fscrawler_spark.config import ExtractSettings
-from fscrawler_spark.functions.extractors import extract, extract_object, extract_raw_meta
+from fscrawler_spark.functions.extractors import (
+    MIME_JSON,
+    extract,
+    extract_object,
+    extract_raw_meta,
+)
 
 # Spans are PACKED as int64 (start << 32 | end): converting Arrow
 # array<struct<int,int>> into Spark InternalRows measured ~13us/row of
@@ -73,7 +78,7 @@ def build_extract_batch(pairs, settings: ExtractSettings) -> pa.Array:
         # each re-parse only when parsed is absent); the validation parse
         # inside extract_json is separate — 2 parses total, not 3
         parsed = None
-        if t and r.mime == "application/json" and (want_raw or want_obj):
+        if t and r.mime == MIME_JSON and (want_raw or want_obj):
             try:
                 parsed = json.loads(t)
             except Exception:

@@ -38,6 +38,10 @@ import tempfile
 from dataclasses import dataclass, field
 
 
+class _NoExternalEdit(Exception):
+    """Internal control flow: the manifest on disk is our own last write."""
+
+
 class SettingsMismatchError(ValueError):
     """Resume attempted with settings incompatible with the manifest."""
 
@@ -63,6 +67,9 @@ class CheckpointManifest:
     # True while an explicit set_next_check is pending its save — save()
     # then skips the on-disk pull-forward merge (the overwrite path)
     _next_check_dirty: bool = field(default=False, repr=False, compare=False)
+    # mtime_ns of OUR last write: when the file is untouched since, the
+    # pull-forward merge read is skipped (no external edit to merge)
+    _saved_mtime_ns: int | None = field(default=None, repr=False, compare=False)
 
     @classmethod
     def load_or_create(
@@ -76,7 +83,9 @@ class CheckpointManifest:
             try:
                 with open(path) as f:
                     d = json.load(f)
-            except (json.JSONDecodeError, OSError) as e:
+            except (ValueError, OSError) as e:
+                # ValueError covers JSONDecodeError AND UnicodeDecodeError
+                # (non-UTF-8 disk corruption)
                 # torn/zero-length manifest (crash before the fsync'd
                 # replace landed): extraction is idempotent, so the SAFE
                 # recovery is a fresh manifest (full rescan) — not an
@@ -250,14 +259,21 @@ class CheckpointManifest:
         this save; set_next_check remains the explicit overwrite path."""
         if not self._next_check_dirty and os.path.exists(self.path):
             try:
+                if os.stat(self.path).st_mtime_ns == self._saved_mtime_ns:
+                    raise _NoExternalEdit  # we wrote last — nothing to merge
                 with open(self.path) as f:
                     disk_nc = json.load(f).get("next_check")
                 if disk_nc is not None and (
                     self.next_check is None or disk_nc < self.next_check
                 ):
                     self.next_check = disk_nc
-            except (OSError, json.JSONDecodeError):
-                pass  # unreadable/corrupt on-disk copy: our state wins
+            except _NoExternalEdit:
+                pass
+            except (OSError, ValueError, TypeError):
+                # unreadable/corrupt on-disk copy (incl. non-UTF-8 bytes)
+                # or a hand-edited non-numeric next_check: our state wins
+                # — save() must never become a hard failure
+                pass
         d = {
             "scan_id": self.scan_id,
             "completed": sorted(self.completed),
@@ -278,6 +294,10 @@ class CheckpointManifest:
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(tmp, self.path)
+            try:
+                self._saved_mtime_ns = os.stat(self.path).st_mtime_ns
+            except OSError:
+                self._saved_mtime_ns = None
         except BaseException:
             # ENOSPC mid-dump etc.: don't leave orphaned .ckpt-* files
             if os.path.exists(tmp):
