@@ -216,7 +216,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return d.select(
             "doc_id",
             F.col("ex.extracted").alias("extracted"),
-            F.element_at(F.col("ex.spans"), -1).bitwiseAND(F.lit(0xFFFFFFFF)).alias("span_end"),
+            # try_element_at + coalesce: ANSI element_at([], -1) THROWS,
+            # and an empty/whitespace text yields zero spans (span_end 0
+            # matches the oracle's least(length, 100) = 0 for empty)
+            F.coalesce(F.try_element_at(F.col("ex.spans"), F.lit(-1)), F.lit(0))
+            .bitwiseAND(F.lit(0xFFFFFFFF))
+            .alias("span_end"),
         )
 
     def q_doc_identity(spark, sf):
@@ -248,18 +253,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def q_pipeline_transcripts(spark, sf):
-        # flagship: documents -> synthetic transcript turns -> FULL pipeline
-        d = _docs(spark, sf)
-        turns = d.select(
-            F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
-            F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
-            F.lit("assistant").alias("role"),
-            _payload_col().alias("text"),
-            F.lit(None).cast("string").alias("tool"),
-            (F.lit("2024-01-01 00:00:00").cast("timestamp") + F.expr("doc_id * INTERVAL 1 SECOND")).alias("ts"),
+        # flagship: documents -> synthetic transcript turns -> FULL
+        # pipeline. ONE turns construction shared with the full-schema /
+        # summary siblings (_pipeline_full) so the oracles can never
+        # desynchronize on the synthetic-turn template.
+        return _pipeline_full(spark, sf).select(
+            "conv_id", "turn_idx", "mime", "extracted", "error"
         )
-        out = extract_transcripts(turns)
-        return out.select("conv_id", "turn_idx", "mime", "extracted", "error")
 
     def q_parsed_object(spark, sf):
         # T13 JSON Doc.object + T14 XML -> map (FsParser.java:1494-1525;

@@ -17,6 +17,7 @@ Appends one JSON line per case to stdout; paste the table into PLANS.md.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -24,7 +25,7 @@ import urllib.request
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from fscrawler_spark.functions import dedup, embeddings  # noqa: E402
 from fscrawler_spark.session import get_spark  # noqa: E402
