@@ -52,7 +52,17 @@ def deterministic_sample(
     independent samples over the same keys."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    return df.filter(_hash_bucket(F.col(key_col), salt) < int(rate * _BUCKETS))
+    thresh = round(rate * _BUCKETS)
+    if rate > 0 and thresh == 0:
+        # int() truncation would silently select ZERO rows for rates
+        # under the bucket resolution — at 10^12 rows a 5e-7 sample is a
+        # real request; fail loudly instead of returning an empty frame
+        raise ValueError(
+            f"rate={rate} is below this sampler's resolution "
+            f"(1/{_BUCKETS}); smallest supported nonzero rate is "
+            f"{1.0 / _BUCKETS}"
+        )
+    return df.filter(_hash_bucket(F.col(key_col), salt) < thresh)
 
 
 def train_val_test_split(

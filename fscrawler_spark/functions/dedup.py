@@ -31,14 +31,25 @@ def _md5_int(col) -> F.Column:
 
 
 def word_shingles(text_col, k: int = 3) -> F.Column:
-    """k-word shingles of the normalized text (distinct, order-dropped)."""
+    """k-word shingles of the normalized text (distinct, order-dropped).
+
+    NULL text yields an EMPTY array, never [NULL]: a [NULL] shingle
+    would hash to the same xxhash64 seed constant for every null-text
+    doc, silently clustering all extraction-failed docs as mutual
+    near-duplicates (and diverging from the md5 family, which drops
+    them). Empty arrays explode to nothing — null-text docs simply have
+    no signature and can never be candidates."""
     words = F.split(normalized_text(text_col), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
+    shingled = F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
         F.array_distinct(
             F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
         )
+    )
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    return F.when(col.isNotNull(), shingled).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -82,9 +93,15 @@ def minhash_signatures_fast(
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: group by normalized-text hash; emit groups with >1 member.
-    Returns (text_hash, dup_count, keeper_id) — keeper = min id."""
+    Returns (text_hash, dup_count, keeper_id) — keeper = min id.
+
+    NULL-text rows are excluded: md5(NULL) is one NULL groupBy key, so
+    without the filter every extraction-failed doc would land in a
+    single "duplicate" cluster and all but one would be marked for
+    deletion — unknown content is not equal content."""
     return (
         df.select(F.col(id_col).alias("id"), F.md5(normalized_text(F.col(text_col))).alias("text_hash"))
+        .filter(F.col("text_hash").isNotNull())
         .groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("id").alias("keeper_id"))
         .filter(F.col("dup_count") > 1)
@@ -129,6 +146,17 @@ def cap_groups(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFr
 
 
 def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    # bands > num_hashes would make rows_per_band 0 (every doc hashes to
+    # md5('') in every band -> one giant bucket the cap then DROPS: a
+    # silent zero-duplicates result); a non-divisor silently ignores the
+    # trailing signature hashes. Both are config errors — fail loudly.
+    if not 1 <= bands <= num_hashes:
+        raise ValueError(f"bands must be in [1, num_hashes={num_hashes}], got {bands}")
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide num_hashes={num_hashes} evenly "
+            f"(trailing hashes would be silently ignored)"
+        )
     rows_per_band = num_hashes // bands
     band_entries = F.array(
         *[
@@ -478,7 +506,17 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     hash-map probes per token instead of 1) and 32 shuffle rows per id
     instead of one wide row (~3x the shuffle bytes with row overhead).
     Identical results; equal at toy SF, wins at scale.
+
+    bits accepts [1, 64], but note the cross-engine token hash
+    (_md5_int) carries 60 bits of entropy: fingerprint bits 60-63 are
+    constant 0. That is BENIGN for correctness (constant bits agree for
+    every pair, so hamming distances and the pigeonhole recall guarantee
+    are unchanged, and the exact hamming verify fixes precision) — the
+    only cost is some extra candidate fan-out in bands covering those
+    bits. bits<=60 avoids even that.
     """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in [1, 64], got {bits}")
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),

@@ -183,8 +183,26 @@ def _norm(a) -> F.Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + (v * v).cast("double")))
 
 
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Shared top-k tail for the three ANN operators: rank candidates by
+    sim (desc, NULL/zero-norm last) with deterministic neighbor-id tie
+    break. One definition so tie-break/NULL-ordering fixes can't drift
+    between brute-force, LSH and IVF."""
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
+    )
+
+
 def cosine(a, b) -> F.Column:
-    return _dot(a, b) / (_norm(a) * _norm(b))
+    """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO crash, not a
+    rank-first NaN) when either vector has zero norm — a single all-zero
+    embedding (failed embed, padding row) must neither kill the query
+    under ANSI nor pass `sim >= threshold` filters. NULL sim drops from
+    thresholds and sorts last under `sim DESC`."""
+    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
 
 
 def brute_force_topk(
@@ -209,12 +227,7 @@ def brute_force_topk(
     if exclude_self:
         scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = scored.withColumn("sim", cosine(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def random_hyperplanes(
@@ -350,7 +363,10 @@ def make_ivf_assign_udf(centroids: list[tuple[int, list[float]]], nprobe: int = 
     mat_n = mat / cnorms
     dim = mat.shape[1]
 
-    @F.arrow_udf(T.ArrayType(T.IntegerType()))
+    # LongType cells: int64 vec_ids used as centroid ids must not wrap
+    # through an int32 cast (two centroids congruent mod 2^32 would
+    # silently conflate into one cell)
+    @F.arrow_udf(T.ArrayType(T.LongType()))
     def assign_udf(emb: pa.Array) -> pa.Array:
         if isinstance(emb, pa.ChunkedArray):
             emb = emb.combine_chunks()
@@ -364,8 +380,8 @@ def make_ivf_assign_udf(centroids: list[tuple[int, list[float]]], nprobe: int = 
         sims = (m / norms) @ mat_n.T  # (n, C)
         # stable top-nprobe: sort by (-sim, cid); argsort is stable on ties
         order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        out = cids[order].astype(np.int32)
-        return pa.array(out.tolist(), pa.list_(pa.int32()))
+        out = cids[order]  # already int64 — no narrowing cast
+        return pa.array(out.tolist(), pa.list_(pa.int64()))
 
     return assign_udf
 
@@ -384,19 +400,28 @@ def sampled_centroids(
     Returned sorted by cid so similarity TIES break on the lower cid in
     both the numpy argsort (stable over list order) and the SQL twin's
     ORDER BY sim DESC, cid."""
+    from fscrawler_spark.functions.dedup import _md5_int
+
     rows = (
         corpus.select(
             F.col(id_col).alias("cid"),
             F.col(vec_col).alias("v"),
-            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
-            .cast("long")
-            .alias("h"),
+            # the shared cross-engine hash (dedup._md5_int) so centroid
+            # selection stays reproducible in the DuckDB twin
+            _md5_int(F.col(id_col).cast("string")).alias("h"),
         )
         .orderBy("h", "cid")
         .limit(n_centroids)
         .collect()
     )
-    return sorted(((int(r["cid"]), [float(x) for x in r["v"]]) for r in rows))
+    try:
+        return sorted(((int(r["cid"]), [float(x) for x in r["v"]]) for r in rows))
+    except (TypeError, ValueError):
+        raise TypeError(
+            f"IVF centroids require an INTEGER {id_col!r} column (cell ids "
+            "ride an int64 array and tie-breaks order by cid); for string-id "
+            "corpora use lsh_topk/brute_force_topk, which accept any id type"
+        ) from None
 
 
 def ivf_topk(
@@ -445,12 +470,7 @@ def ivf_topk(
         scored.select("query_id", "qv", "neighbor_id", "cv")
         .withColumn("sim", cosine(F.col("qv"), F.col("cv")))
     )
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def lsh_topk(
@@ -499,12 +519,7 @@ def lsh_topk(
         "neighbor_id",
         cosine(F.col("qv"), F.col("cv")).alias("sim"),
     ).dropDuplicates(["query_id", "neighbor_id"])
-    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "rank", "neighbor_id", F.round("sim", 6).alias("sim"))
-    )
+    return _rank_topk(scored, k)
 
 
 def cosine_near_dup_pairs(

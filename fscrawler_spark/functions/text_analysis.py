@@ -67,7 +67,12 @@ def quality_score(text: Column) -> Column:
     punct_pen = F.lit(1.0) - F.least(punct_ratio(text) * 4, F.lit(1.0))
     sw = stopword_ratio(text)
     sw_score = F.lit(1.0) - F.least(F.abs(sw - F.lit(0.15)) * 3, F.lit(1.0))
-    return F.round((len_score + punct_pen + sw_score) / 3, 6)
+    # NULL-in-NULL-out: F.least SKIPS null arguments, so without the
+    # guard a NULL doc scored 0.333 (len_score collapsed to the 1.0
+    # literal) — outranking real low-quality docs
+    return F.when(
+        text.isNotNull(), F.round((len_score + punct_pen + sw_score) / 3, 6)
+    ).otherwise(F.lit(None).cast("double"))
 
 
 def fingerprint(text: Column) -> Column:
