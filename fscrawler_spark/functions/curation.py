@@ -52,11 +52,12 @@ def deterministic_sample(
     independent samples over the same keys."""
     if not 0.0 <= rate <= 1.0:
         raise ValueError(f"rate must be in [0, 1], got {rate}")
-    thresh = round(rate * _BUCKETS)
+    # rate quantizes DOWN to a multiple of 1/_BUCKETS (floor — round()
+    # would silently oversample rates in (0.5, 1)/_BUCKETS by up to 2x);
+    # a nonzero rate that floors to zero rows is a loud error, never an
+    # empty frame (at 10^12 rows a 5e-7 sample is a real request)
+    thresh = int(rate * _BUCKETS)
     if rate > 0 and thresh == 0:
-        # int() truncation would silently select ZERO rows for rates
-        # under the bucket resolution — at 10^12 rows a 5e-7 sample is a
-        # real request; fail loudly instead of returning an empty frame
         raise ValueError(
             f"rate={rate} is below this sampler's resolution "
             f"(1/{_BUCKETS}); smallest supported nonzero rate is "

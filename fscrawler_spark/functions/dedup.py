@@ -116,7 +116,13 @@ def minhash_signatures(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash signature per doc: for seed s, sig[s] = min over shingles of
-    md5_int(s || shingle). Column-only; one row per doc, sig as array<long>."""
+    md5_int(s || shingle). Column-only; one row per doc, sig as array<long>.
+
+    Docs with NO shingles (null text) emit no row — like the fast
+    family, whose explode naturally drops them. Without the filter their
+    all-NULL sigs would bucket to md5('') in every band (array_join
+    omits NULLs), clustering every extraction-failed doc as mutual
+    candidates."""
     sh = word_shingles(F.col(text_col), shingle_k)
     sig = F.array(
         *[
@@ -126,7 +132,11 @@ def minhash_signatures(
             for s in range(num_hashes)
         ]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    return (
+        df.select(F.col(id_col).alias("id"), sh.alias("_sh"), sig.alias("sig"))
+        .filter(F.size("_sh") > 0)
+        .drop("_sh")
+    )
 
 
 def cap_groups(df: DataFrame, keys: list[str], max_bucket: int | None) -> DataFrame:
@@ -157,6 +167,20 @@ def _banded(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
             f"bands={bands} must divide num_hashes={num_hashes} evenly "
             f"(trailing hashes would be silently ignored)"
         )
+    # the PARAMETER must also match the actual signature length: a sig
+    # built with fewer hashes would slice past its end -> empty slice ->
+    # md5('') garbage buckets for the trailing bands. assert_true is a
+    # per-row codegen'd comparison (~free) that fails the job loudly.
+    sigs = sigs.withColumn(
+        "sig",
+        F.when(
+            F.assert_true(
+                F.size("sig") == num_hashes,
+                F.lit(f"signature length != num_hashes={num_hashes}"),
+            ).isNull(),
+            F.col("sig"),
+        ),
+    )
     rows_per_band = num_hashes // bands
     band_entries = F.array(
         *[
@@ -321,7 +345,12 @@ def verify_candidates(
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
-            F.col("common") / (F.size("sh_a") + F.size("sh_b") - F.col("common")),
+            # try_divide: two EMPTY shingle sets give 0/0 — NULL jaccard
+            # (fails the threshold) instead of an ANSI DIVIDE_BY_ZERO
+            # that kills the whole query
+            F.try_divide(
+                F.col("common"), F.size("sh_a") + F.size("sh_b") - F.col("common")
+            ),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -198,11 +198,15 @@ def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
 
 def cosine(a, b) -> F.Column:
     """Cosine similarity; NULL (not an ANSI DIVIDE_BY_ZERO crash, not a
-    rank-first NaN) when either vector has zero norm — a single all-zero
-    embedding (failed embed, padding row) must neither kill the query
-    under ANSI nor pass `sim >= threshold` filters. NULL sim drops from
-    thresholds and sorts last under `sim DESC`."""
-    return F.try_divide(_dot(a, b), _norm(a) * _norm(b))
+    rank-first NaN) when either vector has zero norm OR contains NaN —
+    a broken embedding (failed embed, padding row, partial NaN) must
+    neither kill the query under ANSI nor rank first (Spark orders NaN
+    above every real double) nor pass `sim >= threshold` filters. NULL
+    sim drops from thresholds and sorts last under `sim DESC`."""
+    return F.nanvl(
+        F.try_divide(_dot(a, b), _norm(a) * _norm(b)),
+        F.lit(None).cast("double"),
+    )
 
 
 def brute_force_topk(
@@ -414,14 +418,21 @@ def sampled_centroids(
         .limit(n_centroids)
         .collect()
     )
-    try:
-        return sorted(((int(r["cid"]), [float(x) for x in r["v"]]) for r in rows))
-    except (TypeError, ValueError):
-        raise TypeError(
-            f"IVF centroids require an INTEGER {id_col!r} column (cell ids "
-            "ride an int64 array and tie-breaks order by cid); for string-id "
-            "corpora use lsh_topk/brute_force_topk, which accept any id type"
-        ) from None
+    cents = []
+    for r in rows:
+        cid = r["cid"]
+        # a type check, not int(): a digit-string id would pass int()
+        # silently, and a bad vector element must not be mislabeled as
+        # an id-column problem
+        if isinstance(cid, bool) or not isinstance(cid, int):
+            raise TypeError(
+                f"IVF centroids require an INTEGER {id_col!r} column (cell "
+                "ids ride an int64 array and tie-breaks order by cid); for "
+                "string-id corpora use lsh_topk/brute_force_topk, which "
+                "accept any id type"
+            )
+        cents.append((cid, [float(x) for x in r["v"]]))
+    return sorted(cents)
 
 
 def ivf_topk(
