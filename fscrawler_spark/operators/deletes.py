@@ -188,7 +188,7 @@ def stage_and_swap_buckets(
     staging = output_docs.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex[:8]
     (
         rows.repartition(max(1, len(buckets)), "part_bucket")
-        .sortWithinPartitions("conv_id", "turn_idx")
+        .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
         .write.mode("overwrite")
         .partitionBy("part_bucket")
         .parquet(staging)

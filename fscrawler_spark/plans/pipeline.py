@@ -74,6 +74,49 @@ def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
 from fscrawler_spark.operators.deletes import has_parquet_files as _has_parquet_files  # noqa: E402
 
 
+def _dir_exists(spark: SparkSession, path: str) -> bool:
+    """Scheme-agnostic existence probe (os.path.isdir is always False for
+    s3a://, hdfs://... — which would make a remote tick refuse to run and
+    metrics dedup silently re-append every bucket)."""
+    from fscrawler_spark.operators.deletes import _fs_for
+
+    HPath, fs = _fs_for(spark, path)
+    return fs.exists(HPath(path))
+
+
+def _already_metered(spark: SparkSession, out_metrics: str) -> set[int]:
+    if not _dir_exists(spark, out_metrics):
+        return set()
+    return {
+        r["part_bucket"]
+        for r in spark.read.parquet(out_metrics).select("part_bucket").distinct().collect()
+    }
+
+
+def _write_lineage(
+    spark: SparkSession, out_data: str, out_metrics: str, run_id: str, targets: list[int]
+) -> list:
+    """ONE shared lineage append for all three call sites (full-job,
+    not-pending backfill, incremental tick): read back the cheap columns
+    when parquet exists, else emit explicit zero rows (a completed-but-
+    empty table must still meter every bucket). Executes the aggregation
+    once (rows collected, written back as literals) and returns the rows
+    so callers can fold counters without a second scan."""
+    from pyspark.sql import Row
+
+    if not targets:
+        return []
+    targets = sorted(int(b) for b in targets)
+    if _has_parquet_files(spark, out_data):
+        out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
+        mrows = bucket_metrics(out_df, run_id, buckets=targets).collect()
+    else:
+        zero = Row(*LINEAGE_COLS)
+        mrows = [zero(run_id, b, 0, 0, 0, 0, 0, 0, 0) for b in targets]
+    spark.createDataFrame(mrows, LINEAGE_SCHEMA).write.mode("append").parquet(out_metrics)
+    return mrows
+
+
 def bucket_metrics(out_df: DataFrame, run_id: str, buckets: list[int] | None = None) -> DataFrame:
     """Per-partition lineage/metrics rows (north_star requirement;
     ScanStatistic analog, beans/ScanStatistic.java:33-38).
@@ -224,7 +267,9 @@ def run_incremental_update(
     settings = settings or ExtractSettings()
     out_data = os.path.join(output_dir, "docs")
     out_metrics = os.path.join(output_dir, "metrics")
-    if not os.path.isdir(out_data):
+    if not _dir_exists(spark, out_data):
+        # scheme-agnostic probe: os.path.isdir is always False for
+        # s3a://hdfs:// paths and would refuse a real remote table
         raise FileNotFoundError(
             f"{out_data} does not exist — run run_extraction_job first (full scan)"
         )
@@ -266,6 +311,22 @@ def run_incremental_update(
     # the counts all consume it, and re-deriving would re-run the big
     # anti-join + extraction (bounded by the delta size)
     fresh = materialize(extract_transcripts(changed_raw, settings))
+    if not settings.continue_on_error:
+        # reference fail-fast applies to the tick too — and BEFORE any
+        # swap, so a failing tick mutates nothing and can simply be
+        # re-run once the input is fixed (fresh is materialized: the agg
+        # is a cheap local scan, not a recompute)
+        failures = fresh.agg(F.sum(parse_failure_flag())).first()[0] or 0
+        if failures > 0:
+            manifest.record_error(
+                f"FAIL_FAST: {int(failures)} parse failure(s) in the tick delta "
+                "with continue_on_error=False"
+            )
+            raise RuntimeError(
+                f"{int(failures)} parse failure(s) in the incremental delta "
+                "with continue_on_error=False; nothing was written — fix the "
+                "input and re-run the tick"
+            )
     # the key set that must be REPLACED/PURGED in the table:
     #   (changed rows that exist in prev)   — stale copies to remove
     # ∪ (fresh extraction keys)             — rows to (re)insert.
@@ -336,15 +397,7 @@ def run_incremental_update(
     # that deleted the LAST remaining rows leaves no parquet to read back:
     # emit explicit zero rows (same guard as run_extraction_job).
     targets = sorted(set(touched) | set(del_res["buckets"]))
-    if targets:
-        if _has_parquet_files(spark, out_data):
-            out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
-            metrics = bucket_metrics(out_df, run_id, buckets=targets)
-        else:
-            metrics = spark.createDataFrame(
-                [(run_id, int(b), 0, 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
-            )
-        metrics.write.mode("append").parquet(out_metrics)
+    _write_lineage(spark, out_data, out_metrics, run_id, targets)
 
     # counter semantics match the full job: rows actually WRITTEN this
     # tick (fresh extractions) — changed_keys also holds purge-only keys
@@ -360,11 +413,16 @@ def run_incremental_update(
 
 def restart_clean(output_dir: str) -> None:
     """Full re-index semantics (FsCrawlerCli --restart): drop checkpoint,
-    pause marker, docs AND metrics. Clearing only the checkpoint is not
-    enough — dynamic partition overwrite replaces only buckets present in
-    the new data, so rows from conversations removed from the input (and
-    stale metrics rows) would survive a rerun."""
+    pause marker, docs AND metrics — including crashed-swap stage dirs
+    (docs__delete_stage_*, SIBLINGS of docs/): left behind, a later
+    recover_stale_stage would "recover" pre-restart bucket data into the
+    fresh table. Clearing only the checkpoint is not enough — dynamic
+    partition overwrite replaces only buckets present in the new data,
+    so rows from conversations removed from the input (and stale metrics
+    rows) would survive a rerun."""
     import shutil
+
+    from fscrawler_spark.operators.deletes import _STAGE_MARK
 
     for f in ("_checkpoint.json", "_pause"):
         p = os.path.join(output_dir, f)
@@ -374,6 +432,10 @@ def restart_clean(output_dir: str) -> None:
         p = os.path.join(output_dir, d)
         if os.path.isdir(p):
             shutil.rmtree(p)
+    if os.path.isdir(output_dir):
+        for name in os.listdir(output_dir):
+            if name.startswith("docs" + _STAGE_MARK):
+                shutil.rmtree(os.path.join(output_dir, name))
 
 
 def clear_pause(output_dir: str) -> None:
@@ -406,29 +468,33 @@ def run_extraction_job(
     ckpt_path = os.path.join(output_dir, "_checkpoint.json")
 
     fp = settings.fingerprint()
-    manifest = (
-        CheckpointManifest.load_or_create(
+    if resume:
+        manifest = CheckpointManifest.load_or_create(
             ckpt_path, num_buckets=settings.num_buckets, settings_fingerprint=fp
         )
-        if resume
-        else CheckpointManifest(ckpt_path, num_buckets=settings.num_buckets, settings_fingerprint=fp)
-    )
+    else:
+        # resume=False restarts the WAVE bookkeeping, not the settings
+        # contract: the existing table keeps buckets the new data does
+        # not overwrite, so drifted num_buckets/fingerprint would mix
+        # incompatible bucketings (the same corruption the resume path
+        # refuses). Validate against the on-disk manifest first; a true
+        # settings change needs restart_clean.
+        if os.path.exists(ckpt_path):
+            CheckpointManifest.load_or_create(
+                ckpt_path, num_buckets=settings.num_buckets, settings_fingerprint=fp
+            )
+        manifest = CheckpointManifest(
+            ckpt_path, num_buckets=settings.num_buckets, settings_fingerprint=fp
+        )
     pending = manifest.pending(settings.num_buckets)
     run_id = f"run-{uuid.uuid4().hex[:12]}"
     if not pending:
         # still backfill lineage rows for any completed bucket whose
-        # metrics write was lost to a crash
-        if os.path.isdir(out_data):
-            metered: set[int] = set()
-            if os.path.isdir(out_metrics):
-                metered = {
-                    r["part_bucket"]
-                    for r in spark.read.parquet(out_metrics).select("part_bucket").distinct().collect()
-                }
-            missing = sorted(manifest.completed - metered)
-            if missing:
-                out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(missing))
-                bucket_metrics(out_df, run_id, buckets=missing).write.mode("append").parquet(out_metrics)
+        # metrics write was lost to a crash (shared helper: zero rows
+        # when the table exists but holds no parquet — a crash-recovery
+        # rerun over an emptied table must not AnalysisException)
+        missing = sorted(manifest.completed - _already_metered(spark, out_metrics))
+        _write_lineage(spark, out_data, out_metrics, run_id, missing)
         if not settings.continue_on_error and _has_parquet_files(spark, out_data):
             # fail-fast must be STICKY: the failing run marked its
             # buckets completed before raising, so a rerun lands here.
@@ -486,7 +552,7 @@ def run_extraction_job(
                 with dynamic_partition_overwrite(spark):
                     (
                         wave_df.repartition(len(wave), "part_bucket")
-                        .sortWithinPartitions("conv_id", "turn_idx")
+                        .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
                         .write.mode("overwrite")
                         .partitionBy("part_bucket")
                         .parquet(out_data)
@@ -509,32 +575,9 @@ def run_extraction_job(
     # metrics never landed (a prior run that died between its bucket
     # write and its metrics write) — keeps the every-bucket-has-a-
     # lineage-row invariant across crash/resume.
-    already_metered: set[int] = set()
-    if os.path.isdir(out_metrics):
-        already_metered = {
-            r["part_bucket"]
-            for r in spark.read.parquet(out_metrics).select("part_bucket").distinct().collect()
-        }
-    targets = sorted(set(written) | (manifest.completed - already_metered))
+    targets = sorted(set(written) | (manifest.completed - _already_metered(spark, out_metrics)))
     if targets:
-        if _has_parquet_files(spark, out_data):
-            out_df = spark.read.parquet(out_data).filter(F.col("part_bucket").isin(targets))
-            metrics = bucket_metrics(out_df, run_id, buckets=targets)
-        else:
-            # every pending wave produced zero rows (empty input or
-            # filters dropped everything): no parquet exists to read back,
-            # so emit explicit zero lineage rows for the completed buckets
-            metrics = spark.createDataFrame(
-                [(run_id, int(b), 0, 0, 0, 0, 0, 0, 0) for b in targets], LINEAGE_SCHEMA
-            )
-        # ONE execution of the lineage aggregation: collect the (≤
-        # num_buckets) rows, write them back as literals, and fold the
-        # run's counters in Python — metrics.write + a second .agg()
-        # would scan the docs read-back twice
-        mrows = metrics.collect()
-        spark.createDataFrame(mrows, LINEAGE_SCHEMA).write.mode("append").parquet(
-            out_metrics
-        )
+        mrows = _write_lineage(spark, out_data, out_metrics, run_id, targets)
         if written:
             wset = set(written)
             rows_written = sum(r["turn_count"] for r in mrows if r["part_bucket"] in wset)

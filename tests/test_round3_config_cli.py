@@ -154,6 +154,62 @@ def test_continue_on_error_false_fails_fast(spark, tmp_path):
     assert run_extraction_job(spark, paths["transcripts"], out, ok)["status"] == "completed"
 
 
+def test_restart_clean_removes_crashed_stage_dirs(spark, transcripts_dir, tmp_path):
+    """A crashed-swap sibling dir (docs__delete_stage_*) must not survive
+    --restart: recover_stale_stage would resurrect pre-restart buckets
+    into the fresh table."""
+    import os as _os
+
+    from fscrawler_spark.plans.pipeline import restart_clean
+
+    out = tmp_path / "rs"
+    (out / "docs").mkdir(parents=True)
+    (out / "docs__delete_stage_ab12" ).mkdir()
+    (out / "docs__delete_stage_ab12" / "aside_part_bucket=3").mkdir()
+    restart_clean(str(out))
+    assert not [d for d in _os.listdir(out) if d.startswith("docs")]
+
+
+def test_resume_false_still_refuses_drifted_settings(spark, transcripts_dir, tmp_path):
+    from fscrawler_spark.plans.checkpoint import SettingsMismatchError
+    from fscrawler_spark.plans.pipeline import run_extraction_job
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "rf")
+    run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=8))
+    with pytest.raises(SettingsMismatchError):
+        run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=16), resume=False)
+
+
+def test_tick_fails_fast_before_mutating(spark, tmp_path):
+    from fscrawler_spark.datagen import generate_transcripts
+    from fscrawler_spark.plans.pipeline import run_extraction_job, run_incremental_update
+
+    paths = generate_transcripts(str(tmp_path / "d2"), n_turns=1500, seed=5)
+    out = str(tmp_path / "tick_ff")
+    ok = ExtractSettings(num_buckets=4)  # full run tolerant
+    run_extraction_job(spark, paths["transcripts"], out, ok)
+    before = spark.read.parquet(os.path.join(out, "docs")).count()
+    # change some turns so the delta (which contains broken payloads at
+    # this seed) is non-empty, then tick with fail-fast
+    src = spark.read.parquet(paths["transcripts"])
+    changed_in = str(tmp_path / "changed_in")
+    src.withColumn(
+        "text",
+        F.when(
+            F.col("turn_idx") == 0,
+            # PREPEND the binary magic: the sniff window is the head, so
+            # every edited turn re-extracts as a parse_error
+            F.concat(F.lit("PK\x00\x01 "), F.col("text")),
+        ).otherwise(F.col("text")),
+    ).write.parquet(changed_in)
+    strict = ExtractSettings(num_buckets=4, continue_on_error=False)
+    with pytest.raises(RuntimeError, match="incremental delta"):
+        run_incremental_update(spark, changed_in, out, strict)
+    # nothing was written
+    assert spark.read.parquet(os.path.join(out, "docs")).count() == before
+
+
 # --- artifact / multimodal / langid ----------------------------------------
 
 def test_pyfiles_zip_is_per_process_and_cached(tmp_path):
