@@ -215,7 +215,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.restart:
             from fscrawler_spark.plans.pipeline import restart_clean
 
-            restart_clean(args.output)
+            restart_clean(args.output, spark=spark)
         for i in range(args.loop):
             if args.incremental:
                 from fscrawler_spark.plans.pipeline import run_incremental_update

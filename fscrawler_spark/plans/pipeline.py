@@ -85,7 +85,10 @@ def _dir_exists(spark: SparkSession, path: str) -> bool:
 
 
 def _already_metered(spark: SparkSession, out_metrics: str) -> set[int]:
-    if not _dir_exists(spark, out_metrics):
+    # _has_parquet_files, not a bare existence probe: a metrics dir left
+    # behind by a crashed FIRST append (only _temporary/ inside) would
+    # AnalysisException the recovery rerun
+    if not _has_parquet_files(spark, out_metrics):
         return set()
     return {
         r["part_bucket"]
@@ -297,7 +300,16 @@ def run_incremental_update(
     run_id = f"incr-{uuid.uuid4().hex[:12]}"
 
     src = read_transcripts(spark, input_path)
-    prev = spark.read.parquet(out_data)
+    if _has_parquet_files(spark, out_data):
+        prev = spark.read.parquet(out_data)
+    else:
+        # a prior tick emptied the whole table (documented no-op state in
+        # apply_deletes): everything in the input is NEW. An empty prev
+        # with the real docs schema keeps every join/anti-join valid —
+        # reading the footer-less dir would AnalysisException instead.
+        prev = spark.createDataFrame(
+            [], extract_transcripts(src.limit(0), settings).schema
+        )
 
     # 1. raw delta: input rows that differ from the snapshot — checksum
     # plus attribute columns (a metadata-only role/tool/ts edit
@@ -311,7 +323,7 @@ def run_incremental_update(
     # the counts all consume it, and re-deriving would re-run the big
     # anti-join + extraction (bounded by the delta size)
     fresh = materialize(extract_transcripts(changed_raw, settings))
-    if not settings.continue_on_error:
+    if not settings.continue_on_error and not dry_run:
         # reference fail-fast applies to the tick too — and BEFORE any
         # swap, so a failing tick mutates nothing and can simply be
         # re-run once the input is fixed (fresh is materialized: the agg
@@ -403,6 +415,10 @@ def run_incremental_update(
     # tick (fresh extractions) — changed_keys also holds purge-only keys
     # (rows removed, nothing written), which must not inflate it
     manifest.add_processed(fresh.count())
+    # retry_count counts CONSECUTIVE failures (reference semantics): a
+    # successful tick after a fail-fast must clear it, like the full
+    # job's per-wave reset
+    manifest.reset_retries()
     return {
         "run_id": run_id,
         "changed": changed,
@@ -411,31 +427,58 @@ def run_incremental_update(
     }
 
 
-def restart_clean(output_dir: str) -> None:
+def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
     """Full re-index semantics (FsCrawlerCli --restart): drop checkpoint,
     pause marker, docs AND metrics — including crashed-swap stage dirs
     (docs__delete_stage_*, SIBLINGS of docs/): left behind, a later
     recover_stale_stage would "recover" pre-restart bucket data into the
-    fresh table. Clearing only the checkpoint is not enough — dynamic
-    partition overwrite replaces only buckets present in the new data,
-    so rows from conversations removed from the input (and stale metrics
-    rows) would survive a rerun."""
+    fresh table. Stage dirs go FIRST: a restart interrupted after the
+    docs rmtree but before the sweep must not leave resurrectable
+    pre-restart buckets behind. Clearing only the checkpoint is not
+    enough — dynamic partition overwrite replaces only buckets present
+    in the new data, so rows from conversations removed from the input
+    (and stale metrics rows) would survive a rerun.
+
+    Pass ``spark`` for non-local outputs (s3a://, hdfs://): the data/
+    stage removals then go through the Hadoop FileSystem API. Without a
+    session only local paths can be cleaned — a remote output_dir raises
+    instead of silently removing nothing."""
     import shutil
 
-    from fscrawler_spark.operators.deletes import _STAGE_MARK
+    from fscrawler_spark.operators.deletes import _STAGE_MARK, _fs_for
 
+    if spark is not None:
+        HPath, fs = _fs_for(spark, output_dir)
+        root = HPath(output_dir)
+        if fs.exists(root):
+            # stage dirs FIRST (crash-window ordering), then data dirs
+            for st in fs.listStatus(root):
+                if st.getPath().getName().startswith("docs" + _STAGE_MARK):
+                    fs.delete(st.getPath(), True)
+            for name in ("docs", "metrics"):
+                p = HPath(f"{output_dir}/{name}")
+                if fs.exists(p):
+                    fs.delete(p, True)
+    elif "://" in output_dir:
+        raise ValueError(
+            f"restart_clean on a non-local output ({output_dir}) needs a "
+            "SparkSession (Hadoop FS) — os-level removal would silently "
+            "delete nothing"
+        )
+    else:
+        if os.path.isdir(output_dir):
+            for name in os.listdir(output_dir):
+                if name.startswith("docs" + _STAGE_MARK):
+                    shutil.rmtree(os.path.join(output_dir, name))
+        for d in ("docs", "metrics"):
+            p = os.path.join(output_dir, d)
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+    # the manifest + pause marker are driver-local files in every mode
     for f in ("_checkpoint.json", "_pause"):
         p = os.path.join(output_dir, f)
         if os.path.exists(p):
             os.remove(p)
-    for d in ("docs", "metrics"):
-        p = os.path.join(output_dir, d)
-        if os.path.isdir(p):
-            shutil.rmtree(p)
-    if os.path.isdir(output_dir):
-        for name in os.listdir(output_dir):
-            if name.startswith("docs" + _STAGE_MARK):
-                shutil.rmtree(os.path.join(output_dir, name))
 
 
 def clear_pause(output_dir: str) -> None:
