@@ -268,6 +268,7 @@ def run_incremental_update(
     from fscrawler_spark.operators.incremental import changed_vs_snapshot, deleted_keys
 
     settings = settings or ExtractSettings()
+    _refuse_mid_restart(output_dir)
     out_data = os.path.join(output_dir, "docs")
     out_metrics = os.path.join(output_dir, "metrics")
     if not _dir_exists(spark, out_data):
@@ -323,22 +324,29 @@ def run_incremental_update(
     # the counts all consume it, and re-deriving would re-run the big
     # anti-join + extraction (bounded by the delta size)
     fresh = materialize(extract_transcripts(changed_raw, settings))
-    if not settings.continue_on_error and not dry_run:
+    would_fail_fast = 0
+    if not settings.continue_on_error:
         # reference fail-fast applies to the tick too — and BEFORE any
         # swap, so a failing tick mutates nothing and can simply be
         # re-run once the input is fixed (fresh is materialized: the agg
-        # is a cheap local scan, not a recompute)
-        failures = fresh.agg(F.sum(parse_failure_flag())).first()[0] or 0
+        # is a cheap local scan, not a recompute). In dry_run the count
+        # is computed READ-ONLY and surfaced in the preview so it
+        # predicts the real tick's refusal instead of mispredicting a
+        # write — but never raises and never touches the manifest.
+        failures = int(fresh.agg(F.sum(parse_failure_flag())).first()[0] or 0)
         if failures > 0:
-            manifest.record_error(
-                f"FAIL_FAST: {int(failures)} parse failure(s) in the tick delta "
-                "with continue_on_error=False"
-            )
-            raise RuntimeError(
-                f"{int(failures)} parse failure(s) in the incremental delta "
-                "with continue_on_error=False; nothing was written — fix the "
-                "input and re-run the tick"
-            )
+            if dry_run:
+                would_fail_fast = failures
+            else:
+                manifest.record_error(
+                    f"FAIL_FAST: {failures} parse failure(s) in the tick delta "
+                    "with continue_on_error=False"
+                )
+                raise RuntimeError(
+                    f"{failures} parse failure(s) in the incremental delta "
+                    "with continue_on_error=False; nothing was written — fix "
+                    "the input and re-run the tick"
+                )
     # the key set that must be REPLACED/PURGED in the table:
     #   (changed rows that exist in prev)   — stale copies to remove
     # ∪ (fresh extraction keys)             — rows to (re)insert.
@@ -384,6 +392,8 @@ def run_incremental_update(
             "changed": changed,
             "deleted": gone.count(),
             "touched_buckets": sorted(set(touched) | del_buckets),
+            # >0 = the REAL tick would refuse with continue_on_error=False
+            "would_fail_fast": would_fail_fast,
         }
 
     deleted_in_rebuild = 0
@@ -442,23 +452,38 @@ def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
     Pass ``spark`` for non-local outputs (s3a://, hdfs://): the data/
     stage removals then go through the Hadoop FileSystem API. Without a
     session only local paths can be cleaned — a remote output_dir raises
-    instead of silently removing nothing."""
+    instead of silently removing nothing.
+
+    Crash safety: a ``_restarting`` marker is written FIRST and removed
+    LAST. Any job entry point that finds the marker refuses to run until
+    restart_clean completes — without it, a kill between the data
+    removal and the checkpoint removal would leave a COMPLETED manifest
+    over an empty table (a plain rerun would then report success over
+    lost data)."""
     import shutil
 
     from fscrawler_spark.operators.deletes import _STAGE_MARK, _fs_for
 
+    os.makedirs(output_dir, exist_ok=True)
+    marker = os.path.join(output_dir, "_restarting")
+    with open(marker, "w") as f:
+        f.write("restart_clean in progress\n")
     if spark is not None:
         HPath, fs = _fs_for(spark, output_dir)
         root = HPath(output_dir)
         if fs.exists(root):
-            # stage dirs FIRST (crash-window ordering), then data dirs
+            # stage dirs FIRST (they can resurrect buckets), then data.
+            # Hadoop delete() signals failure by BOOLEAN — an unchecked
+            # false would fall through to the checkpoint removal and
+            # resurrect pre-restart rows on the rerun.
             for st in fs.listStatus(root):
                 if st.getPath().getName().startswith("docs" + _STAGE_MARK):
-                    fs.delete(st.getPath(), True)
+                    if not fs.delete(st.getPath(), True):
+                        raise IOError(f"restart_clean: failed to delete {st.getPath()}")
             for name in ("docs", "metrics"):
                 p = HPath(f"{output_dir}/{name}")
-                if fs.exists(p):
-                    fs.delete(p, True)
+                if fs.exists(p) and not fs.delete(p, True):
+                    raise IOError(f"restart_clean: failed to delete {p}")
     elif "://" in output_dir:
         raise ValueError(
             f"restart_clean on a non-local output ({output_dir}) needs a "
@@ -466,10 +491,9 @@ def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
             "delete nothing"
         )
     else:
-        if os.path.isdir(output_dir):
-            for name in os.listdir(output_dir):
-                if name.startswith("docs" + _STAGE_MARK):
-                    shutil.rmtree(os.path.join(output_dir, name))
+        for name in os.listdir(output_dir):
+            if name.startswith("docs" + _STAGE_MARK):
+                shutil.rmtree(os.path.join(output_dir, name))
         for d in ("docs", "metrics"):
             p = os.path.join(output_dir, d)
             if os.path.isdir(p):
@@ -479,6 +503,19 @@ def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
         p = os.path.join(output_dir, f)
         if os.path.exists(p):
             os.remove(p)
+    os.remove(marker)
+
+
+def _refuse_mid_restart(output_dir: str) -> None:
+    """Job entry points call this first: an interrupted restart_clean
+    (marker present) must complete before any run — the on-disk state is
+    a torn mix of pre- and post-restart artifacts."""
+    if os.path.exists(os.path.join(output_dir, "_restarting")):
+        raise RuntimeError(
+            f"{output_dir} has an interrupted restart (_restarting marker "
+            "present); run restart_clean (CLI --restart) to finish it "
+            "before extracting"
+        )
 
 
 def clear_pause(output_dir: str) -> None:
@@ -506,6 +543,7 @@ def run_extraction_job(
     raising from it exercises the bounded re-drive path.
     """
     settings = settings or ExtractSettings()
+    _refuse_mid_restart(output_dir)
     out_data = os.path.join(output_dir, "docs")
     out_metrics = os.path.join(output_dir, "metrics")
     ckpt_path = os.path.join(output_dir, "_checkpoint.json")

@@ -181,6 +181,29 @@ def test_resume_false_still_refuses_drifted_settings(spark, transcripts_dir, tmp
         run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=16), resume=False)
 
 
+def test_interrupted_restart_refuses_runs_until_finished(spark, transcripts_dir, tmp_path):
+    """A torn restart (marker present) must refuse both job entry points
+    — not report 'completed' over a half-deleted table."""
+    from fscrawler_spark.plans.pipeline import (
+        restart_clean,
+        run_extraction_job,
+        run_incremental_update,
+    )
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "torn")
+    st = ExtractSettings(num_buckets=4)
+    run_extraction_job(spark, inp, out, st)
+    (tmp_path / "torn" / "_restarting").write_text("torn\n")
+    with pytest.raises(RuntimeError, match="_restarting"):
+        run_extraction_job(spark, inp, out, st)
+    with pytest.raises(RuntimeError, match="_restarting"):
+        run_incremental_update(spark, inp, out, st)
+    # finishing the restart clears the marker and unblocks
+    restart_clean(out, spark=spark)
+    assert run_extraction_job(spark, inp, out, st)["status"] == "completed"
+
+
 def test_tick_fails_fast_before_mutating(spark, tmp_path):
     from fscrawler_spark.datagen import generate_transcripts
     from fscrawler_spark.plans.pipeline import run_extraction_job, run_incremental_update
@@ -204,6 +227,10 @@ def test_tick_fails_fast_before_mutating(spark, tmp_path):
         ).otherwise(F.col("text")),
     ).write.parquet(changed_in)
     strict = ExtractSettings(num_buckets=4, continue_on_error=False)
+    # the dry-run preview predicts the refusal read-only (no raise, no
+    # manifest mutation)
+    preview = run_incremental_update(spark, changed_in, out, strict, dry_run=True)
+    assert preview["would_fail_fast"] > 0
     with pytest.raises(RuntimeError, match="incremental delta"):
         run_incremental_update(spark, changed_in, out, strict)
     # nothing was written
