@@ -57,6 +57,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--excludes", nargs="*", default=["*/~*"])
     p.add_argument("--filters", nargs="*", default=[], help="content regexes (all must match)")
     p.add_argument("--num-buckets", type=int, default=32)
+    p.add_argument(
+        "--layout",
+        choices=["parquet", "bucketed"],
+        default="parquet",
+        help="incremental-tick diff layout: 'bucketed' routes the "
+        "corpus-scale change/delete diff through the co-located snapshot "
+        "index (zero-shuffle with a table: input; see plans/bucketed.py)",
+    )
     p.add_argument("--skew-salt", type=int, default=8)
     p.add_argument("--lang-detect", action="store_true")
     p.add_argument("--store-source", action="store_true")
@@ -192,7 +200,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
                 try:
                     res = run_incremental_update(
-                        spark, args.input, args.output, settings, dry_run=True
+                        spark, args.input, args.output, settings, dry_run=True,
+                        layout=args.layout,
                     )
                 except (FileNotFoundError, RuntimeError, ValueError) as e:
                     print(f"error: {e}", file=sys.stderr)
@@ -221,7 +230,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 from fscrawler_spark.plans.pipeline import run_incremental_update
 
                 try:
-                    res = run_incremental_update(spark, args.input, args.output, settings)
+                    res = run_incremental_update(
+                        spark, args.input, args.output, settings, layout=args.layout
+                    )
                 except (FileNotFoundError, RuntimeError, ValueError) as e:
                     # ValueError covers SettingsMismatchError (drifted
                     # settings vs the manifest fingerprint)

@@ -37,8 +37,12 @@ def changed_vs_snapshot(
     payload checksum changed vs the previous run's output (the ACL-hash /
     mtime comparison analog, FsParser.java:1147-1215).
 
-    left_anti on (identity, checksum): unchanged turns drop out. At scale
-    both sides are bucketed by conv_id so this is a co-located join.
+    left_anti on (identity, checksum): unchanged turns drop out. This is
+    the fixture-scale/parquet-layout diff: it shuffles both sides. At
+    scale use the tick's ``layout="bucketed"`` path instead
+    (plans/bucketed.colocated_tick_delta) — the same semantics as ONE
+    full-outer co-located join with zero Exchange (plan-pinned in
+    tests/test_round4_bucketed_tick.py).
     ``checksum_algo`` MUST match the settings.checksum_algo the snapshot
     was written with, else every turn looks changed.
 

@@ -233,6 +233,7 @@ def run_incremental_update(
     output_dir: str,
     settings: ExtractSettings | None = None,
     dry_run: bool = False,
+    layout: str = "parquet",
 ) -> dict:
     """Steady-state incremental tick — the reference's recurring-scan
     loop body (FsParser.run() per update_rate, FsParser.java:488-556)
@@ -258,6 +259,20 @@ def run_incremental_update(
     deletion step is skipped entirely. ``dry_run=True`` computes the
     SAME delta the tick would act on (changed/deleted counts, touched
     buckets) but writes nothing and leaves the manifest untouched.
+
+    ``layout="bucketed"`` routes the corpus-scale diff through the
+    co-located snapshot index (plans/bucketed.py): ONE full-outer join
+    between the input and a narrow (keys, checksum, attrs) managed table
+    bucketed on (conv_id, turn_idx) yields BOTH the changed and the
+    deleted key sets — with ZERO Exchange on either side when the input
+    is itself a bucketed table (``input_path="table:NAME"``), and zero
+    Exchange on the corpus side even for a plain-path input (only the
+    input re-shuffles). The parquet layout (default) instead anti-joins
+    the full docs table — fine at fixture scale, a corpus-sized shuffle
+    per tick at 10^12 turns. Delta application (bucket swaps, deletes,
+    lineage) is identical in both layouts; the index is refreshed
+    partition-scoped after the swaps and rebuilt from the docs parquet
+    whenever its crash marker can't be trusted.
     """
     from fscrawler_spark.operators.deletes import (
         apply_deletes,
@@ -266,7 +281,10 @@ def run_incremental_update(
     )
     from fscrawler_spark.operators.extract import salted_bucket
     from fscrawler_spark.operators.incremental import changed_vs_snapshot, deleted_keys
+    from fscrawler_spark.plans import bucketed as snap
 
+    if layout not in ("parquet", "bucketed"):
+        raise ValueError(f"layout must be 'parquet' or 'bucketed', got {layout!r}")
     settings = settings or ExtractSettings()
     _refuse_mid_restart(output_dir)
     out_data = os.path.join(output_dir, "docs")
@@ -317,9 +335,51 @@ def run_incremental_update(
     # re-extracts, like the reference's ACL-hash comparison). Computed on
     # the RAW input so a changed turn that no longer passes a filter can
     # still purge its stale row.
-    changed_raw = changed_vs_snapshot(
-        src, prev, checksum_algo=settings.checksum_algo, attr_cols=("role", "tool", "ts")
-    )
+    fp = settings.fingerprint()
+    use_bucketed = layout == "bucketed"
+    if use_bucketed and dry_run and not snap.snapshot_is_valid(
+        spark, output_dir, settings.num_buckets, fp
+    ):
+        # a preview must not build/mutate the index; the parquet diff
+        # yields the identical counts
+        use_bucketed = False
+    delta = None
+    if use_bucketed:
+        snap_table, _rebuilt = snap.ensure_snapshot(
+            spark,
+            output_dir,
+            out_data,
+            settings.num_buckets,
+            fp,
+            _has_parquet_files(spark, out_data),
+        )
+        # ONE co-located corpus join; materialized so every later consumer
+        # (keys, counts, deletes) reads the checkpointed delta — including
+        # after the index partitions are dropped during the refresh
+        delta = materialize(
+            snap.colocated_tick_delta(
+                spark, src, snap_table, checksum_algo=settings.checksum_algo
+            )
+        )
+        # input rows to re-extract: delta is O(changed) and materialized,
+        # so this semi-join broadcasts — the input never shuffles
+        changed_raw = src.join(
+            delta.filter(F.col("changed")).select("conv_id", "turn_idx"),
+            ["conv_id", "turn_idx"],
+            "left_semi",
+        )
+        # stale copies to purge: known from the SAME join, no second
+        # corpus-scale semi-join against prev
+        changed_in_prev = delta.filter(F.col("changed") & F.col("in_prev")).select(
+            "conv_id", "turn_idx"
+        )
+    else:
+        changed_raw = changed_vs_snapshot(
+            src, prev, checksum_algo=settings.checksum_algo, attr_cols=("role", "tool", "ts")
+        )
+        changed_in_prev = changed_raw.join(
+            prev.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_semi"
+        ).select("conv_id", "turn_idx")
     # materialize the extracted delta ONCE: the rebuild, the key set, and
     # the counts all consume it, and re-deriving would re-run the big
     # anti-join + extraction (bounded by the delta size)
@@ -355,9 +415,7 @@ def run_incremental_update(
     # work — including it would rewrite its bucket forever.
     bucket_col = salted_bucket(settings.num_buckets, settings.skew_salt)
     changed_keys = (
-        changed_raw.join(
-            prev.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_semi"
-        )
+        changed_in_prev
         .select("conv_id", "turn_idx", bucket_col.alias("part_bucket"))
         .unionByName(fresh.select("conv_id", "turn_idx", "part_bucket"))
         .distinct()
@@ -367,10 +425,13 @@ def run_incremental_update(
     # deletion keys materialize before any rewrite: their lazy plan reads
     # the CURRENT output files, which the swaps below replace.
     # remove_deleted=False (reference knob): vanished keys stay — empty set.
-    if settings.remove_deleted:
-        gone = materialize(deleted_keys(prev.select("conv_id", "turn_idx"), src))
-    else:
+    if not settings.remove_deleted:
         gone = spark.createDataFrame([], "conv_id string, turn_idx int")
+    elif use_bucketed:
+        # J2 rides the same co-located join — already materialized
+        gone = delta.filter(F.col("deleted")).select("conv_id", "turn_idx")
+    else:
+        gone = materialize(deleted_keys(prev.select("conv_id", "turn_idx"), src))
 
     # touched = buckets of every changed KEY (bucket is a pure function of
     # the key, so a filtered-out row's stale bucket is still covered)
@@ -396,6 +457,13 @@ def run_incremental_update(
             "would_fail_fast": would_fail_fast,
         }
 
+    # mutations begin: the snapshot index (if any) can no longer be
+    # trusted until the post-swap refresh re-commits its marker. A no-op
+    # tick keeps the marker (nothing below mutates). Applies to BOTH
+    # layouts — a parquet-layout tick also stales any existing index.
+    if touched or (settings.remove_deleted and not gone.isEmpty()):
+        snap.invalidate_snapshot(output_dir)
+
     deleted_in_rebuild = 0
     if touched:
         # 2. rebuild ONLY the touched buckets: previous rows minus changed
@@ -420,6 +488,20 @@ def run_incremental_update(
     # emit explicit zero rows (same guard as run_extraction_job).
     targets = sorted(set(touched) | set(del_res["buckets"]))
     _write_lineage(spark, out_data, out_metrics, run_id, targets)
+
+    # 5. bucketed layout: bring the snapshot index back in sync —
+    # partition-scoped (O(touched buckets)), marker re-committed LAST so
+    # a crash anywhere above forces a rebuild instead of a stale diff
+    if use_bucketed:
+        snap.refresh_snapshot_buckets(
+            spark,
+            output_dir,
+            out_data,
+            settings.num_buckets,
+            fp,
+            targets,
+            _has_parquet_files(spark, out_data),
+        )
 
     # counter semantics match the full job: rows actually WRITTEN this
     # tick (fresh extractions) — changed_keys also holds purge-only keys
@@ -498,7 +580,16 @@ def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
             p = os.path.join(output_dir, d)
             if os.path.isdir(p):
                 shutil.rmtree(p)
-    # the manifest + pause marker are driver-local files in every mode
+    # the manifest + pause marker are driver-local files in every mode;
+    # the snapshot index (bucketed-layout ticks) dies with the table —
+    # marker always, the catalog table when a session is available (a
+    # marker-less table is never trusted, so session-less cleanup is safe)
+    from fscrawler_spark.plans.bucketed import drop_snapshot, invalidate_snapshot
+
+    if spark is not None:
+        drop_snapshot(spark, output_dir)
+    else:
+        invalidate_snapshot(output_dir)
     for f in ("_checkpoint.json", "_pause"):
         p = os.path.join(output_dir, f)
         if os.path.exists(p):
@@ -600,6 +691,12 @@ def run_extraction_job(
             "written_buckets": [],
             "skipped_buckets": sorted(manifest.completed),
         }
+
+    # wave writes mutate the docs table: any snapshot index built over it
+    # (layout="bucketed" ticks) is stale until a tick refreshes it
+    from fscrawler_spark.plans.bucketed import invalidate_snapshot
+
+    invalidate_snapshot(output_dir)
 
     src = read_transcripts(spark, input_path)
     docs = extract_transcripts(src, settings)

@@ -50,7 +50,17 @@ def validate_schema(df: DataFrame) -> DataFrame:
 
 def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """S1/S4: parquet (or json/csv) transcripts from any Hadoop-FS scheme
-    (file://, s3a://, hdfs://...)."""
+    (file://, s3a://, hdfs://...), or a catalog table via ``table:NAME``
+    (the Iceberg-input shape at real scale — a bucketed table input lets
+    the incremental tick's diff join co-locate with zero shuffle, see
+    plans/bucketed.py).
+
+    validate_schema's casts are no-ops (removed by SimplifyCasts) when
+    the table already matches the contract types, so a bucketed table's
+    output partitioning survives the projection; a mistyped column keeps
+    its cast and legitimately re-shuffles."""
+    if path.startswith("table:"):
+        return validate_schema(spark.table(path[len("table:"):]))
     reader = spark.read
     if fmt == "json":
         df = reader.schema(TRANSCRIPT_SCHEMA).json(path)
