@@ -728,8 +728,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id", "cluster_id", F.col("is_keeper").cast("boolean").alias("is_keeper"))
 
     def q_minhash_lsh_fast(spark, sf):
-        # production xxhash64 minhash path (rows-only check: the md5 twin
-        # above is the oracle-verified one; this one is the 100TB path)
+        # production xxhash64 minhash path. Driver row is rows-only by
+        # declaration (DuckDB has no xxhash64 and the oracle harness has
+        # no UDF registration), but the path IS value-verified: a pure-
+        # Python XXH64 proven bit-identical to F.xxhash64 recomputes the
+        # whole normalize→shingle→minhash→band→pair pipeline and the
+        # outputs match exactly (tests/test_round4_fasthash_oracle.py).
         sigs = dedup.minhash_signatures_fast(_dup_corpus(spark, sf), id_col="id", num_hashes=16)
         return dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
 
@@ -1062,8 +1066,8 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id,
            regexp_replace(text, '(?i)\\b(data|spark)\\b', '<em>\\1</em>', 'g') AS text_highlight
     FROM documents
-    WHERE list_contains(string_split_regex(lower(text), '\\s+'), 'spark')
-       OR list_contains(string_split_regex(lower(text), '\\s+'), 'data')
+    WHERE list_contains(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), 'spark')
+       OR list_contains(string_split_regex(lower(text), '[^\\p{L}\\p{N}]+'), 'data')
     """
 
     sql["q_search_semantic"] = """

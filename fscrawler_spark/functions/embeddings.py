@@ -35,6 +35,7 @@ from __future__ import annotations
 import logging
 import math
 import random
+from collections import OrderedDict
 
 import numpy as np
 import pyarrow as pa
@@ -116,6 +117,41 @@ def auto_bits(
     return bits
 
 
+_COUNT_CACHE: OrderedDict = OrderedDict()
+_COUNT_CACHE_MAX = 64
+
+
+def _cached_count(corpus: DataFrame) -> int:
+    """Session-scoped LRU over (applicationId, plan semanticHash): the
+    bits-sizing count is a full corpus scan at 100 TB, and one session
+    typically calls several ANN operators over the SAME corpus plan
+    (lsh_topk + cosine_near_dup_pairs + bucket_size_stats) — they should
+    pay ONE count job, not one each. Same trusted-caller caveat as
+    ``corpus_count``: if the underlying files change mid-session (an
+    incremental tick) the cached cardinality is stale — pass
+    ``corpus_count`` explicitly or ``clear_count_cache()`` after
+    mutating. Keyed on applicationId so a restarted session never reads
+    a dead session's entry."""
+    try:
+        key = (corpus.sparkSession.sparkContext.applicationId, corpus.semanticHash())
+    except Exception:  # semanticHash unavailable (exotic plan): just count
+        return corpus.count()
+    if key in _COUNT_CACHE:
+        _COUNT_CACHE.move_to_end(key)
+        return _COUNT_CACHE[key]
+    n = corpus.count()
+    _COUNT_CACHE[key] = n
+    while len(_COUNT_CACHE) > _COUNT_CACHE_MAX:
+        _COUNT_CACHE.popitem(last=False)
+    return n
+
+
+def clear_count_cache() -> None:
+    """Drop cached bits-sizing cardinalities (call after mutating the
+    files a cached corpus plan reads)."""
+    _COUNT_CACHE.clear()
+
+
 def _resolve_bits(
     corpus: DataFrame,
     bits: int | None,
@@ -133,8 +169,9 @@ def _resolve_bits(
 
     EXPLICIT bits are an expert override, but never a SILENT one: the
     crossover check still needs the cardinality (``corpus_count`` when
-    supplied, else the same one count job the auto path pays — repeat
-    callers should cache the count), and a crossover WARNS rather than
+    supplied, else one count job cached per (session,
+    plan) — see _cached_count — so repeat ANN calls over the same corpus
+    pay it once), and a crossover WARNS rather than
     raising — a skewed corpus concentrates mass in a few dense buckets
     the cap drops while its tail still returns valid neighbors, so a
     hard error would refuse working configurations. Audit real bucket
@@ -144,7 +181,7 @@ def _resolve_bits(
         _validate_bits(bits)
     if max_bucket is None:
         return bits if bits is not None else DEFAULT_BITS
-    n = corpus_count if corpus_count is not None else corpus.count()
+    n = corpus_count if corpus_count is not None else _cached_count(corpus)
     if bits is None:
         return auto_bits(n, max_bucket)
     if n / (1 << bits) > max_bucket:

@@ -35,23 +35,41 @@ class Term:
         return F.col(self.field) == F.lit(self.value)
 
 
+# standard-analyzer approximation shared by the engine, the highlighter
+# and the DuckDB oracle twin: tokens are maximal letter/digit runs, so
+# `match("hello!")` finds "hello" like ES's standard analyzer (which
+# strips punctuation), not like a whitespace analyzer (which wouldn't).
+# Deliberate divergence from full UAX#29: underscore splits here
+# ("foo_bar" -> foo, bar) where ES's ExtendNumLet keeps it whole —
+# documented, and identical on BOTH sides of the oracle comparison.
+# The pattern is valid in Java regex AND RE2, so Spark and DuckDB
+# tokenize identically.
+ANALYZER_SPLIT = r"[^\p{L}\p{N}]+"
+
+
+def analyze_terms(query: str) -> list[str]:
+    """Driver-side twin of ANALYZER_SPLIT for the query string."""
+    return [t for t in re.split(r"[\W_]+", query.lower()) if t]
+
+
 @dataclass(frozen=True)
 class Match:
     """Analyzed full-text match — lowered to case-insensitive token
-    containment over whitespace analysis (ES `match` with OR operator)."""
+    containment under the standard-analyzer approximation above
+    (ES `match` with OR operator; punctuation never blocks a hit)."""
 
     field: str
     query: str
 
     def to_column(self) -> Column:
-        tokens = [t for t in self.query.lower().split() if t]
+        tokens = analyze_terms(self.query)
         if not tokens:
             # ES `match` with zero analyzed terms matches NO documents
             # (zero_terms_query default "none") — an empty/whitespace
             # user query must not degrade to match-all, especially
             # inside Bool.must where it would silently drop the clause
             return F.lit(False)
-        words = F.split(F.lower(F.col(self.field)), r"\s+")
+        words = F.split(F.lower(F.col(self.field)), ANALYZER_SPLIT)
         pred = F.lit(False)
         for t in tokens:
             pred = pred | F.array_contains(words, t)
@@ -158,7 +176,7 @@ def _terms_for_field(q, fld: str) -> list[str]:
     """Collect the positive query terms touching ``fld`` (must/should
     branches only — ES highlighters likewise ignore must_not)."""
     if isinstance(q, Match) and q.field == fld:
-        return [t for t in q.query.lower().split() if t]
+        return analyze_terms(q.query)
     if isinstance(q, Term) and q.field == fld and isinstance(q.value, str):
         return [q.value.lower()]
     if isinstance(q, Bool):

@@ -12,9 +12,11 @@ on a shared cluster gets its `curl host:port/status` without touching
 the driver).
 
 Routes (reference paths accepted as aliases):
-    GET  /status   | /_crawler/status    -> job_status() JSON
-    POST /pause    | /_crawler/pause     -> request a between-waves pause
-    POST /resume   | /_crawler/resume    -> clear the pause request
+    GET  /status     | /_crawler/status     -> job_status() JSON
+    GET  /checkpoint | /_crawler/checkpoint -> raw manifest JSON (the
+         reference also serves the checkpoint object, CrawlerApi.java:55-151)
+    POST /pause      | /_crawler/pause      -> request a between-waves pause
+    POST /resume     | /_crawler/resume     -> clear the pause request
 """
 
 from __future__ import annotations
@@ -48,6 +50,21 @@ class StatusServer:
             def do_GET(self):  # noqa: N802 (stdlib naming)
                 if self.path in ("/status", "/_crawler/status"):
                     self._send(200, pipeline.job_status(outer.output_dir))
+                elif self.path in ("/checkpoint", "/_crawler/checkpoint"):
+                    # the raw manifest object, like the reference's
+                    # checkpoint route (rest/.../CrawlerApi.java:55-151)
+                    # — already-local JSON, no Spark interaction
+                    import os
+
+                    p = os.path.join(outer.output_dir, "_checkpoint.json")
+                    try:
+                        with open(p) as f:
+                            self._send(200, json.load(f))
+                    except FileNotFoundError:
+                        self._send(404, {"error": "no checkpoint yet"})
+                    except json.JSONDecodeError:
+                        # a torn mid-write read is the caller's retry case
+                        self._send(503, {"error": "checkpoint being rewritten"})
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 

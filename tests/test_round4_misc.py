@@ -1,0 +1,209 @@
+"""Round 4 smaller items: ANN count-cache amortization, REST
+GET /checkpoint, standard-analyzer Match parity, optional real PIL
+resize behind the env gate."""
+
+import json
+import os
+import urllib.error
+import urllib.request
+
+import pytest
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fscrawler_spark.config import ExtractSettings
+from fscrawler_spark.functions import embeddings
+from fscrawler_spark.plans.pipeline import run_extraction_job
+from fscrawler_spark.rest import StatusServer
+
+
+def _http(method: str, url: str) -> dict:
+    req = urllib.request.Request(url, method=method)
+    with urllib.request.urlopen(req, timeout=5) as r:
+        return json.loads(r.read())
+
+
+# --- ANN plan-time count amortization --------------------------------------
+
+
+def test_second_ann_bits_resolution_triggers_no_count_job(spark, monkeypatch):
+    """lsh_topk + cosine_near_dup_pairs + bucket_size_stats over the SAME
+    corpus plan must pay ONE cardinality count (a full scan at 100 TB),
+    not one each."""
+    corpus = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda i: (F.col("id") % 7 + i).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    embeddings.clear_count_cache()
+    calls = {"n": 0}
+    cls = type(corpus)  # the CONCRETE class (pyspark 4 subclasses DataFrame)
+    orig = cls.count
+
+    def counting(self):
+        calls["n"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(cls, "count", counting)
+    b1 = embeddings._resolve_bits(corpus, None, 100, None, "op1")
+    b2 = embeddings._resolve_bits(corpus, None, 100, None, "op2")
+    # a semantically identical plan built AGAIN (new DataFrame object)
+    corpus2 = spark.range(0, 500).select(
+        F.col("id").alias("vec_id"),
+        F.transform(F.sequence(F.lit(1), F.lit(8)), lambda i: (F.col("id") % 7 + i).cast("float")).alias(
+            "embedding"
+        ),
+    )
+    b3 = embeddings._resolve_bits(corpus2, None, 100, None, "op3")
+    assert b1 == b2 == b3
+    assert calls["n"] == 1
+    # explicit corpus_count still bypasses both the cache and the job
+    embeddings._resolve_bits(corpus, None, 100, 500, "op4")
+    assert calls["n"] == 1
+    # cache invalidation restores the count job
+    embeddings.clear_count_cache()
+    embeddings._resolve_bits(corpus, None, 100, None, "op5")
+    assert calls["n"] == 2
+
+
+# --- REST GET /checkpoint ---------------------------------------------------
+
+
+def test_rest_checkpoint_route_serves_manifest(spark, transcripts_dir, tmp_path):
+    out = str(tmp_path / "job")
+    run_extraction_job(
+        spark,
+        os.path.join(transcripts_dir, "transcripts.parquet"),
+        out,
+        ExtractSettings(num_buckets=4),
+    )
+    with StatusServer(out, port=0) as srv:
+        base = f"http://127.0.0.1:{srv.port}"
+        got = _http("GET", f"{base}/checkpoint")
+        with open(os.path.join(out, "_checkpoint.json")) as f:
+            assert got == json.load(f)
+        assert len(got["completed"]) == 4 and got["state"] == "COMPLETED"
+        # alias route serves the same object
+        assert _http("GET", f"{base}/_crawler/checkpoint") == got
+
+
+def test_rest_checkpoint_404_before_first_run(tmp_path):
+    out = str(tmp_path / "empty")
+    os.makedirs(out)
+    with StatusServer(out, port=0) as srv:
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _http("GET", f"http://127.0.0.1:{srv.port}/checkpoint")
+        assert ei.value.code == 404
+
+
+# --- standard-analyzer Match parity ----------------------------------------
+
+
+def test_match_strips_punctuation_like_es_standard_analyzer(spark):
+    from fscrawler_spark.operators.search import Match, analyze_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "Say hello! to the world."),
+            (2, "no greeting here"),
+            (3, "HELLO?!?"),
+            (4, "the hello-world program"),
+        ],
+        "id int, text string",
+    )
+    hits = lambda q: {r["id"] for r in df.filter(Match("text", q).to_column()).collect()}
+    # punctuation in the DOCUMENT never blocks a hit
+    assert hits("hello") == {1, 3, 4}
+    # punctuation in the QUERY is stripped by analysis
+    assert hits("hello!") == {1, 3, 4}
+    assert analyze_terms("Hello, World!") == ["hello", "world"]
+    # all-punctuation analyzes to zero terms -> matches nothing
+    assert hits("?!...") == set()
+
+
+def test_match_tokenization_parity_with_duckdb_twin(spark):
+    """The engine and the DuckDB oracle must tokenize identically on
+    punctuation/unicode — the exact divergence the old whitespace
+    analyzer had."""
+    import duckdb
+
+    from fscrawler_spark.operators.search import ANALYZER_SPLIT
+
+    texts = [
+        "Say hello! to the world.",
+        "comma,separated,words",
+        "wörld — ünïcode; tests",
+        "under_score and hyphen-ated",
+        "  leading/trailing  ",
+    ]
+    sdf = spark.createDataFrame([(t,) for t in texts], "text string").select(
+        F.split(F.lower(F.col("text")), ANALYZER_SPLIT).alias("toks")
+    )
+    spark_toks = [[t for t in r["toks"] if t] for r in sdf.collect()]
+    duck = duckdb.sql(
+        "SELECT string_split_regex(lower(t), '[^\\p{L}\\p{N}]+') FROM (SELECT unnest(?) AS t)",
+        params=[texts],
+    ).fetchall()
+    duck_toks = [[t for t in row[0] if t] for row in duck]
+    assert spark_toks == duck_toks
+
+
+def test_highlighter_uses_analyzed_terms(spark):
+    from fscrawler_spark.operators.search import Match, SearchRequest, execute_search
+
+    df = spark.createDataFrame([(1, "big Data rocks")], "doc_id int, text string")
+    req = SearchRequest(
+        query=Match("text", "data!"), size=10, fields=("doc_id",), highlight=("text",)
+    )
+    rows = execute_search(df, req).collect()
+    assert rows and rows[0]["text_highlight"] == "big <em>Data</em> rocks"
+
+
+# --- optional real PIL resize ----------------------------------------------
+
+
+def _media_df(spark, payloads):
+    return spark.createDataFrame(
+        [(f"m{i}", "image", p) for i, p in enumerate(payloads)],
+        "media_id string, kind string, payload binary",
+    )
+
+
+def test_real_resize_with_pil_when_available(spark):
+    PIL = pytest.importorskip("PIL")  # noqa: F841 — skip cleanly in this container
+    import io
+
+    from PIL import Image
+
+    from fscrawler_spark.functions.multimodal import resize_images
+
+    buf = io.BytesIO()
+    Image.new("RGB", (10, 6), (120, 30, 200)).save(buf, format="PNG")
+    rows = resize_images(
+        _media_df(spark, [buf.getvalue(), b"not an image"]), width=4, height=4, fake=False
+    ).collect()
+    by_id = {r["media_id"]: r for r in rows}
+    ok = by_id["m0"]
+    assert ok["decode_error"] is None
+    img = Image.open(io.BytesIO(bytes(ok["payload"])))
+    assert img.size == (4, 4)
+    # a corrupt payload records an error, never fails the job
+    assert by_id["m1"]["payload"] is None
+    assert by_id["m1"]["decode_error"].startswith("decode_error:")
+
+
+def test_real_resize_without_pil_raises_not_implemented(spark):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL installed: the NotImplementedError gate is N/A here")
+    except ImportError:
+        pass
+    from fscrawler_spark.functions.multimodal import resize_images
+
+    with pytest.raises(Exception) as ei:
+        resize_images(_media_df(spark, [b"x"]), fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError
+    )
