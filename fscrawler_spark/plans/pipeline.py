@@ -40,6 +40,12 @@ from fscrawler_spark.operators.stats import parse_failure_flag
 from fscrawler_spark.plans.checkpoint import CheckpointManifest
 from fscrawler_spark.session import dynamic_partition_overwrite, materialize
 
+# rebuild-path anti-join key sets broadcast below this many keys
+# (~50 B/key ⇒ ≲100 MB executor-side at the cap); above it the delta is
+# genuinely large and a shuffled SMJ against the touched buckets is the
+# correct plan — the knob bounds memory, not correctness
+BROADCAST_KEYS_MAX = 2_000_000
+
 LINEAGE_COLS = [
     "run_id",
     "part_bucket",
@@ -470,11 +476,28 @@ def run_incremental_update(
         # keys minus deleted keys, plus the fresh extractions. Deletions
         # hitting touched buckets are folded into this single swap so no
         # bucket is staged twice in one tick.
+        #
+        # The key sets are materialized (their stats are opaque to the
+        # planner — a localCheckpoint/checkpoint advertises defaultSize,
+        # so Catalyst would SMJ and SHUFFLE the whole touched-bucket scan
+        # for each anti-join: measured ~half the tick's shuffle bytes).
+        # We hold their exact counts, so broadcast them below the limit —
+        # the scan then flows shuffle-free into the staging write's
+        # repartition, the tick's one remaining (and write-required)
+        # exchange. Past the limit (a delta too big to ship to every
+        # executor) the planner's SMJ is the right call anyway.
+        gone_n = gone.count()
+        ck_keys = changed_keys.select("conv_id", "turn_idx")
+        gone_keys = gone
+        if changed <= BROADCAST_KEYS_MAX:
+            ck_keys = F.broadcast(ck_keys)
+        if gone_n <= BROADCAST_KEYS_MAX:
+            gone_keys = F.broadcast(gone)
         prev_touched = prev.filter(F.col("part_bucket").isin(touched))
-        deleted_in_rebuild = prev_touched.join(gone, ["conv_id", "turn_idx"], "left_semi").count()
+        deleted_in_rebuild = prev_touched.join(gone_keys, ["conv_id", "turn_idx"], "left_semi").count()
         prev_keep = prev_touched.join(
-            changed_keys.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
-        ).join(gone, ["conv_id", "turn_idx"], "left_anti")
+            ck_keys, ["conv_id", "turn_idx"], "left_anti"
+        ).join(gone_keys, ["conv_id", "turn_idx"], "left_anti")
         rebuilt = prev_keep.unionByName(fresh)
         stage_and_swap_buckets(spark, out_data, rebuilt, touched)
 

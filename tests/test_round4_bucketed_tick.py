@@ -184,6 +184,67 @@ def test_dry_run_bucketed_previews_without_building_index(
     assert parq.filter(F.col("conv_id") == "conv-new").count() == 0
 
 
+def test_colocated_delta_null_safety_matrix(spark, tmp_path):
+    """Every null/presence combination the diff must classify exactly like
+    the parquet path: null text equals null text (not perpetually
+    re-extracted), a null attr differs from a value, absence ≠ all-null
+    row. One fixture, every case."""
+    import datetime as dt
+
+    ts1 = dt.datetime(2026, 1, 1)
+    ts2 = dt.datetime(2026, 1, 2)
+
+    def h(t):
+        import hashlib
+
+        return hashlib.sha256(t.encode()).hexdigest() if t is not None else None
+
+    # (key, cur(text,role,tool,ts), prev(text,role,tool,ts) or None)
+    cases = [
+        ("same", ("a", "user", None, ts1), ("a", "user", None, ts1)),          # unchanged
+        ("nulls_same", (None, None, None, None), (None, None, None, None)),    # unchanged
+        ("text_chg", ("a", "user", None, ts1), ("b", "user", None, ts1)),      # changed
+        ("text_to_null", (None, "user", None, ts1), ("a", "user", None, ts1)), # changed
+        ("text_from_null", ("a", "user", None, ts1), (None, "user", None, ts1)),
+        ("role_chg", ("a", "user", None, ts1), ("a", "asst", None, ts1)),      # changed
+        ("tool_null_vs_val", ("a", "user", None, ts1), ("a", "user", "x", ts1)),
+        ("ts_chg", ("a", "user", None, ts1), ("a", "user", None, ts2)),        # changed
+        ("new_row", ("a", "user", None, ts1), None),                           # changed, !in_prev
+        ("gone_row", None, ("a", "user", None, ts1)),                          # deleted
+    ]
+    cur_rows = [
+        (k, 0, c[1], c[0], c[2], c[3]) for k, c, _ in cases if c is not None
+    ]
+    snap_rows = [
+        (k, 0, h(p[0]), p[1], p[2], p[3], 0) for k, _, p in cases if p is not None
+    ]
+    cur = spark.createDataFrame(
+        cur_rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    snap_df = spark.createDataFrame(
+        snap_rows,
+        "conv_id string, turn_idx int, _ck string, role string, tool string, ts timestamp, part_bucket int",
+    )
+    write_bucketed(cur, "r4_null_cur", buckets=4)
+    snap._write_snapshot(snap_df, "r4_null_snap", 4, mode="overwrite")
+    try:
+        delta = snap.colocated_tick_delta(spark, spark.table("r4_null_cur"), "r4_null_snap")
+        got = {r["conv_id"]: (r["changed"], r["in_prev"], r["deleted"]) for r in delta.collect()}
+        assert got == {
+            "text_chg": (True, True, False),
+            "text_to_null": (True, True, False),
+            "text_from_null": (True, True, False),
+            "role_chg": (True, True, False),
+            "tool_null_vs_val": (True, True, False),
+            "ts_chg": (True, True, False),
+            "new_row": (True, False, False),
+            "gone_row": (False, True, True),
+        }
+    finally:
+        spark.sql("DROP TABLE IF EXISTS r4_null_cur")
+        spark.sql("DROP TABLE IF EXISTS r4_null_snap")
+
+
 def test_restart_clean_drops_snapshot(spark, bucketed_out):
     from fscrawler_spark.plans.pipeline import restart_clean
 
