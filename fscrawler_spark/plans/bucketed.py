@@ -48,7 +48,6 @@ SNAPSHOT_MARKER = "_snapshot.json"
 # attr columns compared by the tick's change detection (must match the
 # parquet path's attr_cols in run_incremental_update)
 SNAPSHOT_ATTRS = ("role", "tool", "ts")
-TABLE_INPUT_PREFIX = "table:"
 
 
 def write_bucketed(

@@ -367,12 +367,16 @@ def run_incremental_update(
                 spark, src, snap_table, checksum_algo=settings.checksum_algo
             )
         )
-        # input rows to re-extract: delta is O(changed) and materialized,
-        # so this semi-join broadcasts — the input never shuffles
+        # input rows to re-extract. The materialized delta advertises
+        # defaultSize to the planner (same fact the rebuild handles
+        # below), so broadcast it EXPLICITLY when its exact count is
+        # small — otherwise this semi-join would sort-merge and shuffle
+        # the whole input, the very exchange this layout exists to kill.
+        changed_delta_keys = delta.filter(F.col("changed")).select("conv_id", "turn_idx")
+        if delta.count() <= BROADCAST_KEYS_MAX:
+            changed_delta_keys = F.broadcast(changed_delta_keys)
         changed_raw = src.join(
-            delta.filter(F.col("changed")).select("conv_id", "turn_idx"),
-            ["conv_id", "turn_idx"],
-            "left_semi",
+            changed_delta_keys, ["conv_id", "turn_idx"], "left_semi"
         )
         # stale copies to purge: known from the SAME join, no second
         # corpus-scale semi-join against prev
@@ -469,6 +473,11 @@ def run_incremental_update(
     # layouts — a parquet-layout tick also stales any existing index.
     if touched or (settings.remove_deleted and not gone.isEmpty()):
         snap.invalidate_snapshot(output_dir)
+        # ANN bits-sizing counts cached per (session, plan) are stale the
+        # moment the table mutates — same lifecycle as the snapshot marker
+        from fscrawler_spark.functions.embeddings import clear_count_cache
+
+        clear_count_cache()
 
     deleted_in_rebuild = 0
     if touched:
@@ -607,12 +616,14 @@ def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
     # the snapshot index (bucketed-layout ticks) dies with the table —
     # marker always, the catalog table when a session is available (a
     # marker-less table is never trusted, so session-less cleanup is safe)
+    from fscrawler_spark.functions.embeddings import clear_count_cache
     from fscrawler_spark.plans.bucketed import drop_snapshot, invalidate_snapshot
 
     if spark is not None:
         drop_snapshot(spark, output_dir)
     else:
         invalidate_snapshot(output_dir)
+    clear_count_cache()
     for f in ("_checkpoint.json", "_pause"):
         p = os.path.join(output_dir, f)
         if os.path.exists(p):
@@ -715,12 +726,6 @@ def run_extraction_job(
             "skipped_buckets": sorted(manifest.completed),
         }
 
-    # wave writes mutate the docs table: any snapshot index built over it
-    # (layout="bucketed" ticks) is stale until a tick refreshes it
-    from fscrawler_spark.plans.bucketed import invalidate_snapshot
-
-    invalidate_snapshot(output_dir)
-
     src = read_transcripts(spark, input_path)
     docs = extract_transcripts(src, settings)
 
@@ -743,6 +748,17 @@ def run_extraction_job(
             manifest.mark_paused()
             paused = True
             break
+        if not written:
+            # first ACTUAL write mutates the docs table: any snapshot
+            # index (layout="bucketed" ticks) is stale until a tick
+            # refreshes it. Deliberately NOT at function entry: a run
+            # that pauses/crashes before writing anything must not cost
+            # the next bucketed tick an O(corpus) index rebuild.
+            from fscrawler_spark.functions.embeddings import clear_count_cache
+            from fscrawler_spark.plans.bucketed import invalidate_snapshot
+
+            invalidate_snapshot(output_dir)
+            clear_count_cache()  # cached plan counts are stale once we write
         attempt = 0
         while True:
             try:

@@ -26,6 +26,10 @@ TRANSCRIPT_SCHEMA = T.StructType(
 
 _COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
 
+# catalog-table input scheme ("table:NAME") — the one spelling of the
+# prefix contract; see read_transcripts
+TABLE_INPUT_PREFIX = "table:"
+
 
 class SchemaError(ValueError):
     pass
@@ -59,8 +63,8 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     the table already matches the contract types, so a bucketed table's
     output partitioning survives the projection; a mistyped column keeps
     its cast and legitimately re-shuffles."""
-    if path.startswith("table:"):
-        return validate_schema(spark.table(path[len("table:"):]))
+    if path.startswith(TABLE_INPUT_PREFIX):
+        return validate_schema(spark.table(path[len(TABLE_INPUT_PREFIX):]))
     reader = spark.read
     if fmt == "json":
         df = reader.schema(TRANSCRIPT_SCHEMA).json(path)
