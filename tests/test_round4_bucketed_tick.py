@@ -245,6 +245,44 @@ def test_colocated_delta_null_safety_matrix(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS r4_null_snap")
 
 
+def test_cli_layout_flag_drives_bucketed_tick(spark, transcripts_dir, tmp_path, capsys):
+    """`--incremental --layout bucketed` end-to-end through the CLI:
+    builds the index, reports the delta, leaves a valid marker."""
+    import json as _json
+
+    from fscrawler_spark.cli import main
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "cliout")
+    assert main(["--input", inp, "--output", out, "--num-buckets", "8", "--skew-salt", "4"], spark=spark) == 0
+    capsys.readouterr()
+    rc = main(
+        ["--input", inp, "--output", out, "--num-buckets", "8", "--skew-salt", "4",
+         "--incremental", "--layout", "bucketed"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["changed"] == 0 and res["deleted"] == 0
+    assert snap.snapshot_is_valid(spark, out, 8, SETTINGS.fingerprint())
+    spark.sql(f"DROP TABLE IF EXISTS {snap.snapshot_table_name(out)}")
+
+
+def test_marker_fingerprint_drift_rejected(spark, tmp_path):
+    """A marker written under different settings must not validate —
+    bits of the layout (num_buckets) and content (filters) both ride the
+    fingerprint, and a drifted index would diff against the wrong
+    bucketing."""
+    out = str(tmp_path / "drift")
+    os.makedirs(out)
+    snap.commit_snapshot_marker(out, num_buckets=8, fingerprint="aaaa")
+    # table absent -> invalid regardless
+    assert not snap.snapshot_is_valid(spark, out, 8, "aaaa")
+    # wrong fingerprint / bucket count -> invalid even if a table existed
+    assert not snap.snapshot_is_valid(spark, out, 8, "bbbb")
+    assert not snap.snapshot_is_valid(spark, out, 16, "aaaa")
+
+
 def test_restart_clean_drops_snapshot(spark, bucketed_out):
     from fscrawler_spark.plans.pipeline import restart_clean
 

@@ -149,6 +149,40 @@ def test_match_tokenization_parity_with_duckdb_twin(spark):
     assert spark_toks == duck_toks
 
 
+def test_analyzer_three_way_parity_on_random_unicode(spark):
+    """analyze_terms (Python, query side) vs ANALYZER_SPLIT (Java regex,
+    column side) vs the DuckDB RE2 twin on 300 seeded random strings
+    mixing ascii, punctuation, unicode letters, digits and whitespace —
+    the three tokenizers must agree exactly or match() and its oracle
+    silently drift."""
+    import random
+
+    import duckdb
+
+    from fscrawler_spark.operators.search import ANALYZER_SPLIT, analyze_terms
+
+    rng = random.Random(20260817)
+    alphabet = (
+        "abc XYZ 012 \t\n .,;:!?()[]{}<>/\\'\"-_=+*&^%$#@~`|"
+        "äöüßéèêñç 漢字 кирилл θεσ ॐ ｱｲｳ 🙂—…·«»"
+    )
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 40))) for _ in range(300)
+    ]
+    sdf = spark.createDataFrame([(t,) for t in cases], "text string").select(
+        F.split(F.lower(F.col("text")), ANALYZER_SPLIT).alias("toks")
+    )
+    spark_toks = [[t for t in r["toks"] if t] for r in sdf.collect()]
+    duck = duckdb.sql(
+        "SELECT string_split_regex(lower(t), '[^\\p{L}\\p{N}]+') FROM (SELECT unnest(?) AS t)",
+        params=[cases],
+    ).fetchall()
+    duck_toks = [[t for t in row[0] if t] for row in duck]
+    py_toks = [analyze_terms(t) for t in cases]
+    for i, (s, d, p) in enumerate(zip(spark_toks, duck_toks, py_toks)):
+        assert s == d == p, f"case {i}: {cases[i]!r}\nspark={s}\nduck={d}\npy={p}"
+
+
 def test_highlighter_uses_analyzed_terms(spark):
     from fscrawler_spark.operators.search import Match, SearchRequest, execute_search
 
