@@ -183,7 +183,8 @@ def stage_and_swap_buckets(
         raise ValueError(
             f"{output_docs} is a Structured Streaming sink output "
             "(_spark_metadata present); bucket swaps would desync the "
-            "sink log from the files. Compact it to a batch table first."
+            "sink log from the files. Compact it first: "
+            "streaming.micro_batch.compact_streaming_output."
         )
     staging = output_docs.rstrip("/") + _STAGE_MARK + uuid.uuid4().hex[:8]
     (

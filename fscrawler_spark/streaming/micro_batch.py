@@ -93,3 +93,96 @@ def run_streaming_extraction(
     if await_termination:
         q.awaitTermination()
     return q
+
+
+def compact_streaming_output(
+    spark: SparkSession,
+    streaming_dir: str,
+    output_dir: str,
+    settings: ExtractSettings | None = None,
+) -> dict:
+    """One-way migration: streaming file-sink output -> plain batch table.
+
+    The streaming sink's directory is OWNED by its `_spark_metadata`
+    transaction log: batch mutation machinery (bucket swaps, deletes,
+    incremental ticks) refuses it, because file-level changes would
+    desync the log (stage_and_swap_buckets guard). This is the documented
+    migration path out: read the sink THROUGH its log (so uncommitted /
+    orphaned files are excluded — a crashed trigger's leftovers must not
+    resurrect), rewrite as a normal partitioned table WITH the batch
+    sink's stable (conv_id, turn_idx) within-partition ordering (O1 —
+    the one guarantee streaming cannot give, Spark disallows streaming
+    sort), and stamp a COMPLETED checkpoint manifest so every batch
+    operator (tick, deletes, resume, REST status) works on the result.
+
+    ``settings`` must be the settings the stream ran with: they are
+    recorded in the manifest fingerprint that guards later ticks (we
+    cannot re-derive them from the data — same trusted-caller contract
+    as resuming any run). Refuses a target dir that already holds data
+    and a source dir that is not a streaming sink.
+
+    Scale shape: one pass, scan -> sortWithinPartitions -> write; no
+    shuffle beyond the partition-preserving sort (rows are already in
+    part_bucket=N/ dirs, and the write repartitions by bucket exactly
+    like the batch waves). Reference analog: there is none — the
+    reference has no streaming mode; this is the Spark-native W1 story
+    completing the loop back into the batch lifecycle.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from fscrawler_spark.operators.deletes import _fs_for, has_parquet_files
+    from fscrawler_spark.plans.checkpoint import CheckpointManifest
+    from fscrawler_spark.plans.pipeline import _write_lineage
+    import uuid as _uuid
+
+    settings = settings or ExtractSettings()
+    HPath, fs = _fs_for(spark, streaming_dir)
+    if not fs.exists(HPath(streaming_dir.rstrip("/") + "/_spark_metadata")):
+        raise ValueError(
+            f"{streaming_dir} is not a streaming file-sink output "
+            "(_spark_metadata absent) — nothing to compact; batch tables "
+            "are already in their final layout"
+        )
+    out_data = os.path.join(output_dir, "docs")
+    if has_parquet_files(spark, out_data):
+        raise ValueError(
+            f"{output_dir} already holds a docs table — compact into a "
+            "fresh directory (the tick/delete machinery owns existing ones)"
+        )
+
+    # the log-driven read: Spark routes this through FileStreamSinkLog
+    # because _spark_metadata exists at the exact path queried
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    try:
+        docs = spark.read.parquet(streaming_dir)
+    except AnalysisException as e:
+        # a sink whose log has committed no files yet cannot infer a
+        # schema — say so instead of leaking UNABLE_TO_INFER_SCHEMA
+        raise ValueError(
+            f"{streaming_dir} holds no committed streaming files yet — "
+            "run the stream before compacting"
+        ) from e
+    run_id = f"compact-{_uuid.uuid4().hex[:12]}"
+    (
+        docs.repartition(settings.num_buckets, "part_bucket")
+        .sortWithinPartitions("part_bucket", "conv_id", "turn_idx")
+        .write.mode("overwrite")
+        .partitionBy("part_bucket")
+        .parquet(out_data)
+    )
+    manifest = CheckpointManifest.load_or_create(
+        os.path.join(output_dir, "_checkpoint.json"),
+        num_buckets=settings.num_buckets,
+        settings_fingerprint=settings.fingerprint(),
+    )
+    rows = spark.read.parquet(out_data).count()
+    manifest.mark_completed(list(range(settings.num_buckets)), rows=rows)
+    manifest.finish()
+    mrows = _write_lineage(
+        spark, out_data, os.path.join(output_dir, "metrics"), run_id,
+        list(range(settings.num_buckets)),
+    )
+    return {"run_id": run_id, "rows": rows, "buckets": len(mrows)}
