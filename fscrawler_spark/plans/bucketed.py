@@ -233,8 +233,12 @@ def refresh_snapshot_buckets(
     rewritten) docs parquet. Work is O(touched buckets), not O(corpus).
     The marker commit LAST makes the whole refresh atomic-or-rebuild."""
     table = snapshot_table_name(output_dir)
-    for b in sorted({int(b) for b in buckets}):
-        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS PARTITION (part_bucket={b})")
+    todo = sorted({int(b) for b in buckets})
+    # one DDL round-trip per 500 partitions, not per partition — a wide
+    # tick over a 10k-bucket table must not serialize 10k catalog calls
+    for i in range(0, len(todo), 500):
+        specs = ", ".join(f"PARTITION (part_bucket={b})" for b in todo[i : i + 500])
+        spark.sql(f"ALTER TABLE {table} DROP IF EXISTS {specs}")
     if has_parquet and buckets:
         _write_snapshot(
             _snapshot_rows(spark, out_data, buckets=list(buckets)),
