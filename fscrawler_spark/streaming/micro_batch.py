@@ -118,26 +118,31 @@ def compact_streaming_output(
     ``settings`` must be the settings the stream ran with: they are
     recorded in the manifest fingerprint that guards later ticks (we
     cannot re-derive them from the data — same trusted-caller contract
-    as resuming any run). Refuses a target dir that already holds data
+    as resuming any run). Refuses a torn mid-restart target, a target
+    dir that already holds ANY table state (docs parquet, manifest, or
+    metrics — stale bookkeeping must never merge under a fresh table),
     and a source dir that is not a streaming sink.
 
-    Scale shape: one pass, scan -> sortWithinPartitions -> write; no
-    shuffle beyond the partition-preserving sort (rows are already in
-    part_bucket=N/ dirs, and the write repartitions by bucket exactly
-    like the batch waves). Reference analog: there is none — the
-    reference has no streaming mode; this is the Spark-native W1 story
-    completing the loop back into the batch lifecycle.
+    Scale shape: one pass — log-driven scan, ONE full-corpus hash
+    repartition on part_bucket (the price of one sorted file per bucket,
+    exactly like a batch wave write), sortWithinPartitions, write.
+    Lineage is written BEFORE the manifest flips to COMPLETED (same
+    crash invariant as run_extraction_job: a COMPLETED table always has
+    its metric rows), and the row count is folded from the lineage rows
+    — no second corpus scan. Reference analog: none — the reference has
+    no streaming mode; this completes the Spark-native W1 loop back
+    into the batch lifecycle.
     """
     import os
 
-    from pyspark.sql import functions as F
-
     from fscrawler_spark.operators.deletes import _fs_for, has_parquet_files
+    from fscrawler_spark.plans import bucketed as snap
     from fscrawler_spark.plans.checkpoint import CheckpointManifest
-    from fscrawler_spark.plans.pipeline import _write_lineage
+    from fscrawler_spark.plans.pipeline import _refuse_mid_restart, _write_lineage
     import uuid as _uuid
 
     settings = settings or ExtractSettings()
+    _refuse_mid_restart(output_dir)
     HPath, fs = _fs_for(spark, streaming_dir)
     if not fs.exists(HPath(streaming_dir.rstrip("/") + "/_spark_metadata")):
         raise ValueError(
@@ -146,10 +151,19 @@ def compact_streaming_output(
             "are already in their final layout"
         )
     out_data = os.path.join(output_dir, "docs")
-    if has_parquet_files(spark, out_data):
+    out_metrics = os.path.join(output_dir, "metrics")
+    # "fresh directory" means NO prior table state at all: an emptied
+    # docs dir with a leftover manifest/metrics would pass a parquet-only
+    # probe and silently merge new rows under stale bookkeeping
+    if (
+        has_parquet_files(spark, out_data)
+        or has_parquet_files(spark, out_metrics)
+        or os.path.exists(os.path.join(output_dir, "_checkpoint.json"))
+    ):
         raise ValueError(
-            f"{output_dir} already holds a docs table — compact into a "
-            "fresh directory (the tick/delete machinery owns existing ones)"
+            f"{output_dir} already holds a docs table, metrics, or a "
+            "checkpoint manifest — compact into a fresh directory (the "
+            "tick/delete machinery owns existing ones)"
         )
 
     # the log-driven read: Spark routes this through FileStreamSinkLog
@@ -159,12 +173,16 @@ def compact_streaming_output(
     try:
         docs = spark.read.parquet(streaming_dir)
     except AnalysisException as e:
-        # a sink whose log has committed no files yet cannot infer a
-        # schema — say so instead of leaking UNABLE_TO_INFER_SCHEMA
-        raise ValueError(
-            f"{streaming_dir} holds no committed streaming files yet — "
-            "run the stream before compacting"
-        ) from e
+        # Spark 4 surfaces schema-inference failure for an empty sink as
+        # the legacy condition 1134 ("Unable to infer schema for
+        # Parquet"); match the condition first, message as fallback
+        cond = getattr(e, "getCondition", lambda: None)()
+        if cond == "_LEGACY_ERROR_TEMP_1134" or "Unable to infer schema" in str(e):
+            raise ValueError(
+                f"{streaming_dir} holds no committed streaming files yet — "
+                "run the stream before compacting"
+            ) from e
+        raise  # any OTHER analysis failure is real; never rebrand it
     run_id = f"compact-{_uuid.uuid4().hex[:12]}"
     (
         docs.repartition(settings.num_buckets, "part_bucket")
@@ -173,16 +191,22 @@ def compact_streaming_output(
         .partitionBy("part_bucket")
         .parquet(out_data)
     )
+    # any pre-existing snapshot index for this path (e.g. an emptied-and-
+    # reused output dir) now describes the WRONG table — same lifecycle
+    # rule as every other mutation entry point
+    snap.drop_snapshot(spark, output_dir)
+    # lineage FIRST (crash between here and finish() leaves an
+    # un-finished manifest, which a rerun refuses — never a COMPLETED
+    # table with no metric rows); row count folds from the lineage rows
+    mrows = _write_lineage(
+        spark, out_data, out_metrics, run_id, list(range(settings.num_buckets))
+    )
+    rows = int(sum(r["turn_count"] for r in mrows))
     manifest = CheckpointManifest.load_or_create(
         os.path.join(output_dir, "_checkpoint.json"),
         num_buckets=settings.num_buckets,
         settings_fingerprint=settings.fingerprint(),
     )
-    rows = spark.read.parquet(out_data).count()
     manifest.mark_completed(list(range(settings.num_buckets)), rows=rows)
     manifest.finish()
-    mrows = _write_lineage(
-        spark, out_data, os.path.join(output_dir, "metrics"), run_id,
-        list(range(settings.num_buckets)),
-    )
     return {"run_id": run_id, "rows": rows, "buckets": len(mrows)}

@@ -98,3 +98,34 @@ def test_compaction_refuses_misuse(spark, streamed, tmp_path):
     compact_streaming_output(spark, sink, out, SETTINGS)
     with pytest.raises(ValueError, match="already holds a docs table"):
         compact_streaming_output(spark, sink, out, SETTINGS)
+    # a LEFTOVER manifest alone (emptied table) is also "not fresh" —
+    # stale bookkeeping must never merge under a new table
+    stale = tmp_path / "stale"
+    stale.mkdir()
+    (stale / "_checkpoint.json").write_text("{}")
+    with pytest.raises(ValueError, match="checkpoint manifest"):
+        compact_streaming_output(spark, sink, str(stale), SETTINGS)
+    # torn mid-restart target refused like every job entry point
+    torn = tmp_path / "torn"
+    torn.mkdir()
+    (torn / "_restarting").write_text("torn\n")
+    with pytest.raises(RuntimeError, match="_restarting"):
+        compact_streaming_output(spark, sink, str(torn), SETTINGS)
+
+
+def test_compaction_invalidates_stale_snapshot_index(spark, streamed, tmp_path):
+    """Compacting into a path that once had a (now wrong) snapshot index
+    must drop it — or the first bucketed tick would diff against the
+    pre-compaction table."""
+    from fscrawler_spark.plans import bucketed as snap
+
+    inp, sink = streamed
+    out = str(tmp_path / "reused")
+    os.makedirs(out)
+    snap.commit_snapshot_marker(out, SETTINGS.num_buckets, SETTINGS.fingerprint())
+    compact_streaming_output(spark, sink, out, SETTINGS)
+    assert not os.path.exists(os.path.join(out, snap.SNAPSHOT_MARKER))
+    # bucketed tick rebuilds a fresh index and sees no delta
+    r = run_incremental_update(spark, inp, out, SETTINGS, layout="bucketed")
+    assert r["changed"] == 0 and r["deleted"] == 0
+    spark.sql(f"DROP TABLE IF EXISTS {snap.snapshot_table_name(out)}")
