@@ -134,14 +134,14 @@ def machine_ceiling(low_procs: int, high_procs: int, input_path: str) -> dict:
     import pyarrow.parquet as pq
     from multiprocessing import Pool
 
-    texts = pq.read_table(input_path, columns=["text"])["text"].to_pylist() * 4
+    texts = pq.read_table(input_path, columns=["text"])["text"].to_pylist() * 2
     chunks = [texts[i::128] for i in range(128)]
 
     def measure(procs: int) -> float:
         with Pool(procs) as pool:
             pool.map(_mp_extract_chunk, chunks[:8])  # warm
             best = float("inf")
-            for _ in range(2):
+            for _ in range(1):
                 t0 = time.perf_counter()
                 pool.map(_mp_extract_chunk, chunks)
                 best = min(best, time.perf_counter() - t0)
@@ -168,9 +168,10 @@ def _mp_extract_chunk(chunk):
 def capture_scaling(input_path: str, low_cpus: int, max_attempts: int) -> dict:
     """Noise-robust N→4N scaling capture.
 
-    One attempt = interleaved low/high/low/high extraction sessions
-    (min-of-trials per level) + the same-moment pure-Python
-    multiprocessing ceiling. The host is shared and bursty (2-3x
+    One attempt = a low/high extraction-session pair (min-of-trials per
+    level) + the same-moment pure-Python multiprocessing ceiling; the
+    retry loop itself is the interleaving (attempt k+1 re-measures both
+    levels in a new window). The host is shared and bursty (2-3x
     co-tenant spikes, BENCH.md history), so a single-shot capture is
     hostage to whatever window it lands in — the round-3 official
     artifact measured 0.703 in a window whose machine ceiling was 0.616.
@@ -193,13 +194,11 @@ def capture_scaling(input_path: str, low_cpus: int, max_attempts: int) -> dict:
     attempts: list[dict] = []
     best: dict | None = None
     for k in range(max_attempts):
+        # ONE low/high pair per attempt: the attempts themselves are the
+        # interleaving now (attempt k+1 re-pairs both levels), which
+        # keeps total wall bounded — the driver runs this under a budget
         low = run_extraction_at(low_cpus, input_path, trials=2)
         high = run_extraction_at(high_cpus, input_path, trials=2)
-        low2 = run_extraction_at(low_cpus, input_path, trials=2)
-        high2 = run_extraction_at(high_cpus, input_path, trials=2)
-        for a, b in ((low, low2), (high, high2)):
-            if b["sec"] < a["sec"]:
-                a.update(b)
         eff = round(
             (high["turns_per_sec"] / low["turns_per_sec"]) / (high_cpus / low_cpus), 3
         )

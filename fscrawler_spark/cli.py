@@ -94,6 +94,13 @@ def build_parser() -> argparse.ArgumentParser:
         "(POST /_crawler/resume analog)",
     )
     p.add_argument(
+        "--compact",
+        action="store_true",
+        help="treat --input as a STREAMING file-sink directory and compact "
+        "it into a fresh batch table at --output (one-way migration; "
+        "streaming/micro_batch.compact_streaming_output)",
+    )
+    p.add_argument(
         "--rest-port",
         type=int,
         default=None,
@@ -191,6 +198,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(json.dumps({"rest": f"http://{rest_server.host}:{rest_server.port}"}))
         if owns_session:
             spark = get_spark(app="fscrawler-spark-cli", master=args.master)
+        if args.compact:
+            from fscrawler_spark.streaming.micro_batch import compact_streaming_output
+
+            try:
+                res = compact_streaming_output(spark, args.input, args.output, settings)
+            except (FileNotFoundError, RuntimeError, ValueError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps(res))
+            return 0
         if args.dry_run:
             if args.incremental:
                 # preview the TICK's plan, not a full-corpus extraction:

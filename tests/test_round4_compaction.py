@@ -113,6 +113,30 @@ def test_compaction_refuses_misuse(spark, streamed, tmp_path):
         compact_streaming_output(spark, sink, str(torn), SETTINGS)
 
 
+def test_cli_compact_verb(spark, streamed, tmp_path, capsys):
+    import json as _json
+
+    from fscrawler_spark.cli import main
+
+    inp, sink = streamed
+    out = str(tmp_path / "cliout")
+    rc = main(
+        ["--compact", "--input", sink, "--output", out,
+         "--num-buckets", "8", "--skew-salt", "4"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == spark.read.parquet(inp).count()
+    assert job_status(out)["state"] == "COMPLETED"
+    # misuse -> clean exit 2, not a traceback
+    assert main(
+        ["--compact", "--input", str(tmp_path / "nope"), "--output", str(tmp_path / "o2"),
+         "--num-buckets", "8"],
+        spark=spark,
+    ) == 2
+
+
 def test_compaction_invalidates_stale_snapshot_index(spark, streamed, tmp_path):
     """Compacting into a path that once had a (now wrong) snapshot index
     must drop it — or the first bucketed tick would diff against the
