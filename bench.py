@@ -134,14 +134,14 @@ def machine_ceiling(low_procs: int, high_procs: int, input_path: str) -> dict:
     import pyarrow.parquet as pq
     from multiprocessing import Pool
 
-    texts = pq.read_table(input_path, columns=["text"])["text"].to_pylist() * 2
+    texts = pq.read_table(input_path, columns=["text"])["text"].to_pylist() * 4
     chunks = [texts[i::128] for i in range(128)]
 
     def measure(procs: int) -> float:
         with Pool(procs) as pool:
             pool.map(_mp_extract_chunk, chunks[:8])  # warm
             best = float("inf")
-            for _ in range(1):
+            for _ in range(2):
                 t0 = time.perf_counter()
                 pool.map(_mp_extract_chunk, chunks)
                 best = min(best, time.perf_counter() - t0)
@@ -168,10 +168,9 @@ def _mp_extract_chunk(chunk):
 def capture_scaling(input_path: str, low_cpus: int, max_attempts: int) -> dict:
     """Noise-robust N→4N scaling capture.
 
-    One attempt = a low/high extraction-session pair (min-of-trials per
-    level) + the same-moment pure-Python multiprocessing ceiling; the
-    retry loop itself is the interleaving (attempt k+1 re-measures both
-    levels in a new window). The host is shared and bursty (2-3x
+    One attempt = interleaved low/high/low/high extraction sessions
+    (min-merged per level — the guard against one-window leg bias) +
+    the same-moment pure-Python multiprocessing ceiling. The host is shared and bursty (2-3x
     co-tenant spikes, BENCH.md history), so a single-shot capture is
     hostage to whatever window it lands in — the round-3 official
     artifact measured 0.703 in a window whose machine ceiling was 0.616.
@@ -194,11 +193,20 @@ def capture_scaling(input_path: str, low_cpus: int, max_attempts: int) -> dict:
     attempts: list[dict] = []
     best: dict | None = None
     for k in range(max_attempts):
-        # ONE low/high pair per attempt: the attempts themselves are the
-        # interleaving now (attempt k+1 re-pairs both levels), which
-        # keeps total wall bounded — the driver runs this under a budget
+        # interleaved low/high/low/high with a min-merge per level: a
+        # burst that depresses ONE window's leg is repaired by the other
+        # window's min (min wall = best throughput). Without this, the
+        # eff>=0.8 early-stop would select for windows where only the
+        # LOW leg was noise-depressed — upward-biased acceptance (a
+        # slimmed one-pair variant measured 0.862 against a ceiling of
+        # 0.432 exactly this way; reverted).
         low = run_extraction_at(low_cpus, input_path, trials=2)
         high = run_extraction_at(high_cpus, input_path, trials=2)
+        low2 = run_extraction_at(low_cpus, input_path, trials=2)
+        high2 = run_extraction_at(high_cpus, input_path, trials=2)
+        for a, b in ((low, low2), (high, high2)):
+            if b["sec"] < a["sec"]:
+                a.update(b)
         eff = round(
             (high["turns_per_sec"] / low["turns_per_sec"]) / (high_cpus / low_cpus), 3
         )
@@ -382,12 +390,12 @@ def main() -> None:
     # every hardware thread with Python workers + JVM threads measures the
     # host's memory-bandwidth/turbo ceiling, not the engine (pure-Python
     # multiprocessing on this box caps at ~0.78 efficiency 4->16 and ~0.63
-    # 8->32 — see BENCH.md). Sessions are INTERLEAVED low/high/low/high and
-    # min-of-all-trials is taken per level: this host shows bursty 2-3x
-    # co-tenant noise, and interleaving prevents one noisy window from
-    # landing entirely on one level.
+    # 8->32 — see BENCH.md). Per-attempt methodology lives in
+    # capture_scaling: interleaved low/high/low/high with min-merge per
+    # level, up to SPARK_GRAFT_BENCH_ATTEMPTS attempts, every attempt's
+    # efficiency + same-moment ceiling recorded.
     low_cpus = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
-    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "3"))
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
     scaling = capture_scaling(input_path, low_cpus, max_attempts)
     low, high, efficiency = scaling["low"], scaling["high"], scaling["efficiency"]
     ceiling = scaling["machine_ceiling"]

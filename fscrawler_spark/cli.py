@@ -148,6 +148,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.compact and (args.incremental or args.restart or args.dry_run or args.loop != 1):
+        # compaction is a single one-way migration: silently ignoring any
+        # of these flags would run PARTIAL behavior under a contract the
+        # user didn't get (--dry-run especially: compaction writes)
+        print(
+            "error: --compact is a one-shot migration and cannot combine "
+            "with --incremental/--restart/--dry-run/--loop",
+            file=sys.stderr,
+        )
+        return 2
 
     from fscrawler_spark.config import (
         DEFAULT_INDEXED_CHARS,

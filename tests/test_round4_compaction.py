@@ -135,6 +135,14 @@ def test_cli_compact_verb(spark, streamed, tmp_path, capsys):
          "--num-buckets", "8"],
         spark=spark,
     ) == 2
+    # contradictory flags refused BEFORE any work — --dry-run especially:
+    # compaction writes, so silently ignoring it would break its contract
+    for extra in (["--dry-run"], ["--incremental"], ["--restart"], ["--loop", "3"]):
+        assert main(
+            ["--compact", "--input", sink, "--output", str(tmp_path / "o3"), *extra],
+            spark=spark,
+        ) == 2
+    capsys.readouterr()
 
 
 def test_compaction_invalidates_stale_snapshot_index(spark, streamed, tmp_path):
