@@ -241,6 +241,28 @@ def run_incremental_update(
     dry_run: bool = False,
     layout: str = "parquet",
 ) -> dict:
+    """Public tick entry: real ticks hold the per-output job lock (ONE
+    mutator per table, like the reference's one-thread-per-job model —
+    concurrent ticks would interleave bucket swaps); dry_run previews
+    stay lock-free and read-only. Full semantics on the impl below."""
+    if dry_run:
+        return _run_incremental_update_impl(
+            spark, input_path, output_dir, settings, dry_run, layout
+        )
+    with _JobLock(output_dir, "incremental-tick"):
+        return _run_incremental_update_impl(
+            spark, input_path, output_dir, settings, dry_run, layout
+        )
+
+
+def _run_incremental_update_impl(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    settings: ExtractSettings | None = None,
+    dry_run: bool = False,
+    layout: str = "parquet",
+) -> dict:
     """Steady-state incremental tick — the reference's recurring-scan
     loop body (FsParser.run() per update_rate, FsParser.java:488-556)
     over an already-extracted output:
@@ -552,6 +574,13 @@ def run_incremental_update(
 
 
 def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
+    """Public restart entry: holds the per-output job lock — a restart
+    racing a live job would delete files mid-swap. Semantics below."""
+    with _JobLock(output_dir, "restart-clean"):
+        _restart_clean_impl(output_dir, spark)
+
+
+def _restart_clean_impl(output_dir: str, spark: SparkSession | None = None) -> None:
     """Full re-index semantics (FsCrawlerCli --restart): drop checkpoint,
     pause marker, docs AND metrics — including crashed-swap stage dirs
     (docs__delete_stage_*, SIBLINGS of docs/): left behind, a later
@@ -631,6 +660,75 @@ def restart_clean(output_dir: str, spark: SparkSession | None = None) -> None:
     os.remove(marker)
 
 
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+        return True
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True  # exists, owned by someone else
+
+
+class _JobLock:
+    """Single-writer guard per output dir — the reference runs exactly one
+    thread per job (FsCrawlerImpl.java:114); two concurrent mutators here
+    would interleave bucket swaps / manifest writes and corrupt the table.
+
+    A driver-local lock file (same trust domain as the manifest): created
+    O_EXCL with the holder's pid; a lock whose pid is DEAD is broken with
+    a warning (crashed holder), a live holder raises. Like the manifest,
+    this protects the single-driver deployment shape — on a multi-driver
+    cluster the catalog/Iceberg commit protocol is the real lock.
+    dry_run paths never take it (read-only previews must not block or be
+    blocked)."""
+
+    def __init__(self, output_dir: str, what: str):
+        import json as _json
+
+        os.makedirs(output_dir, exist_ok=True)
+        self.path = os.path.join(output_dir, "_job.lock")
+        for _attempt in (1, 2):
+            try:
+                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                with os.fdopen(fd, "w") as f:
+                    _json.dump({"pid": os.getpid(), "what": what}, f)
+                return
+            except FileExistsError:
+                try:
+                    with open(self.path) as f:
+                        holder = _json.load(f)
+                    pid = int(holder.get("pid", -1))
+                except (OSError, ValueError):
+                    pid = -1  # torn write: treat as stale
+                if pid != os.getpid() and pid > 0 and _pid_alive(pid):
+                    raise RuntimeError(
+                        f"another job (pid {pid}, {holder.get('what', '?')}) is "
+                        f"running on {os.path.dirname(self.path)}; concurrent "
+                        "mutators would interleave bucket swaps — wait for it "
+                        "or remove _job.lock if it is known dead"
+                    )
+                # stale (dead holder / torn file / our own pid after a crash
+                # in THIS process): break it and retry the exclusive create
+                try:
+                    os.remove(self.path)
+                except FileNotFoundError:
+                    pass
+        raise RuntimeError(f"could not acquire {self.path} after breaking a stale lock")
+
+    def release(self) -> None:
+        try:
+            os.remove(self.path)
+        except FileNotFoundError:
+            pass
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.release()
+
+
 def _refuse_mid_restart(output_dir: str) -> None:
     """Job entry points call this first: an interrupted restart_clean
     (marker present) must complete before any run — the on-disk state is
@@ -650,6 +748,23 @@ def clear_pause(output_dir: str) -> None:
 
 
 def run_extraction_job(
+    spark: SparkSession,
+    input_path: str,
+    output_dir: str,
+    settings: ExtractSettings | None = None,
+    resume: bool = True,
+    fail_after_buckets: int | None = None,
+    wave_hook: Callable[[int, list[int]], None] | None = None,
+) -> dict:
+    """Public full-run entry: holds the per-output job lock for the whole
+    run (single mutator per table; see _JobLock). Full semantics below."""
+    with _JobLock(output_dir, "extraction-job"):
+        return _run_extraction_job_impl(
+            spark, input_path, output_dir, settings, resume, fail_after_buckets, wave_hook
+        )
+
+
+def _run_extraction_job_impl(
     spark: SparkSession,
     input_path: str,
     output_dir: str,

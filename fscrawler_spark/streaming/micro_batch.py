@@ -143,6 +143,21 @@ def compact_streaming_output(
 
     settings = settings or ExtractSettings()
     _refuse_mid_restart(output_dir)
+    from fscrawler_spark.plans.pipeline import _JobLock
+
+    with _JobLock(output_dir, "compact"):
+        return _compact_locked(spark, streaming_dir, output_dir, settings)
+
+
+def _compact_locked(spark, streaming_dir, output_dir, settings):
+    import os
+
+    from fscrawler_spark.operators.deletes import _fs_for, has_parquet_files
+    from fscrawler_spark.plans import bucketed as snap
+    from fscrawler_spark.plans.checkpoint import CheckpointManifest
+    from fscrawler_spark.plans.pipeline import _write_lineage
+    import uuid as _uuid
+
     HPath, fs = _fs_for(spark, streaming_dir)
     if not fs.exists(HPath(streaming_dir.rstrip("/") + "/_spark_metadata")):
         raise ValueError(

@@ -143,6 +143,20 @@ def test_snapshot_refresh_keeps_second_tick_correct(spark, bucketed_out, tmp_pat
     assert _docs_sorted(spark, out) == _docs_sorted(spark, full)
 
 
+def test_bucketed_tick_respects_remove_deleted_false(spark, bucketed_out, tmp_path):
+    """The co-located delta carries deleted rows, but the reference's
+    remove_deleted=False knob must still keep them — the gating lives
+    OUTSIDE the join and must hold in both layouts."""
+    inp, out = bucketed_out
+    inp_v2 = str(tmp_path / "v2.parquet")
+    victim = _mutate_input(spark, inp, inp_v2)
+    st = ExtractSettings(num_buckets=8, skew_salt=4, remove_deleted=False)
+    res = run_incremental_update(spark, inp_v2, out, st, layout="bucketed")
+    assert res["deleted"] == 0 and res["changed"] > 0
+    kept = spark.read.parquet(os.path.join(out, "docs"))
+    assert kept.filter(F.col("conv_id") == victim).count() > 0  # vanished rows stay
+
+
 def test_stale_marker_forces_rebuild_not_stale_diff(spark, bucketed_out, tmp_path):
     """Crash simulation: marker gone after docs mutated out-of-band (a
     parquet-layout tick). The next bucketed tick must rebuild the index

@@ -97,6 +97,40 @@ def test_rest_checkpoint_404_before_first_run(tmp_path):
         assert ei.value.code == 404
 
 
+# --- per-output job lock ----------------------------------------------------
+
+
+def test_job_lock_blocks_live_holder_and_breaks_stale(spark, transcripts_dir, tmp_path):
+    import json as _json
+
+    from fscrawler_spark.plans.pipeline import run_incremental_update
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "locked")
+    # live foreign holder (pid 1 is always alive and never ours) -> refuse
+    os.makedirs(out)
+    with open(os.path.join(out, "_job.lock"), "w") as f:
+        _json.dump({"pid": 1, "what": "other"}, f)
+    with pytest.raises(RuntimeError, match="another job"):
+        run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=4))
+    # stale holder (dead pid) -> broken with a retry, job runs, lock gone
+    with open(os.path.join(out, "_job.lock"), "w") as f:
+        _json.dump({"pid": 2 ** 22 + 12345, "what": "crashed"}, f)
+    res = run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=4))
+    assert res["status"] == "completed"
+    assert not os.path.exists(os.path.join(out, "_job.lock"))
+    # a real tick also locks/releases; dry_run never touches the lock
+    with open(os.path.join(out, "_job.lock"), "w") as f:
+        _json.dump({"pid": 1, "what": "other"}, f)
+    preview = run_incremental_update(
+        spark, inp, out, ExtractSettings(num_buckets=4), dry_run=True
+    )
+    assert preview["dry_run"] is True  # read-only preview ignored the lock
+    with pytest.raises(RuntimeError, match="another job"):
+        run_incremental_update(spark, inp, out, ExtractSettings(num_buckets=4))
+    os.remove(os.path.join(out, "_job.lock"))
+
+
 # --- standard-analyzer Match parity ----------------------------------------
 
 
