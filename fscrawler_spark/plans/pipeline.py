@@ -28,6 +28,7 @@ only), never by caching the full extraction result.
 from __future__ import annotations
 
 import os
+import threading
 import uuid
 from collections.abc import Callable
 
@@ -670,57 +671,129 @@ def _pid_alive(pid: int) -> bool:
         return True  # exists, owned by someone else
 
 
+# process-local registry of held lock paths: the pid in the lock FILE
+# cannot distinguish two THREADS of one driver (rest.py already runs a
+# thread pool), so same-pid contention is arbitrated here, under a real
+# threading.Lock
+_HELD_LOCKS: set[str] = set()
+_HELD_LOCKS_MU = threading.Lock()
+
+
 class _JobLock:
     """Single-writer guard per output dir — the reference runs exactly one
     thread per job (FsCrawlerImpl.java:114); two concurrent mutators here
     would interleave bucket swaps / manifest writes and corrupt the table.
 
-    A driver-local lock file (same trust domain as the manifest): created
-    O_EXCL with the holder's pid; a lock whose pid is DEAD is broken with
-    a warning (crashed holder), a live holder raises. Like the manifest,
-    this protects the single-driver deployment shape — on a multi-driver
-    cluster the catalog/Iceberg commit protocol is the real lock.
-    dry_run paths never take it (read-only previews must not block or be
-    blocked)."""
+    Three layers, smallest scope first:
+      * in-process: a registry under a threading.Lock — a second THREAD
+        of this driver is refused immediately (the pid file can't see
+        threads).
+      * on disk: O_EXCL create of ``_job.lock`` holding {pid, token,
+        what, started}. A live foreign holder raises with its age.
+      * stale break: a DEAD holder's lock is claimed via atomic
+        ``rename`` (exactly one contender wins the inode) and then
+        re-created O_EXCL — remove-then-create would let two breakers
+        both "win". Breaks are logged loudly.
+
+    release() removes the file only if its token is OURS — a lock broken
+    out from under us (operator error) must not cascade into deleting
+    the NEXT holder's lock. Known limitation (documented): a recycled
+    pid makes a genuinely dead lock look live; the error message carries
+    the holder age so an operator can judge, and removal is manual.
+    Like the manifest, this protects the single-driver deployment shape —
+    on a multi-driver cluster the catalog/Iceberg commit protocol is the
+    real lock. dry_run paths never take it."""
 
     def __init__(self, output_dir: str, what: str):
         import json as _json
+        import logging as _logging
+        import time as _time
 
         os.makedirs(output_dir, exist_ok=True)
         self.path = os.path.join(output_dir, "_job.lock")
-        for _attempt in (1, 2):
-            try:
-                fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                with os.fdopen(fd, "w") as f:
-                    _json.dump({"pid": os.getpid(), "what": what}, f)
-                return
-            except FileExistsError:
+        self.token = uuid.uuid4().hex
+        self._registered = False
+        with _HELD_LOCKS_MU:
+            if self.path in _HELD_LOCKS:
+                raise RuntimeError(
+                    f"another job in THIS process already holds {self.path}; "
+                    "concurrent mutators on one output would interleave "
+                    "bucket swaps"
+                )
+            _HELD_LOCKS.add(self.path)
+            self._registered = True
+        try:
+            payload = _json.dumps(
+                {"pid": os.getpid(), "token": self.token, "what": what,
+                 "started": _time.time()}
+            )
+            for _attempt in range(3):
                 try:
-                    with open(self.path) as f:
-                        holder = _json.load(f)
-                    pid = int(holder.get("pid", -1))
-                except (OSError, ValueError):
-                    pid = -1  # torn write: treat as stale
-                if pid != os.getpid() and pid > 0 and _pid_alive(pid):
-                    raise RuntimeError(
-                        f"another job (pid {pid}, {holder.get('what', '?')}) is "
-                        f"running on {os.path.dirname(self.path)}; concurrent "
-                        "mutators would interleave bucket swaps — wait for it "
-                        "or remove _job.lock if it is known dead"
+                    fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    with os.fdopen(fd, "w") as f:
+                        f.write(payload)
+                    return
+                except FileExistsError:
+                    try:
+                        with open(self.path) as f:
+                            holder = _json.load(f)
+                        pid = int(holder.get("pid", -1))
+                    except (OSError, ValueError):
+                        holder, pid = {}, -1  # torn write: treat as stale
+                    # same-pid holders are arbitrated by the registry above;
+                    # reaching here with our own pid means a PREVIOUS
+                    # process-life (recycled pid is ours) -> stale
+                    if pid > 0 and pid != os.getpid() and _pid_alive(pid):
+                        age = _time.time() - float(holder.get("started", 0) or 0)
+                        raise RuntimeError(
+                            f"another job (pid {pid}, {holder.get('what', '?')}, "
+                            f"held {age:.0f}s) is running on "
+                            f"{os.path.dirname(self.path)}; concurrent mutators "
+                            "would interleave bucket swaps — wait for it or "
+                            "remove _job.lock if it is known dead"
+                        )
+                    # stale: claim via atomic rename (one winner per inode),
+                    # then retry the exclusive create
+                    claimed = f"{self.path}.stale-{uuid.uuid4().hex[:8]}"
+                    try:
+                        os.rename(self.path, claimed)
+                    except FileNotFoundError:
+                        continue  # another contender claimed it; retry create
+                    _logging.getLogger(__name__).warning(
+                        "breaking stale job lock %s (holder pid %s dead)",
+                        self.path, pid,
                     )
-                # stale (dead holder / torn file / our own pid after a crash
-                # in THIS process): break it and retry the exclusive create
-                try:
-                    os.remove(self.path)
-                except FileNotFoundError:
-                    pass
-        raise RuntimeError(f"could not acquire {self.path} after breaking a stale lock")
+                    try:
+                        os.remove(claimed)
+                    except FileNotFoundError:
+                        pass
+            raise RuntimeError(
+                f"could not acquire {self.path}: lost the lock race 3 times "
+                "(another live job keeps acquiring it)"
+            )
+        except BaseException:
+            self._unregister()
+            raise
+
+    def _unregister(self) -> None:
+        if self._registered:
+            with _HELD_LOCKS_MU:
+                _HELD_LOCKS.discard(self.path)
+            self._registered = False
 
     def release(self) -> None:
+        import json as _json
+
         try:
-            os.remove(self.path)
-        except FileNotFoundError:
+            # remove only OUR lock: if an operator broke it and another job
+            # re-acquired, deleting here would cascade the corruption
+            with open(self.path) as f:
+                if _json.load(f).get("token") == self.token:
+                    os.remove(self.path)
+        except (OSError, ValueError):
             pass
+        finally:
+            self._unregister()
 
     def __enter__(self):
         return self

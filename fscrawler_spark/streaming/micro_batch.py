@@ -133,18 +133,10 @@ def compact_streaming_output(
     no streaming mode; this completes the Spark-native W1 loop back
     into the batch lifecycle.
     """
-    import os
-
-    from fscrawler_spark.operators.deletes import _fs_for, has_parquet_files
-    from fscrawler_spark.plans import bucketed as snap
-    from fscrawler_spark.plans.checkpoint import CheckpointManifest
-    from fscrawler_spark.plans.pipeline import _refuse_mid_restart, _write_lineage
-    import uuid as _uuid
+    from fscrawler_spark.plans.pipeline import _JobLock, _refuse_mid_restart
 
     settings = settings or ExtractSettings()
     _refuse_mid_restart(output_dir)
-    from fscrawler_spark.plans.pipeline import _JobLock
-
     with _JobLock(output_dir, "compact"):
         return _compact_locked(spark, streaming_dir, output_dir, settings)
 

@@ -102,33 +102,72 @@ def test_rest_checkpoint_404_before_first_run(tmp_path):
 
 def test_job_lock_blocks_live_holder_and_breaks_stale(spark, transcripts_dir, tmp_path):
     import json as _json
+    import subprocess
 
     from fscrawler_spark.plans.pipeline import run_incremental_update
 
     inp = os.path.join(transcripts_dir, "transcripts.parquet")
     out = str(tmp_path / "locked")
-    # live foreign holder (pid 1 is always alive and never ours) -> refuse
     os.makedirs(out)
-    with open(os.path.join(out, "_job.lock"), "w") as f:
-        _json.dump({"pid": 1, "what": "other"}, f)
-    with pytest.raises(RuntimeError, match="another job"):
-        run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=4))
-    # stale holder (dead pid) -> broken with a retry, job runs, lock gone
-    with open(os.path.join(out, "_job.lock"), "w") as f:
-        _json.dump({"pid": 2 ** 22 + 12345, "what": "crashed"}, f)
-    res = run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=4))
-    assert res["status"] == "completed"
+    # live FOREIGN holder: a real subprocess we keep alive (never pid 1 —
+    # in a container pytest itself can be pid 1)
+    other = subprocess.Popen(["sleep", "300"])
+    try:
+        with open(os.path.join(out, "_job.lock"), "w") as f:
+            _json.dump({"pid": other.pid, "what": "other", "started": 0}, f)
+        with pytest.raises(RuntimeError, match="another job"):
+            run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=4))
+        # dry_run never touches the lock (but needs a completed table —
+        # checked again below once one exists)
+        os.remove(os.path.join(out, "_job.lock"))
+        # stale holder (dead pid) -> broken, job runs, lock gone after
+        with open(os.path.join(out, "_job.lock"), "w") as f:
+            _json.dump({"pid": 2 ** 22 + 12345, "what": "crashed", "started": 0}, f)
+        res = run_extraction_job(spark, inp, out, ExtractSettings(num_buckets=4))
+        assert res["status"] == "completed"
+        assert not os.path.exists(os.path.join(out, "_job.lock"))
+        # a real tick refuses a live foreign lock; the read-only preview ignores it
+        with open(os.path.join(out, "_job.lock"), "w") as f:
+            _json.dump({"pid": other.pid, "what": "other", "started": 0}, f)
+        preview = run_incremental_update(
+            spark, inp, out, ExtractSettings(num_buckets=4), dry_run=True
+        )
+        assert preview["dry_run"] is True
+        with pytest.raises(RuntimeError, match="another job"):
+            run_incremental_update(spark, inp, out, ExtractSettings(num_buckets=4))
+        os.remove(os.path.join(out, "_job.lock"))
+    finally:
+        other.kill()
+        other.wait()
+
+
+def test_job_lock_refuses_second_thread_and_guards_release(tmp_path):
+    """Same-process contention is arbitrated by the registry (the pid
+    file cannot see threads), and release() removes only its OWN lock."""
+    import json as _json
+
+    from fscrawler_spark.plans.pipeline import _JobLock
+
+    out = str(tmp_path / "d")
+    a = _JobLock(out, "job-a")
+    try:
+        with pytest.raises(RuntimeError, match="THIS process"):
+            _JobLock(out, "job-b")  # same thread or another: registry refuses
+    finally:
+        a.release()
     assert not os.path.exists(os.path.join(out, "_job.lock"))
-    # a real tick also locks/releases; dry_run never touches the lock
-    with open(os.path.join(out, "_job.lock"), "w") as f:
-        _json.dump({"pid": 1, "what": "other"}, f)
-    preview = run_incremental_update(
-        spark, inp, out, ExtractSettings(num_buckets=4), dry_run=True
-    )
-    assert preview["dry_run"] is True  # read-only preview ignored the lock
-    with pytest.raises(RuntimeError, match="another job"):
-        run_incremental_update(spark, inp, out, ExtractSettings(num_buckets=4))
-    os.remove(os.path.join(out, "_job.lock"))
+    # release() of a lock broken-and-replaced must NOT delete the new one
+    b = _JobLock(out, "job-b")
+    with open(b.path) as f:
+        b_payload = f.read()
+    b._unregister()  # simulate operator force-breaking b's registry view
+    os.remove(b.path)
+    c = _JobLock(out, "job-c")
+    b.release()  # b's token no longer matches -> must leave c's file alone
+    assert os.path.exists(c.path)
+    with open(c.path) as f:
+        assert _json.load(f)["what"] == "job-c"
+    c.release()
 
 
 # --- standard-analyzer Match parity ----------------------------------------
