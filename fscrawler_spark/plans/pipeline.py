@@ -707,10 +707,15 @@ class _JobLock:
     def __init__(self, output_dir: str, what: str):
         import json as _json
         import logging as _logging
+        import shutil as _shutil
         import time as _time
 
         os.makedirs(output_dir, exist_ok=True)
-        self.path = os.path.join(output_dir, "_job.lock")
+        # realpath: two threads addressing one dir via different spellings
+        # ('out' vs './out' vs abspath) MUST collide in the registry — a
+        # miss there would reach the same-pid-is-stale rule below and
+        # break a live sibling's lock
+        self.path = os.path.join(os.path.realpath(output_dir), "_job.lock")
         self.token = uuid.uuid4().hex
         self._registered = False
         with _HELD_LOCKS_MU:
@@ -723,54 +728,77 @@ class _JobLock:
             _HELD_LOCKS.add(self.path)
             self._registered = True
         try:
-            payload = _json.dumps(
-                {"pid": os.getpid(), "token": self.token, "what": what,
-                 "started": _time.time()}
-            )
-            for _attempt in range(3):
-                try:
-                    fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    with os.fdopen(fd, "w") as f:
-                        f.write(payload)
-                    return
-                except FileExistsError:
+            # atomic create-WITH-content: payload written to a private tmp,
+            # then hard-linked into place — a contender can never observe
+            # an empty lock file and misread a live holder as torn/stale
+            tmp = f"{self.path}.claim-{self.token[:8]}"
+            with open(tmp, "w") as f:
+                _json.dump(
+                    {"pid": os.getpid(), "token": self.token, "what": what,
+                     "started": _time.time()},
+                    f,
+                )
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                for _attempt in range(3):
                     try:
-                        with open(self.path) as f:
-                            holder = _json.load(f)
-                        pid = int(holder.get("pid", -1))
-                    except (OSError, ValueError):
-                        holder, pid = {}, -1  # torn write: treat as stale
-                    # same-pid holders are arbitrated by the registry above;
-                    # reaching here with our own pid means a PREVIOUS
-                    # process-life (recycled pid is ours) -> stale
-                    if pid > 0 and pid != os.getpid() and _pid_alive(pid):
-                        age = _time.time() - float(holder.get("started", 0) or 0)
-                        raise RuntimeError(
-                            f"another job (pid {pid}, {holder.get('what', '?')}, "
-                            f"held {age:.0f}s) is running on "
-                            f"{os.path.dirname(self.path)}; concurrent mutators "
-                            "would interleave bucket swaps — wait for it or "
-                            "remove _job.lock if it is known dead"
+                        os.link(tmp, self.path)
+                        return
+                    except FileExistsError:
+                        holder: dict = {}
+                        try:
+                            with open(self.path) as f:
+                                loaded = _json.load(f)
+                            if isinstance(loaded, dict):
+                                holder = loaded
+                        except (OSError, ValueError):
+                            pass  # unreadable/torn: treat as stale
+                        try:
+                            pid = int(holder.get("pid", -1))
+                        except (TypeError, ValueError):
+                            pid = -1
+                        # same-pid holders are arbitrated by the registry
+                        # above; reaching here with our own pid means a
+                        # PREVIOUS process-life (recycled pid) -> stale
+                        if pid > 0 and pid != os.getpid() and _pid_alive(pid):
+                            try:
+                                age = _time.time() - float(holder.get("started") or 0)
+                            except (TypeError, ValueError):
+                                age = 0.0
+                            raise RuntimeError(
+                                f"another job (pid {pid}, {holder.get('what', '?')}, "
+                                f"held {age:.0f}s) is running on "
+                                f"{os.path.dirname(self.path)}; concurrent mutators "
+                                "would interleave bucket swaps — wait for it or "
+                                "remove _job.lock if it is known dead"
+                            )
+                        # stale: claim via atomic rename (one winner per
+                        # inode), then retry the exclusive link
+                        claimed = f"{self.path}.stale-{uuid.uuid4().hex[:8]}"
+                        try:
+                            os.rename(self.path, claimed)
+                        except FileNotFoundError:
+                            continue  # another contender claimed it; retry
+                        _logging.getLogger(__name__).warning(
+                            "breaking stale job lock %s (holder pid %s dead)",
+                            self.path, pid,
                         )
-                    # stale: claim via atomic rename (one winner per inode),
-                    # then retry the exclusive create
-                    claimed = f"{self.path}.stale-{uuid.uuid4().hex[:8]}"
-                    try:
-                        os.rename(self.path, claimed)
-                    except FileNotFoundError:
-                        continue  # another contender claimed it; retry create
-                    _logging.getLogger(__name__).warning(
-                        "breaking stale job lock %s (holder pid %s dead)",
-                        self.path, pid,
-                    )
-                    try:
-                        os.remove(claimed)
-                    except FileNotFoundError:
-                        pass
-            raise RuntimeError(
-                f"could not acquire {self.path}: lost the lock race 3 times "
-                "(another live job keeps acquiring it)"
-            )
+                        try:
+                            os.remove(claimed)
+                        except OSError:
+                            # e.g. the "lock" was a directory: clear it too;
+                            # leftover stale-* claims are swept on release
+                            _shutil.rmtree(claimed, ignore_errors=True)
+                raise RuntimeError(
+                    f"could not acquire {self.path}: lost the lock race 3 times "
+                    "(another live job keeps acquiring it)"
+                )
+            finally:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
         except BaseException:
             self._unregister()
             raise
@@ -782,14 +810,26 @@ class _JobLock:
             self._registered = False
 
     def release(self) -> None:
+        import glob as _glob
         import json as _json
 
         try:
             # remove only OUR lock: if an operator broke it and another job
             # re-acquired, deleting here would cascade the corruption
             with open(self.path) as f:
-                if _json.load(f).get("token") == self.token:
-                    os.remove(self.path)
+                loaded = _json.load(f)
+            if isinstance(loaded, dict) and loaded.get("token") == self.token:
+                os.remove(self.path)
+                # best-effort sweep of orphaned stale-claims (a breaker
+                # killed between rename and remove) — uniquely named, and
+                # their owners tolerate a concurrent removal. claim-* tmp
+                # files are deliberately NOT swept: a live acquirer's tmp
+                # vanishing mid-link would crash its acquisition.
+                for junk in _glob.glob(f"{self.path}.stale-*"):
+                    try:
+                        os.remove(junk)
+                    except OSError:
+                        pass
         except (OSError, ValueError):
             pass
         finally:

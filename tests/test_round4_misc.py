@@ -153,13 +153,16 @@ def test_job_lock_refuses_second_thread_and_guards_release(tmp_path):
     try:
         with pytest.raises(RuntimeError, match="THIS process"):
             _JobLock(out, "job-b")  # same thread or another: registry refuses
+        # a different SPELLING of the same dir must collide too (realpath
+        # keying) — else the same-pid-is-stale rule would break a live
+        # sibling's lock
+        with pytest.raises(RuntimeError, match="THIS process"):
+            _JobLock(os.path.join(str(tmp_path), ".", "d"), "job-b2")
     finally:
         a.release()
     assert not os.path.exists(os.path.join(out, "_job.lock"))
     # release() of a lock broken-and-replaced must NOT delete the new one
     b = _JobLock(out, "job-b")
-    with open(b.path) as f:
-        b_payload = f.read()
     b._unregister()  # simulate operator force-breaking b's registry view
     os.remove(b.path)
     c = _JobLock(out, "job-c")
