@@ -101,6 +101,13 @@ def build_parser() -> argparse.ArgumentParser:
         "streaming/micro_batch.compact_streaming_output)",
     )
     p.add_argument(
+        "--doctor",
+        action="store_true",
+        help="read-only consistency check of --output (manifest vs docs vs "
+        "metrics vs snapshot index vs markers); exit 0 = ok, 3 = findings "
+        "(plans/doctor.py)",
+    )
+    p.add_argument(
         "--rest-port",
         type=int,
         default=None,
@@ -136,7 +143,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         clear_pause(args.output)
         print(json.dumps({"pause_requested": False}))
         return 0
-    if not args.input:
+    if not args.input and not args.doctor:
+        # --doctor needs only --output (like the control verbs, but it
+        # reads parquet so it does need a session)
         print("error: --input is required to run a crawl", file=sys.stderr)
         return 2
     if args.restart and args.incremental:
@@ -208,6 +217,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             print(json.dumps({"rest": f"http://{rest_server.host}:{rest_server.port}"}))
         if owns_session:
             spark = get_spark(app="fscrawler-spark-cli", master=args.master)
+        if args.doctor:
+            from fscrawler_spark.plans.doctor import check_output
+
+            res = check_output(spark, args.output)
+            print(json.dumps(res))
+            return 0 if res["ok"] else 3
         if args.compact:
             from fscrawler_spark.streaming.micro_batch import compact_streaming_output
 

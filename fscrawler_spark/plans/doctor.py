@@ -1,0 +1,257 @@
+"""Output-table consistency checker ("doctor") — read-only diagnosis of
+a job directory's invariants.
+
+The engine maintains several cross-artifact invariants (manifest ↔ docs
+parquet ↔ metrics ↔ snapshot index ↔ markers); crashes, kills and
+operator slips can violate them in ways each individual entry point
+only partially detects at its own boundary. `check_output` verifies
+them ALL in one pass and reports findings instead of acting — the
+operator (or a wrapper) decides between rerun / restart_clean / manual
+repair. Reference analog: the reference exposes job state over REST
+(CrawlerApi.java:55-151) but has no integrity checker; with a
+distributed table and multi-artifact bookkeeping this engine needs one.
+
+Scale shape: everything is either a driver-local file read or a
+column-pruned aggregate over (part_bucket) — one narrow scan of docs,
+one of metrics. No mutation, ever; safe against a live job (results may
+be transiently inconsistent while a job runs — the lock finding says
+so).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _finding(sev: str, code: str, msg: str) -> dict:
+    return {"severity": sev, "code": code, "message": msg}
+
+
+def check_output(spark: SparkSession, output_dir: str) -> dict:
+    """Diagnose ``output_dir``. Returns {"ok": bool, "findings": [...]};
+    ok means no ERROR-severity findings (WARNs may remain)."""
+    from fscrawler_spark.operators.deletes import _STAGE_MARK, has_parquet_files
+    from fscrawler_spark.plans import bucketed as snap
+    from fscrawler_spark.plans.pipeline import _pid_alive
+
+    findings: list[dict] = []
+    out_data = os.path.join(output_dir, "docs")
+    out_metrics = os.path.join(output_dir, "metrics")
+    ckpt_path = os.path.join(output_dir, "_checkpoint.json")
+
+    if not os.path.isdir(output_dir):
+        return {
+            "ok": False,
+            "findings": [_finding("ERROR", "missing_dir", f"{output_dir} does not exist")],
+        }
+
+    # --- markers ---------------------------------------------------------
+    if os.path.exists(os.path.join(output_dir, "_restarting")):
+        findings.append(
+            _finding(
+                "ERROR",
+                "torn_restart",
+                "_restarting marker present: an interrupted restart_clean "
+                "must be finished (CLI --restart) before any job runs",
+            )
+        )
+    lock_path = os.path.join(output_dir, "_job.lock")
+    if os.path.exists(lock_path):
+        holder: dict = {}
+        try:
+            with open(lock_path) as f:
+                loaded = json.load(f)
+            if isinstance(loaded, dict):
+                holder = loaded
+        except (OSError, ValueError):
+            pass
+        try:
+            pid = int(holder.get("pid", -1))
+        except (TypeError, ValueError):
+            pid = -1
+        if pid > 0 and _pid_alive(pid):
+            findings.append(
+                _finding(
+                    "WARN",
+                    "job_running",
+                    f"_job.lock held by live pid {pid} "
+                    f"({holder.get('what', '?')}) — results below may be "
+                    "transiently inconsistent while it runs",
+                )
+            )
+        else:
+            findings.append(
+                _finding(
+                    "WARN",
+                    "stale_lock",
+                    "_job.lock holder is dead — the next job will break it "
+                    "automatically",
+                )
+            )
+    try:
+        stage_dirs = [
+            n for n in os.listdir(output_dir) if n.startswith("docs" + _STAGE_MARK)
+        ]
+    except OSError:
+        stage_dirs = []
+    if stage_dirs:
+        findings.append(
+            _finding(
+                "WARN",
+                "stale_stage",
+                f"{len(stage_dirs)} interrupted bucket-swap stage dir(s) "
+                "present — the next tick recovers them automatically "
+                f"({stage_dirs[:3]}...)",
+            )
+        )
+
+    # --- manifest --------------------------------------------------------
+    manifest = None
+    if os.path.exists(ckpt_path):
+        try:
+            with open(ckpt_path) as f:
+                manifest = json.load(f)
+        except (OSError, ValueError):
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "corrupt_manifest",
+                    "_checkpoint.json is unreadable/corrupt — entry points "
+                    "will recover it as a FRESH manifest (full re-run)",
+                )
+            )
+    else:
+        findings.append(
+            _finding("WARN", "no_manifest", "no _checkpoint.json: no run has started")
+        )
+
+    have_docs = has_parquet_files(spark, out_data)
+    per_bucket_actual: dict[int, int] = {}
+    if have_docs:
+        per_bucket_actual = {
+            int(r["part_bucket"]): int(r["n"])
+            for r in spark.read.parquet(out_data)
+            .groupBy("part_bucket")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+
+    if isinstance(manifest, dict):
+        num_buckets = int(manifest.get("num_buckets", 0) or 0)
+        completed = {int(b) for b in manifest.get("completed", [])}
+        state = manifest.get("state")
+        pending = set(range(num_buckets)) - completed if num_buckets else set()
+        if state == "COMPLETED" and pending:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "completed_with_pending",
+                    f"manifest says COMPLETED but {len(pending)} bucket(s) "
+                    f"were never marked done: {sorted(pending)[:8]}",
+                )
+            )
+        # docs rows in buckets the manifest never completed: a foreign
+        # write or a bucketing drift
+        rogue = sorted(set(per_bucket_actual) - completed)
+        if rogue:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "rogue_buckets",
+                    f"docs parquet holds bucket(s) the manifest never "
+                    f"completed: {rogue[:8]} — foreign write or num_buckets "
+                    "drift (manifest fingerprint should have refused it)",
+                )
+            )
+        if state == "COMPLETED" and not have_docs and completed:
+            # legitimate after a delete-everything tick; surface as info-WARN
+            findings.append(
+                _finding(
+                    "WARN",
+                    "empty_table",
+                    "manifest COMPLETED but the docs table holds no parquet "
+                    "(emptied by deletions is a valid state)",
+                )
+            )
+
+    # --- metrics reconcile ----------------------------------------------
+    if have_docs and has_parquet_files(spark, out_metrics):
+        m = spark.read.parquet(out_metrics)
+        # the LATEST lineage row per bucket must reconcile with the table;
+        # run_id is uuid-random, so "latest" = max insertion order is not
+        # recoverable — instead require that for each bucket SOME lineage
+        # row matches the current count (every mutation appends a fresh
+        # row for every bucket it touches, so the current state always has
+        # a matching row unless a write bypassed lineage)
+        rows = m.select("part_bucket", "turn_count").collect()
+        by_bucket: dict[int, set[int]] = {}
+        for r in rows:
+            by_bucket.setdefault(int(r["part_bucket"]), set()).add(int(r["turn_count"]))
+        unreconciled = sorted(
+            b
+            for b, n in per_bucket_actual.items()
+            if n not in by_bucket.get(b, set())
+        )
+        if unreconciled:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "metrics_mismatch",
+                    f"bucket(s) {unreconciled[:8]} have no lineage row "
+                    "matching their current row count — a write bypassed "
+                    "metrics (or metrics were lost)",
+                )
+            )
+        unmetered = sorted(set(per_bucket_actual) - set(by_bucket))
+        if unmetered:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "unmetered_buckets",
+                    f"bucket(s) {unmetered[:8]} hold data but have NO "
+                    "lineage rows at all",
+                )
+            )
+    elif have_docs:
+        findings.append(
+            _finding(
+                "ERROR",
+                "no_metrics",
+                "docs parquet exists but the metrics table is empty/missing "
+                "— lineage was lost (a completed run always meters its buckets)",
+            )
+        )
+
+    # --- snapshot index (bucketed-layout ticks) --------------------------
+    marker = os.path.join(output_dir, snap.SNAPSHOT_MARKER)
+    if os.path.exists(marker):
+        table = snap.snapshot_table_name(output_dir)
+        if not spark.catalog.tableExists(table):
+            findings.append(
+                _finding(
+                    "WARN",
+                    "snapshot_marker_orphan",
+                    f"snapshot marker present but catalog table {table} is "
+                    "gone — the next bucketed tick rebuilds the index",
+                )
+            )
+        elif have_docs:
+            snap_n = spark.table(table).count()
+            docs_n = sum(per_bucket_actual.values())
+            if snap_n != docs_n:
+                findings.append(
+                    _finding(
+                        "ERROR",
+                        "snapshot_drift",
+                        f"snapshot index holds {snap_n} rows vs {docs_n} in "
+                        "docs — marker should have been invalidated; remove "
+                        f"{snap.SNAPSHOT_MARKER} to force a rebuild",
+                    )
+                )
+
+    ok = not any(f["severity"] == "ERROR" for f in findings)
+    return {"ok": ok, "findings": findings}

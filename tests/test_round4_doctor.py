@@ -1,0 +1,102 @@
+"""Round 4: the read-only output-table consistency checker
+(plans/doctor.check_output + CLI --doctor)."""
+
+import json
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from fscrawler_spark.config import ExtractSettings
+from fscrawler_spark.plans.doctor import check_output
+from fscrawler_spark.plans.pipeline import run_extraction_job, run_incremental_update
+
+SETTINGS = ExtractSettings(num_buckets=4, skew_salt=4)
+
+
+def _codes(res):
+    return {f["code"] for f in res["findings"]}
+
+
+def test_doctor_healthy_after_run_and_tick(spark, transcripts_dir, tmp_path):
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "ok")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    res = check_output(spark, out)
+    assert res["ok"] is True and res["findings"] == []
+    # still healthy after a mutating tick (lineage rows reconcile)
+    v2 = spark.read.parquet(inp).withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 7 == 2, F.concat(F.col("text"), F.lit(" d"))).otherwise(
+            F.col("text")
+        ),
+    )
+    v2p = str(tmp_path / "v2.parquet")
+    v2.write.parquet(v2p)
+    run_incremental_update(spark, v2p, out, SETTINGS)
+    res = check_output(spark, out)
+    assert res["ok"] is True, res["findings"]
+
+
+def test_doctor_flags_torn_restart_and_stale_lock(spark, transcripts_dir, tmp_path):
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "torn")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    (tmp_path / "torn" / "_restarting").write_text("torn\n")
+    with open(os.path.join(out, "_job.lock"), "w") as f:
+        json.dump({"pid": 2 ** 22 + 4321, "what": "crashed"}, f)
+    res = check_output(spark, out)
+    assert res["ok"] is False
+    assert {"torn_restart", "stale_lock"} <= _codes(res)
+
+
+def test_doctor_flags_lost_metrics_and_unmetered_write(spark, transcripts_dir, tmp_path):
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "lost")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    # simulate metrics loss
+    shutil.rmtree(os.path.join(out, "metrics"))
+    res = check_output(spark, out)
+    assert res["ok"] is False and "no_metrics" in _codes(res)
+    # a write that bypassed lineage: append rows directly to one bucket
+    run_extraction_job(spark, inp, out, SETTINGS)  # no-op (completed) but re-meters nothing
+    docs = os.path.join(out, "docs")
+    some = spark.read.parquet(docs).limit(5)
+    some.drop("part_bucket").write.mode("append").parquet(
+        os.path.join(docs, "part_bucket=0")
+    )
+    res = check_output(spark, out)
+    assert res["ok"] is False
+    assert "metrics_mismatch" in _codes(res) or "unmetered_buckets" in _codes(res)
+
+
+def test_doctor_flags_snapshot_drift(spark, transcripts_dir, tmp_path):
+    from fscrawler_spark.plans import bucketed as snap
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "drift")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    run_incremental_update(spark, inp, out, SETTINGS, layout="bucketed")  # builds index
+    assert check_output(spark, out)["ok"] is True
+    # mutate docs BEHIND the engine's back (marker stays committed)
+    docs = os.path.join(out, "docs")
+    extra = spark.read.parquet(docs).limit(3)
+    extra.drop("part_bucket").write.mode("append").parquet(
+        os.path.join(docs, "part_bucket=1")
+    )
+    res = check_output(spark, out)
+    assert res["ok"] is False and "snapshot_drift" in _codes(res)
+    spark.sql(f"DROP TABLE IF EXISTS {snap.snapshot_table_name(out)}")
+
+
+def test_cli_doctor_exit_codes(spark, transcripts_dir, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "cli")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    assert main(["--doctor", "--output", out], spark=spark) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["ok"] is True
+    (tmp_path / "cli" / "_restarting").write_text("x\n")
+    assert main(["--doctor", "--output", out], spark=spark) == 3
