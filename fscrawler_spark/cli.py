@@ -104,7 +104,8 @@ def build_parser() -> argparse.ArgumentParser:
         "--doctor",
         action="store_true",
         help="read-only consistency check of --output (manifest vs docs vs "
-        "metrics vs snapshot index vs markers); exit 0 = ok, 3 = findings "
+        "metrics vs snapshot index vs markers); exit 0 = healthy (warnings "
+        "allowed), 3 = ERROR-severity findings "
         "(plans/doctor.py)",
     )
     p.add_argument(

@@ -96,19 +96,32 @@ def recover_stale_stage(spark: SparkSession, output_docs: str) -> None:
 
 
 def has_parquet_files(spark: SparkSession, path: str) -> bool:
-    """True when any parquet data file exists under ``path`` — via the
-    Hadoop FileSystem API so non-local URIs (s3a://, hdfs://) probe the
-    real store (an os.walk would silently say False there; same
-    scheme-agnostic rationale as _fs_for). Shared by the pipeline's
-    lineage read-backs and apply_deletes' emptied-table no-op."""
+    """True when any COMMITTED parquet data file exists under ``path`` —
+    via the Hadoop FileSystem API so non-local URIs (s3a://, hdfs://)
+    probe the real store (an os.walk would silently say False there;
+    same scheme-agnostic rationale as _fs_for). Shared by the pipeline's
+    lineage read-backs and apply_deletes' emptied-table no-op.
+
+    Files under hidden path components (`_temporary/`, `.staging/`, any
+    `_`/`.`-prefixed dir — the same convention Spark's reader uses to
+    ignore them) do NOT count: a crashed in-flight write leaves ONLY
+    such files, and answering True for them sends callers into
+    `spark.read.parquet` which then raises Unable-to-infer-schema on a
+    dir the reader considers empty."""
     HPath, fs = _fs_for(spark, path)
     hpath = HPath(path)
     if not fs.exists(hpath):
         return False
+    base = str(fs.makeQualified(hpath)).rstrip("/")
     it = fs.listFiles(hpath, True)
     while it.hasNext():
-        if it.next().getPath().getName().endswith(".parquet"):
-            return True
+        fpath = str(it.next().getPath())
+        if not fpath.endswith(".parquet"):
+            continue
+        rel = fpath[len(base):].lstrip("/") if fpath.startswith(base) else fpath
+        if any(seg.startswith(("_", ".")) for seg in rel.split("/")):
+            continue  # uncommitted/hidden: invisible to the reader
+        return True
     return False
 
 

@@ -36,7 +36,7 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
     ok means no ERROR-severity findings (WARNs may remain)."""
     from fscrawler_spark.operators.deletes import _STAGE_MARK, has_parquet_files
     from fscrawler_spark.plans import bucketed as snap
-    from fscrawler_spark.plans.pipeline import _pid_alive
+    from fscrawler_spark.plans.pipeline import _pid_alive, _read_lock_holder
 
     findings: list[dict] = []
     out_data = os.path.join(output_dir, "docs")
@@ -61,18 +61,8 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
         )
     lock_path = os.path.join(output_dir, "_job.lock")
     if os.path.exists(lock_path):
-        holder: dict = {}
-        try:
-            with open(lock_path) as f:
-                loaded = json.load(f)
-            if isinstance(loaded, dict):
-                holder = loaded
-        except (OSError, ValueError):
-            pass
-        try:
-            pid = int(holder.get("pid", -1))
-        except (TypeError, ValueError):
-            pid = -1
+        holder = _read_lock_holder(lock_path)
+        pid = holder["pid"]
         if pid > 0 and _pid_alive(pid):
             findings.append(
                 _finding(
@@ -115,6 +105,14 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
         try:
             with open(ckpt_path) as f:
                 manifest = json.load(f)
+            if not isinstance(manifest, dict):
+                manifest = None
+                raise ValueError("manifest JSON is not an object")
+            # same legacy migration the loader applies
+            # (checkpoint.py load_or_create): pre-rename manifests store
+            # the bucket list as completed_buckets
+            if "completed_buckets" in manifest and "completed" not in manifest:
+                manifest["completed"] = manifest["completed_buckets"]
         except (OSError, ValueError):
             findings.append(
                 _finding(
@@ -132,13 +130,24 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
     have_docs = has_parquet_files(spark, out_data)
     per_bucket_actual: dict[int, int] = {}
     if have_docs:
-        per_bucket_actual = {
-            int(r["part_bucket"]): int(r["n"])
-            for r in spark.read.parquet(out_data)
-            .groupBy("part_bucket")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        }
+        try:
+            per_bucket_actual = {
+                int(r["part_bucket"]): int(r["n"])
+                for r in spark.read.parquet(out_data)
+                .groupBy("part_bucket")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+        except Exception as e:  # torn dir the reader refuses: a FINDING, not a crash
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "unreadable_docs",
+                    f"docs parquet exists but cannot be read ({type(e).__name__}) "
+                    "— torn in-flight write or corrupt footer",
+                )
+            )
+            return {"ok": False, "findings": findings}
 
     if isinstance(manifest, dict):
         num_buckets = int(manifest.get("num_buckets", 0) or 0)
@@ -154,10 +163,14 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                     f"were never marked done: {sorted(pending)[:8]}",
                 )
             )
-        # docs rows in buckets the manifest never completed: a foreign
-        # write or a bucketing drift
+        # docs rows in buckets the manifest never completed. While a run
+        # is mid-flight (RUNNING/PAUSED — incl. a dead one) this is the
+        # DOCUMENTED crash window between a wave write and
+        # mark_completed, healed by the next run's dynamic partition
+        # overwrite — a WARN. On a COMPLETED manifest it is a foreign
+        # write or bucketing drift — an ERROR.
         rogue = sorted(set(per_bucket_actual) - completed)
-        if rogue:
+        if rogue and state == "COMPLETED":
             findings.append(
                 _finding(
                     "ERROR",
@@ -165,6 +178,16 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                     f"docs parquet holds bucket(s) the manifest never "
                     f"completed: {rogue[:8]} — foreign write or num_buckets "
                     "drift (manifest fingerprint should have refused it)",
+                )
+            )
+        elif rogue:
+            findings.append(
+                _finding(
+                    "WARN",
+                    "crash_window_buckets",
+                    f"bucket(s) {rogue[:8]} written but not yet marked "
+                    "completed (kill between wave write and checkpoint) — "
+                    "the next run overwrites them; no action needed",
                 )
             )
         if state == "COMPLETED" and not have_docs and completed:
@@ -179,15 +202,31 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
             )
 
     # --- metrics reconcile ----------------------------------------------
+    # a run killed between its wave writes and the lineage append is a
+    # DOCUMENTED crash window the next run backfills (_write_lineage /
+    # the not-pending backfill): severity depends on the manifest state
+    mid_flight = isinstance(manifest, dict) and manifest.get("state") != "COMPLETED"
+    meter_sev = "WARN" if mid_flight else "ERROR"
+    meter_hint = (
+        " (manifest is mid-flight: the next run backfills lineage; no action needed)"
+        if mid_flight
+        else ""
+    )
     if have_docs and has_parquet_files(spark, out_metrics):
-        m = spark.read.parquet(out_metrics)
         # the LATEST lineage row per bucket must reconcile with the table;
         # run_id is uuid-random, so "latest" = max insertion order is not
         # recoverable — instead require that for each bucket SOME lineage
         # row matches the current count (every mutation appends a fresh
         # row for every bucket it touches, so the current state always has
-        # a matching row unless a write bypassed lineage)
-        rows = m.select("part_bucket", "turn_count").collect()
+        # a matching row unless a write bypassed lineage). DISTINCT pairs
+        # only: the raw history grows one row per (tick x bucket) forever
+        # and must never ride to the driver whole.
+        rows = (
+            spark.read.parquet(out_metrics)
+            .select("part_bucket", "turn_count")
+            .distinct()
+            .collect()
+        )
         by_bucket: dict[int, set[int]] = {}
         for r in rows:
             by_bucket.setdefault(int(r["part_bucket"]), set()).add(int(r["turn_count"]))
@@ -199,30 +238,30 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
         if unreconciled:
             findings.append(
                 _finding(
-                    "ERROR",
+                    meter_sev,
                     "metrics_mismatch",
                     f"bucket(s) {unreconciled[:8]} have no lineage row "
                     "matching their current row count — a write bypassed "
-                    "metrics (or metrics were lost)",
+                    f"metrics (or metrics were lost){meter_hint}",
                 )
             )
         unmetered = sorted(set(per_bucket_actual) - set(by_bucket))
         if unmetered:
             findings.append(
                 _finding(
-                    "ERROR",
+                    meter_sev,
                     "unmetered_buckets",
                     f"bucket(s) {unmetered[:8]} hold data but have NO "
-                    "lineage rows at all",
+                    f"lineage rows at all{meter_hint}",
                 )
             )
     elif have_docs:
         findings.append(
             _finding(
-                "ERROR",
+                meter_sev,
                 "no_metrics",
                 "docs parquet exists but the metrics table is empty/missing "
-                "— lineage was lost (a completed run always meters its buckets)",
+                f"— a completed run always meters its buckets{meter_hint}",
             )
         )
 
@@ -239,7 +278,10 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                     "gone — the next bucketed tick rebuilds the index",
                 )
             )
-        elif have_docs:
+        else:
+            # compare even when docs is EMPTY: a committed marker over a
+            # non-empty index and an emptied table is the worst drift —
+            # the next bucketed tick would silently re-extract nothing
             snap_n = spark.table(table).count()
             docs_n = sum(per_bucket_actual.values())
             if snap_n != docs_n:

@@ -671,6 +671,28 @@ def _pid_alive(pid: int) -> bool:
         return True  # exists, owned by someone else
 
 
+def _read_lock_holder(lock_path: str) -> dict:
+    """Tolerant read of a _job.lock payload: returns {} for missing /
+    torn / non-dict content, and guarantees an int ``pid`` key (-1 when
+    absent or malformed). ONE implementation for _JobLock and the
+    doctor so their staleness verdicts can never drift."""
+    import json as _json
+
+    holder: dict = {}
+    try:
+        with open(lock_path) as f:
+            loaded = _json.load(f)
+        if isinstance(loaded, dict):
+            holder = dict(loaded)
+    except (OSError, ValueError):
+        pass
+    try:
+        holder["pid"] = int(holder.get("pid", -1))
+    except (TypeError, ValueError):
+        holder["pid"] = -1
+    return holder
+
+
 # process-local registry of held lock paths: the pid in the lock FILE
 # cannot distinguish two THREADS of one driver (rest.py already runs a
 # thread pool), so same-pid contention is arbitrated here, under a real
@@ -746,18 +768,8 @@ class _JobLock:
                         os.link(tmp, self.path)
                         return
                     except FileExistsError:
-                        holder: dict = {}
-                        try:
-                            with open(self.path) as f:
-                                loaded = _json.load(f)
-                            if isinstance(loaded, dict):
-                                holder = loaded
-                        except (OSError, ValueError):
-                            pass  # unreadable/torn: treat as stale
-                        try:
-                            pid = int(holder.get("pid", -1))
-                        except (TypeError, ValueError):
-                            pid = -1
+                        holder = _read_lock_holder(self.path)
+                        pid = holder["pid"]  # -1 = unreadable/torn -> stale
                         # same-pid holders are arbitrated by the registry
                         # above; reaching here with our own pid means a
                         # PREVIOUS process-life (recycled pid) -> stale

@@ -89,6 +89,85 @@ def test_doctor_flags_snapshot_drift(spark, transcripts_dir, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {snap.snapshot_table_name(out)}")
 
 
+def test_doctor_accepts_legacy_manifest_and_rejects_nondict(spark, transcripts_dir, tmp_path):
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "legacy")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    ckpt = os.path.join(out, "_checkpoint.json")
+    with open(ckpt) as f:
+        m = json.load(f)
+    # rewrite in the PRE-MIGRATION key (checkpoint.py migrates it on load;
+    # the doctor must apply the same mapping, not cry foreign-write)
+    m["completed_buckets"] = m.pop("completed")
+    with open(ckpt, "w") as f:
+        json.dump(m, f)
+    res = check_output(spark, out)
+    assert res["ok"] is True, res["findings"]
+    # valid JSON that is NOT an object = corrupt, not silently healthy
+    with open(ckpt, "w") as f:
+        f.write("[]")
+    res = check_output(spark, out)
+    assert res["ok"] is False and "corrupt_manifest" in _codes(res)
+
+
+def test_doctor_mid_flight_crash_states_are_warnings(spark, transcripts_dir, tmp_path):
+    """Kill between wave write and checkpoint (or before lineage): the
+    next run self-heals — doctor must say WARN, not steer toward manual
+    repair."""
+    import pytest
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "crash")
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_extraction_job(spark, inp, out, SETTINGS, fail_after_buckets=1)
+    res = check_output(spark, out)
+    # docs hold buckets the manifest completed, and possibly more from the
+    # killed wave; whatever is flagged must be WARN-only about the crash
+    assert res["ok"] is True, res["findings"]
+    for f in res["findings"]:
+        assert f["severity"] == "WARN"
+    # the healing rerun restores full health
+    run_extraction_job(spark, inp, out, SETTINGS)
+    assert check_output(spark, out)["ok"] is True
+
+
+def test_has_parquet_files_ignores_uncommitted_temporary(spark, tmp_path):
+    """A crashed in-flight write leaves ONLY _temporary files — invisible
+    to Spark's reader, so the probe must say False (saying True sends
+    callers into Unable-to-infer-schema)."""
+    from fscrawler_spark.operators.deletes import has_parquet_files
+
+    d = tmp_path / "docs" / "_temporary" / "0"
+    d.mkdir(parents=True)
+    (d / "part-0000.parquet").write_bytes(b"not really parquet")
+    assert has_parquet_files(spark, str(tmp_path / "docs")) is False
+    # a committed file flips it
+    c = tmp_path / "docs" / "part_bucket=0"
+    c.mkdir()
+    (c / "part-0001.parquet").write_bytes(b"x")
+    assert has_parquet_files(spark, str(tmp_path / "docs")) is True
+
+
+def test_doctor_snapshot_drift_over_emptied_docs(spark, transcripts_dir, tmp_path):
+    """The worst drift: committed marker + non-empty index over an
+    emptied docs table — the next bucketed tick would silently
+    re-extract nothing."""
+    import shutil
+
+    from fscrawler_spark.plans import bucketed as snap
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "emptied")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    run_incremental_update(spark, inp, out, SETTINGS, layout="bucketed")
+    # wipe docs behind the engine's back, leave marker + index in place
+    shutil.rmtree(os.path.join(out, "docs"))
+    os.makedirs(os.path.join(out, "docs"))
+    res = check_output(spark, out)
+    assert "snapshot_drift" in _codes(res) and res["ok"] is False
+    spark.sql(f"DROP TABLE IF EXISTS {snap.snapshot_table_name(out)}")
+
+
 def test_cli_doctor_exit_codes(spark, transcripts_dir, tmp_path, capsys):
     from fscrawler_spark.cli import main
 
