@@ -158,6 +158,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.doctor and (
+        args.incremental or args.restart or args.dry_run or args.compact or args.loop != 1
+    ):
+        # the doctor is read-only and returns its own exit code; combining
+        # it with a mutating verb would silently skip the mutation
+        print(
+            "error: --doctor is a standalone read-only check and cannot "
+            "combine with --incremental/--restart/--dry-run/--compact/--loop",
+            file=sys.stderr,
+        )
+        return 2
     if args.compact and (args.incremental or args.restart or args.dry_run or args.loop != 1):
         # compaction is a single one-way migration: silently ignoring any
         # of these flags would run PARTIAL behavior under a contract the

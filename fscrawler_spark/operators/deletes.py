@@ -29,6 +29,7 @@ multi-writer story.
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -153,6 +154,17 @@ def apply_deletes(
         .agg(F.count(F.lit(1)).alias("n"))
         .collect()
     )
+    if hits:
+        # this is a PUBLIC mutation entry point: any snapshot index /
+        # cached plan count derived from the docs table is stale the
+        # moment buckets rewrite (invalidate_snapshot's contract — the
+        # tick re-commits its marker AFTER its own apply_deletes call,
+        # so the order stays correct there)
+        from fscrawler_spark.functions.embeddings import clear_count_cache
+        from fscrawler_spark.plans.bucketed import invalidate_snapshot
+
+        invalidate_snapshot(os.path.dirname(output_docs.rstrip("/")))
+        clear_count_cache()
     if not hits:
         return {"deleted": 0, "buckets": []} if return_details else 0
     affected = [r["part_bucket"] for r in hits]

@@ -38,6 +38,17 @@ import tempfile
 from dataclasses import dataclass, field
 
 
+def migrate_manifest_dict(d: dict) -> dict:
+    """Legacy on-disk manifest migrations, shared by the loader and the
+    doctor (plans/doctor.py) so their views can never drift — the
+    _status.json -> _checkpoint.json upgrade analog
+    (FsCrawlerCheckpointFileHandler.java:95-120)."""
+    if "completed_buckets" in d and "completed" not in d:
+        d["completed"] = d.pop("completed_buckets")
+        d.setdefault("state", "RUNNING")
+    return d
+
+
 class _NoExternalEdit(Exception):
     """Internal control flow: the manifest on disk is our own last write."""
 
@@ -97,11 +108,7 @@ class CheckpointManifest:
                     "manifest — the idempotent rescan re-creates state", path, e,
                 )
                 d = {}
-            if "completed_buckets" in d and "completed" not in d:
-                # legacy manifest migration — the _status.json -> _checkpoint.json
-                # upgrade analog (FsCrawlerCheckpointFileHandler.java:95-120)
-                d["completed"] = d.pop("completed_buckets")
-                d.setdefault("state", "RUNNING")
+            d = migrate_manifest_dict(d)
             m = cls(
                 path=path,
                 scan_id=d.get("scan_id", scan_id),

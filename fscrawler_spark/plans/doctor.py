@@ -108,11 +108,11 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
             if not isinstance(manifest, dict):
                 manifest = None
                 raise ValueError("manifest JSON is not an object")
-            # same legacy migration the loader applies
-            # (checkpoint.py load_or_create): pre-rename manifests store
-            # the bucket list as completed_buckets
-            if "completed_buckets" in manifest and "completed" not in manifest:
-                manifest["completed"] = manifest["completed_buckets"]
+            # the SAME migration the loader applies (shared helper — the
+            # two views must never drift)
+            from fscrawler_spark.plans.checkpoint import migrate_manifest_dict
+
+            manifest = migrate_manifest_dict(manifest)
         except (OSError, ValueError):
             findings.append(
                 _finding(
@@ -150,8 +150,24 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
             return {"ok": False, "findings": findings}
 
     if isinstance(manifest, dict):
-        num_buckets = int(manifest.get("num_buckets", 0) or 0)
-        completed = {int(b) for b in manifest.get("completed", [])}
+        try:
+            num_buckets = int(manifest.get("num_buckets", 0) or 0)
+            completed = {int(b) for b in manifest.get("completed", [])}
+        except (TypeError, ValueError):
+            # valid JSON, garbage field types: the corrupt class the
+            # doctor diagnoses, never a traceback
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "corrupt_manifest",
+                    "_checkpoint.json has malformed field types "
+                    "(num_buckets/completed) — entry points will refuse or "
+                    "recover it; restore from a rerun",
+                )
+            )
+            manifest = None
+            num_buckets, completed = 0, set()
+    if isinstance(manifest, dict):
         state = manifest.get("state")
         pending = set(range(num_buckets)) - completed if num_buckets else set()
         if state == "COMPLETED" and pending:

@@ -374,14 +374,21 @@ def _run_incremental_update_impl(
         use_bucketed = False
     delta = None
     if use_bucketed:
-        snap_table, _rebuilt = snap.ensure_snapshot(
-            spark,
-            output_dir,
-            out_data,
-            settings.num_buckets,
-            fp,
-            _has_parquet_files(spark, out_data),
-        )
+        if dry_run:
+            # READ-ONLY preview: validity was pre-checked above, and
+            # ensure_snapshot must not run — its rebuild path WRITES, and
+            # a lock-free preview racing a locked real tick could rebuild
+            # from mid-swap docs and commit a wrong-but-trusted marker
+            snap_table = snap.snapshot_table_name(output_dir)
+        else:
+            snap_table, _rebuilt = snap.ensure_snapshot(
+                spark,
+                output_dir,
+                out_data,
+                settings.num_buckets,
+                fp,
+                _has_parquet_files(spark, out_data),
+            )
         # ONE co-located corpus join; materialized so every later consumer
         # (keys, counts, deletes) reads the checkpointed delta — including
         # after the index partitions are dropped during the refresh
@@ -408,7 +415,11 @@ def _run_incremental_update_impl(
         )
     else:
         changed_raw = changed_vs_snapshot(
-            src, prev, checksum_algo=settings.checksum_algo, attr_cols=("role", "tool", "ts")
+            src, prev, checksum_algo=settings.checksum_algo,
+            # ONE spelling of the compared attrs for BOTH layouts — drift
+            # here would make the two layouts classify metadata-only
+            # edits differently
+            attr_cols=snap.SNAPSHOT_ATTRS,
         )
         changed_in_prev = changed_raw.join(
             prev.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_semi"

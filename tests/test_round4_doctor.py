@@ -179,3 +179,48 @@ def test_cli_doctor_exit_codes(spark, transcripts_dir, tmp_path, capsys):
     assert res["ok"] is True
     (tmp_path / "cli" / "_restarting").write_text("x\n")
     assert main(["--doctor", "--output", out], spark=spark) == 3
+
+
+def test_doctor_flags_malformed_manifest_fields(spark, tmp_path):
+    out = str(tmp_path / "badfields")
+    os.makedirs(out)
+    with open(os.path.join(out, "_checkpoint.json"), "w") as f:
+        f.write('{"num_buckets": "x", "completed": ["a"], "state": "COMPLETED"}')
+    res = check_output(spark, out)  # must report, never traceback
+    assert res["ok"] is False and "corrupt_manifest" in _codes(res)
+
+
+def test_cli_doctor_refuses_mutating_combos(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    out = str(tmp_path / "combo")
+    os.makedirs(out)
+    for extra in (["--restart"], ["--incremental"], ["--dry-run"], ["--compact"]):
+        assert main(["--doctor", "--output", out, "--input", "x", *extra], spark=spark) == 2
+    capsys.readouterr()
+
+
+def test_standalone_apply_deletes_invalidates_snapshot(spark, transcripts_dir, tmp_path):
+    """apply_deletes is a public mutation entry point: a bucketed tick
+    after a direct delete must re-diff against the REAL table, not a
+    stale index (which would resurrect/phantom the deleted key)."""
+    from fscrawler_spark.operators.deletes import apply_deletes
+    from fscrawler_spark.plans import bucketed as snap
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "directdel")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    run_incremental_update(spark, inp, out, SETTINGS, layout="bucketed")  # index built
+    assert snap.snapshot_is_valid(spark, out, SETTINGS.num_buckets, SETTINGS.fingerprint())
+    victim = spark.read.parquet(os.path.join(out, "docs")).select(
+        "conv_id", "turn_idx"
+    ).orderBy("conv_id", "turn_idx").limit(3)
+    n = apply_deletes(spark, os.path.join(out, "docs"), victim)
+    assert n == 3
+    assert not snap.snapshot_is_valid(
+        spark, out, SETTINGS.num_buckets, SETTINGS.fingerprint()
+    )
+    # the next bucketed tick rebuilds and re-extracts the deleted keys
+    res = run_incremental_update(spark, inp, out, SETTINGS, layout="bucketed")
+    assert res["changed"] == 3
+    spark.sql(f"DROP TABLE IF EXISTS {snap.snapshot_table_name(out)}")
