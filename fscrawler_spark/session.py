@@ -49,6 +49,32 @@ def dynamic_partition_overwrite(spark: SparkSession):
             spark.conf.set(key, prev)
 
 
+def widen(df, target: int | None = None):
+    """Give a narrow input plan at least ``target`` partitions (default:
+    the session's defaultParallelism) before CPU-amplified work.
+
+    The shingle/token operators multiply per-row work ~w× (one input doc
+    explodes to ~w shingle rows), but Spark sizes input splits by BYTES:
+    a small-but-CPU-dense parquet file (or any unsplittable source) plans
+    1-2 tasks and strands the other cores — measured at sf0.1/local[32]:
+    minhash signatures 5.25s on the file's 2 natural splits vs 1.40s
+    widened. At 100 TB the scan already has far more splits than cores,
+    ``getNumPartitions() >= target`` holds, and this is a NO-OP — the
+    round-robin exchange (of the slim projection only; callers widen
+    AFTER pruning columns) is paid exactly when the input is small enough
+    for it to be cheap, or pathological (one giant unsplittable file)
+    where the redistribution is what you want anyway."""
+    sc = df.sparkSession.sparkContext
+    tgt = target or sc.defaultParallelism
+    try:
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        # exotic plans (e.g. some streaming sources) can refuse RDD
+        # conversion — widening is an optimization, never a requirement
+        return df
+    return df.repartition(tgt) if n < tgt else df
+
+
 def materialize(df):
     """Materialize a DataFrame and cut its lineage, durably when possible.
 

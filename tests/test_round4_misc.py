@@ -317,3 +317,56 @@ def test_real_resize_without_pil_raises_not_implemented(spark):
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError
     )
+
+
+# --- widen: parallelism floor for CPU-amplified operators -------------------
+
+
+def test_widen_is_noop_on_already_wide_plans(spark):
+    """An input with >= defaultParallelism partitions (the 100-TB scan
+    case) must pass through UNCHANGED — no round-robin Exchange added."""
+    from fscrawler_spark.session import widen
+
+    df = spark.range(1000)  # range gives defaultParallelism partitions
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    out = widen(df)
+    assert "RoundRobinPartitioning" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_widen_lifts_narrow_scans_and_preserves_values(spark, tmp_path):
+    """A single-file parquet scan plans 1-2 splits; widen must lift it to
+    the session's parallelism, and the minhash signatures computed over
+    the widened plan must be IDENTICAL to a 1-partition compute (the
+    explode+min aggregate is partitioning-insensitive)."""
+    from fscrawler_spark.functions import dedup
+    from fscrawler_spark.session import widen
+
+    p = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {i % 5} tail words here") for i in range(200)],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
+    assert (
+        widen(narrow).rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    # value invariance: signatures via the library (internally widened)
+    # == signatures computed on a coalesce(1) plan with widen disabled
+    lib = {
+        (r.id, tuple(r.sig))
+        for r in dedup.minhash_signatures_fast(narrow, num_hashes=8).collect()
+    }
+    import fscrawler_spark.functions.dedup as dmod
+
+    orig = dmod.widen
+    dmod.widen = lambda df, target=None: df.coalesce(1)
+    try:
+        one = {
+            (r.id, tuple(r.sig))
+            for r in dedup.minhash_signatures_fast(narrow, num_hashes=8).collect()
+        }
+    finally:
+        dmod.widen = orig
+    assert lib == one
