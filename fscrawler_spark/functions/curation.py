@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.dedup import _md5_int
+from fscrawler_spark.session import widen
 
 # hash-bucket denominator for sampling/splits: md5 (not xxhash64) so the
 # selection is reproducible in ANY engine, oracle included
@@ -300,4 +301,116 @@ def contamination_check(
         .groupBy("id", "bench_id")
         .agg(F.count(F.lit(1)).alias("hits"))
         .filter(F.col("hits") >= min_hits)
+    )
+
+
+# --- cross-document repeated-line (boilerplate) removal ---------------------
+
+
+def _lines_exploded(df: DataFrame, id_col: str, text_col: str, sep: str) -> DataFrame:
+    """(id, pos, line) — one row per line, original (un-trimmed) line
+    content, 0-based position. Null-text docs explode to nothing (the
+    callers re-attach them). The slim projection is widened first: line
+    hashing is explode-amplified CPU, same starvation mode as shingling
+    (session.widen docstring)."""
+    return widen(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    ).select("id", F.posexplode(F.split("_t", sep, -1)).alias("pos", "line"))
+
+
+def line_frequencies(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document line frequency table: (line_hash, n_docs, line) for
+    every distinct trimmed line appearing in >= ``min_docs`` DISTINCT
+    docs — the banned-set half of CCNet/RefinedWeb-style boilerplate
+    line removal (Wenzek et al., LREC 2020; Penedo et al., 2023: nav
+    bars, cookie banners, and footers repeat verbatim across a domain's
+    pages while real content does not).
+
+    Lines compare TRIMMED; blank lines (trim = '') are never counted —
+    they are document structure, not repeatable content. Shape: explode
+    -> per-doc distinct -> one hash aggregate keyed on the md5 line hash
+    (two-phase count-distinct; no joins). ``sep`` is a Java regex; the
+    md5 hash is the cross-engine family so the oracle can reproduce the
+    table exactly.
+    """
+    ex = _lines_exploded(df, id_col, text_col, sep)
+    trimmed = ex.select("id", F.trim(F.col("line")).alias("tline")).filter(
+        F.col("tline") != ""
+    )
+    return (
+        trimmed.groupBy(F.md5("tline").alias("line_hash"))
+        .agg(
+            F.count_distinct("id").alias("n_docs"),
+            F.min("tline").alias("line"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def strip_repeated_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    join_sep: str = "\n",
+    min_docs: int = 5,
+    banned: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every line whose trimmed form appears in >= ``min_docs``
+    distinct documents (or in a caller-supplied ``banned`` table from
+    line_frequencies — compute it ONCE per corpus/domain and reuse it
+    across strip calls and incremental ticks). Returns
+    (id, text, removed_lines, kept_lines) for EVERY input doc: null text
+    passes through null, a doc whose every line is banned keeps ''.
+
+    Scale shape: the banned table holds only lines repeated across docs
+    (tiny next to the corpus — AQE broadcasts it in the common case, and
+    the join is keyed on line_hash either way, never quadratic); the one
+    corpus-scale shuffle is the groupBy(id) reassembly, unavoidable in
+    any shape that re-orders lines back per doc. Blank lines are never
+    stripped. Reassembly is lossless for fixed single-char separators
+    (``sep`` regex "\\n" + ``join_sep`` "\\n"); a multi-char regex sep
+    collapses each match to ``join_sep``.
+    """
+    if banned is None:
+        banned = line_frequencies(df, id_col, text_col, sep, min_docs)
+    ban_keys = banned.select("line_hash").distinct().withColumn("_ban", F.lit(True))
+    ex = _lines_exploded(df, id_col, text_col, sep)
+    marked = ex.withColumn("line_hash", F.md5(F.trim("line"))).join(
+        ban_keys, "line_hash", "left"
+    )
+    # blank lines are structure: never removable regardless of frequency
+    removable = F.col("_ban").isNotNull() & (F.trim("line") != "")
+    agg = marked.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(~removable, F.struct(F.col("pos"), F.col("line")))
+                    )
+                ),
+                lambda s: s.getField("line"),
+            ),
+            join_sep,
+        ).alias("_clean"),
+        F.sum(F.when(removable, 1).otherwise(0)).alias("removed_lines"),
+        F.sum(F.when(~removable, 1).otherwise(0)).alias("kept_lines"),
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_orig"))
+    return (
+        base.join(agg, "id", "left")
+        .select(
+            "id",
+            F.when(F.col("_orig").isNotNull(), F.coalesce("_clean", F.lit(""))).alias(
+                "text"
+            ),
+            F.coalesce("removed_lines", F.lit(0)).cast("long").alias("removed_lines"),
+            F.coalesce("kept_lines", F.lit(0)).cast("long").alias("kept_lines"),
+        )
     )
