@@ -18,7 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.dedup import _md5_int
-from fscrawler_spark.session import widen
+from fscrawler_spark.session import widen_slim
 
 # hash-bucket denominator for sampling/splits: md5 (not xxhash64) so the
 # selection is reproducible in ANY engine, oracle included
@@ -313,9 +313,21 @@ def _lines_exploded(df: DataFrame, id_col: str, text_col: str, sep: str) -> Data
     callers re-attach them). The slim projection is widened first: line
     hashing is explode-amplified CPU, same starvation mode as shingling
     (session.widen docstring)."""
-    return widen(
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
-    ).select("id", F.posexplode(F.split("_t", sep, -1)).alias("pos", "line"))
+    return widen_slim(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(text_col, sep, -1)).alias("pos", "line"),
+    )
+
+
+def _line_key(line_col) -> F.Column:
+    """Trimmed comparison key for a line: strips whitespace INCLUDING
+    \\r and NBSP from both ends. Plain trim() strips only 0x20, so a
+    corpus mixing Unix and Windows extractions would count
+    'boilerplate' and 'boilerplate\\r' as two different lines, each
+    possibly under min_docs — the repeated line silently survives in
+    half the corpus. (Reassembly keeps the ORIGINAL bytes; only the
+    frequency/ban comparison normalizes.)"""
+    return F.regexp_replace(line_col, "^[\\s\\u00A0]+|[\\s\\u00A0]+$", "")
 
 
 def line_frequencies(
@@ -340,7 +352,7 @@ def line_frequencies(
     table exactly.
     """
     ex = _lines_exploded(df, id_col, text_col, sep)
-    trimmed = ex.select("id", F.trim(F.col("line")).alias("tline")).filter(
+    trimmed = ex.select("id", _line_key(F.col("line")).alias("tline")).filter(
         F.col("tline") != ""
     )
     return (
@@ -382,11 +394,11 @@ def strip_repeated_lines(
         banned = line_frequencies(df, id_col, text_col, sep, min_docs)
     ban_keys = banned.select("line_hash").distinct().withColumn("_ban", F.lit(True))
     ex = _lines_exploded(df, id_col, text_col, sep)
-    marked = ex.withColumn("line_hash", F.md5(F.trim("line"))).join(
+    marked = ex.withColumn("line_hash", F.md5(_line_key(F.col("line")))).join(
         ban_keys, "line_hash", "left"
     )
     # blank lines are structure: never removable regardless of frequency
-    removable = F.col("_ban").isNotNull() & (F.trim("line") != "")
+    removable = F.col("_ban").isNotNull() & (_line_key(F.col("line")) != "")
     agg = marked.groupBy("id").agg(
         F.array_join(
             F.transform(

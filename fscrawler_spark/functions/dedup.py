@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.text_analysis import normalized_text
-from fscrawler_spark.session import widen
+from fscrawler_spark.session import widen_slim
 
 
 def _md5_int(col) -> F.Column:
@@ -82,9 +82,9 @@ def minhash_signatures_fast(
     CPU ~w×, so byte-sized input splits under-parallelize it badly on
     small-but-dense files (no-op at scale — see widen's docstring).
     """
-    ex = widen(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))).select(
-        F.col("id"),
-        F.explode(word_shingles(F.col("_t"), shingle_k)).alias("s"),
+    ex = widen_slim(df, id_col, text_col).select(
+        F.col(id_col).alias("id"),
+        F.explode(word_shingles(F.col(text_col), shingle_k)).alias("s"),
     ).withColumn("h", F.pmod(F.xxhash64("s"), F.lit(1 << 31)))
     aggs = [
         F.min((F.col("h") * F.lit(_MIX_A[s % len(_MIX_A)]) + F.lit(s)) % F.lit((1 << 61) - 1)).alias(f"_h{s}")
@@ -106,8 +106,11 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     single "duplicate" cluster and all but one would be marked for
     deletion — unknown content is not equal content."""
     return (
-        widen(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t")))
-        .select("id", F.md5(normalized_text(F.col("_t"))).alias("text_hash"))
+        widen_slim(df, id_col, text_col)
+        .select(
+            F.col(id_col).alias("id"),
+            F.md5(normalized_text(F.col(text_col))).alias("text_hash"),
+        )
         .filter(F.col("text_hash").isNotNull())
         .groupBy("text_hash")
         .agg(F.count(F.lit(1)).alias("dup_count"), F.min("id").alias("keeper_id"))
@@ -130,7 +133,7 @@ def minhash_signatures(
     all-NULL sigs would bucket to md5('') in every band (array_join
     omits NULLs), clustering every extraction-failed doc as mutual
     candidates."""
-    df = widen(df.select(F.col(id_col), F.col(text_col)))
+    df = widen_slim(df, id_col, text_col)
     sh = word_shingles(F.col(text_col), shingle_k)
     sig = F.array(
         *[
@@ -278,7 +281,7 @@ def jaccard_pairs(
     — still quadratic in the worst case, so at scale this runs ONLY on
     LSH candidates; standalone it is the SF<=0.01 oracle baseline.
     """
-    df = widen(df.select(F.col(id_col), F.col(text_col)))
+    df = widen_slim(df, id_col, text_col)
     sh = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
     )
@@ -342,7 +345,7 @@ def verify_candidates(
         candidates.select(F.explode(F.array("id_a", "id_b")).alias("id"))
         .distinct()
     )
-    sh = widen(df.select(F.col(id_col), F.col(text_col))).select(
+    sh = widen_slim(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
         F.transform(
             word_shingles(F.col(text_col), shingle_k), lambda x: F.xxhash64(x)
@@ -555,7 +558,7 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
-    df = widen(df.select(F.col(id_col), F.col(text_col)))
+    df = widen_slim(df, id_col, text_col)
     toks = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),

@@ -63,16 +63,52 @@ def widen(df, target: int | None = None):
     round-robin exchange (of the slim projection only; callers widen
     AFTER pruning columns) is paid exactly when the input is small enough
     for it to be cheap, or pathological (one giant unsplittable file)
-    where the redistribution is what you want anyway."""
-    sc = df.sparkSession.sparkContext
-    tgt = target or sc.defaultParallelism
+    where the redistribution is what you want anyway.
+
+    Shuffle-derived inputs are left UNTOUCHED, for two reasons: their
+    parallelism is already set by spark.sql.shuffle.partitions / AQE
+    (never the byte-sized-split starvation this fixes), and — the sharp
+    edge — under AQE ``df.rdd`` EXECUTES every upstream shuffle stage at
+    plan time (AdaptiveSparkPlanExec materializes query stages to pick
+    the final plan) and that work would be thrown away. The probe
+    therefore runs only on Exchange-free plans, where ``.rdd`` compiles
+    without running jobs (verified: 0 jobs for a scan, 2 for a join).
+
+    Caveat (cluster deployments): defaultParallelism is read at CALL
+    time — under dynamic allocation right after session start it can
+    reflect only the executors registered so far. The floor below takes
+    spark.sql.shuffle.partitions as a second opinion; callers that know
+    their cluster width can pass ``target`` explicitly."""
+    spark = df.sparkSession
     try:
+        if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+            return df
         n = df.rdd.getNumPartitions()
     except Exception:
-        # exotic plans (e.g. some streaming sources) can refuse RDD
-        # conversion — widening is an optimization, never a requirement
+        # a plan that refuses physical planning / RDD conversion will
+        # raise again at the real action with the right stack trace;
+        # widening is an optimization, never a requirement, so let the
+        # action be the one to report it
         return df
+    if target:
+        tgt = target
+    else:
+        try:
+            shuffle_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            shuffle_parts = 0
+        tgt = max(spark.sparkContext.defaultParallelism, shuffle_parts)
     return df.repartition(tgt) if n < tgt else df
+
+
+def widen_slim(df, id_col: str, text_col: str):
+    """The shared shape of every widened operator: prune to the (id,
+    text) pair FIRST (the round-robin exchange must never carry columns
+    the operator does not read), then widen. Keeps the original column
+    names; callers alias afterwards."""
+    from pyspark.sql import functions as F
+
+    return widen(df.select(F.col(id_col), F.col(text_col)))
 
 
 def materialize(df):

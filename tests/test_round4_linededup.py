@@ -31,7 +31,15 @@ DOCS = [
     # repeated line that stays under min_docs (2 docs < 3)
     (8, "rare shared line\nalpha"),
     (9, "rare shared line\nbeta"),
+    # Windows extraction of the same domain: CRLF endings — the \r-
+    # suffixed boilerplate must match the LF docs' banned line
+    (10, f"{BOILER_B}\r\ncrlf unique content\r\nmore crlf"),
+    # NBSP-padded variant of the same boilerplate
+    (11, "\u00a0" + BOILER_B + "\u00a0\nnbsp unique content"),
 ]
+
+# the engine's line key: whitespace INCLUDING \r and NBSP off both ends
+DUCK_KEY = r"regexp_replace({c}, '^[\s\x{{00A0}}]+|[\s\x{{00A0}}]+$', '', 'g')"
 
 MIN_DOCS = 3
 
@@ -61,9 +69,10 @@ def test_line_frequencies_matches_duckdb(spark, corpus):
         tuple(r)
         for r in _duck(corpus)
         .execute(
-            """
+            f"""
             WITH ex AS (
-              SELECT doc_id, trim(unnest(string_split(text, chr(10)))) AS tline
+              SELECT doc_id,
+                     {DUCK_KEY.format(c="unnest(string_split(text, chr(10)))")} AS tline
               FROM t
             )
             SELECT md5(tline) AS line_hash, count(DISTINCT doc_id) AS n_docs,
@@ -96,7 +105,8 @@ def test_strip_repeated_lines_matches_duckdb(spark, corpus):
                      generate_subscripts(string_split(text, chr(10)), 1) AS pos
               FROM t
             ),
-            ex AS (SELECT doc_id, pos, line, trim(line) AS tline FROM ex0),
+            ex AS (SELECT doc_id, pos, line,
+                          {DUCK_KEY.format(c="line")} AS tline FROM ex0),
             banned AS (
               SELECT tline FROM (SELECT DISTINCT doc_id, tline FROM ex WHERE tline <> '')
               GROUP BY tline HAVING count(*) >= {MIN_DOCS}
@@ -133,6 +143,11 @@ def test_strip_repeated_lines_matches_duckdb(spark, corpus):
     assert by_id[6][1] is None and by_id[7] == (7, "", 0, 1)
     # under-threshold repetition survives
     assert by_id[8][1] == "rare shared line\nalpha"
+    # CRLF doc: the \r-suffixed boilerplate line was banned via the
+    # normalized key; surviving lines keep their original \r bytes
+    assert by_id[10][1] == "crlf unique content\r\nmore crlf"
+    # NBSP-padded boilerplate banned too
+    assert by_id[11][1] == "nbsp unique content"
 
 
 def test_strip_with_precomputed_banned_set(spark, corpus):

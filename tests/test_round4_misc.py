@@ -327,10 +327,36 @@ def test_widen_is_noop_on_already_wide_plans(spark):
     case) must pass through UNCHANGED — no round-robin Exchange added."""
     from fscrawler_spark.session import widen
 
-    df = spark.range(1000)  # range gives defaultParallelism partitions
-    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    df = spark.range(0, 1000, 1, numPartitions=target)  # exchange-free AND wide
+    assert df.rdd.getNumPartitions() >= target
     out = widen(df)
     assert "RoundRobinPartitioning" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_widen_never_executes_shuffle_derived_inputs(spark):
+    """The AQE sharp edge: df.rdd on a plan containing an Exchange
+    EXECUTES every upstream shuffle stage at plan time (AQE materializes
+    query stages to pick the final plan) and the work is discarded.
+    widen must therefore skip the probe for shuffle-derived inputs —
+    their parallelism already comes from shuffle_partitions/AQE, never
+    byte-sized input splits — running ZERO jobs and returning the plan
+    untouched."""
+    from fscrawler_spark.session import widen
+
+    df = spark.range(500).withColumn("k", F.col("id") % 7)
+    agg = df.groupBy("k").count()
+    joined = df.join(agg, "k")
+
+    tracker = spark.sparkContext.statusTracker()
+    before = len(tracker.getJobIdsForGroup(None) or [])
+    out = widen(joined)
+    after = len(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "widen executed upstream stages at plan time"
+    assert out is joined
 
 
 def test_widen_lifts_narrow_scans_and_preserves_values(spark, tmp_path):
@@ -347,11 +373,12 @@ def test_widen_lifts_narrow_scans_and_preserves_values(spark, tmp_path):
         "doc_id long, text string",
     ).coalesce(1).write.parquet(p)
     narrow = spark.read.parquet(p)
-    assert narrow.rdd.getNumPartitions() < spark.sparkContext.defaultParallelism
-    assert (
-        widen(narrow).rdd.getNumPartitions()
-        == spark.sparkContext.defaultParallelism
+    target = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
     )
+    assert narrow.rdd.getNumPartitions() < target
+    assert widen(narrow).rdd.getNumPartitions() == target
     # value invariance: signatures via the library (internally widened)
     # == signatures computed on a coalesce(1) plan with widen disabled
     lib = {
@@ -360,13 +387,13 @@ def test_widen_lifts_narrow_scans_and_preserves_values(spark, tmp_path):
     }
     import fscrawler_spark.functions.dedup as dmod
 
-    orig = dmod.widen
-    dmod.widen = lambda df, target=None: df.coalesce(1)
+    orig = dmod.widen_slim
+    dmod.widen_slim = lambda df, idc, txtc: df.select(idc, txtc).coalesce(1)
     try:
         one = {
             (r.id, tuple(r.sig))
             for r in dedup.minhash_signatures_fast(narrow, num_hashes=8).collect()
         }
     finally:
-        dmod.widen = orig
+        dmod.widen_slim = orig
     assert lib == one
