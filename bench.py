@@ -307,47 +307,70 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
         v2_path = os.path.join(scratch, "v2.parquet")
         v2.write.mode("overwrite").parquet(v2_path)
 
-        out_a = os.path.join(scratch, "out_parquet")
-        run_extraction_job(spark, input_path, out_a, settings)
-        out_b = os.path.join(scratch, "out_bucketed")
-        shutil.copytree(out_a, out_b)
-
-        # parquet-layout steady-state tick
-        sb0 = shuffle_bytes()
-        t0 = time.perf_counter()
-        res_a = run_incremental_update(spark, v2_path, out_a, settings, layout="parquet")
-        parquet_sec = time.perf_counter() - t0
-        parquet_shuffle = shuffle_bytes() - sb0
-
-        # bucketed layout: build the index once (no-op tick), then time
-        # the steady-state tick over a bucketed table input
-        run_incremental_update(spark, input_path, out_b, settings, layout="bucketed")
+        pristine = os.path.join(scratch, "out_pristine")
+        run_extraction_job(spark, input_path, pristine, settings)
         write_bucketed(spark.read.parquet(v2_path), "bench_tick_v2", buckets=32)
-        sb0 = shuffle_bytes()
-        t0 = time.perf_counter()
-        res_b = run_incremental_update(
-            spark, "table:bench_tick_v2", out_b, settings, layout="bucketed"
-        )
-        bucketed_sec = time.perf_counter() - t0
-        bucketed_shuffle = shuffle_bytes() - sb0
 
-        assert res_a["changed"] == res_b["changed"], (res_a, res_b)
+        # a tick MUTATES its output table (the second tick over the same
+        # dir is a 0-changed no-op doing different work), so min-of-N
+        # needs a fresh copy of the pristine output per trial — same
+        # noise estimator as the headline queries, the tick legs were
+        # the last single-shot numbers in the battery. Wall time takes
+        # the min; shuffle bytes are deterministic per layout (asserted).
+        trials = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_TICK_TRIALS", "2")))
+        parquet_sec, bucketed_sec = [], []
+        parquet_shuffle, bucketed_shuffle = set(), set()
+        res_a = res_b = None
+        for k in range(trials):
+            out_a = os.path.join(scratch, f"out_parquet_{k}")
+            shutil.copytree(pristine, out_a)
+            sb0 = shuffle_bytes()
+            t0 = time.perf_counter()
+            res_a = run_incremental_update(spark, v2_path, out_a, settings, layout="parquet")
+            parquet_sec.append(time.perf_counter() - t0)
+            parquet_shuffle.add(shuffle_bytes() - sb0)
+
+            # bucketed layout: build the index (no-op tick), then time
+            # the steady-state tick over a bucketed table input
+            out_b = os.path.join(scratch, f"out_bucketed_{k}")
+            shutil.copytree(pristine, out_b)
+            run_incremental_update(spark, input_path, out_b, settings, layout="bucketed")
+            sb0 = shuffle_bytes()
+            t0 = time.perf_counter()
+            res_b = run_incremental_update(
+                spark, "table:bench_tick_v2", out_b, settings, layout="bucketed"
+            )
+            bucketed_sec.append(time.perf_counter() - t0)
+            bucketed_shuffle.add(shuffle_bytes() - sb0)
+            assert res_a["changed"] == res_b["changed"], (res_a, res_b)
+
+        # shuffle bytes are layout-deterministic (observed bit-identical
+        # across runs); tolerate sub-5% wobble rather than killing the
+        # whole bench artifact, but surface anything larger
+        for label, seen in (("parquet", parquet_shuffle), ("bucketed", bucketed_shuffle)):
+            if max(seen) > min(seen) * 1.05:
+                raise AssertionError(
+                    f"tick {label} shuffle bytes varied >5% across trials: {sorted(seen)}"
+                )
         return {
             "turns": int(base.count()),
             "changed": res_a["changed"],
             "deleted": res_a["deleted"],
-            "parquet_sec": round(parquet_sec, 3),
-            "bucketed_sec": round(bucketed_sec, 3),
-            "parquet_shuffle_bytes": parquet_shuffle,
-            "bucketed_shuffle_bytes": bucketed_shuffle,
+            "tick_trials": trials,
+            "parquet_sec": round(min(parquet_sec), 3),
+            "bucketed_sec": round(min(bucketed_sec), 3),
+            "parquet_shuffle_bytes": min(parquet_shuffle),
+            "bucketed_shuffle_bytes": min(bucketed_shuffle),
         }
     finally:
-        from fscrawler_spark.plans.bucketed import snapshot_table_name
-
         spark.sql("DROP TABLE IF EXISTS bench_tick_v2")
-        # the bucketed ticks created a snapshot index for out_b in the
-        # session warehouse — scratch rmtree does NOT cover it
-        spark.sql(f"DROP TABLE IF EXISTS {snapshot_table_name(os.path.join(scratch, 'out_bucketed'))}")
+        # each bucketed tick created a snapshot index (fsc_snapshot_<md5
+        # of its out dir>, plans/bucketed.snapshot_table_name) in the
+        # session warehouse — scratch rmtree does NOT cover those, and
+        # this session is bench-private, so sweep them all
+        for row in spark.sql("SHOW TABLES").select("tableName").collect():
+            if row.tableName.startswith("fsc_snapshot_"):
+                spark.sql(f"DROP TABLE IF EXISTS {row.tableName}")
         spark.stop()
         shutil.rmtree(scratch, ignore_errors=True)
 
