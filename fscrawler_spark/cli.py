@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 
 
@@ -109,6 +110,18 @@ def build_parser() -> argparse.ArgumentParser:
         "(plans/doctor.py)",
     )
     p.add_argument(
+        "--dedup-lines",
+        type=int,
+        default=None,
+        metavar="MIN_DOCS",
+        help="one-shot curation pass: read the docs table at --input (an "
+        "extraction output root or its docs/ dir), strip every line whose "
+        "trimmed form appears in >= MIN_DOCS distinct docs (CCNet/"
+        "RefinedWeb boilerplate removal, curation.strip_repeated_lines), "
+        "and write the curated table to --output with removed_lines/"
+        "kept_lines audit columns",
+    )
+    p.add_argument(
         "--rest-port",
         type=int,
         default=None,
@@ -166,6 +179,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(
             "error: --doctor is a standalone read-only check and cannot "
             "combine with --incremental/--restart/--dry-run/--compact/--loop",
+            file=sys.stderr,
+        )
+        return 2
+    if args.dedup_lines is not None and (
+        args.incremental or args.restart or args.dry_run or args.compact
+        or args.doctor or args.loop != 1
+    ):
+        print(
+            "error: --dedup-lines is a one-shot curation pass and cannot "
+            "combine with --incremental/--restart/--dry-run/--compact/"
+            "--doctor/--loop",
+            file=sys.stderr,
+        )
+        return 2
+    if args.dedup_lines is not None and args.dedup_lines < 2:
+        print(
+            f"error: --dedup-lines must be >= 2 (a line 'repeated' in "
+            f"{args.dedup_lines} doc is every line), got {args.dedup_lines}",
             file=sys.stderr,
         )
         return 2
@@ -235,6 +266,42 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             res = check_output(spark, args.output)
             print(json.dumps(res))
             return 0 if res["ok"] else 3
+        if args.dedup_lines is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.curation import strip_repeated_lines
+
+            docs_path = args.input
+            sub = os.path.join(args.input, "docs")
+            if os.path.isdir(sub):
+                docs_path = sub  # extraction output root: use its docs table
+            try:
+                docs = spark.read.parquet(docs_path)
+            except Exception as e:
+                print(f"error: cannot read docs table at {docs_path}: {e}", file=sys.stderr)
+                return 2
+            if "doc_id" not in docs.columns or "extracted" not in docs.columns:
+                print(
+                    f"error: {docs_path} is not an extraction docs table "
+                    f"(needs doc_id + extracted; has {docs.columns})",
+                    file=sys.stderr,
+                )
+                return 2
+            curated = strip_repeated_lines(
+                docs, id_col="doc_id", text_col="extracted", min_docs=args.dedup_lines
+            ).withColumnsRenamed({"id": "doc_id", "text": "extracted"})
+            # keep the full original row; only `extracted` is replaced
+            out = docs.drop("extracted").join(curated, "doc_id")
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            removed = out.agg(F.sum("removed_lines")).collect()[0][0] or 0
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            print(json.dumps({
+                "dedup_lines": args.dedup_lines,
+                "docs": out.count(),
+                "removed_lines_total": int(removed),
+                "output": args.output,
+            }))
+            return 0
         if args.compact:
             from fscrawler_spark.streaming.micro_batch import compact_streaming_output
 

@@ -5,6 +5,9 @@ fixture (the driver's 50-entry registry is full, so the oracle lives
 here instead of __spark_entry__).
 """
 
+import json
+import os
+
 import duckdb
 import pytest
 from pyspark.sql import functions as F
@@ -174,3 +177,54 @@ def test_strip_is_lossless_when_nothing_banned(spark):
     out = curation.strip_repeated_lines(df, min_docs=99)
     got = {(r.id, r.text) for r in out.select("id", "text").collect()}
     assert got == {(i, t) for i, t in rows}
+
+
+# --- CLI verb ---------------------------------------------------------------
+
+
+def _docs_table(spark, tmp_path):
+    """Extraction-docs-shaped table with cross-doc boilerplate."""
+    rows = [
+        (i, f"c{i % 3}", i, f"{BOILER_B}\nbody text {i}") for i in range(6)
+    ] + [(6, "c9", 0, None)]
+    p = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, conv_id string, turn_idx int, extracted string"
+    ).write.parquet(os.path.join(p, "docs"))
+    return p
+
+
+def test_cli_dedup_lines_writes_curated_table(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path)
+    out = str(tmp_path / "curated")
+    rc = main(
+        ["--input", src, "--output", out, "--dedup-lines", "3"], spark=spark
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["docs"] == 7 and res["removed_lines_total"] == 6
+    got = spark.read.parquet(out)
+    assert set(got.columns) == {
+        "doc_id", "conv_id", "turn_idx", "extracted", "removed_lines", "kept_lines"
+    }
+    by_id = {r.doc_id: r for r in got.collect()}
+    assert by_id[0].extracted == "body text 0" and by_id[0].removed_lines == 1
+    assert by_id[6].extracted is None  # null text passes through
+
+
+def test_cli_dedup_lines_rejects_conflicts_and_bad_min(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path)
+    out = str(tmp_path / "x")
+    assert main(["--input", src, "--output", out, "--dedup-lines", "1"], spark=spark) == 2
+    assert main(
+        ["--input", src, "--output", out, "--dedup-lines", "3", "--incremental"],
+        spark=spark,
+    ) == 2
+    # not a docs table -> clean exit 2, no traceback
+    bad = str(tmp_path / "notdocs")
+    spark.range(3).write.parquet(bad)
+    assert main(["--input", bad, "--output", out, "--dedup-lines", "3"], spark=spark) == 2
