@@ -307,14 +307,19 @@ def contamination_check(
 # --- cross-document repeated-line (boilerplate) removal ---------------------
 
 
-def _lines_exploded(df: DataFrame, id_col: str, text_col: str, sep: str) -> DataFrame:
-    """(id, pos, line) — one row per line, original (un-trimmed) line
-    content, 0-based position. Null-text docs explode to nothing (the
-    callers re-attach them). The slim projection is widened first: line
-    hashing is explode-amplified CPU, same starvation mode as shingling
-    (session.widen docstring)."""
-    return widen_slim(df, id_col, text_col).select(
+def _lines_exploded(
+    df: DataFrame, id_col: str, text_col: str, sep: str, group_col: str | None = None
+) -> DataFrame:
+    """(id[, group], pos, line) — one row per line, original (un-trimmed)
+    line content, 0-based position. Null-text docs explode to nothing
+    (the callers re-attach them). The slim projection is widened first:
+    line hashing is explode-amplified CPU, same starvation mode as
+    shingling (session.widen docstring)."""
+    cols = [id_col, text_col] + ([group_col] if group_col else [])
+    extra = [F.col(group_col).alias("grp")] if group_col else []
+    return widen_slim(df, *cols).select(
         F.col(id_col).alias("id"),
+        *extra,
         F.posexplode(F.split(text_col, sep, -1)).alias("pos", "line"),
     )
 
@@ -336,6 +341,7 @@ def line_frequencies(
     text_col: str = "text",
     sep: str = "\n",
     min_docs: int = 2,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Cross-document line frequency table: (line_hash, n_docs, line) for
     every distinct trimmed line appearing in >= ``min_docs`` DISTINCT
@@ -344,6 +350,11 @@ def line_frequencies(
     bars, cookie banners, and footers repeat verbatim across a domain's
     pages while real content does not).
 
+    ``group_col`` scopes the counting the way CCNet does — per domain /
+    source / shard: a line must repeat WITHIN a group to be flagged, so
+    a phrase that happens to appear once on each of 10 unrelated sites
+    never bans (output gains a ``grp`` column, and strip joins on it).
+
     Lines compare TRIMMED; blank lines (trim = '') are never counted —
     they are document structure, not repeatable content. Shape: explode
     -> per-doc distinct -> one hash aggregate keyed on the md5 line hash
@@ -351,12 +362,13 @@ def line_frequencies(
     md5 hash is the cross-engine family so the oracle can reproduce the
     table exactly.
     """
-    ex = _lines_exploded(df, id_col, text_col, sep)
-    trimmed = ex.select("id", _line_key(F.col("line")).alias("tline")).filter(
-        F.col("tline") != ""
-    )
+    ex = _lines_exploded(df, id_col, text_col, sep, group_col)
+    keys = ["grp"] if group_col else []
+    trimmed = ex.select(
+        "id", *keys, _line_key(F.col("line")).alias("tline")
+    ).filter(F.col("tline") != "")
     return (
-        trimmed.groupBy(F.md5("tline").alias("line_hash"))
+        trimmed.groupBy(*keys, F.md5("tline").alias("line_hash"))
         .agg(
             F.count_distinct("id").alias("n_docs"),
             F.min("tline").alias("line"),
@@ -373,11 +385,14 @@ def strip_repeated_lines(
     join_sep: str = "\n",
     min_docs: int = 5,
     banned: DataFrame | None = None,
+    group_col: str | None = None,
 ) -> DataFrame:
     """Remove every line whose trimmed form appears in >= ``min_docs``
     distinct documents (or in a caller-supplied ``banned`` table from
     line_frequencies — compute it ONCE per corpus/domain and reuse it
-    across strip calls and incremental ticks). Returns
+    across strip calls and incremental ticks; pass the SAME group_col it
+    was built with). ``group_col`` scopes banning per domain/source —
+    the CCNet shape — so repetition only counts within a group. Returns
     (id, text, removed_lines, kept_lines) for EVERY input doc: null text
     passes through null, a doc whose every line is banned keeps ''.
 
@@ -391,11 +406,17 @@ def strip_repeated_lines(
     collapses each match to ``join_sep``.
     """
     if banned is None:
-        banned = line_frequencies(df, id_col, text_col, sep, min_docs)
-    ban_keys = banned.select("line_hash").distinct().withColumn("_ban", F.lit(True))
-    ex = _lines_exploded(df, id_col, text_col, sep)
+        banned = line_frequencies(df, id_col, text_col, sep, min_docs, group_col)
+    keys = (["grp"] if group_col else []) + ["line_hash"]
+    if group_col and "grp" not in banned.columns:
+        raise ValueError(
+            "banned table lacks the 'grp' column — it was built without "
+            f"group_col but strip was called with group_col={group_col!r}"
+        )
+    ban_keys = banned.select(*keys).distinct().withColumn("_ban", F.lit(True))
+    ex = _lines_exploded(df, id_col, text_col, sep, group_col)
     marked = ex.withColumn("line_hash", F.md5(_line_key(F.col("line")))).join(
-        ban_keys, "line_hash", "left"
+        ban_keys, keys, "left"
     )
     # blank lines are structure: never removable regardless of frequency
     removable = F.col("_ban").isNotNull() & (_line_key(F.col("line")) != "")

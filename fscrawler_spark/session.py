@@ -101,14 +101,14 @@ def widen(df, target: int | None = None):
     return df.repartition(tgt) if n < tgt else df
 
 
-def widen_slim(df, id_col: str, text_col: str):
-    """The shared shape of every widened operator: prune to the (id,
-    text) pair FIRST (the round-robin exchange must never carry columns
-    the operator does not read), then widen. Keeps the original column
-    names; callers alias afterwards."""
+def widen_slim(df, *cols: str):
+    """The shared shape of every widened operator: prune to exactly the
+    columns the operator reads FIRST (the round-robin exchange must
+    never carry columns it does not need), then widen. Keeps the
+    original column names; callers alias afterwards."""
     from pyspark.sql import functions as F
 
-    return widen(df.select(F.col(id_col), F.col(text_col)))
+    return widen(df.select(*[F.col(c) for c in cols]))
 
 
 def materialize(df):

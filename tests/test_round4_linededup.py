@@ -228,3 +228,81 @@ def test_cli_dedup_lines_rejects_conflicts_and_bad_min(spark, tmp_path, capsys):
     bad = str(tmp_path / "notdocs")
     spark.range(3).write.parquet(bad)
     assert main(["--input", bad, "--output", out, "--dedup-lines", "3"], spark=spark) == 2
+
+
+# --- per-group (CCNet-style per-domain) banning ------------------------------
+
+
+def test_grouped_line_dedup_scopes_bans_to_the_group(spark, tmp_path):
+    """The CCNet shape: repetition counts WITHIN a source/domain. The
+    boilerplate repeats 3x in source A (banned there) and appears once
+    in source B (survives there) — a global count would ban both."""
+    rows = [
+        (0, "a", f"{BOILER_B}\nalpha zero"),
+        (1, "a", f"{BOILER_B}\nalpha one"),
+        (2, "a", f"{BOILER_B}\nalpha two"),
+        (3, "b", f"{BOILER_B}\nbeta zero"),
+        (4, "b", "beta only\ncontent"),
+    ]
+    p = str(tmp_path / "grouped.parquet")
+    spark.createDataFrame(rows, "doc_id long, source string, text string").coalesce(
+        1
+    ).write.parquet(p)
+    df = spark.read.parquet(p)
+
+    freq = curation.line_frequencies(df, min_docs=3, group_col="source")
+    assert {(r.grp, r.line) for r in freq.collect()} == {("a", BOILER_B)}
+
+    out = curation.strip_repeated_lines(df, min_docs=3, group_col="source")
+    got = {(r.id, r.text, r.removed_lines) for r in out.collect()}
+    want = {
+        tuple(r)
+        for r in _duck(p)
+        .execute(
+            f"""
+            WITH ex0 AS (
+              SELECT doc_id, source,
+                     unnest(string_split(text, chr(10))) AS line,
+                     generate_subscripts(string_split(text, chr(10)), 1) AS pos
+              FROM t
+            ),
+            ex AS (SELECT doc_id, source, pos, line,
+                          {DUCK_KEY.format(c="line")} AS tline FROM ex0),
+            banned AS (
+              SELECT source, tline
+              FROM (SELECT DISTINCT doc_id, source, tline FROM ex WHERE tline <> '')
+              GROUP BY source, tline HAVING count(*) >= 3
+            ),
+            marked AS (
+              SELECT e.doc_id, e.pos, e.line,
+                     (e.tline <> '' AND b.tline IS NOT NULL) AS rm
+              FROM ex e LEFT JOIN banned b
+                ON e.source = b.source AND e.tline = b.tline
+            ),
+            agg AS (
+              SELECT doc_id,
+                     coalesce(string_agg(line, chr(10) ORDER BY pos)
+                              FILTER (WHERE NOT rm), '') AS text,
+                     count(*) FILTER (WHERE rm) AS removed_lines
+              FROM marked GROUP BY doc_id
+            )
+            SELECT t.doc_id AS id,
+                   CASE WHEN t.text IS NULL THEN NULL ELSE coalesce(a.text, '') END,
+                   coalesce(a.removed_lines, 0)
+            FROM t LEFT JOIN agg a ON t.doc_id = a.doc_id
+            """
+        )
+        .fetchall()
+    }
+    assert got == want
+    by_id = {r[0]: r for r in got}
+    assert by_id[0][1] == "alpha zero"           # banned in source a
+    assert by_id[3][1] == f"{BOILER_B}\nbeta zero"  # survives in source b
+
+
+def test_grouped_strip_rejects_groupless_banned_table(spark, tmp_path):
+    rows = [(0, "a", "x\ny"), (1, "a", "x\nz")]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    groupless = curation.line_frequencies(df, min_docs=2)
+    with pytest.raises(ValueError, match="grp"):
+        curation.strip_repeated_lines(df, banned=groupless, group_col="source")
