@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.dedup import _md5_int
+from fscrawler_spark.functions.text_analysis import EN_STOPWORDS
 from fscrawler_spark.session import widen_slim
 
 # hash-bucket denominator for sampling/splits: md5 (not xxhash64) so the
@@ -446,4 +447,89 @@ def strip_repeated_lines(
             F.coalesce("removed_lines", F.lit(0)).cast("long").alias("removed_lines"),
             F.coalesce("kept_lines", F.lit(0)).cast("long").alias("kept_lines"),
         )
+    )
+
+
+# --- Gopher-style rule-based quality gate ------------------------------------
+
+
+def gopher_quality_flags(
+    text_col,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_word_ratio: float = 0.1,
+    max_bullet_line_frac: float = 0.9,
+    max_ellipsis_line_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopword_hits: int = 2,
+) -> F.Column:
+    """Gopher rule-based quality gate (Rae et al. 2021 §A1.1, the public
+    MassiveText filter; defaults are the paper's): one struct column with
+    every metric, every rule verdict, ``passes``, and ``fail_reasons``
+    so a curation pipeline can both FILTER and AUDIT what it dropped.
+
+    All rules are JVM column expressions over one projection — at 100 TB
+    this rides the extraction scan for free (no shuffle, no Python).
+    mean_word_len is non-space chars / word count (equal to the mean of
+    per-word lengths, computed without a per-word aggregate). NULL text
+    fails with reason 'null_text'; ratios over zero denominators fail
+    their rule (try_divide -> NULL -> not >= threshold).
+    """
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    t = F.trim(col)
+    words = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    wc = F.size(words)
+    nospace = F.regexp_replace(col, r"[\s ]+", "")
+    mean_wl = F.try_divide(F.length(nospace), wc)
+    symbols = F.regexp_count(col, F.lit(r"#|\.\.\.|…"))
+    sym_ratio = F.try_divide(symbols, wc)
+    lines = F.split(col, "\n", -1)
+    n_lines = F.size(lines)
+    bullet_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"^[\s ]*[-*•]"))), n_lines
+    )
+    ellipsis_frac = F.try_divide(
+        F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)[\s ]*$"))), n_lines
+    )
+    alpha_frac = F.try_divide(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))), wc
+    )
+    sw = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    sw_hits = F.size(
+        F.array_intersect(F.array_distinct(F.transform(words, F.lower)), sw)
+    )
+
+    rules = {
+        "null_text": col.isNull(),
+        "too_few_words": col.isNotNull() & (wc < min_words),
+        "too_many_words": wc > max_words,
+        "mean_word_len_out_of_range": col.isNotNull()
+        & ~mean_wl.between(min_mean_word_len, max_mean_word_len),
+        "symbol_heavy": sym_ratio > max_symbol_word_ratio,
+        "bullet_heavy": bullet_frac > max_bullet_line_frac,
+        "ellipsis_heavy": ellipsis_frac > max_ellipsis_line_frac,
+        "low_alpha_words": col.isNotNull()
+        & ~(alpha_frac >= min_alpha_word_frac),
+        "too_few_stopwords": col.isNotNull() & (sw_hits < min_stopword_hits),
+    }
+    reasons = F.filter(
+        F.array(
+            *[F.when(cond, F.lit(name)) for name, cond in rules.items()]
+        ),
+        lambda r: r.isNotNull(),
+    )
+    return F.struct(
+        wc.alias("word_count"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        sw_hits.alias("stopword_hits"),
+        (F.size(reasons) == 0).alias("passes"),
+        reasons.alias("fail_reasons"),
     )
