@@ -56,6 +56,42 @@ HEADLINE = [
 ]
 
 
+# Round-4 curation operators, timed as a SEPARATE battery: "value" stays
+# the sum of HEADLINE only, so round-over-round totals remain
+# apples-to-apples; these report under "curation_queries"/"curation_sec".
+CURATION = ["q_clean_text", "q_exact_substr", "q_perplexity_buckets"]
+
+
+def _docs(spark, sf_dir: str):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _q_clean_text(spark, sf_dir: str):
+    from fscrawler_spark.functions.normalize import clean_text, mojibake_score
+
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        clean_text(F.col("text")).alias("clean"),
+        mojibake_score(F.col("text")).alias("moji"),
+    )
+
+
+def _q_exact_substr(spark, sf_dir: str):
+    from fscrawler_spark.functions.exact_substr import duplicate_span_flags
+
+    return duplicate_span_flags(_docs(spark, sf_dir), min_len=50, cross_doc_only=True)
+
+
+def _q_perplexity_buckets(spark, sf_dir: str):
+    # training is eager (bounded model collect) — deliberately timed as
+    # part of the operator, it IS the op's cost profile
+    from fscrawler_spark.functions.lm_quality import perplexity_buckets, train_char_lm
+
+    d = _docs(spark, sf_dir)
+    return perplexity_buckets(d, train_char_lm(d, "text"), "text")
+
+
 def _q_near_dup_fast(spark, sf_dir: str):
     """Bench-only: the PRODUCTION near-dup path (xxhash64 family) —
     q_near_dup_e2e runs the md5 oracle twin for correctness checking."""
@@ -385,11 +421,14 @@ def run_headline_queries() -> dict[str, float]:
     try:
         qs = entry_mod.queries()
         qs["q_near_dup_fast"] = _q_near_dup_fast
+        qs["q_clean_text"] = _q_clean_text
+        qs["q_exact_substr"] = _q_exact_substr
+        qs["q_perplexity_buckets"] = _q_perplexity_buckets
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
         out: dict[str, float] = {}
-        for name in HEADLINE:
+        for name in HEADLINE + CURATION:
             # time construction + write: iterative queries (connected
             # components) execute eagerly during construction. min-of-N
             # trials: this host shows bursty 2-3x co-tenant noise (see
@@ -423,7 +462,9 @@ def main() -> None:
     low, high, efficiency = scaling["low"], scaling["high"], scaling["efficiency"]
     ceiling = scaling["machine_ceiling"]
 
-    queries = run_headline_queries()
+    all_queries = run_headline_queries()
+    queries = {k: v for k, v in all_queries.items() if k in HEADLINE}
+    curation = {k: v for k, v in all_queries.items() if k in CURATION}
     total = round(sum(queries.values()), 3)
 
     tick = bench_tick(CPUS, input_path)
@@ -458,6 +499,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": queries,
                 "sf": sf,
+                "curation_queries": curation,
+                "curation_sec": round(sum(curation.values()), 3),
                 "scaling": scaling,
                 "tick": tick,
                 "turns_per_sec_high": high["turns_per_sec"],
