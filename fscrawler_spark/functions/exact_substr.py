@@ -30,7 +30,11 @@ Scale shape — every stage is JVM-side codegen, no Python boundary:
 
 The corpus text itself never rides a shuffle; only (id, pos, hash)
 triples do. That is the honest ExactSubstr cost — the suffix-array
-original also sorts every position of the corpus.
+original also sorts every position of the corpus. The corpus IS
+scanned twice (once per side of the semi-join; plan-audited): the
+alternative — materializing the exploded grams — writes ~20 bytes per
+char position, strictly worse than re-scanning text and re-hashing
+inside codegen.
 
 Reference analog: none (training-data-pipeline tier, graded
 first-class). Offsets are 1-based inclusive [start, end], matching

@@ -202,10 +202,15 @@ def perplexity_buckets(
     broadcast one-row cross join (no driver collect in the plan).
     head = lowest perplexity. Docs with no scorable event (null text,
     shorter than n chars) keep a NULL bucket — unknown quality is not a
-    tail verdict."""
+    tail verdict.
+
+    The scored frame is materialized before the quantile aggregate:
+    the bounds side and the output side otherwise BOTH evaluate the
+    scoring UDF (plan-audited — two ArrowEvalPython nodes), and LM
+    scoring is the dominant cost of this operator at corpus scale."""
     if not (0.0 < cuts[0] < cuts[1] < 1.0):
         raise ValueError(f"cuts must satisfy 0 < lo < hi < 1, got {cuts}")
-    scored = add_perplexity(df, lm, text_col)
+    scored = materialize(add_perplexity(df, lm, text_col))
     bounds = scored.agg(
         F.percentile_approx("ppl", F.array(F.lit(cuts[0]), F.lit(cuts[1])), F.lit(accuracy)).alias("_b")
     )

@@ -138,6 +138,19 @@ def test_buckets_head_middle_tail(spark, corpus, lm):
     assert buckets[3] == "tail"
 
 
+def test_buckets_score_corpus_exactly_once(spark, corpus, lm):
+    """The quantile-bounds side must reuse the materialized scores, not
+    re-evaluate the scoring UDF (pre-fix plan had two ArrowEvalPython
+    nodes — double LM scoring, the operator's dominant cost)."""
+    plan = (
+        perplexity_buckets(spark.read.parquet(corpus), lm)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" not in plan
+
+
 def test_deterministic_across_parallelism(spark, corpus):
     df1 = spark.read.parquet(corpus).repartition(1)
     df8 = spark.read.parquet(corpus).repartition(8)
