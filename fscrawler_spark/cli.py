@@ -122,6 +122,27 @@ def build_parser() -> argparse.ArgumentParser:
         "kept_lines audit columns",
     )
     p.add_argument(
+        "--clean-text",
+        action="store_true",
+        help="one-shot curation pass: read the docs table at --input, "
+        "normalize extracted text (NFC, control-char strip, mojibake "
+        "repair — functions/normalize.clean_text; ASCII rows stay "
+        "JVM-side), and write the curated table to --output with "
+        "changed/mojibake audit counters",
+    )
+    p.add_argument(
+        "--dedup-spans",
+        type=int,
+        default=None,
+        metavar="MIN_LEN",
+        help="one-shot curation pass: read the docs table at --input, "
+        "strip every text span of >= MIN_LEN chars that repeats across "
+        "documents (exact-substring dedup, Lee et al. 2021 — "
+        "functions/exact_substr.strip_duplicate_spans, cross-doc "
+        "semantics), and write the curated table to --output with a "
+        "dup_chars_removed audit column",
+    )
+    p.add_argument(
         "--rest-port",
         type=int,
         default=None,
@@ -130,6 +151,26 @@ def build_parser() -> argparse.ArgumentParser:
         "control plane, rest/CrawlerApi.java:55-151)",
     )
     return p
+
+
+def _read_docs_table(spark, input_path: str):
+    """Load the docs table behind a curation verb's --input (an
+    extraction output root or its docs/ dir directly). Returns
+    (DataFrame, None) or (None, error-message)."""
+    docs_path = input_path
+    sub = os.path.join(input_path, "docs")
+    if os.path.isdir(sub):
+        docs_path = sub
+    try:
+        docs = spark.read.parquet(docs_path)
+    except Exception as e:
+        return None, f"cannot read docs table at {docs_path}: {e}"
+    if "doc_id" not in docs.columns or "extracted" not in docs.columns:
+        return None, (
+            f"{docs_path} is not an extraction docs table "
+            f"(needs doc_id + extracted; has {docs.columns})"
+        )
+    return docs, None
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -182,14 +223,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.dedup_lines is not None and (
-        args.incremental or args.restart or args.dry_run or args.compact
-        or args.doctor or args.loop != 1
+    curation_verbs = [
+        name
+        for name, on in (
+            ("--dedup-lines", args.dedup_lines is not None),
+            ("--clean-text", args.clean_text),
+            ("--dedup-spans", args.dedup_spans is not None),
+        )
+        if on
+    ]
+    if len(curation_verbs) > 1 or (
+        curation_verbs
+        and (
+            args.incremental or args.restart or args.dry_run or args.compact
+            or args.doctor or args.loop != 1
+        )
     ):
         print(
-            "error: --dedup-lines is a one-shot curation pass and cannot "
-            "combine with --incremental/--restart/--dry-run/--compact/"
-            "--doctor/--loop",
+            f"error: {'/'.join(curation_verbs)} is a one-shot curation pass "
+            "and cannot combine with another curation verb or "
+            "--incremental/--restart/--dry-run/--compact/--doctor/--loop",
+            file=sys.stderr,
+        )
+        return 2
+    if args.dedup_spans is not None and args.dedup_spans < 2:
+        print(
+            f"error: --dedup-spans must be >= 2, got {args.dedup_spans}",
             file=sys.stderr,
         )
         return 2
@@ -266,27 +325,64 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             res = check_output(spark, args.output)
             print(json.dumps(res))
             return 0 if res["ok"] else 3
+        if curation_verbs:
+            docs, err = _read_docs_table(spark, args.input)
+            if err:
+                print(f"error: {err}", file=sys.stderr)
+                return 2
+        if args.clean_text:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.normalize import clean_text, mojibake_score
+
+            out = docs.withColumn(
+                "moji_before", mojibake_score(F.col("extracted"))
+            ).withColumn("extracted", clean_text(F.col("extracted")))
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            stats = written.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.sum("moji_before").alias("moji"),
+                F.sum(mojibake_score(F.col("extracted"))).alias("moji_after"),
+            ).collect()[0]
+            print(json.dumps({
+                "clean_text": True,
+                "docs": stats["docs"],
+                "mojibake_before": int(stats["moji"] or 0),
+                "mojibake_after": int(stats["moji_after"] or 0),
+                "output": args.output,
+            }))
+            return 0
+        if args.dedup_spans is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.exact_substr import strip_duplicate_spans
+
+            before = docs.select(F.sum(F.length("extracted"))).collect()[0][0] or 0
+            out = strip_duplicate_spans(
+                docs,
+                id_col="doc_id",
+                text_col="extracted",
+                min_len=args.dedup_spans,
+                cross_doc_only=True,
+            )
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            after = written.select(F.sum(F.length("extracted"))).collect()[0][0] or 0
+            print(json.dumps({
+                "dedup_spans": args.dedup_spans,
+                "docs": written.count(),
+                "chars_removed": int(before - after),
+                "output": args.output,
+            }))
+            return 0
         if args.dedup_lines is not None:
             from pyspark.sql import functions as F
 
             from fscrawler_spark.functions.curation import strip_repeated_lines
 
-            docs_path = args.input
-            sub = os.path.join(args.input, "docs")
-            if os.path.isdir(sub):
-                docs_path = sub  # extraction output root: use its docs table
-            try:
-                docs = spark.read.parquet(docs_path)
-            except Exception as e:
-                print(f"error: cannot read docs table at {docs_path}: {e}", file=sys.stderr)
-                return 2
-            if "doc_id" not in docs.columns or "extracted" not in docs.columns:
-                print(
-                    f"error: {docs_path} is not an extraction docs table "
-                    f"(needs doc_id + extracted; has {docs.columns})",
-                    file=sys.stderr,
-                )
-                return 2
             curated = strip_repeated_lines(
                 docs, id_col="doc_id", text_col="extracted", min_docs=args.dedup_lines
             ).withColumnsRenamed({"id": "doc_id", "text": "extracted"})

@@ -1,0 +1,105 @@
+"""Round 4+: the --clean-text and --dedup-spans one-shot CLI verbs
+(cli.py), driven through main() like test_round4_linededup's
+--dedup-lines tests, with expectations computed independently of the
+modules under test (codec-level corruption, plain string slicing).
+"""
+
+import json
+import os
+
+import pytest
+
+SHARED = "this paragraph repeats verbatim across both of the documents here"
+MOJI = "café résumé".encode("utf-8").decode("cp1252")  # mojibake text
+
+
+def _docs_table(spark, tmp_path, rows):
+    p = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        rows, "doc_id long, conv_id string, turn_idx int, extracted string"
+    ).write.parquet(os.path.join(p, "docs"))
+    return p
+
+
+def test_cli_clean_text(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, "plain ascii with bell\x07"),
+            (1, "c0", 1, MOJI),
+            (2, "c1", 0, None),
+        ],
+    )
+    out = str(tmp_path / "cleaned")
+    rc = main(["--input", src, "--output", out, "--clean-text"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["docs"] == 3
+    assert res["mojibake_before"] > 0 and res["mojibake_after"] == 0
+    by_id = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert by_id[0].extracted == "plain ascii with bell"
+    assert by_id[1].extracted == "café résumé"
+    assert by_id[2].extracted is None
+    assert by_id[1].moji_before > 0  # audit column preserved
+
+
+def test_cli_dedup_spans(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    pre0, post0 = "unique preamble zero then ", " and unique tail zero"
+    pre1 = "different one lead-in text "
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, pre0 + SHARED + post0),
+            (1, "c0", 1, pre1 + SHARED),
+            (2, "c1", 0, "no duplication in this one at all"),
+            (3, "c1", 1, None),
+        ],
+    )
+    out = str(tmp_path / "deduped")
+    rc = main(["--input", src, "--output", out, "--dedup-spans", "30"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # the maximal duplicated span includes the shared leading space
+    assert res["docs"] == 4 and res["chars_removed"] == 2 * (len(SHARED) + 1)
+    by_id = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert by_id[0].extracted == pre0[:-1] + post0
+    assert by_id[1].extracted == pre1[:-1]
+    assert by_id[2].extracted == "no duplication in this one at all"
+    assert by_id[3].extracted is None
+
+
+def test_cli_curation_verbs_conflict(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "x")])
+    out = str(tmp_path / "x")
+    # two curation verbs together
+    assert (
+        main(
+            ["--input", src, "--output", out, "--clean-text", "--dedup-spans", "30"],
+            spark=spark,
+        )
+        == 2
+    )
+    # curation verb + pipeline mode
+    assert (
+        main(
+            ["--input", src, "--output", out, "--dedup-spans", "30", "--incremental"],
+            spark=spark,
+        )
+        == 2
+    )
+    # bad min length
+    assert main(["--input", src, "--output", out, "--dedup-spans", "1"], spark=spark) == 2
+    # not a docs table -> clean exit 2, no traceback
+    bad = str(tmp_path / "notdocs")
+    spark.range(3).write.parquet(bad)
+    assert main(["--input", bad, "--output", out, "--clean-text"], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "Traceback" not in err
