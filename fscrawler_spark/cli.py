@@ -143,6 +143,39 @@ def build_parser() -> argparse.ArgumentParser:
         "dup_chars_removed audit column",
     )
     p.add_argument(
+        "--mix",
+        default=None,
+        metavar="RATES",
+        help="one-shot composition pass: read the docs table at --input and "
+        "keep/replicate rows per --mix-group at 'GROUP=RATE[,GROUP=RATE...]' "
+        "expected-copy rates (rate 0.25 keeps a quarter, 2.5 = two epochs "
+        "plus a sampled half — The Pile/DoReMi source mixing, "
+        "functions/mixing.mix_corpus); writes --output with an epoch column",
+    )
+    p.add_argument(
+        "--mix-budget",
+        type=int,
+        default=None,
+        metavar="TOKENS",
+        help="one-shot composition pass: downsample every --mix-group group "
+        "of the docs table at --input to ~TOKENS tokens "
+        "(functions/mixing.sample_to_token_budget over "
+        "text_analysis.token_count); prints the computed per-group rates",
+    )
+    p.add_argument(
+        "--mix-group",
+        default="mime",
+        metavar="COL",
+        help="grouping column for --mix/--mix-budget (default: mime)",
+    )
+    p.add_argument(
+        "--mix-default",
+        type=float,
+        default=1.0,
+        metavar="RATE",
+        help="rate for groups absent from --mix's list (default: 1.0)",
+    )
+    p.add_argument(
         "--rest-port",
         type=int,
         default=None,
@@ -229,6 +262,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--dedup-lines", args.dedup_lines is not None),
             ("--clean-text", args.clean_text),
             ("--dedup-spans", args.dedup_spans is not None),
+            ("--mix", args.mix is not None),
+            ("--mix-budget", args.mix_budget is not None),
         )
         if on
     ]
@@ -259,6 +294,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
+    mix_rates = None
+    if args.mix is not None:
+        # parse 'GROUP=RATE[,GROUP=RATE...]' before spinning up a JVM;
+        # rate-range errors (negative, inf, sub-resolution) are caught by
+        # mixing._split_rate at run time with the same exit-2 contract
+        mix_rates = {}
+        for part in args.mix.split(","):
+            name, sep, val = part.partition("=")
+            try:
+                if not sep or not name.strip():
+                    raise ValueError(part)
+                mix_rates[name.strip()] = float(val)
+            except ValueError:
+                print(
+                    f"error: --mix expects GROUP=RATE[,GROUP=RATE...], "
+                    f"got {part!r}",
+                    file=sys.stderr,
+                )
+                return 2
     if args.compact and (args.incremental or args.restart or args.dry_run or args.loop != 1):
         # compaction is a single one-way migration: silently ignoring any
         # of these flags would run PARTIAL behavior under a contract the
@@ -395,6 +449,55 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "dedup_lines": args.dedup_lines,
                 "docs": out.count(),
                 "removed_lines_total": int(removed),
+                "output": args.output,
+            }))
+            return 0
+        if args.mix is not None or args.mix_budget is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions import mixing
+
+            if args.mix_group not in docs.columns:
+                print(
+                    f"error: --mix-group column {args.mix_group!r} not in "
+                    f"docs table (has {docs.columns})",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                if args.mix is not None:
+                    out = mixing.mix_corpus(
+                        docs, args.mix_group, mix_rates, key_col="doc_id",
+                        default_rate=args.mix_default,
+                    )
+                    rates = mix_rates
+                else:
+                    from fscrawler_spark.functions.text_analysis import token_count
+
+                    out, rates = mixing.sample_to_token_budget(
+                        docs.withColumn("_tok", token_count(F.col("extracted"))),
+                        args.mix_group, "_tok", args.mix_budget, key_col="doc_id",
+                    )
+                    out = out.drop("_tok")
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order, "epoch").write.mode("overwrite").parquet(
+                args.output
+            )
+            written = spark.read.parquet(args.output)
+            groups = {
+                ("<null>" if r["g"] is None else str(r["g"])): r["n"]
+                for r in written.groupBy(F.col(args.mix_group).alias("g"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            print(json.dumps({
+                "mix_group": args.mix_group,
+                "rates": rates,
+                "rows": sum(groups.values()),
+                "rows_by_group": groups,
                 "output": args.output,
             }))
             return 0

@@ -103,3 +103,101 @@ def test_cli_curation_verbs_conflict(spark, tmp_path, capsys):
     assert main(["--input", bad, "--output", out, "--clean-text"], spark=spark) == 2
     err = capsys.readouterr().err
     assert "error:" in err and "Traceback" not in err
+
+
+# --- --mix / --mix-budget composition verbs ---------------------------------
+
+
+def _mix_docs(spark, tmp_path):
+    rows = [
+        (i, f"c{i % 5}", i // 5, "word " * (5 + i % 3), ["web", "code"][i % 2])
+        for i in range(60)
+    ]
+    p = str(tmp_path / "mix_in")
+    spark.createDataFrame(
+        rows, "doc_id long, conv_id string, turn_idx int, extracted string, src string"
+    ).write.parquet(os.path.join(p, "docs"))
+    return p
+
+
+def test_cli_mix_rates(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _mix_docs(spark, tmp_path)
+    out = str(tmp_path / "mixed")
+    rc = main(
+        ["--input", src, "--output", out, "--mix", "web=2.0,code=0.5",
+         "--mix-group", "src"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rates"] == {"web": 2.0, "code": 0.5}
+    # web rows doubled exactly (integer rate); code roughly halved
+    assert res["rows_by_group"]["web"] == 60
+    assert 5 <= res["rows_by_group"]["code"] <= 25
+    written = spark.read.parquet(out)
+    assert "epoch" in written.columns
+    assert written.filter("src = 'web' and epoch = 1").count() == 30
+
+
+def test_cli_mix_budget(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+    from pyspark.sql import functions as F
+
+    src = _mix_docs(spark, tmp_path)
+    out = str(tmp_path / "budgeted")
+    rc = main(
+        ["--input", src, "--output", out, "--mix-budget", "60",
+         "--mix-group", "src"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert set(res["rates"]) == {"web", "code"} and all(
+        0 < r < 1 for r in res["rates"].values()
+    )
+    written = spark.read.parquet(out)
+    assert "_tok" not in written.columns  # internal column dropped
+    # achieved tokens land near the quota for both groups
+    from fscrawler_spark.functions.text_analysis import token_count
+
+    ach = {
+        r["src"]: r["t"]
+        for r in written.groupBy("src")
+        .agg(F.sum(token_count(F.col("extracted"))).alias("t"))
+        .collect()
+    }
+    for g in ("web", "code"):
+        assert 30 <= ach.get(g, 0) <= 90  # 60 +/- one max-weight row band
+
+
+def test_cli_mix_errors(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _mix_docs(spark, tmp_path)
+    out = str(tmp_path / "x2")
+    # malformed rates list
+    assert main(["--input", src, "--output", out, "--mix", "web:2.0"], spark=spark) == 2
+    # both mix verbs together
+    assert (
+        main(
+            ["--input", src, "--output", out, "--mix", "web=2.0",
+             "--mix-budget", "10"],
+            spark=spark,
+        )
+        == 2
+    )
+    # unknown group column
+    assert (
+        main(
+            ["--input", src, "--output", out, "--mix", "web=2.0",
+             "--mix-group", "nope"],
+            spark=spark,
+        )
+        == 2
+    )
+    # sub-resolution rate -> clean exit 2 from mixing's loud ValueError
+    assert main(["--input", src, "--output", out, "--mix", "web=1e-9"], spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "error:" in err and "Traceback" not in err
