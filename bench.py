@@ -59,7 +59,7 @@ HEADLINE = [
 # Round-4 curation operators, timed as a SEPARATE battery: "value" stays
 # the sum of HEADLINE only, so round-over-round totals remain
 # apples-to-apples; these report under "curation_queries"/"curation_sec".
-CURATION = ["q_clean_text", "q_exact_substr", "q_perplexity_buckets"]
+CURATION = ["q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget"]
 
 
 def _docs(spark, sf_dir: str):
@@ -90,6 +90,19 @@ def _q_perplexity_buckets(spark, sf_dir: str):
 
     d = _docs(spark, sf_dir)
     return perplexity_buckets(d, train_char_lm(d, "text"), "text")
+
+
+def _q_mix_budget(spark, sf_dir: str):
+    # composition step: per-source token-budget downsampling (one
+    # group-cardinality aggregate to size rates, then a zero-shuffle
+    # hash-filter + explode over the scan)
+    from fscrawler_spark.functions import mixing
+
+    d = _docs(spark, sf_dir)
+    out, _rates = mixing.sample_to_token_budget(
+        d, "source", "n_chars", 2_000_000, key_col="doc_id"
+    )
+    return out
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -424,6 +437,7 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_clean_text"] = _q_clean_text
         qs["q_exact_substr"] = _q_exact_substr
         qs["q_perplexity_buckets"] = _q_perplexity_buckets
+        qs["q_mix_budget"] = _q_mix_budget
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
