@@ -176,6 +176,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="rate for groups absent from --mix's list (default: 1.0)",
     )
     p.add_argument(
+        "--near-dup",
+        action="store_true",
+        help="maintain the persisted near-dup store under --output "
+        "(plans/dedup_store: content-diff, delta-only MinHash+LSH, "
+        "cluster upserts). Composable with a crawl or --incremental "
+        "(the dedup tick runs after each loop), or standalone with just "
+        "--output (one tick over the existing docs table)",
+    )
+    p.add_argument(
+        "--near-dup-threshold",
+        type=float,
+        default=0.8,
+        metavar="J",
+        help="exact-Jaccard verify threshold for --near-dup (default 0.8)",
+    )
+    p.add_argument(
         "--rest-port",
         type=int,
         default=None,
@@ -231,7 +247,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         clear_pause(args.output)
         print(json.dumps({"pause_requested": False}))
         return 0
-    if not args.input and not args.doctor:
+    if args.near_dup and (args.doctor or args.compact or args.dry_run):
+        # the dedup tick mutates the store; a read-only or one-shot
+        # migration verb silently skipping it would mislead
+        print(
+            "error: --near-dup cannot combine with --doctor/--compact/"
+            "--dry-run",
+            file=sys.stderr,
+        )
+        return 2
+    if not args.input and not args.doctor and not args.near_dup:
         # --doctor needs only --output (like the control verbs, but it
         # reads parquet so it does need a session)
         print("error: --input is required to run a crawl", file=sys.stderr)
@@ -271,13 +296,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         curation_verbs
         and (
             args.incremental or args.restart or args.dry_run or args.compact
-            or args.doctor or args.loop != 1
+            or args.doctor or args.near_dup or args.loop != 1
         )
     ):
         print(
             f"error: {'/'.join(curation_verbs)} is a one-shot curation pass "
             "and cannot combine with another curation verb or "
-            "--incremental/--restart/--dry-run/--compact/--doctor/--loop",
+            "--incremental/--restart/--dry-run/--compact/--doctor/"
+            "--near-dup/--loop",
             file=sys.stderr,
         )
         return 2
@@ -501,6 +527,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "output": args.output,
             }))
             return 0
+        if args.near_dup and not args.input:
+            # standalone: one dedup tick over the existing output
+            from fscrawler_spark.plans.dedup_store import dedup_tick
+
+            try:
+                res = dedup_tick(
+                    spark, args.output, threshold=args.near_dup_threshold
+                )
+            except (FileNotFoundError, RuntimeError, ValueError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"near_dup": res}))
+            return 0
         if args.compact:
             from fscrawler_spark.streaming.micro_batch import compact_streaming_output
 
@@ -565,6 +604,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     # ValueError covers SettingsMismatchError: a resume
                     # with drifted settings gets the same clean exit-2
                     # contract as the --incremental branch, not a traceback
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+            if args.near_dup:
+                from fscrawler_spark.plans.dedup_store import dedup_tick
+
+                try:
+                    res["near_dup"] = dedup_tick(
+                        spark, args.output, threshold=args.near_dup_threshold
+                    )
+                except (FileNotFoundError, RuntimeError, ValueError) as e:
                     print(f"error: {e}", file=sys.stderr)
                     return 2
             print(json.dumps({"loop": i + 1, **{k: v for k, v in res.items() if k != "output"}}))
