@@ -129,8 +129,11 @@ def test_store_probe_is_semi_join_and_delta_sized_sigs(spark):
         _df(spark, TICK2), _df(spark, TICK1 + TICK2), store_b, None,
         id_col="doc_id", text_col="text", **KW,
     )
+    # band_delta is MATERIALIZED (lineage cut): referenced by both sides
+    # of the candidate self-join, the store probe and the returned delta,
+    # so live it would re-run the signature pass per reference
     plan = res["band_delta"]._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" in plan  # sanity: the sig agg shuffles the DELTA
+    assert "ExistingRDD" in plan and "Exchange" not in plan
     # two LeftSemi joins gate the corpus-scale sides: the band-index
     # probe (delta bucket set) and verify_candidates' shingle prefilter
     pairs_plan = res["verified_pairs"]._jdf.queryExecution().analyzed().toString()
