@@ -28,7 +28,7 @@ from fscrawler_spark.functions.text_analysis import (
 from fscrawler_spark.functions.udfs import make_extract_udf
 from fscrawler_spark.operators.extract import extract_transcripts
 from fscrawler_spark.operators.filters import include_exclude_predicate
-from fscrawler_spark.operators.incremental import deleted_keys, merge_tags
+from fscrawler_spark.operators.incremental import deleted_keys
 
 # ---------------------------------------------------------------------------
 # deterministic payload templates (class = doc_id % 6)
@@ -148,6 +148,12 @@ SQL_DUP_CORPUS = """(
 )"""
 
 SQL_NORM = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+# UTF-8 bytes of this string mis-decoded as cp1252 — the mojibake that
+# q_normalize_clean weaves into the fixture; clean_text must restore it
+# exactly, so the oracle can assert the repaired literal.
+_CLEAN_SRC = "café — naïve"
+_MOJI = _CLEAN_SRC.encode("utf-8").decode("cp1252")
 
 
 def _sql_shingles(norm_expr: str = SQL_NORM, k: int = 3) -> str:
@@ -342,21 +348,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return deleted_keys(orders, li).select(F.col("conv_id").alias("o_orderkey"))
 
-    def q_tag_merge(spark, sf):
-        d = _docs(spark, sf).select(F.col("source").alias("conv_id"), "doc_id")
-        tags = (
-            _docs(spark, sf)
-            .select("source")
-            .distinct()
-            .select(
-                F.col("source").alias("conv_id"),
-                F.create_map(F.lit("owner"), F.upper(F.col("source"))).alias("tags"),
-            )
-        )
-        return merge_tags(d, tags).select(
-            "doc_id", F.element_at(F.col("tags"), "owner").alias("owner")
-        )
-
     def q_tag_merge_deep(spark, sf):
         # J3 nested variant: DocUtils.merge semantics (tags win scalars,
         # doc-only keys copied); oracle reconstructs the exact merged JSON
@@ -481,7 +472,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_content_filter=q_content_filter,
         q_change_detection=q_change_detection,
         q_deletion_detection=q_deletion_detection,
-        q_tag_merge=q_tag_merge,
         q_changed_vs_snapshot=q_changed_vs_snapshot,
         q_tag_merge_deep=q_tag_merge_deep,
         q_conversation_summary=q_conversation_summary,
@@ -492,22 +482,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def q_terms_agg(spark, sf):
         return _docs(spark, sf).groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
-
-    def q_top_k(spark, sf):
-        return (
-            _docs(spark, sf)
-            .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-            .limit(10)
-            .select("doc_id", "n_chars")
-        )
-
-    def q_folder_summary(spark, sf):
-        return _docs(spark, sf).groupBy("source").agg(
-            F.count(F.lit(1)).alias("doc_count"),
-            F.sum("n_chars").cast("long").alias("total_chars"),
-            F.min("doc_id").alias("first_doc"),
-            F.max("doc_id").alias("last_doc"),
-        )
 
     def q_search_bool(spark, sf):
         # ES query algebra analog: bool(must=[term, range], must_not=[prefix])
@@ -568,8 +542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         q_terms_agg=q_terms_agg,
-        q_top_k=q_top_k,
-        q_folder_summary=q_folder_summary,
         q_search_bool=q_search_bool,
         q_search_terms_agg=q_search_terms_agg,
         q_search_highlight=q_search_highlight,
@@ -796,59 +768,123 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_embed_near_dup=q_embed_near_dup,
     )
 
-    # --- general analytics over the star schema (joins / windows / aggs) ------------
+    # --- round-4 training-data curation (normalize / quality / spans / mix) ---
 
-    def q_pricing_summary(spark, sf):
-        # TPC-H Q1-shaped scan+agg (shows whole-stage agg pipeline health)
-        li = spark.read.parquet(f"{sf}/lineitem.parquet")
-        return (
-            li.filter(F.col("l_shipdate") <= F.lit("1998-09-01").cast("timestamp"))
-            .groupBy("l_returnflag", "l_linestatus")
-            .agg(
-                F.sum("l_quantity").alias("sum_qty"),
-                F.sum("l_extendedprice").alias("sum_base_price"),
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("sum_disc_price"),
-                F.count(F.lit(1)).alias("count_order"),
-            )
-            .select(
-                "l_returnflag",
-                "l_linestatus",
-                (F.floor(F.col("sum_qty") * 100) / 100).alias("sum_qty"),
-                (F.floor(F.col("sum_base_price") * 100) / 100).alias("sum_base_price"),
-                (F.floor(F.col("sum_disc_price") * 100) / 100).alias("sum_disc_price"),
-                "count_order",
-            )
+    def q_gopher_quality(spark, sf):
+        # Gopher rule gate (curation.gopher_quality_flags, Rae et al. 2021);
+        # doc_id%10 rows are made bullet+ellipsis heavy so every rule fires
+        # somewhere in the fixture
+        from fscrawler_spark.functions.curation import gopher_quality_flags
+
+        d = _docs(spark, sf).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.lit("- "), F.col("text"), F.lit(" ...")),
+            ).otherwise(F.col("text")),
+        )
+        g = gopher_quality_flags(F.col("text"))
+        return d.select(
+            "doc_id",
+            g["word_count"].cast("long").alias("word_count"),
+            g["stopword_hits"].cast("long").alias("stopword_hits"),
+            g["passes"].alias("passes"),
+            F.array_join(g["fail_reasons"], ",").alias("fail_reasons"),
         )
 
-    def q_top_customer_revenue(spark, sf):
-        # broadcast dim join + agg + top-k (TPC-H Q3 shape)
-        c = spark.read.parquet(f"{sf}/customer.parquet")
-        o = spark.read.parquet(f"{sf}/orders.parquet")
-        return (
-            o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-            .groupBy("c_custkey", "c_name")
-            .agg((F.floor(F.sum("o_totalprice") * 100) / 100).alias("revenue"))
-            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
-            .limit(10)
+    def q_line_dedup(spark, sf):
+        # cross-document repeated-line removal (curation.strip_repeated_lines):
+        # every doc gets a shared NAV header, a third share a cookie footer
+        # (whitespace-padded to exercise the trimmed line key), the rest a
+        # unique signature line
+        from fscrawler_spark.functions.curation import strip_repeated_lines
+
+        d = _docs(spark, sf).select(
+            "doc_id",
+            F.concat(
+                F.lit("NAV Home | About | Contact\n"),
+                F.col("text"),
+                F.lit("\n"),
+                F.when(
+                    F.col("doc_id") % 3 == 0, F.lit("  This site uses cookies.  ")
+                ).otherwise(F.concat(F.lit("sig-"), F.col("doc_id").cast("string"))),
+            ).alias("text"),
+        )
+        return strip_repeated_lines(d, min_docs=5)
+
+    def q_normalize_clean(spark, sf):
+        # Unicode hygiene (normalize.clean_text): even docs get UTF-8-as-
+        # cp1252 mojibake + a NUL (Python repair path), odd docs an ASCII
+        # control char (JVM fast path); both must come back clean
+        from fscrawler_spark.functions.normalize import clean_text, mojibake_score
+
+        dmg = F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.col("text"), F.lit(" " + _MOJI + "\x00 done")),
+        ).otherwise(F.concat(F.col("text"), F.lit("\x07ok")))
+        d = _docs(spark, sf).withColumn("dmg", dmg)
+        return d.select(
+            "doc_id",
+            clean_text(F.col("dmg")).alias("cleaned"),
+            mojibake_score(F.col("dmg")).cast("long").alias("moji_before"),
         )
 
-    def q_events_window(spark, sf):
-        # analytic window functions over the event stream (running ordinal
-        # + per-user event share), deterministic ordering keys
-        ev = spark.read.parquet(f"{sf}/events.parquet")
-        from pyspark.sql import Window
+    def q_exact_substr_spans(spark, sf):
+        # ExactSubstr duplicate spans (exact_substr.duplicate_span_flags,
+        # Lee et al. 2021) over the dup corpus: each mutation shares its
+        # whole prefix with the original, yielding one span per side. The
+        # engine keys on xxhash64(gram); the oracle keys on the gram string
+        # itself — identical output barring a 64-bit collision (~1e-9 here).
+        from fscrawler_spark.functions.exact_substr import duplicate_span_flags
 
-        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-        return (
-            ev.withColumn("seq", F.row_number().over(w))
-            .filter(F.col("seq") <= 3)
-            .select("user_id", F.col("seq").cast("long").alias("seq"), "event_id", "event_type")
+        flags = duplicate_span_flags(
+            _dup_corpus(spark, sf), id_col="id", text_col="text", min_len=50
+        )
+        return flags.select(
+            "id", F.explode("dup_spans").alias("s"), "dup_chars"
+        ).select(
+            "id",
+            F.col("s.start").cast("long").alias("s_start"),
+            F.col("s.end").cast("long").alias("s_end"),
+            F.col("dup_chars").cast("long").alias("dup_chars"),
+        )
+
+    def q_corpus_mix(spark, sf):
+        # weighted per-source mixing with epochs (mixing.mix_corpus, The
+        # Pile shape): src0 upsampled 2.5x, src1 kept at 25%, src2 dropped,
+        # every other source at the 1.0 default
+        from fscrawler_spark.functions.mixing import mix_corpus
+
+        mixed = mix_corpus(
+            _docs(spark, sf),
+            group_col="source",
+            rates={"src0": 2.5, "src1": 0.25, "src2": 0.0},
+            key_col="doc_id",
+        )
+        return mixed.groupBy(
+            "source", F.col("epoch").cast("long").alias("epoch")
+        ).agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
+
+    def q_perplexity(spark, sf):
+        # CCNet-style LM quality (lm_quality): train the char-trigram LM on
+        # the corpus itself, score every doc. Values are floor-truncated at
+        # 1e-3 so float-sum-order differences between the Python UDF and the
+        # SQL oracle aggregation cannot flip a digit.
+        from fscrawler_spark.functions.lm_quality import add_perplexity, train_char_lm
+
+        d = _docs(spark, sf)
+        lm = train_char_lm(d, n=3, add_k=0.5, min_count=2, max_ngrams=200_000)
+        return add_perplexity(d, lm).select(
+            "doc_id", (F.floor(F.col("ppl") * 1000) / 1000).alias("ppl_t")
         )
 
     q.update(
-        q_pricing_summary=q_pricing_summary,
-        q_top_customer_revenue=q_top_customer_revenue,
-        q_events_window=q_events_window,
+        q_gopher_quality=q_gopher_quality,
+        q_line_dedup=q_line_dedup,
+        q_normalize_clean=q_normalize_clean,
+        q_exact_substr_spans=q_exact_substr_spans,
+        q_corpus_mix=q_corpus_mix,
+        q_perplexity=q_perplexity,
     )
 
     # --- multimodal plumbing (rows-only check; no SQL oracle) -----------------------
@@ -955,10 +991,6 @@ def oracle_sql() -> dict[str, str]:
     sql["q_deletion_detection"] = """
     SELECT o_orderkey FROM orders o
     WHERE NOT EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey)
-    """
-
-    sql["q_tag_merge"] = """
-    SELECT doc_id, upper(source) AS owner FROM documents
     """
 
     # json.dumps(sort_keys=True) output: keys n < owner < source, ', ' / ': '
@@ -1078,41 +1110,6 @@ def oracle_sql() -> dict[str, str]:
                             c.vec_id) AS rank
           FROM embeddings c, q)
     SELECT vec_id, rank::BIGINT AS rank FROM r WHERE rank <= 5
-    """
-
-    sql["q_top_k"] = """
-    SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 10
-    """
-
-    sql["q_folder_summary"] = """
-    SELECT source, count(*) AS doc_count, sum(n_chars)::BIGINT AS total_chars,
-           min(doc_id) AS first_doc, max(doc_id) AS last_doc
-    FROM documents GROUP BY source
-    """
-
-    sql["q_pricing_summary"] = """
-    SELECT l_returnflag, l_linestatus,
-           floor(sum(l_quantity) * 100) / 100 AS sum_qty,
-           floor(sum(l_extendedprice) * 100) / 100 AS sum_base_price,
-           floor(sum(l_extendedprice * (1 - l_discount)) * 100) / 100 AS sum_disc_price,
-           count(*) AS count_order
-    FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
-    GROUP BY l_returnflag, l_linestatus
-    """
-
-    sql["q_top_customer_revenue"] = """
-    SELECT c_custkey, c_name, floor(sum(o_totalprice) * 100) / 100 AS revenue
-    FROM orders JOIN customer ON o_custkey = c_custkey
-    GROUP BY c_custkey, c_name
-    ORDER BY revenue DESC, c_custkey LIMIT 10
-    """
-
-    sql["q_events_window"] = """
-    SELECT user_id, seq, event_id, event_type FROM (
-      SELECT user_id, event_id, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
-      FROM events
-    ) WHERE seq <= 3
     """
 
     lang_cols = []
@@ -1492,6 +1489,199 @@ def oracle_sql() -> dict[str, str]:
     SELECT a.id AS id_a, b.id AS id_b
     FROM bk a JOIN bk b ON a.id < b.id AND ({_pair_match})
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.999999
+    """
+
+    # --- round-4 curation oracles ------------------------------------------
+
+    # Gopher gate twin. Rule order mirrors curation.gopher_quality_flags'
+    # dict; integer '/' is double division in both engines, so the rule
+    # comparisons see bit-identical ratios. RE2 '[\\s ]' differs from
+    # Java only on \\x0B, absent from the fixture.
+    sql["q_gopher_quality"] = """
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 = 0 THEN '- ' || text || ' ...' ELSE text END AS t
+      FROM documents
+    ), m AS (
+      SELECT doc_id, t,
+        CASE WHEN len(trim(t)) > 0 THEN string_split_regex(trim(t), '\\s+')
+             ELSE [] END AS w,
+        string_split(t, chr(10)) AS lines,
+        len(regexp_extract_all(t, '#|\\.\\.\\.|…')) AS symbols,
+        length(regexp_replace(t, '[\\s ]+', '', 'g')) AS nsp
+      FROM base
+    ), r AS (
+      SELECT doc_id, t IS NULL AS r_null, len(w) AS wc,
+        CASE WHEN len(w) <> 0 THEN nsp / len(w) END AS mean_wl,
+        CASE WHEN len(w) <> 0 THEN symbols / len(w) END AS sym_ratio,
+        CASE WHEN len(lines) <> 0 THEN
+          len(list_filter(lines, l -> regexp_matches(l, '^[\\s ]*[-*•]'))) / len(lines)
+        END AS bullet_frac,
+        CASE WHEN len(lines) <> 0 THEN
+          len(list_filter(lines, l -> regexp_matches(l, '(\\.\\.\\.|…)[\\s ]*$'))) / len(lines)
+        END AS ellipsis_frac,
+        CASE WHEN len(w) <> 0 THEN
+          len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w)
+        END AS alpha_frac,
+        len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                           STOPWORDS_PLACEHOLDER)) AS sw_hits
+      FROM m
+    ), v AS (
+      SELECT doc_id, wc, sw_hits,
+        [x FOR x IN [
+          CASE WHEN r_null THEN 'null_text' END,
+          CASE WHEN NOT r_null AND wc < 50 THEN 'too_few_words' END,
+          CASE WHEN wc > 100000 THEN 'too_many_words' END,
+          CASE WHEN NOT r_null AND NOT (mean_wl BETWEEN 3.0 AND 10.0)
+               THEN 'mean_word_len_out_of_range' END,
+          CASE WHEN sym_ratio > 0.1 THEN 'symbol_heavy' END,
+          CASE WHEN bullet_frac > 0.9 THEN 'bullet_heavy' END,
+          CASE WHEN ellipsis_frac > 0.3 THEN 'ellipsis_heavy' END,
+          CASE WHEN NOT r_null AND NOT (alpha_frac >= 0.8) THEN 'low_alpha_words' END,
+          CASE WHEN NOT r_null AND sw_hits < 2 THEN 'too_few_stopwords' END
+        ] IF x IS NOT NULL] AS reasons
+      FROM r
+    )
+    SELECT doc_id, wc::BIGINT AS word_count, sw_hits::BIGINT AS stopword_hits,
+           len(reasons) = 0 AS passes,
+           coalesce(array_to_string(reasons, ','), '') AS fail_reasons
+    FROM v
+    """.replace(
+        "STOPWORDS_PLACEHOLDER",
+        "[" + ",".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"])) + "]",
+    )
+
+    # repeated-line removal twin: trimmed line key (incl. NBSP), blank
+    # lines never banned, reassembly in original position order
+    sql["q_line_dedup"] = """
+    WITH d AS (
+      SELECT doc_id AS id,
+             'NAV Home | About | Contact' || chr(10) || text || chr(10) ||
+             CASE WHEN doc_id % 3 = 0 THEN '  This site uses cookies.  '
+                  ELSE 'sig-' || doc_id END AS text
+      FROM documents
+    ), ex AS (
+      SELECT id,
+             unnest(generate_series(1, len(string_split(text, chr(10))))) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM d
+    ), t AS (
+      SELECT id, pos, line,
+             regexp_replace(line, '^[\\s\\x{00A0}]+|[\\s\\x{00A0}]+$', '') AS tline
+      FROM ex
+    ), ban AS (
+      SELECT tline FROM (SELECT DISTINCT id, tline FROM t WHERE tline <> '')
+      GROUP BY tline HAVING count(*) >= 5
+    ), m AS (
+      SELECT t.id, t.pos, t.line,
+             (ban.tline IS NOT NULL AND t.tline <> '') AS removable
+      FROM t LEFT JOIN ban ON ban.tline = t.tline
+    )
+    SELECT id,
+           coalesce(string_agg(CASE WHEN NOT removable THEN line END,
+                               chr(10) ORDER BY pos), '') AS text,
+           sum(CASE WHEN removable THEN 1 ELSE 0 END)::BIGINT AS removed_lines,
+           sum(CASE WHEN NOT removable THEN 1 ELSE 0 END)::BIGINT AS kept_lines
+    FROM m GROUP BY id
+    """
+
+    # clean_text twin: the woven damage is known, so the oracle asserts the
+    # repaired literal outright (base fixture text is pure ASCII, verified —
+    # clean_text leaves it untouched)
+    sql["q_normalize_clean"] = f"""
+    SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN text || ' {_CLEAN_SRC} done'
+                ELSE text || 'ok' END AS cleaned,
+           (CASE WHEN doc_id % 2 = 0 THEN 3 ELSE 0 END)::BIGINT AS moji_before
+    FROM documents
+    """
+
+    # ExactSubstr twin: dup grams by STRING equality (engine: xxhash64),
+    # then classic gaps-and-islands span merge per doc
+    sql["q_exact_substr_spans"] = f"""
+    WITH c AS (SELECT * FROM {SQL_DUP_CORPUS} t),
+    g AS (
+      SELECT id, unnest(generate_series(1, length(text) - 49)) AS pos,
+             unnest([substr(text, i, 50) for i in generate_series(1, length(text) - 49)]) AS gram
+      FROM c WHERE length(text) >= 50
+    ),
+    dup AS (SELECT gram FROM g GROUP BY gram HAVING count(*) > 1),
+    f AS (SELECT g.id, g.pos FROM g JOIN dup USING (gram)),
+    s AS (
+      SELECT id, pos,
+             CASE WHEN pos <= max(pos + 49) OVER (
+                    PARTITION BY id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) + 1
+                  THEN 0 ELSE 1 END AS brk
+      FROM f
+    ),
+    isl AS (SELECT id, pos, sum(brk) OVER (PARTITION BY id ORDER BY pos) AS k FROM s),
+    sp AS (SELECT id, min(pos) AS s_start, max(pos) + 49 AS s_end FROM isl GROUP BY id, k),
+    tot AS (SELECT id, sum(s_end - s_start + 1) AS dup_chars FROM sp GROUP BY id)
+    SELECT sp.id, sp.s_start::BIGINT AS s_start, sp.s_end::BIGINT AS s_end,
+           tot.dup_chars::BIGINT AS dup_chars
+    FROM sp JOIN tot USING (id)
+    """
+
+    # mix_corpus twin: same md5('mix'||key) % 1e6 bucket as the engine's
+    # _hash_bucket; rate 2.5 -> 2 copies + bucket<500000, 0.25 -> bucket<250000
+    sql["q_corpus_mix"] = """
+    WITH d AS (
+      SELECT source, doc_id,
+             ('0x' || substr(md5('mix' || doc_id::VARCHAR), 1, 15))::BIGINT % 1000000 AS kb
+      FROM documents
+    ), r AS (
+      SELECT source, doc_id,
+             (CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0
+                          WHEN 'src2' THEN 0 ELSE 1 END)
+             + (CASE WHEN kb < (CASE source WHEN 'src0' THEN 500000
+                                            WHEN 'src1' THEN 250000
+                                            WHEN 'src2' THEN 0 ELSE 0 END)
+                     THEN 1 ELSE 0 END) AS copies
+      FROM d
+    ), e AS (
+      SELECT source, doc_id, unnest(generate_series(0, copies - 1)) AS epoch
+      FROM r WHERE copies > 0
+    )
+    SELECT source, epoch::BIGINT AS epoch, count(*)::BIGINT AS n,
+           min(doc_id) AS min_id
+    FROM e GROUP BY source, epoch
+    """
+
+    # char-trigram LM twin: same normalize, same min_count/cap/tie-break,
+    # TRUE context totals restricted to kept contexts, vocab = distinct
+    # last chars + 1 (<unk>). Per-event ln() is bit-identical (same libm);
+    # only the sum order differs, absorbed by the 1e-3 floor.
+    sql["q_perplexity"] = f"""
+    WITH norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
+    g AS (
+      SELECT substr(t, i, 3) AS g3
+      FROM norm, unnest(generate_series(1, length(t) - 2)) AS u(i)
+      WHERE length(t) >= 3
+    ),
+    counts AS (SELECT g3, count(*) AS c FROM g GROUP BY g3),
+    kept AS (SELECT g3, c FROM counts WHERE c >= 2
+             ORDER BY c DESC, g3 ASC LIMIT 200000),
+    kctx AS (SELECT DISTINCT substr(g3, 1, 2) AS ctx FROM kept),
+    ctx AS (SELECT substr(g3, 1, 2) AS ctx, sum(c) AS tot FROM counts GROUP BY 1),
+    kc AS (SELECT ctx.ctx, ctx.tot FROM ctx JOIN kctx USING (ctx)),
+    v AS (SELECT count(DISTINCT substr(g3, 3, 1)) + 1 AS vs FROM counts),
+    sg AS (
+      SELECT doc_id, substr(t, i, 3) AS g3, substr(t, i, 2) AS cx
+      FROM norm, unnest(generate_series(1, length(t) - 2)) AS u(i)
+      WHERE length(t) >= 3
+    ),
+    scored AS (
+      SELECT sg.doc_id,
+             CASE WHEN kc.ctx IS NULL THEN -ln(v.vs)
+                  ELSE ln((coalesce(k.c, 0) + 0.5) / (kc.tot + 0.5 * v.vs)) END AS lp
+      FROM sg LEFT JOIN kc ON kc.ctx = sg.cx
+              LEFT JOIN kept k ON k.g3 = sg.g3
+              CROSS JOIN v
+    ),
+    p AS (SELECT doc_id, exp(-sum(lp) / count(*)) AS ppl FROM scored GROUP BY doc_id)
+    SELECT d.doc_id, floor(p.ppl * 1000) / 1000 AS ppl_t
+    FROM documents d LEFT JOIN p USING (doc_id)
     """
 
     return sql
