@@ -143,6 +143,26 @@ def build_parser() -> argparse.ArgumentParser:
         "dup_chars_removed audit column",
     )
     p.add_argument(
+        "--chunk",
+        type=int,
+        default=None,
+        metavar="MAX_TOKENS",
+        help="one-shot curation pass: read the docs table at --input and "
+        "split every doc into fixed-size whitespace-token windows of at "
+        "most MAX_TOKENS tokens (curation.chunk_documents — context-length "
+        "prep; combine with --chunk-stride for overlap), writing one row "
+        "per chunk to --output with chunk_idx/tok_start/n_tokens audit "
+        "columns",
+    )
+    p.add_argument(
+        "--chunk-stride",
+        type=int,
+        default=None,
+        metavar="STRIDE",
+        help="window start step for --chunk (default MAX_TOKENS = "
+        "disjoint; smaller = overlapping windows)",
+    )
+    p.add_argument(
         "--mix",
         default=None,
         metavar="RATES",
@@ -289,6 +309,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--dedup-spans", args.dedup_spans is not None),
             ("--mix", args.mix is not None),
             ("--mix-budget", args.mix_budget is not None),
+            ("--chunk", args.chunk is not None),
         )
         if on
     ]
@@ -304,6 +325,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "and cannot combine with another curation verb or "
             "--incremental/--restart/--dry-run/--compact/--doctor/"
             "--near-dup/--loop",
+            file=sys.stderr,
+        )
+        return 2
+    if args.chunk_stride is not None and args.chunk is None:
+        print("error: --chunk-stride requires --chunk", file=sys.stderr)
+        return 2
+    if args.chunk is not None and args.chunk < 1:
+        print(f"error: --chunk must be >= 1, got {args.chunk}", file=sys.stderr)
+        return 2
+    if args.chunk_stride is not None and not (1 <= args.chunk_stride <= (args.chunk or 0)):
+        print(
+            f"error: --chunk-stride must be in [1, --chunk={args.chunk}], "
+            f"got {args.chunk_stride} (a stride past the window drops tokens)",
             file=sys.stderr,
         )
         return 2
@@ -410,6 +444,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if err:
                 print(f"error: {err}", file=sys.stderr)
                 return 2
+        if args.chunk is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.curation import chunk_documents
+
+            chunks = chunk_documents(
+                docs,
+                id_col="doc_id",
+                text_col="extracted",
+                max_tokens=args.chunk,
+                stride=args.chunk_stride,
+            ).withColumnsRenamed({"id": "doc_id", "chunk_text": "extracted"})
+            # one output row per chunk, original metadata re-attached
+            out = docs.drop("extracted").join(chunks, "doc_id")
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order, "chunk_idx").write.mode(
+                "overwrite"
+            ).parquet(args.output)
+            written = spark.read.parquet(args.output)
+            stats = written.agg(
+                F.count(F.lit(1)).alias("chunks"),
+                F.count_distinct("doc_id").alias("docs"),
+                F.max("n_tokens").alias("widest"),
+            ).collect()[0]
+            print(json.dumps({
+                "chunk": args.chunk,
+                "stride": args.chunk_stride or args.chunk,
+                "docs": stats["docs"],
+                "chunks": stats["chunks"],
+                "max_chunk_tokens": stats["widest"],
+                "output": args.output,
+            }))
+            return 0
         if args.clean_text:
             from pyspark.sql import functions as F
 

@@ -181,6 +181,73 @@ def pack_sequences(
     return chunked.groupBy(part_col, chunk_col).applyInPandas(_pack_chunk, schema=out_schema)
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_tokens: int = 512,
+    stride: int | None = None,
+) -> DataFrame:
+    """Split each document into fixed-size whitespace-token windows with
+    optional overlap — the context-length prep that complements
+    pack_sequences (packing joins SHORT docs into full sequences;
+    chunking splits LONG ones; chunk first, pack the chunks after).
+
+    Output: one row per chunk — (id, chunk_idx, tok_start, n_tokens,
+    chunk_text) — tok_start 1-based, chunk_idx 0-based consecutive.
+    Windows start every ``stride`` tokens (default max_tokens =
+    disjoint). A window whose content the PREVIOUS window already fully
+    covered (tail truncation: the previous one reached the doc's end) is
+    not emitted, so no chunk is a suffix-duplicate of another. NULL or
+    blank text emits zero rows.
+
+    Scale shape: one projection + posexplode of JVM array expressions
+    (split / sequence / filter / transform / slice) — no Python UDF, no
+    shuffle; rides the caller's scan partitioning (plan-pinned in
+    tests/test_round4_chunking.py). Per-row memory is O(doc tokens),
+    bounded by doc length, never corpus. Deterministic: boundaries
+    depend only on the text, so re-runs and resumes emit identical
+    chunk ids.
+    """
+    if max_tokens < 1:
+        raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
+    stride = max_tokens if stride is None else stride
+    if not 1 <= stride <= max_tokens:
+        raise ValueError(
+            f"stride must be in [1, max_tokens={max_tokens}], got {stride}"
+            " (stride > max_tokens would silently drop tokens)"
+        )
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+        F.array().cast("array<string>")
+    )
+    n = F.size(toks)
+    w, s_ = max_tokens, stride
+    starts = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n, F.lit(s_)),
+            lambda s: (s == F.lit(1)) | (s - s_ + (w - 1) < n),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.struct(
+            s.alias("tok_start"), F.slice(toks, s, w).alias("_w")
+        ),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(chunks).alias("chunk_idx", "c"),
+    ).select(
+        "id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("c.tok_start").alias("tok_start"),
+        F.size("c._w").alias("n_tokens"),
+        F.array_join("c._w", " ").alias("chunk_text"),
+    )
+
+
 # --- PII redaction ----------------------------------------------------------
 
 # deliberately conservative, precision-first patterns (a 100-TB pass that

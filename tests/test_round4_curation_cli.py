@@ -201,3 +201,64 @@ def test_cli_mix_errors(spark, tmp_path, capsys):
     assert main(["--input", src, "--output", out, "--mix", "web=1e-9"], spark=spark) == 2
     err = capsys.readouterr().err
     assert "error:" in err and "Traceback" not in err
+
+
+def test_cli_chunk(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    long_doc = " ".join(f"t{j}" for j in range(10))
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, long_doc),          # 10 tokens -> 3 chunks of <=4
+            (1, "c0", 1, "short doc"),        # 2 tokens  -> 1 chunk
+            (2, "c1", 0, None),               # null      -> 0 chunks
+        ],
+    )
+    out = str(tmp_path / "chunked")
+    rc = main(["--input", src, "--output", out, "--chunk", "4"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {
+        "chunk": 4, "stride": 4, "docs": 2, "chunks": 4,
+        "max_chunk_tokens": 4, "output": out,
+    }
+    rows = sorted(
+        (r.doc_id, r.chunk_idx, r.tok_start, r.extracted)
+        for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        (0, 0, 1, "t0 t1 t2 t3"),
+        (0, 1, 5, "t4 t5 t6 t7"),
+        (0, 2, 9, "t8 t9"),
+        (1, 0, 1, "short doc"),
+    ]
+    # original metadata re-attached on every chunk row
+    assert {r.conv_id for r in spark.read.parquet(out).collect()} == {"c0"}
+
+
+def test_cli_chunk_validation(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "a b c")])
+    out = str(tmp_path / "nope")
+    assert main(["--input", src, "--output", out, "--chunk", "0"], spark=spark) == 2
+    assert (
+        main(["--input", src, "--output", out, "--chunk-stride", "2"], spark=spark) == 2
+    )
+    assert (
+        main(
+            ["--input", src, "--output", out, "--chunk", "4", "--chunk-stride", "9"],
+            spark=spark,
+        )
+        == 2
+    )
+    # a curation verb cannot combine with another
+    assert (
+        main(
+            ["--input", src, "--output", out, "--chunk", "4", "--clean-text"],
+            spark=spark,
+        )
+        == 2
+    )
