@@ -38,8 +38,11 @@ Known limitation (documented, standard for incremental dedup): cluster
 SPLITS are not detected — a CHANGED doc is re-evaluated as new (its old
 band rows are retired), but the cluster it previously held together is
 not re-examined, and DELETED docs leave their clusters untouched.
-Schedule a periodic full near_dup_pipeline sweep to reconcile, the same
-way compaction reconciles streaming sinks.
+A corollary: surviving members still point at their recorded
+representative, so if the REP itself changed/left, a later tick's star
+edge can pull the departed id back into a cluster it no longer belongs
+to. Schedule a periodic full near_dup_pipeline sweep to reconcile,
+the same way compaction reconciles streaming sinks.
 """
 
 from __future__ import annotations

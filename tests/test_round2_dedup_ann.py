@@ -119,9 +119,11 @@ def test_fast_minhash_recall(spark):
     """Recall self-check for the xxhash64 production path (which no SQL
     engine can reproduce bit-for-bit): LSH candidates must contain the
     overwhelming share of TRUE high-Jaccard pairs. 16 hashes / 4 bands
-    gives P(candidate | s=0.9) ~= 0.986 per the banding formula; measured
-    0.975 deterministically on the near-dup fixture (seeded hash, fixed
-    data). The md5 twin pipeline is value-hash-checked end-to-end by the
+    gives P(candidate | s=0.9) ~= 0.986 per the banding formula;
+    measured 1.0 deterministically on the near-dup fixture (seeded
+    hash, fixed data) after the round-4 2^31-1 permutation-modulus fix
+    — 0.975 before it, the correlated-permutation defect's visible
+    cost. The md5 twin pipeline is value-hash-checked end-to-end by the
     q_near_dup_e2e oracle instead."""
     d = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         F.col("doc_id").alias("id"), "text"
@@ -136,7 +138,7 @@ def test_fast_minhash_recall(spark):
     true = {(r.id_a, r.id_b) for r in dedup.jaccard_pairs(df, id_col="id", threshold=0.9).collect()}
     assert len(true) > 500
     recall = len(true & cands) / len(true)
-    assert recall >= 0.95, f"fast-path LSH recall = {recall}"
+    assert recall >= 0.99, f"fast-path LSH recall = {recall}"
 
 
 def test_simhash_pairs_pigeonhole(spark):
