@@ -311,5 +311,85 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                     )
                 )
 
+    # --- dedup store (plans/dedup_store) ---------------------------------
+    from fscrawler_spark.plans.dedup_store import _SIG_VERSION
+    from fscrawler_spark.plans.dedup_store import _paths as dedup_paths
+
+    dp = dedup_paths(output_dir)
+    if os.path.isdir(dp["root"]):
+        dmeta = None
+        if not os.path.exists(dp["meta"]):
+            findings.append(
+                _finding(
+                    "WARN",
+                    "dedup_meta_missing",
+                    "dedup/ exists without _dedup_meta.json — not a store "
+                    "this engine wrote (or torn before bootstrap); delete "
+                    "the dir to re-bootstrap",
+                )
+            )
+        else:
+            try:
+                with open(dp["meta"]) as f:
+                    dmeta = json.load(f)
+                if not isinstance(dmeta, dict):
+                    raise ValueError("dedup meta is not an object")
+            except (OSError, ValueError):
+                dmeta = None
+                findings.append(
+                    _finding(
+                        "ERROR",
+                        "corrupt_dedup_meta",
+                        "dedup/_dedup_meta.json is unreadable — ticks will "
+                        "refuse; delete the dedup/ dir to re-bootstrap",
+                    )
+                )
+        if isinstance(dmeta, dict):
+            if dmeta.get("dirty"):
+                findings.append(
+                    _finding(
+                        "ERROR",
+                        "dedup_store_dirty",
+                        "dedup store is DIRTY (a tick died mid-upsert; the "
+                        "three tables may be torn) — delete the dedup/ dir "
+                        "to re-bootstrap",
+                    )
+                )
+            elif (dmeta.get("params") or {}).get("sig_version") != _SIG_VERSION:
+                findings.append(
+                    _finding(
+                        "WARN",
+                        "dedup_sig_stale",
+                        "dedup store was signed under an older signature "
+                        "scheme — the next tick refuses; delete the dedup/ "
+                        "dir to re-sign",
+                    )
+                )
+            elif has_parquet_files(spark, dp["state"]):
+                # clean store: every band/cluster id must be a signed id
+                # (a violation means a torn multi-table upsert the dirty
+                # marker somehow missed)
+                state_ids = spark.read.parquet(dp["state"]).select("id")
+                for tbl in ("band_index", "clusters"):
+                    if not has_parquet_files(spark, dp[tbl]):
+                        continue
+                    orphans = (
+                        spark.read.parquet(dp[tbl])
+                        .select("id")
+                        .distinct()
+                        .join(state_ids, "id", "left_anti")
+                        .count()
+                    )
+                    if orphans:
+                        findings.append(
+                            _finding(
+                                "ERROR",
+                                f"dedup_orphan_{tbl}",
+                                f"{orphans} id(s) in dedup/{tbl} have no "
+                                "state row — torn upsert; delete the dedup/ "
+                                "dir to re-bootstrap",
+                            )
+                        )
+
     ok = not any(f["severity"] == "ERROR" for f in findings)
     return {"ok": ok, "findings": findings}

@@ -224,3 +224,47 @@ def test_standalone_apply_deletes_invalidates_snapshot(spark, transcripts_dir, t
     res = run_incremental_update(spark, inp, out, SETTINGS, layout="bucketed")
     assert res["changed"] == 3
     spark.sql(f"DROP TABLE IF EXISTS {snap.snapshot_table_name(out)}")
+
+
+def test_doctor_checks_dedup_store(spark, transcripts_dir, tmp_path):
+    from fscrawler_spark.plans.dedup_store import _paths as dedup_paths
+    from fscrawler_spark.plans.dedup_store import dedup_tick
+
+    inp = os.path.join(transcripts_dir, "transcripts.parquet")
+    out = str(tmp_path / "ds")
+    run_extraction_job(spark, inp, out, SETTINGS)
+    dedup_tick(spark, out, store_buckets=4)
+    res = check_output(spark, out)
+    assert res["ok"] is True, res["findings"]
+
+    p = dedup_paths(out)
+    # dirty marker -> ERROR
+    meta = json.load(open(p["meta"]))
+    json.dump(dict(meta, dirty=True), open(p["meta"], "w"))
+    res = check_output(spark, out)
+    assert not res["ok"] and "dedup_store_dirty" in _codes(res)
+
+    # stale signature scheme -> WARN only
+    stale = dict(meta, params=dict(meta["params"], sig_version=1))
+    json.dump(stale, open(p["meta"], "w"))
+    res = check_output(spark, out)
+    assert res["ok"] and "dedup_sig_stale" in _codes(res)
+
+    # orphaned cluster rows (id signed nowhere) -> ERROR
+    json.dump(meta, open(p["meta"], "w"))
+    spark.createDataFrame(
+        [("not-a-signed-id", "not-a-signed-id")], "id string, cluster_id string"
+    ).write.mode("append").parquet(os.path.join(p["clusters"], "db=0"))
+    res = check_output(spark, out)
+    assert not res["ok"] and "dedup_orphan_clusters" in _codes(res)
+
+    # corrupt meta -> ERROR
+    with open(p["meta"], "w") as f:
+        f.write("{nope")
+    res = check_output(spark, out)
+    assert not res["ok"] and "corrupt_dedup_meta" in _codes(res)
+
+    # dir without meta -> WARN only
+    os.remove(p["meta"])
+    res = check_output(spark, out)
+    assert "dedup_meta_missing" in _codes(res)
