@@ -59,7 +59,10 @@ HEADLINE = [
 # Round-4 curation operators, timed as a SEPARATE battery: "value" stays
 # the sum of HEADLINE only, so round-over-round totals remain
 # apples-to-apples; these report under "curation_queries"/"curation_sec".
-CURATION = ["q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget"]
+CURATION = [
+    "q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget",
+    "q_chunk",
+]
 
 
 def _docs(spark, sf_dir: str):
@@ -103,6 +106,14 @@ def _q_mix_budget(spark, sf_dir: str):
         d, "source", "n_chars", 2_000_000, key_col="doc_id"
     )
     return out
+
+
+def _q_chunk(spark, sf_dir: str):
+    # context-length prep: fixed-token windows with overlap (zero-shuffle
+    # projection + posexplode; throughput = the explode's row fan-out)
+    from fscrawler_spark.functions.curation import chunk_documents
+
+    return chunk_documents(_docs(spark, sf_dir), max_tokens=32, stride=24)
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -438,6 +449,7 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_exact_substr"] = _q_exact_substr
         qs["q_perplexity_buckets"] = _q_perplexity_buckets
         qs["q_mix_budget"] = _q_mix_budget
+        qs["q_chunk"] = _q_chunk
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))

@@ -201,13 +201,18 @@ def chunk_documents(
     not emitted, so no chunk is a suffix-duplicate of another. NULL or
     blank text emits zero rows.
 
-    Scale shape: one projection + posexplode of JVM array expressions
-    (split / sequence / filter / transform / slice) — no Python UDF, no
-    shuffle; rides the caller's scan partitioning (plan-pinned in
-    tests/test_round4_chunking.py). Per-row memory is O(doc tokens),
-    bounded by doc length, never corpus. Deterministic: boundaries
-    depend only on the text, so re-runs and resumes emit identical
-    chunk ids.
+    Scale shape: posexplode the window STARTS, then slice per chunk row
+    — row-level slice/array_join stay inside whole-stage codegen, where
+    the tempting alternative (transform(starts, s -> slice(...)) then
+    explode the structs) runs interpreted per element and measured
+    2-8x slower on interleaved A/B trials. No Python UDF, no key
+    shuffle (plan-pinned in tests/test_round4_chunking.py); the slim
+    (id, text) projection is widened first (session.widen docstring —
+    explode-amplified CPU on byte-sized splits; at sf0.1 the small
+    parquet plans ONE natural split, stranding every other core).
+    Per-row memory is O(doc tokens), bounded by doc length, never
+    corpus. Deterministic: boundaries depend only on the text, so
+    re-runs and resumes emit identical chunk ids.
     """
     if max_tokens < 1:
         raise ValueError(f"max_tokens must be >= 1, got {max_tokens}")
@@ -230,21 +235,18 @@ def chunk_documents(
             lambda s: (s == F.lit(1)) | (s - s_ + (w - 1) < n),
         ),
     ).otherwise(F.array().cast("array<int>"))
-    chunks = F.transform(
-        starts,
-        lambda s: F.struct(
-            s.alias("tok_start"), F.slice(toks, s, w).alias("_w")
-        ),
-    )
-    return df.select(
+    exploded = widen_slim(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
-        F.posexplode(chunks).alias("chunk_idx", "c"),
-    ).select(
+        toks.alias("_toks"),
+        F.posexplode(starts).alias("chunk_idx", "tok_start"),
+    )
+    window = F.slice(F.col("_toks"), F.col("tok_start"), w)
+    return exploded.select(
         "id",
         F.col("chunk_idx").cast("int").alias("chunk_idx"),
-        F.col("c.tok_start").alias("tok_start"),
-        F.size("c._w").alias("n_tokens"),
-        F.array_join("c._w", " ").alias("chunk_text"),
+        "tok_start",
+        F.size(window).alias("n_tokens"),
+        F.array_join(window, " ").alias("chunk_text"),
     )
 
 
