@@ -35,14 +35,29 @@ def _hash_bucket(key_col, salt: str = "") -> F.Column:
     return _md5_int(F.concat(F.lit(salt), key)) % _BUCKETS
 
 
-def _word_ngrams(text_col, n: int):
-    """Distinct-free word n-gram array of the trimmed, lowercased text.
-    Guard: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty — docs
-    shorter than n words must yield an empty array."""
-    words = F.split(F.trim(F.lower(text_col)), r"\s+")
+def _word_ngram_rows(
+    df: DataFrame, id_col: str, text_col: str, n: int, outer: bool
+) -> DataFrame:
+    """(id, g) rows — one per word n-gram of the trimmed, lowercased
+    text. The start positions explode FIRST and the gram is built in a
+    plain row projection (slice+array_join are codegen expressions; the
+    former ``transform`` lambda ran the whole gram array interpreted —
+    the HOF-vs-explode reshape shared with MinHash shingles and
+    exact-substr grams; −19% warm / −59% cold at sf0.1). Guard: Spark's
+    sequence(1, 0) is DESCENDING [1, 0], not empty — docs shorter than
+    n words must yield no grams. ``outer=True`` keeps them (and
+    null-text docs) as one explicit null-gram marker row."""
+    words = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
     k = F.size(words) - (n - 1)
     idx = F.when(k >= 1, F.sequence(F.lit(1), k)).otherwise(F.array().cast("array<int>"))
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, n), " "))
+    ex = F.explode_outer(idx) if outer else F.explode(idx)
+    i = F.col("_i")
+    return df.select(
+        F.col(id_col).alias("id"), words.alias("_w"), ex.alias("_i")
+    ).select(
+        "id",
+        F.when(i.isNotNull(), F.array_join(F.slice(F.col("_w"), i, n), " ")).alias("g"),
+    )
 
 
 def deterministic_sample(
@@ -308,10 +323,7 @@ def repetition_stats(
     a plain explode silently dropped them, and a downstream
     rep_fraction <= threshold join then dropped every short doc.
     """
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(_word_ngrams(F.col(text_col), n)).alias("g"),
-    )
+    ex = _word_ngram_rows(df, id_col, text_col, n, outer=True)
     counts = ex.groupBy("id", "g").agg(
         # the null-gram marker row (zero n-grams) must count 0, not 1
         F.count(F.col("g")).alias("c")
@@ -350,26 +362,32 @@ def contamination_check(
     benchmark item (the eval-leakage scan every training corpus needs).
     Returns (id, bench_id, hits).
 
-    Shape: both sides explode to distinct n-gram rows keyed by a 64-bit
-    hash; inner join on the hash; count per (doc, bench) pair. The
-    benchmark side is small (eval suites are ~10^5 items) — its exploded
-    n-gram table broadcasts, so the corpus side never shuffles: scan ->
-    explode -> broadcast-hash-join -> partial count. n=8 long-gram
-    default keeps hits specific (and the n-gram table narrow).
+    Shape: both sides explode to n-gram rows keyed by a 64-bit hash;
+    inner join on the hash; DISTINCT grams per (doc, bench) pair. The
+    benchmark side is small (eval suites are ~10^5 items) — it dedupes
+    (tiny shuffle) and broadcasts, so the corpus side never shuffles
+    until the sparse post-join count: scan -> explode -> broadcast-
+    hash-join -> distinct count. Corpus grams stay duplicate-bearing
+    (within-doc repeats ride to the join; the bench side being distinct
+    bounds the blowup by doc length) so the gram hashing runs in the
+    scan's codegen span instead of an interpreted array_distinct∘
+    transform — count_distinct at the end restores exactly the old
+    per-pair distinct-gram semantics. n=8 long-gram default keeps hits
+    specific (and the n-gram table narrow).
     """
 
     def grams(d: DataFrame, idc: str, txtc: str, out_id: str) -> DataFrame:
-        gs = F.array_distinct(
-            F.transform(_word_ngrams(F.col(txtc), n), lambda g: F.xxhash64(g))
-        )
-        return d.select(F.col(idc).alias(out_id), F.explode(gs).alias("gh"))
+        rows = _word_ngram_rows(d, idc, txtc, n, outer=False)
+        return rows.select(F.col("id").alias(out_id), F.xxhash64("g").alias("gh"))
 
     c = grams(corpus, id_col, text_col, "id")
-    b = grams(benchmark, bench_id_col, bench_text_col, "bench_id")
+    b = grams(benchmark, bench_id_col, bench_text_col, "bench_id").dropDuplicates(
+        ["bench_id", "gh"]
+    )
     return (
         c.join(F.broadcast(b), "gh")
         .groupBy("id", "bench_id")
-        .agg(F.count(F.lit(1)).alias("hits"))
+        .agg(F.count_distinct(F.col("gh")).alias("hits"))
         .filter(F.col("hits") >= min_hits)
     )
 
