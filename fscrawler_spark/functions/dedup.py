@@ -54,6 +54,33 @@ def word_shingles(text_col, k: int = 3) -> F.Column:
     )
 
 
+def hashed_shingles(text_col, k: int = 3) -> F.Column:
+    """Distinct xxhash64 k-word shingle array — the int64 twin of
+    ``transform(word_shingles(...), xxhash64)`` with the two nested
+    string-array passes fused into ONE lambda whose body (slice →
+    array_join → xxhash64) is a codegen expression, and array_distinct
+    comparing 8-byte longs instead of k-word strings. Intersection and
+    size semantics are unchanged absent 64-bit collisions (~n^2/2^65):
+    distinct strings map to distinct hashes, so counts agree — the same
+    collision budget verify_candidates/jaccard_pairs already accept.
+    Null/short-text semantics mirror word_shingles exactly (null → empty
+    array, fewer than k words → one whole-text shingle)."""
+    words = F.split(normalized_text(text_col), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    shingled = F.when(
+        n < k, F.array(F.xxhash64(F.array_join(words, " ")))
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, k), " "))
+            )
+        )
+    )
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    return F.when(col.isNotNull(), shingled).otherwise(F.array().cast("array<bigint>"))
+
+
 _MIX_A = [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1, 0x1B873593,
           0xCC9E2D51, 0x38B34327, 0x52DCE729, 0x61C88647, 0x7FEB352D, 0x3243F6A9,
           0x2545F491, 0x5BD1E995, 0x6C62272E, 0x45D9F3B3]
@@ -316,14 +343,14 @@ def jaccard_pairs(
     LSH candidates; standalone it is the SF<=0.01 oracle baseline.
     """
     df = widen_slim(df, id_col, text_col)
-    sh = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_k).alias("sh")
-    )
-    sizes = sh.select("id", F.size("sh").alias("n"))
     # join on the shingle's 64-bit hash, not the string: cheaper shuffle
     # keys/compares; counts are unchanged absent xxhash64 collisions
     # (~n^2/2^65 — negligible at any realistic shingle cardinality)
-    inv = sh.select("id", F.explode(F.transform("sh", lambda x: F.xxhash64(x))).alias("s"))
+    sh = df.select(
+        F.col(id_col).alias("id"), hashed_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    sizes = sh.select("id", F.size("sh").alias("n"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
     common = (
         inv.alias("a")
         .join(inv.alias("b"), (F.col("a.s") == F.col("b.s")) & (F.col("a.id") < F.col("b.id")))
@@ -381,9 +408,7 @@ def verify_candidates(
     )
     sh = widen_slim(df, id_col, text_col).select(
         F.col(id_col).alias("id"),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_k), lambda x: F.xxhash64(x)
-        ).alias("sh"),
+        hashed_shingles(F.col(text_col), shingle_k).alias("sh"),
     ).join(cand_ids, "id", "left_semi")
     return (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
