@@ -614,3 +614,107 @@ def cosine_near_dup_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs.select("id_a", "id_b", F.round("sim", 6).alias("sim"))
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup within coarse embedding cells
+# ---------------------------------------------------------------------------
+
+
+def cell_assignments(
+    df: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, v, cell, cent_sim): each vector labeled with its nearest
+    centroid (cosine, ties to the lower cid — the IVF assignment UDF's
+    contract) plus its similarity TO that centroid. The centroid list is
+    tiny (10^2..10^5), so cent_sim comes from a broadcast join against a
+    literal centroid table with the cosine evaluated JVM-side — the
+    embedding column never leaves the executor for this step and the
+    whole assignment is a pure map (no shuffle)."""
+    spark = df.sparkSession
+    assign = make_ivf_assign_udf(centroids, nprobe=1)
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell long, _cv array<double>",
+    )
+    cells = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+    )
+    return cells.join(F.broadcast(cent_df), "cell").select(
+        "id", "v", "cell", cosine(F.col("v"), F.col("_cv")).alias("cent_sim")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_cell: int | None = DEFAULT_MAX_BUCKET,
+    keep: str = "min_id",
+    centroids: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    near-duplicates by clustering embeddings into coarse cells and
+    deduping by cosine WITHIN each cell only. Returns (id, cluster_id,
+    is_keeper) for every doc that belongs to some near-dup cluster —
+    the same contract as dedup.near_dup_pipeline (docs absent from the
+    result have no near-dup and are implicitly kept).
+
+    keep='min_id'       — keeper = smallest id per cluster (deterministic
+                          default, mirrors the text pipelines).
+    keep='centroid_far' — the paper's §3 choice: keep the member with
+                          the LOWEST similarity to its cell centroid
+                          (prefers the outlier, discards the redundant
+                          mass near the centroid); ties to the lower id.
+
+    Shape at 100 TB: centroid selection is a bounded collect
+    (sampled_centroids' deterministic hash-sample); assignment is a pure
+    map (one GEMM per Arrow batch); the only corpus-scale exchange is
+    the self-join keyed on cell — capped by ``max_cell`` via the shared
+    giant-bucket guard, which reuses that same exchange. Pair rows carry
+    (id_a, id_b, sim) only; vectors never ride a post-join shuffle.
+    Exactness: within a cell the pairs are exact cosine (no LSH recall
+    loss); across cells SemDeDup by construction never compares — the
+    paper's documented approximation.
+    """
+    if keep not in ("min_id", "centroid_far"):
+        raise ValueError(f"keep must be 'min_id' or 'centroid_far', got {keep!r}")
+    from fscrawler_spark.functions.dedup import cap_groups, connected_components
+
+    if centroids is None:
+        centroids = sampled_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
+    cells = cell_assignments(df, centroids, id_col=id_col, vec_col=vec_col)
+    capped = cap_groups(cells, ["cell"], max_cell)
+    pairs = (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
+    )
+    clusters = connected_components(pairs)
+    if keep == "min_id":
+        return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
+    from pyspark.sql import Window
+
+    scored = clusters.join(cells.select("id", "cent_sim"), "id", "left")
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("cent_sim").asc_nulls_last(), F.col("id").asc()
+    )
+    return (
+        scored.withColumn("is_keeper", F.row_number().over(w) == 1)
+        .select("id", "cluster_id", "is_keeper")
+    )

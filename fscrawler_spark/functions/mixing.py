@@ -145,3 +145,149 @@ def sample_to_token_budget(
             )
         rates[g] = q
     return mix_corpus(df, group_col, rates, key_col, salt=salt), rates
+
+
+# ---------------------------------------------------------------------------
+# DSIR: data selection with importance resampling
+# ---------------------------------------------------------------------------
+
+
+def _gram_bucket_rows(
+    df: DataFrame, id_col: str, text_col: str, buckets: int, ns: tuple[int, ...]
+) -> DataFrame:
+    """(id, b) — one row per word n-gram, hashed into ``buckets`` feature
+    buckets with the cross-engine md5 hash (dedup._md5_int), for every
+    n in ``ns``. Duplicate grams within a doc are COUNTS, not presence —
+    DSIR's bag-of-hashed-ngrams features — so no per-doc distinct."""
+    from fscrawler_spark.functions.curation import _word_ngram_rows
+    from fscrawler_spark.functions.dedup import _md5_int
+
+    out = None
+    for n in ns:
+        rows = _word_ngram_rows(df, id_col, text_col, n, outer=False)
+        out = rows if out is None else out.unionByName(rows)
+    return out.select("id", (_md5_int(F.col("g")) % buckets).alias("b"))
+
+
+def train_importance_model(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 8192,
+    ns: tuple[int, ...] = (1, 2),
+    alpha: float = 1.0,
+) -> DataFrame:
+    """DSIR importance model (Xie et al. 2023, arXiv:2302.03169 §2):
+    hashed bag-of-ngrams unigram models of the TARGET distribution (the
+    domain you want more of) and the RAW distribution (the corpus you
+    select from); the model is one row per feature bucket with
+    ``log_ratio = log p_target(b) - log p_raw(b)`` under add-``alpha``
+    smoothing. A doc's importance weight is the sum of log_ratio over
+    its gram buckets (score_importance).
+
+    The returned model is COMPLETE — exactly ``buckets`` rows, including
+    never-seen buckets at the smoothing floor — so scoring needs no
+    out-of-vocabulary default. It is model-sized (10^3..10^6 rows),
+    never corpus-sized: persist it once and broadcast it into any number
+    of scoring passes.
+
+    Shape: one explode + hash-agg per corpus (map-side partial counts),
+    a range outer-join to complete the bucket space, and two scalar
+    totals via grouped-by-nothing aggregates collected driver-side
+    (bounded). All JVM; no Python UDFs.
+    """
+    if buckets <= 0:
+        raise ValueError(f"buckets must be positive, got {buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be positive (unsmoothed zero-count "
+                         f"buckets would yield infinite log-ratios), got {alpha}")
+    spark = raw.sparkSession
+    r_cnt = _gram_bucket_rows(raw, id_col, text_col, buckets, ns).groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc")
+    )
+    t_cnt = _gram_bucket_rows(target, id_col, text_col, buckets, ns).groupBy("b").agg(
+        F.count(F.lit(1)).alias("tc")
+    )
+    r_tot = r_cnt.agg(F.sum("rc")).collect()[0][0] or 0
+    t_tot = t_cnt.agg(F.sum("tc")).collect()[0][0] or 0
+    space = spark.range(buckets).select(F.col("id").alias("b"))
+    denom_r = float(r_tot) + alpha * buckets
+    denom_t = float(t_tot) + alpha * buckets
+    return (
+        space.join(r_cnt, "b", "left")
+        .join(t_cnt, "b", "left")
+        .select(
+            "b",
+            (
+                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
+                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_r))
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def score_importance(
+    df: DataFrame,
+    model: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    ns: tuple[int, ...] = (1, 2),
+) -> DataFrame:
+    """(id, log_weight): per-doc DSIR importance = sum of the model's
+    log_ratio over the doc's gram buckets. ``buckets``/``ns`` MUST match
+    the ones the model was trained with (the model is positional — a
+    mismatch scores against the wrong features; there is nothing
+    data-level to detect it with, so it is the caller's contract, same
+    as hash-bucket salts elsewhere in this module).
+
+    Docs with no grams (null/empty text) score 0.0 — neutral, neither
+    boosted nor buried. Shape: explode -> broadcast-hash-join on the
+    model (model is buckets-sized) -> one hash-agg keyed on id; the
+    corpus shuffles once, on id, carrying (id, log_ratio) rows only."""
+    grams = _gram_bucket_rows(df, id_col, text_col, buckets, ns)
+    sums = (
+        grams.join(F.broadcast(model), "b")
+        .groupBy("id")
+        .agg(F.sum("log_ratio").alias("log_weight"))
+    )
+    ids = df.select(F.col(id_col).alias("id"))
+    return ids.join(sums, "id", "left").select(
+        "id", F.coalesce(F.col("log_weight"), F.lit(0.0)).alias("log_weight")
+    )
+
+
+def importance_resample(
+    df: DataFrame,
+    model: DataFrame,
+    k: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 8192,
+    ns: tuple[int, ...] = (1, 2),
+    seed: str = "",
+) -> DataFrame:
+    """Select ``k`` docs ~ softmax(importance) WITHOUT replacement via
+    the Gumbel-top-k trick (Vieira 2014): key = log_weight + Gumbel
+    noise, take the k largest. The noise is DETERMINISTIC — Gumbel via
+    inverse-CDF of the doc-id's md5 bucket (same u as
+    curation.deterministic_sample, shifted half a bucket off 0/1 so the
+    double log is finite) — so the SAME k docs are picked at any
+    parallelism, across resumes, and in a pure-Python oracle. Returns
+    (id, log_weight, sample_key), the selected rows only.
+
+    Shape: scoring as in score_importance, then a global top-k that
+    lowers to TakeOrderedAndProject (per-partition heaps + driver merge
+    of k rows), NOT a full sort — safe at any corpus size for the
+    k ≤ 10^7 a selection step uses."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    scored = score_importance(df, model, id_col, text_col, buckets, ns)
+    u = (_hash_bucket(F.col("id"), salt=seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
+    gumbel = -F.log(-F.log(u))
+    return (
+        scored.withColumn("sample_key", F.col("log_weight") + gumbel)
+        .orderBy(F.col("sample_key").desc(), F.col("id").asc())
+        .limit(k)
+    )
