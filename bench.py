@@ -61,7 +61,7 @@ HEADLINE = [
 # apples-to-apples; these report under "curation_queries"/"curation_sec".
 CURATION = [
     "q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget",
-    "q_chunk",
+    "q_chunk", "q_semantic_dedup", "q_dsir_select",
 ]
 
 
@@ -114,6 +114,31 @@ def _q_chunk(spark, sf_dir: str):
     from fscrawler_spark.functions.curation import chunk_documents
 
     return chunk_documents(_docs(spark, sf_dir), max_tokens=32, stride=24)
+
+
+def _q_semantic_dedup(spark, sf_dir: str):
+    # SemDeDup over the embeddings table unioned with an exact copy of
+    # itself (id-shifted): every vector has one planted semantic dup, so
+    # the whole tail — cell assignment (pure map), cell-keyed pair join,
+    # connected components, keeper pick — does real work at this SF
+    from fscrawler_spark.functions import embeddings
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    both = emb.unionByName(emb.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    # n_cells sized so cells hold ~60 vectors: SemDeDup's cost is
+    # sum-of-squared-cell-sizes; at real scale pick n_cells ~ N/10^3
+    return embeddings.semantic_dedup(both, n_cells=64, threshold=0.99)
+
+
+def _q_dsir_select(spark, sf_dir: str):
+    # DSIR select: train target/raw hashed-ngram models (two hash aggs +
+    # bounded totals), score the corpus via broadcast join, Gumbel top-k
+    from fscrawler_spark.functions import mixing
+
+    d = _docs(spark, sf_dir)
+    target = d.filter(F.col("doc_id") % 17 == 0)
+    model = mixing.train_importance_model(d, target, buckets=8192)
+    return mixing.importance_resample(d, model, k=1000, buckets=8192)
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -450,6 +475,8 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_perplexity_buckets"] = _q_perplexity_buckets
         qs["q_mix_budget"] = _q_mix_budget
         qs["q_chunk"] = _q_chunk
+        qs["q_semantic_dedup"] = _q_semantic_dedup
+        qs["q_dsir_select"] = _q_dsir_select
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))

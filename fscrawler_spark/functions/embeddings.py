@@ -634,13 +634,18 @@ def cell_assignments(
     literal centroid table with the cosine evaluated JVM-side — the
     embedding column never leaves the executor for this step and the
     whole assignment is a pure map (no shuffle)."""
+    from fscrawler_spark.session import widen_slim
+
     spark = df.sparkSession
     assign = make_ivf_assign_udf(centroids, nprobe=1)
     cent_df = spark.createDataFrame(
         [(int(c), [float(x) for x in v]) for c, v in centroids],
         "cell long, _cv array<double>",
     )
-    cells = df.select(
+    # widen the slim (id, vec) projection: the GEMM + downstream cosine
+    # join amplify per-row CPU, and a dense embeddings parquet arrives
+    # in byte-sized splits that under-parallelize both
+    cells = widen_slim(df, id_col, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
@@ -691,7 +696,20 @@ def semantic_dedup(
     if centroids is None:
         centroids = sampled_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
     cells = cell_assignments(df, centroids, id_col=id_col, vec_col=vec_col)
-    capped = cap_groups(cells, ["cell"], max_cell)
+    # normalize ONCE per row, BEFORE the self-join: cosine(a, b) inside
+    # the join recomputes both norms for every PAIR — 3 interpreted
+    # array aggregates per pair instead of 1 (measured ~3x on the pair
+    # stage, which dominates this operator). Zero-norm/NaN vectors
+    # normalize to NULL, so their sims are NULL and drop from the
+    # threshold — the same contract as cosine().
+    nrm = _norm(F.col("v"))
+    capped = cap_groups(cells, ["cell"], max_cell).select(
+        "id",
+        "cell",
+        F.when(nrm > 0, F.transform("v", lambda x: (x / nrm).cast("double")))
+        .otherwise(F.lit(None))
+        .alias("_vn"),
+    )
     pairs = (
         capped.alias("a")
         .join(
@@ -701,7 +719,7 @@ def semantic_dedup(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.v"), F.col("b.v")).alias("sim"),
+            F.nanvl(_dot(F.col("a._vn"), F.col("b._vn")), F.lit(None).cast("double")).alias("sim"),
         )
         .filter(F.col("sim") >= threshold)
     )

@@ -153,20 +153,42 @@ def sample_to_token_budget(
 
 
 def _gram_bucket_rows(
-    df: DataFrame, id_col: str, text_col: str, buckets: int, ns: tuple[int, ...]
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    ns: tuple[int, ...],
+    hash_family: str = "fast",
 ) -> DataFrame:
     """(id, b) — one row per word n-gram, hashed into ``buckets`` feature
     buckets with the cross-engine md5 hash (dedup._md5_int), for every
     n in ``ns``. Duplicate grams within a doc are COUNTS, not presence —
-    DSIR's bag-of-hashed-ngrams features — so no per-doc distinct."""
+    DSIR's bag-of-hashed-ngrams features — so no per-doc distinct.
+
+    hash_family mirrors dedup.near_dup_pipeline: 'fast' = xxhash64 (the
+    production path — measured ~4x cheaper end-to-end than md5 at sf0.1,
+    and the gram hash runs 2x per row because the model join's
+    not-null filter re-evaluates the key expression); 'md5' = the
+    cross-engine hash a hashlib/DuckDB oracle can replicate. Model and
+    scores are only comparable WITHIN one family."""
     from fscrawler_spark.functions.curation import _word_ngram_rows
     from fscrawler_spark.functions.dedup import _md5_int
 
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
+    # widen FIRST: the explode amplifies per-row CPU ~w×, and a dense
+    # parquet corpus arrives in byte-sized splits (2 tasks at sf0.1) —
+    # without this the gram+hash stage runs at the FILE's parallelism,
+    # not the session's (measured 15-20s -> ~2s at sf0.1/local[32])
+    from fscrawler_spark.session import widen_slim
+
+    slim = widen_slim(df, id_col, text_col)
     out = None
     for n in ns:
-        rows = _word_ngram_rows(df, id_col, text_col, n, outer=False)
+        rows = _word_ngram_rows(slim, id_col, text_col, n, outer=False)
         out = rows if out is None else out.unionByName(rows)
-    return out.select("id", (_md5_int(F.col("g")) % buckets).alias("b"))
+    h = F.xxhash64(F.col("g")) if hash_family == "fast" else _md5_int(F.col("g"))
+    return out.select("id", F.pmod(h, F.lit(buckets)).alias("b"))
 
 
 def train_importance_model(
@@ -177,6 +199,7 @@ def train_importance_model(
     buckets: int = 8192,
     ns: tuple[int, ...] = (1, 2),
     alpha: float = 1.0,
+    hash_family: str = "fast",
 ) -> DataFrame:
     """DSIR importance model (Xie et al. 2023, arXiv:2302.03169 §2):
     hashed bag-of-ngrams unigram models of the TARGET distribution (the
@@ -193,9 +216,11 @@ def train_importance_model(
     of scoring passes.
 
     Shape: one explode + hash-agg per corpus (map-side partial counts),
-    a range outer-join to complete the bucket space, and two scalar
-    totals via grouped-by-nothing aggregates collected driver-side
-    (bounded). All JVM; no Python UDFs.
+    a range outer-join to complete the bucket space, and the two scalar
+    totals as broadcast cross-joins over an agg-of-the-agg IN the same
+    plan — AQE's exchange reuse computes each corpus's gram pass ONCE
+    (the eager two-collect variant paid two extra corpus passes,
+    measured ~2x train cost at sf0.1). All lazy, all JVM, no UDFs.
     """
     if buckets <= 0:
         raise ValueError(f"buckets must be positive, got {buckets}")
@@ -203,25 +228,33 @@ def train_importance_model(
         raise ValueError(f"alpha must be positive (unsmoothed zero-count "
                          f"buckets would yield infinite log-ratios), got {alpha}")
     spark = raw.sparkSession
-    r_cnt = _gram_bucket_rows(raw, id_col, text_col, buckets, ns).groupBy("b").agg(
-        F.count(F.lit(1)).alias("rc")
-    )
-    t_cnt = _gram_bucket_rows(target, id_col, text_col, buckets, ns).groupBy("b").agg(
-        F.count(F.lit(1)).alias("tc")
-    )
-    r_tot = r_cnt.agg(F.sum("rc")).collect()[0][0] or 0
-    t_tot = t_cnt.agg(F.sum("tc")).collect()[0][0] or 0
+    r_cnt = _gram_bucket_rows(raw, id_col, text_col, buckets, ns, hash_family).groupBy(
+        "b"
+    ).agg(F.count(F.lit(1)).alias("rc"))
+    t_cnt = _gram_bucket_rows(target, id_col, text_col, buckets, ns, hash_family).groupBy(
+        "b"
+    ).agg(F.count(F.lit(1)).alias("tc"))
+    # totals ride the SAME plan as scalar one-row broadcast sides; the
+    # groupBy exchanges above are reused, so no second gram pass
+    r_tot = r_cnt.agg(F.coalesce(F.sum("rc"), F.lit(0)).alias("_rt"))
+    t_tot = t_cnt.agg(F.coalesce(F.sum("tc"), F.lit(0)).alias("_tt"))
     space = spark.range(buckets).select(F.col("id").alias("b"))
-    denom_r = float(r_tot) + alpha * buckets
-    denom_t = float(t_tot) + alpha * buckets
     return (
         space.join(r_cnt, "b", "left")
         .join(t_cnt, "b", "left")
+        .crossJoin(F.broadcast(r_tot))
+        .crossJoin(F.broadcast(t_tot))
         .select(
             "b",
             (
-                F.log((F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_t))
-                - F.log((F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha)) / F.lit(denom_r))
+                F.log(
+                    (F.coalesce(F.col("tc"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("_tt") + F.lit(alpha * buckets))
+                )
+                - F.log(
+                    (F.coalesce(F.col("rc"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("_rt") + F.lit(alpha * buckets))
+                )
             ).alias("log_ratio"),
         )
     )
@@ -234,19 +267,21 @@ def score_importance(
     text_col: str = "text",
     buckets: int = 8192,
     ns: tuple[int, ...] = (1, 2),
+    hash_family: str = "fast",
 ) -> DataFrame:
     """(id, log_weight): per-doc DSIR importance = sum of the model's
-    log_ratio over the doc's gram buckets. ``buckets``/``ns`` MUST match
-    the ones the model was trained with (the model is positional — a
-    mismatch scores against the wrong features; there is nothing
-    data-level to detect it with, so it is the caller's contract, same
-    as hash-bucket salts elsewhere in this module).
+    log_ratio over the doc's gram buckets. ``buckets``/``ns``/
+    ``hash_family`` MUST match the ones the model was trained with (the
+    model is positional — a mismatch scores against the wrong features;
+    there is nothing data-level to detect it with, so it is the
+    caller's contract, same as hash-bucket salts elsewhere in this
+    module).
 
     Docs with no grams (null/empty text) score 0.0 — neutral, neither
     boosted nor buried. Shape: explode -> broadcast-hash-join on the
     model (model is buckets-sized) -> one hash-agg keyed on id; the
     corpus shuffles once, on id, carrying (id, log_ratio) rows only."""
-    grams = _gram_bucket_rows(df, id_col, text_col, buckets, ns)
+    grams = _gram_bucket_rows(df, id_col, text_col, buckets, ns, hash_family)
     sums = (
         grams.join(F.broadcast(model), "b")
         .groupBy("id")
@@ -267,6 +302,7 @@ def importance_resample(
     buckets: int = 8192,
     ns: tuple[int, ...] = (1, 2),
     seed: str = "",
+    hash_family: str = "fast",
 ) -> DataFrame:
     """Select ``k`` docs ~ softmax(importance) WITHOUT replacement via
     the Gumbel-top-k trick (Vieira 2014): key = log_weight + Gumbel
@@ -283,7 +319,7 @@ def importance_resample(
     k ≤ 10^7 a selection step uses."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    scored = score_importance(df, model, id_col, text_col, buckets, ns)
+    scored = score_importance(df, model, id_col, text_col, buckets, ns, hash_family)
     u = (_hash_bucket(F.col("id"), salt=seed) + F.lit(0.5)) / F.lit(float(_BUCKETS))
     gumbel = -F.log(-F.log(u))
     return (

@@ -248,9 +248,14 @@ def _oracle_weights(docs, model):
 
 @pytest.fixture(scope="module")
 def dsir(spark):
+    # hash_family="md5" throughout this fixture: the cross-engine family
+    # the hashlib oracle can replicate. The production 'fast' family is
+    # value-checked separately against the pure-Python XXH64 twin.
     raw = spark.createDataFrame(RAW_DOCS, "doc_id long, text string")
     target = spark.createDataFrame(TARGET_DOCS, "doc_id long, text string")
-    model = mixing.train_importance_model(raw, target, buckets=B, ns=NS, alpha=ALPHA)
+    model = mixing.train_importance_model(
+        raw, target, buckets=B, ns=NS, alpha=ALPHA, hash_family="md5"
+    )
     return raw, target, model
 
 
@@ -267,7 +272,7 @@ def test_importance_scores_match_python_oracle(dsir):
     raw, _, model = dsir
     got = {
         r.id: r.log_weight
-        for r in mixing.score_importance(raw, model, buckets=B, ns=NS).collect()
+        for r in mixing.score_importance(raw, model, buckets=B, ns=NS, hash_family="md5").collect()
     }
     want = _oracle_weights(RAW_DOCS, _oracle_model(RAW_DOCS, TARGET_DOCS))
     assert set(got) == set(want)
@@ -286,7 +291,7 @@ def test_importance_resample_matches_python_oracle(dsir):
     got = [
         (r.id, r.sample_key)
         for r in mixing.importance_resample(
-            raw, model, k=4, buckets=B, ns=NS, seed="s1"
+            raw, model, k=4, buckets=B, ns=NS, seed="s1", hash_family="md5"
         ).collect()
     ]
     weights = _oracle_weights(RAW_DOCS, _oracle_model(RAW_DOCS, TARGET_DOCS))
@@ -303,7 +308,7 @@ def test_importance_resample_matches_python_oracle(dsir):
 def test_dsir_plans_stay_jvm_and_topk(dsir):
     raw, _, model = dsir
     score_plan = (
-        mixing.score_importance(raw, model, buckets=B, ns=NS)
+        mixing.score_importance(raw, model, buckets=B, ns=NS, hash_family="md5")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -311,7 +316,7 @@ def test_dsir_plans_stay_jvm_and_topk(dsir):
     assert "BroadcastHashJoin" in score_plan  # model-sized side broadcast
     assert "EvalPython" not in score_plan and "ArrowEval" not in score_plan
     topk_plan = (
-        mixing.importance_resample(raw, model, k=3, buckets=B, ns=NS)
+        mixing.importance_resample(raw, model, k=3, buckets=B, ns=NS, hash_family="md5")
         ._jdf.queryExecution()
         .executedPlan()
         .toString()
@@ -327,3 +332,47 @@ def test_dsir_validates_params(dsir):
         mixing.train_importance_model(raw, target, alpha=0.0)
     with pytest.raises(ValueError, match="k must be positive"):
         mixing.importance_resample(raw, model, k=0)
+    with pytest.raises(ValueError, match="hash_family must be"):
+        mixing.train_importance_model(raw, target, hash_family="sha1")
+
+
+def test_dsir_fast_family_matches_xxh64_twin(dsir):
+    """The production 'fast' family, value-checked end-to-end against
+    the pure-Python XXH64 twin (proven bit-identical to F.xxhash64 in
+    test_round4_fasthash_oracle) — the same oracle strategy as the fast
+    MinHash path."""
+    import test_round4_fasthash_oracle as fh
+
+    raw, target, model_md5 = dsir
+    model = mixing.train_importance_model(
+        raw, target, buckets=B, ns=NS, alpha=ALPHA, hash_family="fast"
+    )
+    got_model = {r.b: r.log_ratio for r in model.collect()}
+
+    def fast_bucket(g):
+        return fh.xxh64(g.encode()) % B  # pmod: xxh64 twin returns signed
+
+    rc, tc = {}, {}
+    for docs, cnt in ((RAW_DOCS, rc), (TARGET_DOCS, tc)):
+        for _, t in docs:
+            for g in _grams(t, NS):
+                b = fast_bucket(g)
+                cnt[b] = cnt.get(b, 0) + 1
+    r_tot, t_tot = sum(rc.values()), sum(tc.values())
+    for b in range(B):
+        want = math.log((tc.get(b, 0) + ALPHA) / (t_tot + ALPHA * B)) - math.log(
+            (rc.get(b, 0) + ALPHA) / (r_tot + ALPHA * B)
+        )
+        assert got_model[b] == pytest.approx(want, rel=1e-12), b
+    got_w = {
+        r.id: r.log_weight
+        for r in mixing.score_importance(
+            raw, model, buckets=B, ns=NS, hash_family="fast"
+        ).collect()
+    }
+    want_w = {
+        i: sum(got_model[fast_bucket(g)] for g in _grams(t, NS))
+        for i, t in RAW_DOCS
+    }
+    for i in want_w:
+        assert got_w[i] == pytest.approx(want_w[i], rel=1e-9), i
