@@ -196,6 +196,44 @@ def build_parser() -> argparse.ArgumentParser:
         help="rate for groups absent from --mix's list (default: 1.0)",
     )
     p.add_argument(
+        "--dsir-select",
+        type=int,
+        default=None,
+        metavar="K",
+        help="one-shot composition pass: train a DSIR importance model "
+        "(Xie et al. 2023; hashed-ngram target vs raw log-ratios, "
+        "functions/mixing.train_importance_model) of the docs table at "
+        "--dsir-target over the docs table at --input, then select the K "
+        "most target-like docs by deterministic Gumbel-top-k and write "
+        "them to --output with log_weight/sample_key audit columns",
+    )
+    p.add_argument(
+        "--dsir-target",
+        default=None,
+        metavar="PATH",
+        help="target-domain docs table for --dsir-select (an extraction "
+        "output root or its docs/ dir)",
+    )
+    p.add_argument(
+        "--semantic-dedup",
+        type=float,
+        default=None,
+        metavar="SIM",
+        help="one-shot pass over an EMBEDDINGS table at --input "
+        "(vec_id + embedding columns): SemDeDup (Abbas et al. 2023, "
+        "embeddings.semantic_dedup) — cluster vectors into "
+        "--semantic-cells coarse cells, link within-cell pairs with "
+        "cosine >= SIM, and write (id, cluster_id, is_keeper) to --output",
+    )
+    p.add_argument(
+        "--semantic-cells",
+        type=int,
+        default=None,
+        metavar="N",
+        help="cell count for --semantic-dedup (default: corpus_count/512 "
+        "clamped to [16, 65536] — cells of ~512 vectors)",
+    )
+    p.add_argument(
         "--near-dup",
         action="store_true",
         help="maintain the persisted near-dup store under --output "
@@ -310,9 +348,46 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--mix", args.mix is not None),
             ("--mix-budget", args.mix_budget is not None),
             ("--chunk", args.chunk is not None),
+            ("--dsir-select", args.dsir_select is not None),
         )
         if on
     ]
+    # --semantic-dedup reads an EMBEDDINGS table, not the docs table, so
+    # it shares the one-shot exclusivity contract but not the docs read
+    if args.semantic_dedup is not None and (
+        curation_verbs
+        or args.incremental or args.restart or args.dry_run or args.compact
+        or args.doctor or args.near_dup or args.loop != 1
+    ):
+        print(
+            "error: --semantic-dedup is a one-shot pass and cannot combine "
+            "with another verb",
+            file=sys.stderr,
+        )
+        return 2
+    if args.semantic_dedup is not None and not (0.0 < args.semantic_dedup <= 1.0):
+        print(
+            f"error: --semantic-dedup threshold must be in (0, 1], got "
+            f"{args.semantic_dedup}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.semantic_cells is not None and args.semantic_dedup is None:
+        print("error: --semantic-cells requires --semantic-dedup", file=sys.stderr)
+        return 2
+    if args.dsir_select is not None:
+        if args.dsir_select < 1:
+            print(
+                f"error: --dsir-select must be >= 1, got {args.dsir_select}",
+                file=sys.stderr,
+            )
+            return 2
+        if args.dsir_target is None:
+            print("error: --dsir-select requires --dsir-target", file=sys.stderr)
+            return 2
+    elif args.dsir_target is not None:
+        print("error: --dsir-target requires --dsir-select", file=sys.stderr)
+        return 2
     if len(curation_verbs) > 1 or (
         curation_verbs
         and (
@@ -591,6 +666,80 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "rates": rates,
                 "rows": sum(groups.values()),
                 "rows_by_group": groups,
+                "output": args.output,
+            }))
+            return 0
+        if args.dsir_select is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions import mixing
+
+            target, terr = _read_docs_table(spark, args.dsir_target)
+            if terr:
+                print(f"error: --dsir-target: {terr}", file=sys.stderr)
+                return 2
+            model = mixing.train_importance_model(
+                docs, target, text_col="extracted", id_col="doc_id"
+            )
+            picked = mixing.importance_resample(
+                docs, model, k=args.dsir_select, text_col="extracted", id_col="doc_id"
+            ).withColumnsRenamed({"id": "doc_id"})
+            out = docs.join(picked, "doc_id")
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            stats = written.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("log_weight").alias("lo"),
+                F.max("log_weight").alias("hi"),
+            ).collect()[0]
+            print(json.dumps({
+                "dsir_select": args.dsir_select,
+                "selected": stats["n"],
+                "log_weight_min": stats["lo"],
+                "log_weight_max": stats["hi"],
+                "output": args.output,
+            }))
+            return 0
+        if args.semantic_dedup is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions import embeddings as emb_ops
+
+            try:
+                vecs = spark.read.parquet(args.input)
+            except Exception as e:
+                print(
+                    f"error: cannot read embeddings table at {args.input}: {e}",
+                    file=sys.stderr,
+                )
+                return 2
+            if "vec_id" not in vecs.columns or "embedding" not in vecs.columns:
+                print(
+                    f"error: {args.input} is not an embeddings table "
+                    f"(needs vec_id + embedding; has {vecs.columns})",
+                    file=sys.stderr,
+                )
+                return 2
+            n_cells = args.semantic_cells
+            if n_cells is None:
+                n_cells = max(16, min(65536, vecs.count() // 512))
+            out = emb_ops.semantic_dedup(
+                vecs, n_cells=n_cells, threshold=args.semantic_dedup
+            )
+            out.sortWithinPartitions("cluster_id", "id").write.mode(
+                "overwrite"
+            ).parquet(args.output)
+            written = spark.read.parquet(args.output)
+            stats = written.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("cluster_id").alias("clusters"),
+            ).collect()[0]
+            print(json.dumps({
+                "semantic_dedup": args.semantic_dedup,
+                "n_cells": n_cells,
+                "clustered_vectors": stats["n"],
+                "clusters": stats["clusters"],
                 "output": args.output,
             }))
             return 0

@@ -262,3 +262,108 @@ def test_cli_chunk_validation(spark, tmp_path, capsys):
         )
         == 2
     )
+
+
+# --- round-4 DSIR / SemDeDup one-shot verbs ----------------------------------
+
+
+def test_cli_dsir_select(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    raw = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, "the cat sat on the mat by the door"),
+            (1, "c0", 1, "stock market prices and bond yields rose"),
+            (2, "c1", 0, "a recipe for chocolate cake and tea"),
+            (3, "c1", 1, "quarterly earnings beat market expectations"),
+            (4, "c2", 0, "the dog chased the cat around the yard"),
+        ],
+    )
+    tgt_root = str(tmp_path / "target_root")
+    spark.createDataFrame(
+        [
+            (100, "t0", 0, "stock market volatility and bond yields"),
+            (101, "t0", 1, "market earnings expectations this quarter"),
+        ],
+        "doc_id long, conv_id string, turn_idx int, extracted string",
+    ).write.parquet(os.path.join(tgt_root, "docs"))
+    out = str(tmp_path / "dsir_out")
+    rc = main(
+        ["--input", raw, "--output", out, "--dsir-select", "2",
+         "--dsir-target", tgt_root],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["selected"] == 2
+    rows = spark.read.parquet(out).collect()
+    # the finance docs must be the ones selected, full original row +
+    # log_weight/sample_key audit columns attached
+    assert sorted(r.doc_id for r in rows) == [1, 3]
+    assert all(r.log_weight is not None and r.sample_key is not None for r in rows)
+    assert {r.conv_id for r in rows} == {"c0", "c1"}  # metadata survived
+
+
+def test_cli_dsir_select_validation(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "words here")])
+    out = str(tmp_path / "nope")
+    assert main(["--input", src, "--output", out, "--dsir-select", "2"],
+                spark=spark) == 2
+    assert "--dsir-target" in capsys.readouterr().err
+    assert main(["--input", src, "--output", out, "--dsir-target", src],
+                spark=spark) == 2
+    assert "--dsir-select" in capsys.readouterr().err
+    assert main(["--input", src, "--output", out, "--dsir-select", "0",
+                 "--dsir-target", src], spark=spark) == 2
+    assert ">= 1" in capsys.readouterr().err
+
+
+def test_cli_semantic_dedup(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    # 3 vectors: 1 and 2 identical, 3 orthogonal
+    vecs = str(tmp_path / "vecs.parquet")
+    spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(vecs)
+    out = str(tmp_path / "sem_out")
+    rc = main(
+        ["--input", vecs, "--output", out, "--semantic-dedup", "0.99",
+         "--semantic-cells", "16"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["clustered_vectors"] == 2 and res["clusters"] == 1
+    rows = {r.id: (r.cluster_id, r.is_keeper) for r in spark.read.parquet(out).collect()}
+    assert rows == {1: (1, True), 2: (1, False)}
+
+
+def test_cli_semantic_dedup_validation(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "not an embeddings table")])
+    out = str(tmp_path / "nope2")
+    assert main(["--input", src, "--output", out, "--semantic-dedup", "1.5"],
+                spark=spark) == 2
+    assert "(0, 1]" in capsys.readouterr().err
+    assert main(["--input", src, "--output", out, "--semantic-cells", "4"],
+                spark=spark) == 2
+    assert "--semantic-dedup" in capsys.readouterr().err
+    # docs table is not an embeddings table: clean exit 2, not a traceback
+    assert main(["--input", os.path.join(src, "docs"), "--output", out,
+                 "--semantic-dedup", "0.9"], spark=spark) == 2
+    assert "vec_id" in capsys.readouterr().err
+    # one-shot exclusivity with another curation verb
+    assert main(["--input", src, "--output", out, "--semantic-dedup", "0.9",
+                 "--clean-text"], spark=spark) == 2
+    assert "cannot combine" in capsys.readouterr().err
