@@ -644,14 +644,59 @@ def cell_assignments(
     )
     # widen the slim (id, vec) projection: the GEMM + downstream cosine
     # join amplify per-row CPU, and a dense embeddings parquet arrives
-    # in byte-sized splits that under-parallelize both
+    # in byte-sized splits that under-parallelize both.
+    # cell comes out of an EXPLODE of the (single-element, nprobe=1)
+    # assignment array, not element_at: a Generate is a projection
+    # barrier, so join-inserted isnotnull(cell) filters reference the
+    # generated column instead of re-evaluating the Arrow UDF (the same
+    # shape as _bucketed; element_at measured 2 UDF evals per join side)
     cells = widen_slim(df, id_col, vec_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        F.element_at(assign(F.col(vec_col)), 1).alias("cell"),
+        F.explode(assign(F.col(vec_col))).alias("cell"),
     )
     return cells.join(F.broadcast(cent_df), "cell").select(
         "id", "v", "cell", cosine(F.col("v"), F.col("_cv")).alias("cent_sim")
+    )
+
+
+def semantic_pairs(
+    cells: DataFrame, threshold: float, max_cell: int | None = DEFAULT_MAX_BUCKET
+) -> DataFrame:
+    """The SemDeDup candidate stage over a ``cell_assignments`` output:
+    (id_a, id_b, sim) for every within-cell pair with cosine >=
+    threshold. Exposed standalone so the pair graph can feed other
+    consumers (audits, custom keeper policies) without running CC.
+
+    Vectors are L2-normalized ONCE per row BEFORE the self-join:
+    cosine(a, b) inside the join would recompute both norms for every
+    PAIR — 3 interpreted array aggregates per pair instead of 1
+    (measured ~3x on the pair stage, which dominates the operator).
+    Zero-norm/NaN vectors normalize to NULL, so their sims are NULL and
+    drop at the threshold — the same contract as cosine(). Pair rows
+    carry (ids, sim) only; the cap shares the cell-keyed exchange."""
+    from fscrawler_spark.functions.dedup import cap_groups
+
+    nrm = _norm(F.col("v"))
+    capped = cap_groups(cells, ["cell"], max_cell).select(
+        "id",
+        "cell",
+        F.when(nrm > 0, F.transform("v", lambda x: (x / nrm).cast("double")))
+        .otherwise(F.lit(None))
+        .alias("_vn"),
+    )
+    return (
+        capped.alias("a")
+        .join(
+            capped.alias("b"),
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.nanvl(_dot(F.col("a._vn"), F.col("b._vn")), F.lit(None).cast("double")).alias("sim"),
+        )
+        .filter(F.col("sim") >= threshold)
     )
 
 
@@ -691,38 +736,12 @@ def semantic_dedup(
     """
     if keep not in ("min_id", "centroid_far"):
         raise ValueError(f"keep must be 'min_id' or 'centroid_far', got {keep!r}")
-    from fscrawler_spark.functions.dedup import cap_groups, connected_components
+    from fscrawler_spark.functions.dedup import connected_components
 
     if centroids is None:
         centroids = sampled_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
     cells = cell_assignments(df, centroids, id_col=id_col, vec_col=vec_col)
-    # normalize ONCE per row, BEFORE the self-join: cosine(a, b) inside
-    # the join recomputes both norms for every PAIR — 3 interpreted
-    # array aggregates per pair instead of 1 (measured ~3x on the pair
-    # stage, which dominates this operator). Zero-norm/NaN vectors
-    # normalize to NULL, so their sims are NULL and drop from the
-    # threshold — the same contract as cosine().
-    nrm = _norm(F.col("v"))
-    capped = cap_groups(cells, ["cell"], max_cell).select(
-        "id",
-        "cell",
-        F.when(nrm > 0, F.transform("v", lambda x: (x / nrm).cast("double")))
-        .otherwise(F.lit(None))
-        .alias("_vn"),
-    )
-    pairs = (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.nanvl(_dot(F.col("a._vn"), F.col("b._vn")), F.lit(None).cast("double")).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
-    )
+    pairs = semantic_pairs(cells, threshold, max_cell=max_cell)
     clusters = connected_components(pairs)
     if keep == "min_id":
         return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
