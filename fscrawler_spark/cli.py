@@ -375,6 +375,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.semantic_cells is not None and args.semantic_dedup is None:
         print("error: --semantic-cells requires --semantic-dedup", file=sys.stderr)
         return 2
+    if args.semantic_cells is not None and args.semantic_cells < 1:
+        print(
+            f"error: --semantic-cells must be >= 1, got {args.semantic_cells}",
+            file=sys.stderr,
+        )
+        return 2
     if args.dsir_select is not None:
         if args.dsir_select < 1:
             print(
@@ -721,9 +727,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            n_corpus = vecs.count()
+            if n_corpus == 0:
+                # sampled_centroids on an empty table would hand numpy a
+                # zero-row matrix (AxisError traceback); the CLI contract
+                # is a clean message + exit 2
+                print(
+                    f"error: embeddings table at {args.input} is empty",
+                    file=sys.stderr,
+                )
+                return 2
             n_cells = args.semantic_cells
             if n_cells is None:
-                n_cells = max(16, min(65536, vecs.count() // 512))
+                n_cells = max(16, min(65536, n_corpus // 512))
             out = emb_ops.semantic_dedup(
                 vecs, n_cells=n_cells, threshold=args.semantic_dedup
             )

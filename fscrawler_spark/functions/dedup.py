@@ -31,27 +31,36 @@ def _md5_int(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
-def word_shingles(text_col, k: int = 3) -> F.Column:
-    """k-word shingles of the normalized text (distinct, order-dropped).
+def _shingle_array(text_col, k: int, wrap, empty_type: str) -> F.Column:
+    """Shared skeleton of the two shingle twins: distinct k-word
+    shingles of the normalized text, each passed through ``wrap``
+    (identity for the string family, F.xxhash64 fused into the lambda
+    for the int64 family — one function so null/short-text semantics
+    cannot drift between them).
 
     NULL text yields an EMPTY array, never [NULL]: a [NULL] shingle
-    would hash to the same xxhash64 seed constant for every null-text
-    doc, silently clustering all extraction-failed docs as mutual
-    near-duplicates (and diverging from the md5 family, which drops
-    them). Empty arrays explode to nothing — null-text docs simply have
-    no signature and can never be candidates."""
+    would hash to the same seed constant for every null-text doc,
+    silently clustering all extraction-failed docs as mutual
+    near-duplicates. Empty arrays explode to nothing — null-text docs
+    simply have no signature and can never be candidates. Fewer than k
+    words → one whole-text shingle."""
     words = F.split(normalized_text(text_col), " ")
     n = F.size(words)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingled = F.when(n < k, F.array(F.array_join(words, " "))).otherwise(
+    shingled = F.when(n < k, F.array(wrap(F.array_join(words, " ")))).otherwise(
         F.array_distinct(
-            F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+            F.transform(idx, lambda i: wrap(F.array_join(F.slice(words, i + 1, k), " ")))
         )
     )
     col = text_col if hasattr(text_col, "cast") else F.col(text_col)
-    return F.when(col.isNotNull(), shingled).otherwise(
-        F.array().cast("array<string>")
-    )
+    return F.when(col.isNotNull(), shingled).otherwise(F.array().cast(empty_type))
+
+
+def word_shingles(text_col, k: int = 3) -> F.Column:
+    """k-word shingles of the normalized text (distinct, order-dropped;
+    null/short-text semantics in _shingle_array). The cross-engine
+    string family — the md5 oracle twin hashes these strings."""
+    return _shingle_array(text_col, k, lambda s: s, "array<string>")
 
 
 def hashed_shingles(text_col, k: int = 3) -> F.Column:
@@ -63,22 +72,9 @@ def hashed_shingles(text_col, k: int = 3) -> F.Column:
     size semantics are unchanged absent 64-bit collisions (~n^2/2^65):
     distinct strings map to distinct hashes, so counts agree — the same
     collision budget verify_candidates/jaccard_pairs already accept.
-    Null/short-text semantics mirror word_shingles exactly (null → empty
-    array, fewer than k words → one whole-text shingle)."""
-    words = F.split(normalized_text(text_col), " ")
-    n = F.size(words)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    shingled = F.when(
-        n < k, F.array(F.xxhash64(F.array_join(words, " ")))
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i + 1, k), " "))
-            )
-        )
-    )
-    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
-    return F.when(col.isNotNull(), shingled).otherwise(F.array().cast("array<bigint>"))
+    Null/short-text semantics are word_shingles' exactly (shared
+    _shingle_array skeleton)."""
+    return _shingle_array(text_col, k, F.xxhash64, "array<bigint>")
 
 
 _MIX_A = [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1, 0x1B873593,

@@ -397,6 +397,12 @@ def make_ivf_assign_udf(centroids: list[tuple[int, list[float]]], nprobe: int = 
     """arrow_udf: embedding -> array<int> of the ``nprobe`` nearest
     centroid ids by cosine (one GEMM per Arrow batch; ties break on the
     LOWER centroid id, matching the SQL twin's ORDER BY sim DESC, cid)."""
+    if not centroids:
+        # a zero-row matrix would surface as a numpy AxisError deep in
+        # the first Arrow batch; fail at plan-build time with the cause
+        raise ValueError(
+            "IVF assignment requires at least one centroid (empty corpus?)"
+        )
     cids = np.asarray([c for c, _ in centroids], dtype=np.int64)
     mat = np.asarray([v for _, v in centroids], dtype=np.float64)  # (C, dim)
     cnorms = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -626,22 +632,22 @@ def cell_assignments(
     centroids: list[tuple[int, list[float]]],
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    with_cent_sim: bool = True,
 ) -> DataFrame:
-    """(id, v, cell, cent_sim): each vector labeled with its nearest
+    """(id, v, cell[, cent_sim]): each vector labeled with its nearest
     centroid (cosine, ties to the lower cid — the IVF assignment UDF's
-    contract) plus its similarity TO that centroid. The centroid list is
-    tiny (10^2..10^5), so cent_sim comes from a broadcast join against a
-    literal centroid table with the cosine evaluated JVM-side — the
-    embedding column never leaves the executor for this step and the
-    whole assignment is a pure map (no shuffle)."""
+    contract), plus — when ``with_cent_sim`` — its similarity TO that
+    centroid. The centroid list is tiny (10^2..10^5), so cent_sim comes
+    from a broadcast join against a literal centroid table with the
+    cosine evaluated JVM-side — the embedding column never leaves the
+    executor for this step and the whole assignment is a pure map (no
+    shuffle). Callers that never read cent_sim (semantic_dedup's
+    min_id path) pass with_cent_sim=False and skip the broadcast join
+    and per-row cosine entirely."""
     from fscrawler_spark.session import widen_slim
 
     spark = df.sparkSession
     assign = make_ivf_assign_udf(centroids, nprobe=1)
-    cent_df = spark.createDataFrame(
-        [(int(c), [float(x) for x in v]) for c, v in centroids],
-        "cell long, _cv array<double>",
-    )
     # widen the slim (id, vec) projection: the GEMM + downstream cosine
     # join amplify per-row CPU, and a dense embeddings parquet arrives
     # in byte-sized splits that under-parallelize both.
@@ -654,6 +660,12 @@ def cell_assignments(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         F.explode(assign(F.col(vec_col))).alias("cell"),
+    )
+    if not with_cent_sim:
+        return cells
+    cent_df = spark.createDataFrame(
+        [(int(c), [float(x) for x in v]) for c, v in centroids],
+        "cell long, _cv array<double>",
     )
     return cells.join(F.broadcast(cent_df), "cell").select(
         "id", "v", "cell", cosine(F.col("v"), F.col("_cv")).alias("cent_sim")
@@ -672,19 +684,25 @@ def semantic_pairs(
     cosine(a, b) inside the join would recompute both norms for every
     PAIR — 3 interpreted array aggregates per pair instead of 1
     (measured ~3x on the pair stage, which dominates the operator).
-    Zero-norm/NaN vectors normalize to NULL, so their sims are NULL and
-    drop at the threshold — the same contract as cosine(). Pair rows
-    carry (ids, sim) only; the cap shares the cell-keyed exchange."""
+    Zero-norm/NaN vectors normalize to NULL and are DROPPED before the
+    join (their sim would be NULL and fail any threshold anyway —
+    cosine()'s contract — but broken embeddings cluster into one cell,
+    so carrying m of them into the O(cell^2) join would burn
+    m*cell_size pair evaluations on rows that cannot match); dropping
+    them before the cap also keeps them from crowding out real vectors
+    under max_cell. Pair rows carry (ids, sim) only; the cap shares
+    the join's cell-keyed exchange."""
     from fscrawler_spark.functions.dedup import cap_groups
 
     nrm = _norm(F.col("v"))
-    capped = cap_groups(cells, ["cell"], max_cell).select(
+    normed = cells.select(
         "id",
         "cell",
         F.when(nrm > 0, F.transform("v", lambda x: (x / nrm).cast("double")))
         .otherwise(F.lit(None))
         .alias("_vn"),
-    )
+    ).filter(F.col("_vn").isNotNull())
+    capped = cap_groups(normed, ["cell"], max_cell)
     return (
         capped.alias("a")
         .join(
@@ -740,14 +758,29 @@ def semantic_dedup(
 
     if centroids is None:
         centroids = sampled_centroids(df, n_cells, id_col=id_col, vec_col=vec_col)
-    cells = cell_assignments(df, centroids, id_col=id_col, vec_col=vec_col)
+    # cent_sim is only read by the centroid_far keeper — min_id skips
+    # the broadcast centroid join and per-row cosine entirely
+    cells = cell_assignments(
+        df, centroids, id_col=id_col, vec_col=vec_col, with_cent_sim=False
+    )
     pairs = semantic_pairs(cells, threshold, max_cell=max_cell)
     clusters = connected_components(pairs)
     if keep == "min_id":
         return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
     from pyspark.sql import Window
 
-    scored = clusters.join(cells.select("id", "cent_sim"), "id", "left")
+    # cent_sim for CLUSTER MEMBERS only: clusters (materialized by CC,
+    # cheap to reference twice) semi-join-prunes the raw scan BELOW the
+    # assignment UDF, so the second GEMM pass is dup-cluster-sized, not
+    # corpus-sized (a full replay of the corpus-wide assignment was the
+    # round-4 review's efficiency finding)
+    members = df.join(
+        clusters.select(F.col("id").alias(id_col)), id_col, "leftsemi"
+    )
+    member_sims = cell_assignments(
+        members, centroids, id_col=id_col, vec_col=vec_col, with_cent_sim=True
+    )
+    scored = clusters.join(member_sims.select("id", "cent_sim"), "id", "left")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("cent_sim").asc_nulls_last(), F.col("id").asc()
     )

@@ -187,6 +187,12 @@ def _gram_bucket_rows(
     for n in ns:
         rows = _word_ngram_rows(slim, id_col, text_col, n, outer=False)
         out = rows if out is None else out.unionByName(rows)
+    # empty/whitespace-only text splits to [''] and would emit one ''
+    # unigram — an artifact feature that boosted/buried empty docs by
+    # whatever its bucket's log_ratio happened to be; dropping it makes
+    # score_importance's "gram-less docs score a neutral 0.0" contract
+    # true for empty docs, not just NULL ones
+    out = out.filter(F.length("g") > 0)
     h = F.xxhash64(F.col("g")) if hash_family == "fast" else _md5_int(F.col("g"))
     return out.select("id", F.pmod(h, F.lit(buckets)).alias("b"))
 

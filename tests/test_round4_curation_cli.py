@@ -367,3 +367,18 @@ def test_cli_semantic_dedup_validation(spark, tmp_path, capsys):
     assert main(["--input", src, "--output", out, "--semantic-dedup", "0.9",
                  "--clean-text"], spark=spark) == 2
     assert "cannot combine" in capsys.readouterr().err
+    assert main(["--input", src, "--output", out, "--semantic-dedup", "0.9",
+                 "--semantic-cells", "0"], spark=spark) == 2
+    assert ">= 1" in capsys.readouterr().err
+
+
+def test_cli_semantic_dedup_empty_table(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    vecs = str(tmp_path / "empty_vecs.parquet")
+    spark.createDataFrame([], "vec_id long, embedding array<double>").write.parquet(vecs)
+    out = str(tmp_path / "sem_empty_out")
+    rc = main(["--input", vecs, "--output", out, "--semantic-dedup", "0.9"],
+              spark=spark)
+    assert rc == 2
+    assert "is empty" in capsys.readouterr().err

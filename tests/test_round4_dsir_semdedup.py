@@ -222,7 +222,9 @@ def _grams(text, ns):
     for n in ns:
         if len(words) >= n:
             out += [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
-    return out
+    # the engine drops empty grams (the ''-unigram artifact of empty
+    # text) so empty docs score the documented neutral 0.0
+    return [g for g in out if g]
 
 
 def _oracle_model(raw, target):
@@ -280,10 +282,8 @@ def test_importance_scores_match_python_oracle(dsir):
         assert got[i] == pytest.approx(want[i], rel=1e-9), i
     # finance docs must outscore pets/recipe docs — the point of DSIR
     assert min(got[2], got[4], got[6], got[10]) > max(got[1], got[3], got[5])
-    # gram-less docs are neutral 0.0, never dropped
-    assert got[7] == 0.0 and got[8] == pytest.approx(
-        want[8]
-    )  # empty text has one "" unigram; whatever it scores, oracle agrees
+    # gram-less docs (NULL *and* empty text) are neutral 0.0, never dropped
+    assert got[7] == 0.0 and got[8] == 0.0
 
 
 def test_importance_resample_matches_python_oracle(dsir):
@@ -376,3 +376,36 @@ def test_dsir_fast_family_matches_xxh64_twin(dsir):
     }
     for i in want_w:
         assert got_w[i] == pytest.approx(want_w[i], rel=1e-9), i
+
+
+def test_empty_corpus_fails_loudly(spark, tmp_path):
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="at least one centroid"):
+        embeddings.make_ivf_assign_udf([])
+    # semantic_dedup over an empty corpus: centroid sampling yields [],
+    # and the failure names the cause instead of a numpy AxisError
+    with pytest.raises(ValueError, match="empty corpus"):
+        embeddings.semantic_dedup(empty, n_cells=4)
+
+
+def test_semantic_pairs_drop_broken_vectors_before_join(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [1.0, 0.0]),
+            (3, [0.0, 0.0]),          # zero norm
+            (4, [float("nan"), 1.0]),  # NaN
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    cents = embeddings.sampled_centroids(df, 1)
+    cells = embeddings.cell_assignments(df, cents)
+    pairs = embeddings.semantic_pairs(cells, 0.9)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(1, 2)}  # broken vectors produce no pairs
+    # and they are FILTERED OUT before the self-join — Catalyst pushes
+    # the _vn-not-null predicate below the assignment UDF to the scan
+    # (broken vectors never even reach the GEMM), visible as the
+    # isnotnull(transform(...)) filter over the source relation
+    plan = pairs._jdf.queryExecution().optimizedPlan().toString()
+    assert "isnotnull(transform(" in plan
