@@ -409,3 +409,39 @@ def test_semantic_pairs_drop_broken_vectors_before_join(spark):
     # isnotnull(transform(...)) filter over the source relation
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
     assert "isnotnull(transform(" in plan
+
+
+def test_new_ops_are_partitioning_stable(spark, sem_df, dsir):
+    """Determinism claims hold at any parallelism: the same rows come
+    back when the input arrives in a different partitioning (the same
+    guarantee curation.deterministic_sample and mix_corpus pin)."""
+    raw, _, model = dsir
+    a = sorted(
+        (r.id, round(r.sample_key, 9))
+        for r in mixing.importance_resample(
+            raw, model, k=4, buckets=B, ns=NS, seed="s1", hash_family="md5"
+        ).collect()
+    )
+    b = sorted(
+        (r.id, round(r.sample_key, 9))
+        for r in mixing.importance_resample(
+            raw.repartition(7), model, k=4, buckets=B, ns=NS, seed="s1",
+            hash_family="md5",
+        ).collect()
+    )
+    assert a == b
+    rows, df = sem_df
+    cents = embeddings.sampled_centroids(df, 4)
+    one = sorted(
+        (r.id, r.cluster_id, r.is_keeper)
+        for r in embeddings.semantic_dedup(
+            df, threshold=0.9, keep="centroid_far", centroids=cents
+        ).collect()
+    )
+    two = sorted(
+        (r.id, r.cluster_id, r.is_keeper)
+        for r in embeddings.semantic_dedup(
+            df.repartition(5), threshold=0.9, keep="centroid_far", centroids=cents
+        ).collect()
+    )
+    assert one == two
