@@ -182,17 +182,24 @@ def _gram_bucket_rows(
     # not the session's (measured 15-20s -> ~2s at sf0.1/local[32])
     from fscrawler_spark.session import widen_slim
 
-    slim = widen_slim(df, id_col, text_col)
+    # empty/whitespace-only text splits to [''] and would emit one ''
+    # unigram — an artifact feature that boosted/buried empty docs by
+    # whatever its bucket's log_ratio happened to be; dropping those
+    # DOCS here makes score_importance's "gram-less docs score a
+    # neutral 0.0" contract true for empty docs, not just NULL ones.
+    # The guard sits on the INPUT (one cheap trim per doc), not on the
+    # gram rows: a filter on the built gram expression re-evaluates the
+    # slice+join per row (the Filter/Project double-eval pattern —
+    # measured ~2x on the gram stage). Every gram of a non-empty
+    # trimmed text is non-empty by construction, so the two are
+    # equivalent.
+    slim = widen_slim(df, id_col, text_col).filter(
+        F.trim(F.col(text_col)) != ""
+    )
     out = None
     for n in ns:
         rows = _word_ngram_rows(slim, id_col, text_col, n, outer=False)
         out = rows if out is None else out.unionByName(rows)
-    # empty/whitespace-only text splits to [''] and would emit one ''
-    # unigram — an artifact feature that boosted/buried empty docs by
-    # whatever its bucket's log_ratio happened to be; dropping it makes
-    # score_importance's "gram-less docs score a neutral 0.0" contract
-    # true for empty docs, not just NULL ones
-    out = out.filter(F.length("g") > 0)
     h = F.xxhash64(F.col("g")) if hash_family == "fast" else _md5_int(F.col("g"))
     return out.select("id", F.pmod(h, F.lit(buckets)).alias("b"))
 
