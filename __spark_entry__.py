@@ -504,11 +504,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return execute_search(_docs(spark, sf), req)
 
-    def q_search_terms_agg(spark, sf):
-        from fscrawler_spark.operators.search import SearchRequest, Term, execute_terms_aggs
-
-        req = SearchRequest(query=Term("lang", "en"), aggregations=("source",))
-        return execute_terms_aggs(_docs(spark, sf), req)["source"]
+    # q_search_terms_agg was a driver-registry row through round 4's
+    # mid-round state; demoted to tests/test_analytics_queries.py (same
+    # DuckDB value oracle) so the assembly operators could take driver
+    # slots within the 50-query cap. A3 stays driver-checked via
+    # q_terms_agg; the search-request plumbing via q_search_bool.
 
     def q_search_highlight(spark, sf):
         # ES highlighter analog (ESSearchRequest.java:27-95): query terms
@@ -543,7 +543,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q.update(
         q_terms_agg=q_terms_agg,
         q_search_bool=q_search_bool,
-        q_search_terms_agg=q_search_terms_agg,
         q_search_highlight=q_search_highlight,
         q_search_semantic=q_search_semantic,
     )
@@ -676,8 +675,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             (F.floor(F.col("jaccard") * 1_000_000) / 1_000_000).alias("jaccard_f"),
         )
 
-    def q_simhash(spark, sf):
-        return dedup.simhash(_docs(spark, sf), id_col="doc_id", bits=32)
+    # q_simhash (the bare signature query) was a driver-registry row
+    # through round 4's mid-round state; demoted to
+    # tests/test_analytics_queries.py (same DuckDB value oracle) for the
+    # assembly-operator registry swap. The signature path stays
+    # driver-checked THROUGH q_simhash_pairs, which computes the same
+    # signatures before banding.
 
     def q_simhash_pairs(spark, sf):
         # SimHash near-dup pairs (Manku WWW'07 pigeonhole banding)
@@ -715,7 +718,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_minhash_lsh_fast=q_minhash_lsh_fast,
         q_near_dup_e2e=q_near_dup_e2e,
         q_ngram_jaccard=q_ngram_jaccard,
-        q_simhash=q_simhash,
         q_simhash_pairs=q_simhash_pairs,
     )
 
@@ -878,6 +880,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", (F.floor(F.col("ppl") * 1000) / 1000).alias("ppl_t")
         )
 
+    def _role_turns(spark, sf):
+        # the north-rule transcript shape, with a deterministic user/
+        # assistant role alternation so the assembly operators exercise
+        # both roles (the extraction queries' turn template keeps
+        # role='assistant' everywhere; identity stays (conv_id, turn_idx))
+        d = _docs(spark, sf)
+        return d.select(
+            F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+            F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+            .otherwise(F.lit("assistant"))
+            .alias("role"),
+            F.col("text"),
+        )
+
+    def q_assemble_conversations(spark, sf):
+        # conversation-level training documents: turns stitched under the
+        # <|role|> template in stable turn order (assembly module; the
+        # reference's folder-rollup analog, FsParser.java:214-260)
+        from fscrawler_spark.functions.assembly import assemble_conversations
+
+        return assemble_conversations(_role_turns(spark, sf))
+
+    def q_sft_pairs(spark, sf):
+        # (prompt, response) SFT examples: each assistant turn paired with
+        # its rendered 4-turn context window
+        from fscrawler_spark.functions.assembly import sft_examples
+
+        return sft_examples(
+            _role_turns(spark, sf), target_role="assistant", context_turns=4
+        ).select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "prompt", "response")
+
     q.update(
         q_gopher_quality=q_gopher_quality,
         q_line_dedup=q_line_dedup,
@@ -885,6 +919,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_exact_substr_spans=q_exact_substr_spans,
         q_corpus_mix=q_corpus_mix,
         q_perplexity=q_perplexity,
+        q_assemble_conversations=q_assemble_conversations,
+        q_sft_pairs=q_sft_pairs,
     )
 
     # --- multimodal plumbing (rows-only check; no SQL oracle) -----------------------
@@ -1087,11 +1123,6 @@ def oracle_sql() -> dict[str, str]:
     SELECT doc_id, source, n_chars FROM documents
     WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 400
       AND NOT starts_with(source, 'src1')
-    """
-
-    sql["q_search_terms_agg"] = """
-    SELECT source AS key, count(*) AS doc_count FROM documents
-    WHERE lang = 'en' GROUP BY source
     """
 
     sql["q_search_highlight"] = """
@@ -1328,22 +1359,6 @@ def oracle_sql() -> dict[str, str]:
     JOIN sizes na ON na.id = common.id_a
     JOIN sizes nb ON nb.id = common.id_b
     WHERE common / (na.n + nb.n - common) >= 0.5
-    """
-
-    sql["q_simhash"] = f"""
-    WITH toks AS (
-      SELECT doc_id AS id,
-             unnest(list_distinct(string_split({SQL_NORM}, ' '))) AS tok
-      FROM documents
-    ),
-    h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
-    votes AS (
-      SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
-      FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) bits
-      GROUP BY id, bit
-    )
-    SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-    FROM votes GROUP BY id
     """
 
     # masks for 4 pigeonhole bands of the 32-bit simhash (max_hamming=3)
@@ -1682,6 +1697,46 @@ def oracle_sql() -> dict[str, str]:
     p AS (SELECT doc_id, exp(-sum(lp) / count(*)) AS ppl FROM scored GROUP BY doc_id)
     SELECT d.doc_id, floor(p.ppl * 1000) / 1000 AS ppl_t
     FROM documents d LEFT JOIN p USING (doc_id)
+    """
+
+    # the north-rule turn shape with a deterministic role alternation
+    # (mirrors _role_turns above)
+    _SQL_ROLE_TURNS = """
+      SELECT 'conv-' || (doc_id % 50)::VARCHAR AS conv_id,
+             (doc_id // 50)::INT AS turn_idx,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             text
+      FROM documents
+    """
+
+    sql["q_assemble_conversations"] = f"""
+    WITH t AS ({_SQL_ROLE_TURNS}),
+    r AS (SELECT conv_id, turn_idx,
+                 '<|' || role || '|>' || chr(10) || coalesce(text, '') AS rend
+          FROM t),
+    a AS (
+      SELECT conv_id,
+             string_agg(rend, chr(10) ORDER BY turn_idx) AS doc,
+             count(*)::BIGINT AS n_turns
+      FROM r GROUP BY conv_id
+    )
+    SELECT conv_id, doc, n_turns, length(doc)::BIGINT AS n_chars FROM a
+    """
+
+    sql["q_sft_pairs"] = f"""
+    WITH t AS ({_SQL_ROLE_TURNS}),
+    r AS (SELECT conv_id, turn_idx, role, coalesce(text, '') AS resp,
+                 '<|' || role || '|>' || chr(10) || coalesce(text, '') AS rend
+          FROM t),
+    w AS (
+      SELECT conv_id, turn_idx, role, resp,
+             string_agg(rend, chr(10)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prompt
+      FROM r
+    )
+    SELECT conv_id, turn_idx::BIGINT AS turn_idx, prompt, resp AS response
+    FROM w WHERE role = 'assistant' AND prompt IS NOT NULL AND length(prompt) > 0
     """
 
     return sql

@@ -61,7 +61,7 @@ HEADLINE = [
 # apples-to-apples; these report under "curation_queries"/"curation_sec".
 CURATION = [
     "q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget",
-    "q_chunk", "q_semantic_dedup", "q_dsir_select",
+    "q_chunk", "q_semantic_dedup", "q_dsir_select", "q_assemble", "q_sft_pairs",
 ]
 
 
@@ -139,6 +139,36 @@ def _q_dsir_select(spark, sf_dir: str):
     target = d.filter(F.col("doc_id") % 17 == 0)
     model = mixing.train_importance_model(d, target, buckets=8192)
     return mixing.importance_resample(d, model, k=1000, buckets=8192)
+
+
+def _role_turns(spark, sf_dir: str):
+    # the north-rule turn shape over documents (mirrors __spark_entry__'s
+    # _role_turns): 50-turn conversations, alternating user/assistant
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+        F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+    )
+
+
+def _q_assemble(spark, sf_dir: str):
+    # conversation-level training docs: render in codegen, one hash
+    # shuffle on conv_id, sort_array within the aggregate
+    from fscrawler_spark.functions.assembly import assemble_conversations
+
+    return assemble_conversations(_role_turns(spark, sf_dir))
+
+
+def _q_sft_pairs(spark, sf_dir: str):
+    # (prompt, response) extraction under a bounded context window: one
+    # shuffle + partition-local window, per-row cost O(context_turns)
+    from fscrawler_spark.functions.assembly import sft_examples
+
+    return sft_examples(_role_turns(spark, sf_dir), context_turns=8)
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -477,6 +507,8 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_chunk"] = _q_chunk
         qs["q_semantic_dedup"] = _q_semantic_dedup
         qs["q_dsir_select"] = _q_dsir_select
+        qs["q_assemble"] = _q_assemble
+        qs["q_sft_pairs"] = _q_sft_pairs
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))

@@ -163,6 +163,45 @@ def build_parser() -> argparse.ArgumentParser:
         "disjoint; smaller = overlapping windows)",
     )
     p.add_argument(
+        "--assemble",
+        action="store_true",
+        help="one-shot assembly pass: read the extraction table at --input "
+        "and stitch each conversation's turns, in stable turn order, into "
+        "ONE training document under the <|role|> template "
+        "(assembly.assemble_conversations), writing (conv_id, doc, "
+        "n_turns, n_chars) to --output",
+    )
+    p.add_argument(
+        "--assemble-max-turns",
+        type=int,
+        default=None,
+        metavar="N",
+        help="keep only the first N turns of each conversation for "
+        "--assemble (the mega-conversation bound)",
+    )
+    p.add_argument(
+        "--sft-pairs",
+        action="store_true",
+        help="one-shot assembly pass: read the extraction table at --input "
+        "and emit one (prompt, response) SFT example per --sft-role turn, "
+        "the prompt being its rendered --sft-context-turn window "
+        "(assembly.sft_examples), written to --output",
+    )
+    p.add_argument(
+        "--sft-context",
+        type=int,
+        default=8,
+        metavar="TURNS",
+        help="context-window bound for --sft-pairs prompts (default 8 "
+        "preceding turns)",
+    )
+    p.add_argument(
+        "--sft-role",
+        default="assistant",
+        metavar="ROLE",
+        help="the response role for --sft-pairs (default assistant)",
+    )
+    p.add_argument(
         "--mix",
         default=None,
         metavar="RATES",
@@ -348,6 +387,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--mix", args.mix is not None),
             ("--mix-budget", args.mix_budget is not None),
             ("--chunk", args.chunk is not None),
+            ("--assemble", args.assemble),
+            ("--sft-pairs", args.sft_pairs),
             ("--dsir-select", args.dsir_select is not None),
         )
         if on
@@ -419,6 +460,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(
             f"error: --chunk-stride must be in [1, --chunk={args.chunk}], "
             f"got {args.chunk_stride} (a stride past the window drops tokens)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.assemble_max_turns is not None and not args.assemble:
+        print("error: --assemble-max-turns requires --assemble", file=sys.stderr)
+        return 2
+    if args.assemble_max_turns is not None and args.assemble_max_turns < 1:
+        print(
+            f"error: --assemble-max-turns must be >= 1, got {args.assemble_max_turns}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.sft_pairs and args.sft_context < 1:
+        print(
+            f"error: --sft-context must be >= 1, got {args.sft_context}",
             file=sys.stderr,
         )
         return 2
@@ -557,6 +613,69 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "max_chunk_tokens": stats["widest"],
                 "output": args.output,
             }))
+            return 0
+        if args.assemble or args.sft_pairs:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.assembly import (
+                assemble_conversations,
+                sft_examples,
+            )
+
+            missing = [c for c in ("conv_id", "turn_idx", "role") if c not in docs.columns]
+            if missing:
+                print(
+                    f"error: assembly verbs need conv_id/turn_idx/role on the "
+                    f"docs table; missing {missing}",
+                    file=sys.stderr,
+                )
+                return 2
+            if args.assemble:
+                out = assemble_conversations(
+                    docs, text_col="extracted", max_turns=args.assemble_max_turns
+                )
+                out.sortWithinPartitions("conv_id").write.mode("overwrite").parquet(
+                    args.output
+                )
+                written = spark.read.parquet(args.output)
+                stats = written.agg(
+                    F.count(F.lit(1)).alias("convs"),
+                    F.sum("n_turns").alias("turns"),
+                    F.sum("n_chars").alias("chars"),
+                ).collect()[0]
+                print(json.dumps({
+                    "assemble": True,
+                    "max_turns": args.assemble_max_turns,
+                    "conversations": stats["convs"],
+                    "turns_kept": int(stats["turns"] or 0),
+                    "chars": int(stats["chars"] or 0),
+                    "output": args.output,
+                }))
+            else:
+                out = sft_examples(
+                    docs,
+                    text_col="extracted",
+                    target_role=args.sft_role,
+                    context_turns=args.sft_context,
+                )
+                out.sortWithinPartitions("conv_id", "turn_idx").write.mode(
+                    "overwrite"
+                ).parquet(args.output)
+                written = spark.read.parquet(args.output)
+                stats = written.agg(
+                    F.count(F.lit(1)).alias("examples"),
+                    F.count_distinct("conv_id").alias("convs"),
+                    F.sum(F.length("prompt") + F.length("response")).alias("chars"),
+                ).collect()[0]
+                print(json.dumps({
+                    "sft_pairs": True,
+                    "role": args.sft_role,
+                    "context_turns": args.sft_context,
+                    "examples": stats["examples"],
+                    "conversations": stats["convs"],
+                    "chars": int(stats["chars"] or 0),
+                    "output": args.output,
+                }))
             return 0
         if args.clean_text:
             from pyspark.sql import functions as F

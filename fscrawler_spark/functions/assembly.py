@@ -1,0 +1,155 @@
+"""Transcript assembly for training-data prep: stitch per-turn rows into
+conversation-level training documents and (prompt, response) SFT
+examples.
+
+The input is the transcript shape itself — (conv_id, turn_idx, role,
+text) — and the unit of training text is the conversation, not the
+turn. The reference's analog is its folder rollup (one summary document
+per directory, FsParser.java:214-260 / FsCrawlerDocumentService); here
+the rollup concatenates the turns' text under a role template instead of
+just counting them (stats.conversation_summary keeps the counting role).
+
+Both operators are pure DataFrame compositions — no Python anywhere.
+The role template lowers to concat() inside whole-stage codegen, turn
+ordering comes from sort_array over (turn_idx, rendered) structs or a
+per-conversation window, and the ONLY exchange is the one hash shuffle
+on conv_id that the grouping key demands. Ordering is stable because
+(conv_id, turn_idx) is the table's identity (BASELINE input_hint), so
+output bytes never depend on partitioning or task order — pinned by the
+repartition-stability tests.
+
+Scale notes (100 TB): one output row per conversation means a
+mega-conversation concentrates its whole text on one row — ``max_turns``
+is the production cap for that (same knob family as
+curation.pack_sequences' ``max_group_rows``); the skewed GROUP BY itself
+is AQE skew-join territory, and the collected struct carries exactly
+(turn_idx, rendered) so the exchange never ships columns the operator
+does not read. ``sft_examples`` with a bounded ``context_turns`` keeps
+per-row work O(context) rather than O(conversation prefix) — unbounded
+context on a 10^6-turn conversation would build O(n^2) characters, so
+production callers should always bound it (the default mirrors a model
+context window, not the whole conversation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+# role template: "<|{role}|>\n{text}" — the neutral chat-markup shape;
+# kept as plain concat pieces so it stays inside codegen
+ROLE_OPEN = "<|"
+ROLE_CLOSE = "|>\n"
+TURN_SEP = "\n"
+
+
+def _rendered(role_col, text_col) -> F.Column:
+    """One turn rendered under the role template, NULL-safe on both
+    sides (a NULL role or text renders as empty, never poisons the
+    concat into NULL — DuckDB's string_agg would silently drop a NULL
+    element and the engines would desynchronize)."""
+    return F.concat(
+        F.lit(ROLE_OPEN),
+        F.coalesce(role_col, F.lit("")),
+        F.lit(ROLE_CLOSE),
+        F.coalesce(text_col, F.lit("")),
+    )
+
+
+def assemble_conversations(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    sep: str = TURN_SEP,
+    max_turns: int | None = None,
+) -> DataFrame:
+    """Concatenate each conversation's turns, in stable turn order, into
+    ONE training document: ``<|role|>\\ntext`` per turn joined by
+    ``sep``. Returns (conv_col, doc, n_turns, n_chars).
+
+    ``max_turns``: keep only the FIRST ``max_turns`` turns of each
+    conversation (document truncation — the bound that keeps a
+    mega-conversation from concentrating unbounded text on one row).
+    ``n_turns`` counts the turns KEPT, not the raw turns.
+
+    Plan shape: slim projection -> map-side render (codegen) -> one
+    hash Exchange on conv_col -> sort_array over (idx, rendered)
+    structs -> array_join. No global Sort, no Python.
+    """
+    if max_turns is not None and max_turns < 1:
+        raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+    slim = turns.select(
+        F.col(conv_col),
+        F.col(idx_col).alias("_i"),
+        _rendered(F.col(role_col), F.col(text_col)).alias("_r"),
+    )
+    arr = F.sort_array(F.collect_list(F.struct("_i", "_r")))
+    if max_turns is not None:
+        arr = F.slice(arr, 1, max_turns)
+    agg = slim.groupBy(conv_col).agg(arr.alias("_turns"))
+    doc = F.array_join(F.transform("_turns", lambda t: t["_r"]), sep)
+    return agg.select(
+        conv_col,
+        doc.alias("doc"),
+        F.size("_turns").cast("long").alias("n_turns"),
+        F.length(doc).cast("long").alias("n_chars"),
+    )
+
+
+def sft_examples(
+    turns: DataFrame,
+    *,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    text_col: str = "text",
+    target_role: str = "assistant",
+    context_turns: int | None = 8,
+    sep: str = TURN_SEP,
+    require_context: bool = True,
+) -> DataFrame:
+    """One (prompt, response) SFT example per ``target_role`` turn: the
+    prompt is the rendered concatenation of the preceding turns (all of
+    them, or the last ``context_turns`` — a model-context-window bound),
+    the response is that turn's raw text. Returns
+    (conv_col, idx_col, prompt, response).
+
+    ``require_context=True`` drops target turns with no preceding
+    context (a response with an empty prompt teaches nothing).
+
+    Plan shape: slim projection -> one hash Exchange on conv_col ->
+    partition-local sort on idx -> window collect_list over the bounded
+    frame -> codegen filter. The frame bound makes per-row prompt cost
+    O(context_turns); ``context_turns=None`` is exact-prefix semantics
+    for short conversations but O(n^2) characters on a mega-conversation
+    — bound it in production.
+    """
+    if context_turns is not None and context_turns < 1:
+        raise ValueError(f"context_turns must be >= 1, got {context_turns}")
+    lo = Window.unboundedPreceding if context_turns is None else -context_turns
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(idx_col)
+        .rowsBetween(lo, -1)
+    )
+    slim = turns.select(
+        F.col(conv_col),
+        F.col(idx_col),
+        F.col(role_col).alias("_role"),
+        F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+    )
+    out = slim.select(
+        conv_col,
+        idx_col,
+        "_role",
+        F.array_join(
+            F.collect_list(_rendered(F.col("_role"), F.col("_text"))).over(w), sep
+        ).alias("prompt"),
+        F.col("_text").alias("response"),
+    ).filter(F.col("_role") == target_role)
+    if require_context:
+        out = out.filter(F.length("prompt") > 0)
+    return out.drop("_role")

@@ -138,3 +138,41 @@ def test_flat_tag_merge(spark, con):
         "doc_id", F.element_at(F.col("tags"), "owner").alias("owner")
     )
     _match(sdf, con, "SELECT doc_id, upper(source) AS owner FROM documents")
+
+
+def test_search_terms_agg_demoted(spark, con):
+    """Driver row through mid-round-4; demoted in the assembly-operator
+    registry swap. Same Spark code and DuckDB twin, value-for-value."""
+    from fscrawler_spark.operators.search import SearchRequest, Term, execute_terms_aggs
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    req = SearchRequest(query=Term("lang", "en"), aggregations=("source",))
+    _match(execute_terms_aggs(d, req)["source"], con, """
+        SELECT source AS key, count(*) AS doc_count FROM documents
+        WHERE lang = 'en' GROUP BY source
+    """)
+
+
+def test_simhash_signatures_demoted(spark, con):
+    """Driver row through mid-round-4; demoted in the assembly-operator
+    registry swap (the signature path stays driver-checked through
+    q_simhash_pairs). Same Spark code and DuckDB twin."""
+    from __spark_entry__ import SQL_NORM
+    from fscrawler_spark.functions import dedup
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    _match(dedup.simhash(d, id_col="doc_id", bits=32), con, f"""
+        WITH toks AS (
+          SELECT doc_id AS id,
+                 unnest(list_distinct(string_split({SQL_NORM}, ' '))) AS tok
+          FROM documents
+        ),
+        h AS (SELECT id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        votes AS (
+          SELECT id, bit, sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+          FROM h, (SELECT unnest(generate_series(0, 31)) AS bit) bits
+          GROUP BY id, bit
+        )
+        SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+        FROM votes GROUP BY id
+    """)

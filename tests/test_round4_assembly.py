@@ -1,0 +1,154 @@
+"""Conversation assembly + SFT pair extraction (functions/assembly.py).
+
+Value checks are hand-computed strings and a DuckDB string_agg twin;
+plan pins hold the operators to one hash Exchange and zero Python;
+repartition-stability pins the stable-turn-order claim (output bytes
+independent of partitioning — the north rule's ordering invariant).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.functions.assembly import assemble_conversations, sft_examples
+
+SF = "/root/testdata/sf0.001"
+
+ROWS = [
+    ("c1", 1, "user", "hi", None),
+    ("c1", 0, "system", "sys", None),
+    ("c1", 2, "assistant", "hello!", "search"),
+    ("c2", 0, "user", None, None),
+    ("c2", 1, "assistant", "resp", None),
+    ("c3", 0, "assistant", "lone", None),
+]
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string"
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return spark.createDataFrame(ROWS, SCHEMA)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_assemble_hand_computed(turns):
+    got = {r["conv_id"]: r.asDict() for r in assemble_conversations(turns).collect()}
+    assert got["c1"]["doc"] == "<|system|>\nsys\n<|user|>\nhi\n<|assistant|>\nhello!"
+    assert got["c1"]["n_turns"] == 3
+    assert got["c1"]["n_chars"] == len(got["c1"]["doc"])
+    # NULL text renders empty, never drops the turn or poisons the doc
+    assert got["c2"]["doc"] == "<|user|>\n\n<|assistant|>\nresp"
+    assert got["c3"]["doc"] == "<|assistant|>\nlone"
+
+
+def test_assemble_max_turns_truncates_from_the_front(turns):
+    got = {
+        r["conv_id"]: r.asDict()
+        for r in assemble_conversations(turns, max_turns=2).collect()
+    }
+    assert got["c1"]["doc"] == "<|system|>\nsys\n<|user|>\nhi"
+    assert got["c1"]["n_turns"] == 2  # turns KEPT, not raw turns
+    assert got["c3"]["n_turns"] == 1
+
+
+def test_sft_hand_computed(turns):
+    got = {
+        (r["conv_id"], r["turn_idx"]): r.asDict()
+        for r in sft_examples(turns, context_turns=2).collect()
+    }
+    assert got[("c1", 2)]["prompt"] == "<|system|>\nsys\n<|user|>\nhi"
+    assert got[("c1", 2)]["response"] == "hello!"
+    assert got[("c2", 1)]["prompt"] == "<|user|>\n"
+    # c3's assistant turn has no context -> dropped by require_context
+    assert ("c3", 0) not in got
+    assert len(got) == 2
+
+
+def test_sft_context_window_bounds_the_prompt(spark):
+    t = spark.createDataFrame(
+        [("c", i, "user" if i % 2 == 0 else "assistant", f"t{i}") for i in range(6)],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = {
+        r["turn_idx"]: r["prompt"]
+        for r in sft_examples(t, context_turns=2).collect()
+    }
+    # turn 5 sees only turns 3 and 4, not the whole prefix
+    assert got[5] == "<|assistant|>\nt3\n<|user|>\nt4"
+    unbounded = {
+        r["turn_idx"]: r["prompt"] for r in sft_examples(t, context_turns=None).collect()
+    }
+    assert unbounded[5].startswith("<|user|>\nt0\n")
+    assert unbounded[5].count("<|") == 5
+
+
+def test_sft_keep_contextless_and_other_role(turns):
+    got = sft_examples(turns, context_turns=2, require_context=False).collect()
+    assert ("c3", 0, "", "lone") in {
+        (r["conv_id"], r["turn_idx"], r["prompt"], r["response"]) for r in got
+    }
+    users = sft_examples(turns, target_role="user", context_turns=2).collect()
+    assert {(r["conv_id"], r["turn_idx"]) for r in users} == {("c1", 1)}
+
+
+def test_validation_errors(turns):
+    with pytest.raises(ValueError, match="max_turns"):
+        assemble_conversations(turns, max_turns=0)
+    with pytest.raises(ValueError, match="context_turns"):
+        sft_examples(turns, context_turns=0)
+
+
+def test_assembly_duckdb_twin(spark):
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    t = d.select(
+        F.col("source").alias("conv_id"),
+        F.col("doc_id").cast("int").alias("turn_idx"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("user")).otherwise(F.lit("assistant")).alias("role"),
+        "text",
+    )
+    sdf = assemble_conversations(t, max_turns=40)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'")
+    exp = con.execute("""
+        WITH t AS (
+          SELECT source AS conv_id, doc_id AS turn_idx,
+                 CASE WHEN doc_id % 3 = 0 THEN 'user' ELSE 'assistant' END AS role, text
+          FROM documents
+        ),
+        ranked AS (
+          SELECT *, row_number() OVER (PARTITION BY conv_id ORDER BY turn_idx) AS rn FROM t
+        ),
+        a AS (
+          SELECT conv_id,
+                 string_agg('<|' || role || '|>' || chr(10) || coalesce(text, ''),
+                            chr(10) ORDER BY turn_idx) AS doc,
+                 count(*)::BIGINT AS n_turns
+          FROM ranked WHERE rn <= 40 GROUP BY conv_id
+        )
+        SELECT conv_id, doc, n_turns, length(doc)::BIGINT AS n_chars FROM a
+    """).fetchall()
+    got = sorted(tuple(r) for r in sdf.collect())
+    assert got == sorted(exp)
+
+
+def test_plan_one_exchange_no_python(turns):
+    for df in (assemble_conversations(turns), sft_examples(turns, context_turns=4)):
+        plan = plan_of(df)
+        assert plan.count("Exchange") == 1, plan
+        assert "Python" not in plan, plan
+        # window/group sort stays partition-local: never a global sort
+        assert "global=true" not in plan, plan
+
+
+def test_partition_stability(spark, turns):
+    base_a = sorted(tuple(r) for r in assemble_conversations(turns).collect())
+    base_s = sorted(tuple(r) for r in sft_examples(turns, context_turns=2).collect())
+    for reshaped in (turns.repartition(7), turns.coalesce(1), turns.repartition(3, "role")):
+        assert sorted(tuple(r) for r in assemble_conversations(reshaped).collect()) == base_a
+        assert (
+            sorted(tuple(r) for r in sft_examples(reshaped, context_turns=2).collect())
+            == base_s
+        )

@@ -382,3 +382,86 @@ def test_cli_semantic_dedup_empty_table(spark, tmp_path, capsys):
               spark=spark)
     assert rc == 2
     assert "is empty" in capsys.readouterr().err
+
+
+def _turn_table(spark, tmp_path):
+    p = str(tmp_path / "docs_in")
+    spark.createDataFrame(
+        [
+            (0, "c0", 0, "user", "ask zero"),
+            (1, "c0", 1, "assistant", "answer zero"),
+            (2, "c0", 2, "user", "ask one"),
+            (3, "c0", 3, "assistant", "answer one"),
+            (4, "c1", 0, "assistant", "contextless"),
+        ],
+        "doc_id long, conv_id string, turn_idx int, role string, extracted string",
+    ).write.parquet(os.path.join(p, "docs"))
+    return p
+
+
+def test_cli_assemble(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _turn_table(spark, tmp_path)
+    out = str(tmp_path / "assembled")
+    rc = main(["--input", src, "--output", out, "--assemble"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["conversations"] == 2 and res["turns_kept"] == 5
+    by_conv = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    assert by_conv["c0"].doc == (
+        "<|user|>\nask zero\n<|assistant|>\nanswer zero\n"
+        "<|user|>\nask one\n<|assistant|>\nanswer one"
+    )
+    assert by_conv["c1"].n_turns == 1
+
+    # max-turns bound
+    out2 = str(tmp_path / "assembled2")
+    rc = main(
+        ["--input", src, "--output", out2, "--assemble", "--assemble-max-turns", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["turns_kept"] == 3  # 2 from c0, 1 from c1
+
+
+def test_cli_sft_pairs(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _turn_table(spark, tmp_path)
+    out = str(tmp_path / "sft")
+    rc = main(
+        ["--input", src, "--output", out, "--sft-pairs", "--sft-context", "2"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["examples"] == 2 and res["conversations"] == 1
+    rows = {
+        (r.conv_id, r.turn_idx): r for r in spark.read.parquet(out).collect()
+    }
+    assert rows[("c0", 1)].prompt == "<|user|>\nask zero"
+    assert rows[("c0", 3)].prompt == "<|assistant|>\nanswer zero\n<|user|>\nask one"
+    assert rows[("c0", 3)].response == "answer one"
+    assert ("c1", 0) not in rows  # contextless assistant turn dropped
+
+
+def test_cli_assembly_validation(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _turn_table(spark, tmp_path)
+    out = str(tmp_path / "nope")
+    assert main(["--input", src, "--output", out, "--assemble-max-turns", "3"],
+                spark=spark) == 2
+    assert main(["--input", src, "--output", out, "--sft-pairs", "--sft-context", "0"],
+                spark=spark) == 2
+    assert main(["--input", src, "--output", out, "--assemble", "--sft-pairs"],
+                spark=spark) == 2
+    # docs table without the turn columns is refused with a clear message
+    bare = str(tmp_path / "bare")
+    spark.createDataFrame(
+        [(0, "x")], "doc_id long, extracted string"
+    ).write.parquet(os.path.join(bare, "docs"))
+    assert main(["--input", bare, "--output", out, "--assemble"], spark=spark) == 2
+    assert "conv_id/turn_idx/role" in capsys.readouterr().err
