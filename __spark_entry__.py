@@ -109,6 +109,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
+def _role_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule transcript shape over documents, with a
+    deterministic user/assistant role alternation so the assembly
+    operators exercise both roles (the extraction queries' turn template
+    keeps role='assistant' everywhere; identity stays (conv_id,
+    turn_idx)). Module-level so bench.py measures exactly the workload
+    the driver oracle validates."""
+    d = _docs(spark, sf_dir)
+    return d.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+        F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+    )
+
+
 _EMB_COUNT_CACHE: dict = {}
 
 
@@ -878,21 +896,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         lm = train_char_lm(d, n=3, add_k=0.5, min_count=2, max_ngrams=200_000)
         return add_perplexity(d, lm).select(
             "doc_id", (F.floor(F.col("ppl") * 1000) / 1000).alias("ppl_t")
-        )
-
-    def _role_turns(spark, sf):
-        # the north-rule transcript shape, with a deterministic user/
-        # assistant role alternation so the assembly operators exercise
-        # both roles (the extraction queries' turn template keeps
-        # role='assistant' everywhere; identity stays (conv_id, turn_idx))
-        d = _docs(spark, sf)
-        return d.select(
-            F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
-            F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
-            F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
-            .otherwise(F.lit("assistant"))
-            .alias("role"),
-            F.col("text"),
         )
 
     def q_assemble_conversations(spark, sf):

@@ -47,6 +47,9 @@ HEADLINE = [
     # correctness parity at sf0.01, not throughput. q_near_dup_fast below
     # is the same pipeline on the production xxhash64 family.
     "q_near_dup_fast",
+    # q_simhash left the driver registry in the assembly swap; it stays a
+    # battery column (bench-local callable) so the r1-r4 history rows
+    # remain comparable
     "q_simhash",
     "q_ann_topk",
     "q_ann_lsh",
@@ -141,34 +144,32 @@ def _q_dsir_select(spark, sf_dir: str):
     return mixing.importance_resample(d, model, k=1000, buckets=8192)
 
 
-def _role_turns(spark, sf_dir: str):
-    # the north-rule turn shape over documents (mirrors __spark_entry__'s
-    # _role_turns): 50-turn conversations, alternating user/assistant
-    d = _docs(spark, sf_dir)
-    return d.select(
-        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
-        F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
-        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
-        .otherwise(F.lit("assistant"))
-        .alias("role"),
-        F.col("text"),
-    )
+def _q_simhash(spark, sf_dir: str):
+    # battery continuity: q_simhash left the driver registry in the
+    # assembly swap (its oracle now lives in tests/test_analytics_queries)
+    from fscrawler_spark.functions import dedup
+
+    return dedup.simhash(_docs(spark, sf_dir), id_col="doc_id", bits=32)
 
 
 def _q_assemble(spark, sf_dir: str):
     # conversation-level training docs: render in codegen, one hash
-    # shuffle on conv_id, sort_array within the aggregate
+    # shuffle on conv_id, sort_array within the aggregate. The turn shape
+    # is imported from __spark_entry__ so the bench measures exactly the
+    # workload the driver oracle validates
+    import __spark_entry__ as entry_mod
     from fscrawler_spark.functions.assembly import assemble_conversations
 
-    return assemble_conversations(_role_turns(spark, sf_dir))
+    return assemble_conversations(entry_mod._role_turns(spark, sf_dir))
 
 
 def _q_sft_pairs(spark, sf_dir: str):
     # (prompt, response) extraction under a bounded context window: one
     # shuffle + partition-local window, per-row cost O(context_turns)
+    import __spark_entry__ as entry_mod
     from fscrawler_spark.functions.assembly import sft_examples
 
-    return sft_examples(_role_turns(spark, sf_dir), context_turns=8)
+    return sft_examples(entry_mod._role_turns(spark, sf_dir), context_turns=8)
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -500,6 +501,7 @@ def run_headline_queries() -> dict[str, float]:
     try:
         qs = entry_mod.queries()
         qs["q_near_dup_fast"] = _q_near_dup_fast
+        qs["q_simhash"] = _q_simhash
         qs["q_clean_text"] = _q_clean_text
         qs["q_exact_substr"] = _q_exact_substr
         qs["q_perplexity_buckets"] = _q_perplexity_buckets

@@ -184,20 +184,20 @@ def build_parser() -> argparse.ArgumentParser:
         action="store_true",
         help="one-shot assembly pass: read the extraction table at --input "
         "and emit one (prompt, response) SFT example per --sft-role turn, "
-        "the prompt being its rendered --sft-context-turn window "
+        "the prompt being its rendered --sft-context turn window "
         "(assembly.sft_examples), written to --output",
     )
     p.add_argument(
         "--sft-context",
         type=int,
-        default=8,
+        default=None,
         metavar="TURNS",
         help="context-window bound for --sft-pairs prompts (default 8 "
         "preceding turns)",
     )
     p.add_argument(
         "--sft-role",
-        default="assistant",
+        default=None,
         metavar="ROLE",
         help="the response role for --sft-pairs (default assistant)",
     )
@@ -472,7 +472,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.sft_pairs and args.sft_context < 1:
+    if (args.sft_context is not None or args.sft_role is not None) and not args.sft_pairs:
+        print("error: --sft-context/--sft-role require --sft-pairs", file=sys.stderr)
+        return 2
+    if args.sft_context is not None and args.sft_context < 1:
         print(
             f"error: --sft-context must be >= 1, got {args.sft_context}",
             file=sys.stderr,
@@ -652,11 +655,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "output": args.output,
                 }))
             else:
+                sft_role = args.sft_role if args.sft_role is not None else "assistant"
+                sft_context = args.sft_context if args.sft_context is not None else 8
                 out = sft_examples(
                     docs,
                     text_col="extracted",
-                    target_role=args.sft_role,
-                    context_turns=args.sft_context,
+                    target_role=sft_role,
+                    context_turns=sft_context,
                 )
                 out.sortWithinPartitions("conv_id", "turn_idx").write.mode(
                     "overwrite"
@@ -669,8 +674,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 ).collect()[0]
                 print(json.dumps({
                     "sft_pairs": True,
-                    "role": args.sft_role,
-                    "context_turns": args.sft_context,
+                    "role": sft_role,
+                    "context_turns": sft_context,
                     "examples": stats["examples"],
                     "conversations": stats["convs"],
                     "chars": int(stats["chars"] or 0),

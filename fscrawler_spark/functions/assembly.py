@@ -86,9 +86,20 @@ def assemble_conversations(
         F.col(idx_col).alias("_i"),
         _rendered(F.col(role_col), F.col(text_col)).alias("_r"),
     )
-    arr = F.sort_array(F.collect_list(F.struct("_i", "_r")))
     if max_turns is not None:
-        arr = F.slice(arr, 1, max_turns)
+        # bound the aggregation BUFFER, not just the output: drop past-cap
+        # turns with a partition-local row_number BEFORE collect_list, so
+        # a mega-conversation never accumulates (then discards) its whole
+        # text in one ObjectHashAggregate buffer. The window shares the
+        # groupBy's hashpartitioning(conv_col), so this is still ONE
+        # Exchange (plan-pinned).
+        w = Window.partitionBy(conv_col).orderBy("_i")
+        slim = (
+            slim.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= max_turns)
+            .drop("_rn")
+        )
+    arr = F.sort_array(F.collect_list(F.struct("_i", "_r")))
     agg = slim.groupBy(conv_col).agg(arr.alias("_turns"))
     doc = F.array_join(F.transform("_turns", lambda t: t["_r"]), sep)
     return agg.select(

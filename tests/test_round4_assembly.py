@@ -135,7 +135,13 @@ def test_assembly_duckdb_twin(spark):
 
 
 def test_plan_one_exchange_no_python(turns):
-    for df in (assemble_conversations(turns), sft_examples(turns, context_turns=4)):
+    # max_turns pre-filters with a window that must SHARE the groupBy's
+    # hashpartitioning — the buffer bound may not cost a second Exchange
+    for df in (
+        assemble_conversations(turns),
+        assemble_conversations(turns, max_turns=2),
+        sft_examples(turns, context_turns=4),
+    ):
         plan = plan_of(df)
         assert plan.count("Exchange") == 1, plan
         assert "Python" not in plan, plan

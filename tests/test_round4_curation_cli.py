@@ -456,6 +456,11 @@ def test_cli_assembly_validation(spark, tmp_path, capsys):
                 spark=spark) == 2
     assert main(["--input", src, "--output", out, "--sft-pairs", "--sft-context", "0"],
                 spark=spark) == 2
+    # SFT knobs without --sft-pairs are rejected, not silently ignored
+    assert main(["--input", src, "--output", out, "--assemble", "--sft-context", "4"],
+                spark=spark) == 2
+    assert main(["--input", src, "--output", out, "--assemble", "--sft-role", "user"],
+                spark=spark) == 2
     assert main(["--input", src, "--output", out, "--assemble", "--sft-pairs"],
                 spark=spark) == 2
     # docs table without the turn columns is refused with a clear message
