@@ -254,6 +254,31 @@ def build_parser() -> argparse.ArgumentParser:
         "output root or its docs/ dir)",
     )
     p.add_argument(
+        "--quality-filter",
+        type=float,
+        default=None,
+        metavar="THRESHOLD",
+        help="one-shot curation pass: train a fastText-style NB quality "
+        "classifier (quality_classifier.train_quality_classifier) on the "
+        "labeled seed tables at --quality-pos/--quality-neg, score the "
+        "docs table at --input, and write the rows whose log-odds exceed "
+        "THRESHOLD (0.0 = Bayes boundary; raise for precision) to "
+        "--output with a log_odds audit column",
+    )
+    p.add_argument(
+        "--quality-pos",
+        default=None,
+        metavar="PATH",
+        help="positive ('keep more like this') seed docs table for "
+        "--quality-filter (an extraction output root or its docs/ dir)",
+    )
+    p.add_argument(
+        "--quality-neg",
+        default=None,
+        metavar="PATH",
+        help="negative ('junk') seed docs table for --quality-filter",
+    )
+    p.add_argument(
         "--semantic-dedup",
         type=float,
         default=None,
@@ -390,6 +415,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--assemble", args.assemble),
             ("--sft-pairs", args.sft_pairs),
             ("--dsir-select", args.dsir_select is not None),
+            ("--quality-filter", args.quality_filter is not None),
         )
         if on
     ]
@@ -434,6 +460,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             return 2
     elif args.dsir_target is not None:
         print("error: --dsir-target requires --dsir-select", file=sys.stderr)
+        return 2
+    if args.quality_filter is not None:
+        if args.quality_pos is None or args.quality_neg is None:
+            print(
+                "error: --quality-filter requires --quality-pos AND --quality-neg",
+                file=sys.stderr,
+            )
+            return 2
+    elif args.quality_pos is not None or args.quality_neg is not None:
+        print(
+            "error: --quality-pos/--quality-neg require --quality-filter",
+            file=sys.stderr,
+        )
         return 2
     if len(curation_verbs) > 1 or (
         curation_verbs
@@ -828,6 +867,52 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "selected": stats["n"],
                 "log_weight_min": stats["lo"],
                 "log_weight_max": stats["hi"],
+                "output": args.output,
+            }))
+            return 0
+        if args.quality_filter is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.quality_classifier import (
+                classify_quality,
+                train_quality_classifier,
+            )
+
+            pos, perr = _read_docs_table(spark, args.quality_pos)
+            if perr:
+                print(f"error: --quality-pos: {perr}", file=sys.stderr)
+                return 2
+            neg, nerr = _read_docs_table(spark, args.quality_neg)
+            if nerr:
+                print(f"error: --quality-neg: {nerr}", file=sys.stderr)
+                return 2
+            try:
+                model = train_quality_classifier(pos, neg, text_col="extracted")
+            except ValueError as e:
+                print(f"error: --quality-filter: {e}", file=sys.stderr)
+                return 2
+            scored = classify_quality(
+                docs, model, text_col="extracted", threshold=args.quality_filter
+            )
+            total = docs.count()
+            out = docs.join(
+                scored.filter("keep").select("doc_id", "log_odds"), "doc_id"
+            )
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            stats = written.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("log_odds").alias("lo"),
+                F.max("log_odds").alias("hi"),
+            ).collect()[0]
+            print(json.dumps({
+                "quality_filter": args.quality_filter,
+                "prior_log_odds": model.prior_log_odds,
+                "total": total,
+                "kept": stats["n"],
+                "log_odds_min": stats["lo"],
+                "log_odds_max": stats["hi"],
                 "output": args.output,
             }))
             return 0

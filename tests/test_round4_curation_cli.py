@@ -470,3 +470,47 @@ def test_cli_assembly_validation(spark, tmp_path, capsys):
     ).write.parquet(os.path.join(bare, "docs"))
     assert main(["--input", bare, "--output", out, "--assemble"], spark=spark) == 2
     assert "conv_id/turn_idx/role" in capsys.readouterr().err
+
+
+def test_cli_quality_filter(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    def table(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, conv_id string, turn_idx int, extracted string"
+        ).write.parquet(os.path.join(p, "docs"))
+        return p
+
+    pos = table("pos", [
+        (0, "p", 0, "clear reference documentation about the extraction plan"),
+        (1, "p", 1, "well formed sentences describing spark partitioning"),
+    ])
+    neg = table("neg", [
+        (10, "n", 0, "zzz qqq click here buy now zzz"),
+        (11, "n", 1, "qqq zzz buy click xxx"),
+    ])
+    corpus = table("corpus", [
+        (100, "c", 0, "reference documentation about spark partitioning"),
+        (101, "c", 1, "click here buy now qqq zzz"),
+    ])
+    out = str(tmp_path / "kept")
+    rc = main(
+        ["--input", corpus, "--output", out, "--quality-filter", "0.0",
+         "--quality-pos", pos, "--quality-neg", neg],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total"] == 2 and res["kept"] == 1
+    kept = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in kept] == [100]
+    assert kept[0].log_odds > 0.0  # audit column rides the kept rows
+
+    # seeds flags are coupled to the verb in both directions
+    assert main(["--input", corpus, "--output", out, "--quality-filter", "0.0"],
+                spark=spark) == 2
+    assert main(["--input", corpus, "--output", out, "--quality-pos", pos],
+                spark=spark) == 2
+    err = capsys.readouterr().err
+    assert "--quality-pos AND --quality-neg" in err and "require --quality-filter" in err
