@@ -853,7 +853,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             picked = mixing.importance_resample(
                 docs, model, k=args.dsir_select, text_col="extracted", id_col="doc_id"
             ).withColumnsRenamed({"id": "doc_id"})
-            out = docs.join(picked, "doc_id")
+            # re-selecting from a previous dsir output: drop its stale
+            # audit columns before re-attaching (COLUMN_ALREADY_EXISTS)
+            out = docs.drop("log_weight", "sample_key").join(picked, "doc_id")
             order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
             out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
             written = spark.read.parquet(args.output)
@@ -895,7 +897,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 docs, model, text_col="extracted", threshold=args.quality_filter
             )
             total = docs.count()
-            out = docs.join(
+            # re-filtering a previous quality-filter output is a natural
+            # workflow: drop its stale audit column before re-attaching
+            out = docs.drop("log_odds").join(
                 scored.filter("keep").select("doc_id", "log_odds"), "doc_id"
             )
             order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]

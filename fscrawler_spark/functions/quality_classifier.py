@@ -64,11 +64,17 @@ def train_quality_classifier(
     never call this with the full corpus as a "seed")."""
     from fscrawler_spark.functions.mixing import train_importance_model
 
-    n_pos = positive.filter(F.col(text_col).isNotNull()).count()
-    n_neg = negative.filter(F.col(text_col).isNotNull()).count()
+    # count exactly what the gram pipeline will train on (it drops
+    # whitespace-only text, _gram_bucket_rows' input trim): an all-blank
+    # seed set must fail THIS guard, not silently train a zero-mass side;
+    # and blank seeds must not inflate the prior without contributing
+    # likelihood mass
+    has_text = F.trim(F.col(text_col)) != ""
+    n_pos = positive.filter(has_text).count()
+    n_neg = negative.filter(has_text).count()
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
-            f"both seed sets need at least one non-null-text example "
+            f"both seed sets need at least one example with non-blank text "
             f"(got positive={n_pos}, negative={n_neg})"
         )
     import math

@@ -514,3 +514,83 @@ def test_cli_quality_filter(spark, tmp_path, capsys):
                 spark=spark) == 2
     err = capsys.readouterr().err
     assert "--quality-pos AND --quality-neg" in err and "require --quality-filter" in err
+
+
+def test_cli_quality_filter_refilter_own_output(spark, tmp_path, capsys):
+    """Feeding a quality-filter output back with a higher threshold must
+    work (stale log_odds dropped), not crash with COLUMN_ALREADY_EXISTS."""
+    from fscrawler_spark.cli import main
+
+    def table(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, conv_id string, turn_idx int, extracted string"
+        ).write.parquet(os.path.join(p, "docs"))
+        return p
+
+    pos = table("pos2", [(0, "p", 0, "clear documentation text about spark plans")])
+    neg = table("neg2", [(10, "n", 0, "zzz qqq click buy zzz qqq")])
+    corpus = table("corpus2", [
+        (100, "c", 0, "documentation text about spark"),
+        (101, "c", 1, "click buy zzz qqq"),
+    ])
+    out1 = str(tmp_path / "pass1")
+    assert main(["--input", corpus, "--output", out1, "--quality-filter", "0.0",
+                 "--quality-pos", pos, "--quality-neg", neg], spark=spark) == 0
+    out2 = str(tmp_path / "pass2")
+    rc = main(["--input", out1, "--output", out2, "--quality-filter", "1.0",
+               "--quality-pos", pos, "--quality-neg", neg], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] <= res["total"]
+    cols = spark.read.parquet(out2).columns
+    assert cols.count("log_odds") == 1
+
+
+def test_quality_filter_blank_seed_set_rejected(spark, tmp_path, capsys):
+    """Whitespace-only seed text must fail the seed guard (the gram
+    pipeline would train a zero-mass side), with a clean CLI exit 2."""
+    from fscrawler_spark.cli import main
+
+    def table(name, rows):
+        p = str(tmp_path / name)
+        spark.createDataFrame(
+            rows, "doc_id long, conv_id string, turn_idx int, extracted string"
+        ).write.parquet(os.path.join(p, "docs"))
+        return p
+
+    pos = table("posb", [(0, "p", 0, "   "), (1, "p", 1, None)])
+    neg = table("negb", [(10, "n", 0, "zzz qqq")])
+    corpus = table("corpusb", [(100, "c", 0, "anything")])
+    out = str(tmp_path / "nokeep")
+    rc = main(["--input", corpus, "--output", out, "--quality-filter", "0.0",
+               "--quality-pos", pos, "--quality-neg", neg], spark=spark)
+    assert rc == 2
+    err = capsys.readouterr().err
+    assert "non-blank text" in err and "Traceback" not in err
+
+
+def test_cli_dsir_reselect_own_output(spark, tmp_path, capsys):
+    """Same re-feed contract for --dsir-select: its log_weight/sample_key
+    audit columns must not collide on a second pass."""
+    from fscrawler_spark.cli import main
+
+    rows = [(i, f"c{i % 3}", i // 3, f"some words number {i} " + "filler " * (i % 4))
+            for i in range(30)]
+    src = str(tmp_path / "dsir_in")
+    spark.createDataFrame(
+        rows, "doc_id long, conv_id string, turn_idx int, extracted string"
+    ).write.parquet(os.path.join(src, "docs"))
+    target = str(tmp_path / "dsir_t")
+    spark.createDataFrame(
+        rows[:5], "doc_id long, conv_id string, turn_idx int, extracted string"
+    ).write.parquet(os.path.join(target, "docs"))
+    out1 = str(tmp_path / "sel1")
+    assert main(["--input", src, "--output", out1, "--dsir-select", "10",
+                 "--dsir-target", target], spark=spark) == 0
+    out2 = str(tmp_path / "sel2")
+    rc = main(["--input", out1, "--output", out2, "--dsir-select", "5",
+               "--dsir-target", target], spark=spark)
+    assert rc == 0
+    cols = spark.read.parquet(out2).columns
+    assert cols.count("log_weight") == 1 and cols.count("sample_key") == 1
