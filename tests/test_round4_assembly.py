@@ -158,3 +158,65 @@ def test_partition_stability(spark, turns):
             sorted(tuple(r) for r in sft_examples(reshaped, context_turns=2).collect())
             == base_s
         )
+
+
+# --- property: engine == a trivial Python fold, any input shape ----------------
+
+from hypothesis import given, settings as hsettings
+from hypothesis import strategies as st
+
+_texts = st.one_of(st.none(), st.text(max_size=24))
+_roles = st.sampled_from(["user", "assistant", "system", "tool"])
+_convs = st.lists(
+    st.tuples(st.sampled_from(["ca", "cb", "cc"]), _roles, _texts),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _py_render(role, text):
+    return f"<|{role or ''}|>\n{text or ''}"
+
+
+@hsettings(max_examples=25, deadline=None)
+@given(rows=_convs, ctx=st.integers(min_value=1, max_value=4))
+def test_assembly_matches_python_fold(spark, rows, ctx):
+    # unique (conv, idx): idx = position within its conversation
+    seen: dict = {}
+    data = []
+    for conv, role, text in rows:
+        idx = seen.get(conv, 0)
+        seen[conv] = idx + 1
+        data.append((conv, idx, role, text))
+    df = spark.createDataFrame(
+        data, "conv_id string, turn_idx int, role string, text string"
+    ).repartition(5)
+
+    by_conv: dict = {}
+    for conv, idx, role, text in data:
+        by_conv.setdefault(conv, []).append((idx, role, text))
+    exp_docs = {
+        c: "\n".join(_py_render(r, t) for _, r, t in sorted(v))
+        for c, v in by_conv.items()
+    }
+    got = {r["conv_id"]: r for r in assemble_conversations(df).collect()}
+    assert {c: g["doc"] for c, g in got.items()} == exp_docs
+    for c, g in got.items():
+        assert g["n_turns"] == len(by_conv[c]) and g["n_chars"] == len(exp_docs[c])
+
+    exp_sft = {}
+    for c, v in by_conv.items():
+        ordered = sorted(v)
+        for i, (idx, role, text) in enumerate(ordered):
+            if role != "assistant":
+                continue
+            prompt = "\n".join(
+                _py_render(r, t) for _, r, t in ordered[max(0, i - ctx) : i]
+            )
+            if prompt:
+                exp_sft[(c, idx)] = (prompt, text or "")
+    got_sft = {
+        (r["conv_id"], r["turn_idx"]): (r["prompt"], r["response"])
+        for r in sft_examples(df, context_turns=ctx).collect()
+    }
+    assert got_sft == exp_sft
