@@ -307,6 +307,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--output (one tick over the existing docs table)",
     )
     p.add_argument(
+        "--assemble-store",
+        action="store_true",
+        help="maintain the persisted conversation-assembly store under "
+        "--output (plans/assembly_store: per-conversation fingerprint "
+        "diff, delta-only re-assembly, partition-scoped upserts). "
+        "Composable with a crawl or --incremental (the assembly tick "
+        "runs after each loop), or standalone with just --output (one "
+        "tick over the existing docs table); honors --assemble-max-turns",
+    )
+    p.add_argument(
         "--near-dup-threshold",
         type=float,
         default=0.8,
@@ -369,16 +379,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         clear_pause(args.output)
         print(json.dumps({"pause_requested": False}))
         return 0
-    if args.near_dup and (args.doctor or args.compact or args.dry_run):
-        # the dedup tick mutates the store; a read-only or one-shot
-        # migration verb silently skipping it would mislead
+    if (args.near_dup or args.assemble_store) and (
+        args.doctor or args.compact or args.dry_run
+    ):
+        # the store ticks mutate; a read-only or one-shot migration verb
+        # silently skipping them would mislead
         print(
-            "error: --near-dup cannot combine with --doctor/--compact/"
-            "--dry-run",
+            "error: --near-dup/--assemble-store cannot combine with "
+            "--doctor/--compact/--dry-run",
             file=sys.stderr,
         )
         return 2
-    if not args.input and not args.doctor and not args.near_dup:
+    if not args.input and not args.doctor and not args.near_dup and not args.assemble_store:
         # --doctor needs only --output (like the control verbs, but it
         # reads parquet so it does need a session)
         print("error: --input is required to run a crawl", file=sys.stderr)
@@ -424,7 +436,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.semantic_dedup is not None and (
         curation_verbs
         or args.incremental or args.restart or args.dry_run or args.compact
-        or args.doctor or args.near_dup or args.loop != 1
+        or args.doctor or args.near_dup or args.assemble_store or args.loop != 1
     ):
         print(
             "error: --semantic-dedup is a one-shot pass and cannot combine "
@@ -478,14 +490,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         curation_verbs
         and (
             args.incremental or args.restart or args.dry_run or args.compact
-            or args.doctor or args.near_dup or args.loop != 1
+            or args.doctor or args.near_dup or args.assemble_store
+            or args.loop != 1
         )
     ):
         print(
             f"error: {'/'.join(curation_verbs)} is a one-shot curation pass "
             "and cannot combine with another curation verb or "
             "--incremental/--restart/--dry-run/--compact/--doctor/"
-            "--near-dup/--loop",
+            "--near-dup/--assemble-store/--loop",
             file=sys.stderr,
         )
         return 2
@@ -502,8 +515,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.assemble_max_turns is not None and not args.assemble:
-        print("error: --assemble-max-turns requires --assemble", file=sys.stderr)
+    if args.assemble_max_turns is not None and not (args.assemble or args.assemble_store):
+        print(
+            "error: --assemble-max-turns requires --assemble or --assemble-store",
+            file=sys.stderr,
+        )
         return 2
     if args.assemble_max_turns is not None and args.assemble_max_turns < 1:
         print(
@@ -985,6 +1001,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 return 2
             print(json.dumps({"near_dup": res}))
             return 0
+        if args.assemble_store and not args.input:
+            # standalone: one assembly tick over the existing output
+            from fscrawler_spark.plans.assembly_store import assembly_tick
+
+            try:
+                res = assembly_tick(
+                    spark, args.output, max_turns=args.assemble_max_turns
+                )
+            except (FileNotFoundError, RuntimeError, ValueError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"assembled": res}))
+            return 0
         if args.compact:
             from fscrawler_spark.streaming.micro_batch import compact_streaming_output
 
@@ -1057,6 +1086,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 try:
                     res["near_dup"] = dedup_tick(
                         spark, args.output, threshold=args.near_dup_threshold
+                    )
+                except (FileNotFoundError, RuntimeError, ValueError) as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+            if args.assemble_store:
+                from fscrawler_spark.plans.assembly_store import assembly_tick
+
+                try:
+                    res["assembled"] = assembly_tick(
+                        spark, args.output, max_turns=args.assemble_max_turns
                     )
                 except (FileNotFoundError, RuntimeError, ValueError) as e:
                     print(f"error: {e}", file=sys.stderr)

@@ -92,13 +92,16 @@ def _upsert(
     id_col: str,
     store_buckets: int,
     exists: bool,
+    key: str = "id",
 ) -> None:
     """Partition-scoped upsert: within the ``db`` partitions holding any
     retired id, keep rows whose id is NOT retired, add the delta rows,
     and dynamic-overwrite only those partitions. The merged content is
     materialized first — Spark refuses to overwrite a path it is
-    reading, and the touched partitions are delta-proportional."""
-    retired = retired_ids.select(F.col(id_col).alias("id"), _db_col(id_col, store_buckets))
+    reading, and the touched partitions are delta-proportional.
+    ``key`` names the id column IN THE STORED TABLE (the assembly store
+    keeps its user-facing conv_id name; the dedup tables use 'id')."""
+    retired = retired_ids.select(F.col(id_col).alias(key), _db_col(id_col, store_buckets))
     merged = delta
     touched: set[int] = set()
     if exists:
@@ -106,7 +109,7 @@ def _upsert(
         keep = (
             spark.read.parquet(path)
             .filter(F.col("db").isin(list(touched)) if touched else F.lit(False))
-            .join(F.broadcast(retired.select("id")), "id", "left_anti")
+            .join(F.broadcast(retired.select(key)), key, "left_anti")
         )
         merged = keep if merged is None else merged.unionByName(keep)
     if merged is None:
