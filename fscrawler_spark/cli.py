@@ -988,31 +988,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "output": args.output,
             }))
             return 0
-        if args.near_dup and not args.input:
-            # standalone: one dedup tick over the existing output
-            from fscrawler_spark.plans.dedup_store import dedup_tick
-
-            try:
-                res = dedup_tick(
-                    spark, args.output, threshold=args.near_dup_threshold
+        if (args.near_dup or args.assemble_store) and not args.input:
+            # standalone: tick EVERY requested store over the existing
+            # output — returning after the first would silently skip the
+            # other, the exact failure mode the exclusivity guards exist
+            # to prevent. Crawl-shaped flags need --input; dropping them
+            # here would be the same silent skip.
+            if args.incremental or args.restart or args.loop != 1 or args.update_rate:
+                print(
+                    "error: standalone store ticks take only --output; "
+                    "--incremental/--restart/--loop/--update-rate need --input",
+                    file=sys.stderr,
                 )
+                return 2
+            ticks: dict = {}
+            try:
+                if args.near_dup:
+                    from fscrawler_spark.plans.dedup_store import dedup_tick
+
+                    ticks["near_dup"] = dedup_tick(
+                        spark, args.output, threshold=args.near_dup_threshold
+                    )
+                if args.assemble_store:
+                    from fscrawler_spark.plans.assembly_store import assembly_tick
+
+                    ticks["assembled"] = assembly_tick(
+                        spark, args.output, max_turns=args.assemble_max_turns
+                    )
             except (FileNotFoundError, RuntimeError, ValueError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
-            print(json.dumps({"near_dup": res}))
-            return 0
-        if args.assemble_store and not args.input:
-            # standalone: one assembly tick over the existing output
-            from fscrawler_spark.plans.assembly_store import assembly_tick
-
-            try:
-                res = assembly_tick(
-                    spark, args.output, max_turns=args.assemble_max_turns
-                )
-            except (FileNotFoundError, RuntimeError, ValueError) as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 2
-            print(json.dumps({"assembled": res}))
+            print(json.dumps(ticks))
             return 0
         if args.compact:
             from fscrawler_spark.streaming.micro_batch import compact_streaming_output

@@ -36,7 +36,6 @@ template changes, so stores assembled under old markup refuse loudly.
 
 from __future__ import annotations
 
-import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -44,8 +43,8 @@ from pyspark.sql import functions as F
 
 from fscrawler_spark.functions.assembly import assemble_conversations
 from fscrawler_spark.plans.dedup_store import (
+    _check_meta,
     _db_col,
-    _load_meta,
     _upsert,
     _write_meta,
 )
@@ -80,14 +79,23 @@ def conversation_fingerprints(
     hash map-side (short strings ride the shuffle, never the text);
     sort_array makes the digest independent of partitioning and task
     order — same stability argument as assemble_conversations itself."""
-    # explicit null flag: a sentinel-string coalesce would collide a text
-    # that EQUALS the sentinel with NULL (different render, same digest)
+    # every variable-content field enters the line as a fixed-alphabet
+    # token (decimal digits / hex sha / a 0|1 null flag), so neither the
+    # \x1f field separator nor the \n line joiner can occur inside a
+    # field — no crafted role/text can shift boundaries and collide two
+    # different conversations. Null flags (not sentinel strings) keep
+    # NULL distinct from any real value, and idx coalesces under its
+    # flag because concat_ws would silently SKIP a NULL field.
+    def _flagged(col):
+        return F.when(col.isNull(), F.lit("0")).otherwise(F.lit("1"))
+
     line = F.concat_ws(
         "\x1f",
-        F.col(idx_col).cast("string"),
-        F.when(F.col(role_col).isNull(), F.lit("0")).otherwise(F.lit("1")),
-        F.coalesce(F.col(role_col), F.lit("")),
-        F.when(F.col(text_col).isNull(), F.lit("0")).otherwise(F.lit("1")),
+        _flagged(F.col(idx_col)),
+        F.coalesce(F.col(idx_col).cast("string"), F.lit("")),
+        _flagged(F.col(role_col)),
+        F.sha2(F.coalesce(F.col(role_col), F.lit("")), 256),
+        _flagged(F.col(text_col)),
         F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256),
     )
     return (
@@ -146,19 +154,7 @@ def _assembly_tick_impl(
     p = _paths(output_dir)
     params = dict(zip(_PARAM_KEYS, (max_turns, store_buckets)))
     params["asm_version"] = _ASM_VERSION
-    meta = _load_meta(p["meta"])
-    if meta is not None:
-        if meta.get("dirty"):
-            raise RuntimeError(
-                f"assembly store at {p['root']} is DIRTY (a prior tick died "
-                "mid-upsert); delete the assembled/ dir to re-bootstrap"
-            )
-        if meta.get("params") != params:
-            raise ValueError(
-                f"assembly store params drifted: store has {meta.get('params')}, "
-                f"tick asked for {params}; delete the assembled/ dir to "
-                "re-bootstrap with the new params"
-            )
+    _check_meta(p["meta"], params, p["root"], "assembly", "assembled")
     if corpus is None:
         docs_path = os.path.join(output_dir, "docs")
         if not has_parquet_files(spark, docs_path):
@@ -167,7 +163,12 @@ def _assembly_tick_impl(
             )
         corpus = spark.read.parquet(docs_path)
 
-    cur = conversation_fingerprints(corpus, conv_col, idx_col, role_col, text_col)
+    # materialize the fingerprints ONCE (one short row per conversation):
+    # the changed/gone diffs AND the state upsert all consume them, and a
+    # lazy plan would re-run the corpus scan + conv shuffle per consumer
+    cur = materialize(
+        conversation_fingerprints(corpus, conv_col, idx_col, role_col, text_col)
+    )
     has_state = has_parquet_files(spark, p["state"])
     if has_state:
         state = spark.read.parquet(p["state"]).select("conv_id", "conv_sha")

@@ -74,6 +74,26 @@ def _load_meta(meta_path: str) -> dict | None:
         return json.load(f)
 
 
+def _check_meta(meta_path: str, params: dict, root: str, noun: str, dirname: str) -> None:
+    """Shared store-safety gate (dedup + assembly stores): refuse a dirty
+    store (a prior tick died mid-upsert — it may be torn) and refuse
+    params drift (mixing incompatible rows would corrupt silently)."""
+    meta = _load_meta(meta_path)
+    if meta is None:
+        return
+    if meta.get("dirty"):
+        raise RuntimeError(
+            f"{noun} store at {root} is DIRTY (a prior tick died "
+            f"mid-upsert); delete the {dirname}/ dir to re-bootstrap"
+        )
+    if meta.get("params") != params:
+        raise ValueError(
+            f"{noun} store params drifted: store has {meta.get('params')}, "
+            f"tick asked for {params}; delete the {dirname}/ dir to "
+            "re-bootstrap with the new params"
+        )
+
+
 def _write_meta(meta_path: str, params: dict, dirty: bool) -> None:
     os.makedirs(os.path.dirname(meta_path), exist_ok=True)
     tmp = meta_path + ".tmp"
@@ -200,19 +220,7 @@ def _dedup_tick_impl(
         )
     }
     params["sig_version"] = _SIG_VERSION
-    meta = _load_meta(p["meta"])
-    if meta is not None:
-        if meta.get("dirty"):
-            raise RuntimeError(
-                f"dedup store at {p['root']} is DIRTY (a prior tick died "
-                "mid-upsert); delete the dedup/ dir to re-bootstrap"
-            )
-        if meta.get("params") != params:
-            raise ValueError(
-                f"dedup store params drifted: store has {meta.get('params')}, "
-                f"tick asked for {params}; delete the dedup/ dir to "
-                "re-bootstrap with the new params"
-            )
+    _check_meta(p["meta"], params, p["root"], "dedup", "dedup")
     if corpus is None:
         docs_path = os.path.join(output_dir, "docs")
         if not has_parquet_files(spark, docs_path):

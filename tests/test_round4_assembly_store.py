@@ -207,3 +207,27 @@ def test_cli_assemble_store_standalone_and_composed(spark, tmp_path, capsys):
     assert main(["--output", out, "--assemble-store", "--doctor"], spark=spark) == 2
     assert main(["--input", data["transcripts"], "--output", out,
                  "--assemble-store", "--clean-text"], spark=spark) == 2
+
+
+def test_cli_standalone_ticks_both_stores(spark, tmp_path, capsys):
+    """--near-dup --assemble-store with only --output must tick BOTH
+    stores (not return after the first), and crawl-shaped flags without
+    --input are rejected, not silently dropped."""
+    from fscrawler_spark.cli import main
+    from fscrawler_spark.config import ExtractSettings
+    from fscrawler_spark.datagen import generate_transcripts
+    from fscrawler_spark.plans.pipeline import run_extraction_job
+
+    data = generate_transcripts(str(tmp_path / "data"), n_turns=200, seed=33)
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, data["transcripts"], out, ExtractSettings(num_buckets=4))
+
+    rc = main(["--output", out, "--near-dup", "--assemble-store"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["near_dup"]["bootstrap"] is True
+    assert res["assembled"]["bootstrap"] is True
+
+    for flags in (["--incremental"], ["--restart"], ["--loop", "3"]):
+        assert main(["--output", out, "--assemble-store", *flags], spark=spark) == 2
+        assert "need --input" in capsys.readouterr().err
