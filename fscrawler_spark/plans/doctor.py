@@ -391,5 +391,84 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                             )
                         )
 
+    # --- assembly store (plans/assembly_store) ---------------------------
+    from fscrawler_spark.plans.assembly_store import _ASM_VERSION
+    from fscrawler_spark.plans.assembly_store import _paths as asm_paths
+
+    ap = asm_paths(output_dir)
+    if os.path.isdir(ap["root"]):
+        ameta = None
+        if not os.path.exists(ap["meta"]):
+            findings.append(
+                _finding(
+                    "WARN",
+                    "assembly_meta_missing",
+                    "assembled/ exists without _assembly_meta.json — not a "
+                    "store this engine wrote (or torn before bootstrap); "
+                    "delete the dir to re-bootstrap",
+                )
+            )
+        else:
+            try:
+                with open(ap["meta"]) as f:
+                    ameta = json.load(f)
+                if not isinstance(ameta, dict):
+                    raise ValueError("assembly meta is not an object")
+            except (OSError, ValueError):
+                ameta = None
+                findings.append(
+                    _finding(
+                        "ERROR",
+                        "corrupt_assembly_meta",
+                        "assembled/_assembly_meta.json is unreadable — ticks "
+                        "will refuse; delete the assembled/ dir to "
+                        "re-bootstrap",
+                    )
+                )
+        if isinstance(ameta, dict):
+            if ameta.get("dirty"):
+                findings.append(
+                    _finding(
+                        "ERROR",
+                        "assembly_store_dirty",
+                        "assembly store is DIRTY (a tick died mid-upsert; "
+                        "docs/state may be torn) — delete the assembled/ "
+                        "dir to re-bootstrap",
+                    )
+                )
+            elif (ameta.get("params") or {}).get("asm_version") != _ASM_VERSION:
+                findings.append(
+                    _finding(
+                        "WARN",
+                        "assembly_version_stale",
+                        "assembly store was rendered under an older template "
+                        "version — the next tick refuses; delete the "
+                        "assembled/ dir to re-render",
+                    )
+                )
+            elif has_parquet_files(spark, ap["state"]) and has_parquet_files(
+                spark, ap["docs"]
+            ):
+                # clean store: docs and state must cover the SAME
+                # conversations (either direction dangling means a torn
+                # two-table upsert the dirty marker somehow missed)
+                s_ids = spark.read.parquet(ap["state"]).select("conv_id")
+                d_ids = spark.read.parquet(ap["docs"]).select("conv_id")
+                for label, a, b in (
+                    ("docs_without_state", d_ids, s_ids),
+                    ("state_without_docs", s_ids, d_ids),
+                ):
+                    dangling = a.distinct().join(b, "conv_id", "left_anti").count()
+                    if dangling:
+                        findings.append(
+                            _finding(
+                                "ERROR",
+                                f"assembly_{label}",
+                                f"{dangling} conv_id(s) dangle "
+                                f"({label.replace('_', ' ')}) — torn upsert; "
+                                "delete the assembled/ dir to re-bootstrap",
+                            )
+                        )
+
     ok = not any(f["severity"] == "ERROR" for f in findings)
     return {"ok": ok, "findings": findings}

@@ -231,3 +231,42 @@ def test_cli_standalone_ticks_both_stores(spark, tmp_path, capsys):
     for flags in (["--incremental"], ["--restart"], ["--loop", "3"]):
         assert main(["--output", out, "--assemble-store", *flags], spark=spark) == 2
         assert "need --input" in capsys.readouterr().err
+
+
+def test_doctor_checks_assembly_store(spark, tmp_path):
+    """The output doctor flags a dirty assembly store and docs/state
+    coverage mismatches, and blesses a healthy one."""
+    from fscrawler_spark.config import ExtractSettings
+    from fscrawler_spark.datagen import generate_transcripts
+    from fscrawler_spark.plans.doctor import check_output
+    from fscrawler_spark.plans.pipeline import run_extraction_job
+
+    data = generate_transcripts(str(tmp_path / "data"), n_turns=200, seed=44)
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, data["transcripts"], out, ExtractSettings(num_buckets=4))
+    codes = lambda res: {f["code"] for f in res["findings"]}
+    assembly_tick(spark, out)
+    res = check_output(spark, out)
+    assert res["ok"] is True
+    assert not any(c.startswith("assembly") for c in codes(res))
+
+    # torn upsert: a docs row whose conversation has no state row
+    extra = spark.createDataFrame(
+        [("ghost", "<|u|>\nx", 1, 8, 0)],
+        "conv_id string, doc string, n_turns long, n_chars long, db int",
+    )
+    extra.write.mode("append").partitionBy("db").parquet(
+        os.path.join(out, "assembled", "docs")
+    )
+    res = check_output(spark, out)
+    assert "assembly_docs_without_state" in codes(res) and res["ok"] is False
+
+    # dirty marker
+    meta = os.path.join(out, "assembled", "_assembly_meta.json")
+    with open(meta) as f:
+        m = json.load(f)
+    m["dirty"] = True
+    with open(meta, "w") as f:
+        json.dump(m, f)
+    res = check_output(spark, out)
+    assert "assembly_store_dirty" in codes(res) and res["ok"] is False
