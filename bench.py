@@ -468,7 +468,42 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
                 raise AssertionError(
                     f"tick {label} shuffle bytes varied >5% across trials: {sorted(seen)}"
                 )
+
+        # assembly-store legs on the already-ticked first output:
+        # bootstrap (assemble every conversation), no-op (fingerprint
+        # pass only), then a delta tick with ~1% of CONVERSATIONS edited
+        # (the turn-level v2 delta above touches ~all convs, so it can't
+        # show conv-scoped delta behavior) — the steady-state number
+        # should track the changed-conv count, not the corpus
+        from fscrawler_spark.plans.assembly_store import assembly_tick
+
+        out0 = os.path.join(scratch, "out_parquet_0")
+        t0 = time.perf_counter()
+        asm_boot = assembly_tick(spark, out0)
+        asm_boot_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        asm_noop = assembly_tick(spark, out0)
+        asm_noop_sec = time.perf_counter() - t0
+        assert asm_noop["changed_convs"] == 0, asm_noop
+        docs0 = spark.read.parquet(os.path.join(out0, "docs"))
+        conv_hit = F.pmod(F.xxhash64(F.col("conv_id")), F.lit(100)) == 0
+        edited = docs0.withColumn(
+            "extracted",
+            F.when(conv_hit, F.concat_ws(" ", F.col("extracted"), F.lit("asm-delta")))
+            .otherwise(F.col("extracted")),
+        )
+        t0 = time.perf_counter()
+        asm_delta = assembly_tick(spark, out0, corpus=edited)
+        asm_delta_sec = time.perf_counter() - t0
+
         return {
+            "assembly": {
+                "convs_total": asm_boot["convs_total"],
+                "bootstrap_sec": round(asm_boot_sec, 3),
+                "noop_sec": round(asm_noop_sec, 3),
+                "delta_convs": asm_delta["changed_convs"],
+                "delta_sec": round(asm_delta_sec, 3),
+            },
             "turns": int(base.count()),
             "changed": res_a["changed"],
             "deleted": res_a["deleted"],
