@@ -180,6 +180,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--assemble (the mega-conversation bound)",
     )
     p.add_argument(
+        "--assemble-tools",
+        action="store_true",
+        help="render tool-call turns with a tool= attribute in the header "
+        "(<|assistant tool=search|>) for --assemble/--sft-pairs/"
+        "--assemble-store, using the docs table's tool column",
+    )
+    p.add_argument(
         "--sft-pairs",
         action="store_true",
         help="one-shot assembly pass: read the extraction table at --input "
@@ -521,6 +528,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.assemble_tools and not (args.assemble or args.sft_pairs or args.assemble_store):
+        print(
+            "error: --assemble-tools requires --assemble, --sft-pairs, or "
+            "--assemble-store",
+            file=sys.stderr,
+        )
+        return 2
     if args.assemble_max_turns is not None and args.assemble_max_turns < 1:
         print(
             f"error: --assemble-max-turns must be >= 1, got {args.assemble_max_turns}",
@@ -688,9 +702,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     file=sys.stderr,
                 )
                 return 2
+            tool_kw = {"tool_col": "tool"} if args.assemble_tools else {}
+            if args.assemble_tools and "tool" not in docs.columns:
+                print(
+                    "error: --assemble-tools needs a tool column on the docs "
+                    "table",
+                    file=sys.stderr,
+                )
+                return 2
             if args.assemble:
                 out = assemble_conversations(
-                    docs, text_col="extracted", max_turns=args.assemble_max_turns
+                    docs, text_col="extracted",
+                    max_turns=args.assemble_max_turns, **tool_kw
                 )
                 out.sortWithinPartitions("conv_id").write.mode("overwrite").parquet(
                     args.output
@@ -717,6 +740,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     text_col="extracted",
                     target_role=sft_role,
                     context_turns=sft_context,
+                    **tool_kw,
                 )
                 out.sortWithinPartitions("conv_id", "turn_idx").write.mode(
                     "overwrite"
@@ -1013,7 +1037,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     from fscrawler_spark.plans.assembly_store import assembly_tick
 
                     ticks["assembled"] = assembly_tick(
-                        spark, args.output, max_turns=args.assemble_max_turns
+                        spark, args.output, max_turns=args.assemble_max_turns,
+                        tool_col="tool" if args.assemble_tools else None,
                     )
             except (FileNotFoundError, RuntimeError, ValueError) as e:
                 print(f"error: {e}", file=sys.stderr)
@@ -1101,7 +1126,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
                 try:
                     res["assembled"] = assembly_tick(
-                        spark, args.output, max_turns=args.assemble_max_turns
+                        spark, args.output, max_turns=args.assemble_max_turns,
+                        tool_col="tool" if args.assemble_tools else None,
                     )
                 except (FileNotFoundError, RuntimeError, ValueError) as e:
                     print(f"error: {e}", file=sys.stderr)

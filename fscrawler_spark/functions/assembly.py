@@ -43,14 +43,26 @@ ROLE_CLOSE = "|>\n"
 TURN_SEP = "\n"
 
 
-def _rendered(role_col, text_col) -> F.Column:
+def _rendered(role_col, text_col, tool_col=None) -> F.Column:
     """One turn rendered under the role template, NULL-safe on both
     sides (a NULL role or text renders as empty, never poisons the
     concat into NULL — DuckDB's string_agg would silently drop a NULL
-    element and the engines would desynchronize)."""
+    element and the engines would desynchronize). With ``tool_col``,
+    tool-call turns render a ``tool=`` attribute in the header —
+    ``<|assistant tool=search|>`` — so agent-training data keeps the
+    tool dispatch visible; NULL tool renders the plain header."""
+    if tool_col is not None:
+        header = F.concat(
+            F.coalesce(role_col, F.lit("")),
+            F.when(tool_col.isNull(), F.lit("")).otherwise(
+                F.concat(F.lit(" tool="), tool_col)
+            ),
+        )
+    else:
+        header = F.coalesce(role_col, F.lit(""))
     return F.concat(
         F.lit(ROLE_OPEN),
-        F.coalesce(role_col, F.lit("")),
+        header,
         F.lit(ROLE_CLOSE),
         F.coalesce(text_col, F.lit("")),
     )
@@ -63,6 +75,7 @@ def assemble_conversations(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    tool_col: str | None = None,
     sep: str = TURN_SEP,
     max_turns: int | None = None,
 ) -> DataFrame:
@@ -84,7 +97,11 @@ def assemble_conversations(
     slim = turns.select(
         F.col(conv_col),
         F.col(idx_col).alias("_i"),
-        _rendered(F.col(role_col), F.col(text_col)).alias("_r"),
+        _rendered(
+            F.col(role_col),
+            F.col(text_col),
+            F.col(tool_col) if tool_col is not None else None,
+        ).alias("_r"),
     )
     if max_turns is not None:
         # bound the aggregation BUFFER, not just the output: drop past-cap
@@ -117,6 +134,7 @@ def sft_examples(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    tool_col: str | None = None,
     target_role: str = "assistant",
     context_turns: int | None = 8,
     sep: str = TURN_SEP,
@@ -151,13 +169,21 @@ def sft_examples(
         F.col(idx_col),
         F.col(role_col).alias("_role"),
         F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
+        *([F.col(tool_col).alias("_tool")] if tool_col is not None else []),
     )
     out = slim.select(
         conv_col,
         idx_col,
         "_role",
         F.array_join(
-            F.collect_list(_rendered(F.col("_role"), F.col("_text"))).over(w), sep
+            F.collect_list(
+                _rendered(
+                    F.col("_role"),
+                    F.col("_text"),
+                    F.col("_tool") if tool_col is not None else None,
+                )
+            ).over(w),
+            sep,
         ).alias("prompt"),
         F.col("_text").alias("response"),
     ).filter(F.col("_role") == target_role)

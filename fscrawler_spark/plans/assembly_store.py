@@ -51,7 +51,7 @@ from fscrawler_spark.plans.dedup_store import (
 from fscrawler_spark.session import materialize
 
 _META = "_assembly_meta.json"
-_PARAM_KEYS = ("max_turns", "store_buckets")
+_PARAM_KEYS = ("max_turns", "store_buckets", "tool_col")
 # bump when the render template (assembly.ROLE_OPEN/CLOSE/TURN_SEP) or
 # the fingerprint recipe changes: stored docs become incomparable
 _ASM_VERSION = 1
@@ -73,6 +73,7 @@ def conversation_fingerprints(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "text",
+    tool_col: str | None = None,
 ) -> DataFrame:
     """(conv_id, conv_sha): a deterministic per-conversation content
     fingerprint over exactly the fields assembly renders. Turn lines
@@ -97,6 +98,14 @@ def conversation_fingerprints(
         F.sha2(F.coalesce(F.col(role_col), F.lit("")), 256),
         _flagged(F.col(text_col)),
         F.sha2(F.coalesce(F.col(text_col), F.lit("")), 256),
+        *(
+            [
+                _flagged(F.col(tool_col)),
+                F.sha2(F.coalesce(F.col(tool_col), F.lit("")), 256),
+            ]
+            if tool_col is not None
+            else []
+        ),
     )
     return (
         turns.select(F.col(conv_col).alias("conv_id"), line.alias("_l"))
@@ -117,6 +126,7 @@ def assembly_tick(
     idx_col: str = "turn_idx",
     role_col: str = "role",
     text_col: str = "extracted",
+    tool_col: str | None = None,
     max_turns: int | None = None,
     store_buckets: int = 32,
 ) -> dict:
@@ -134,7 +144,7 @@ def assembly_tick(
     with _JobLock(output_dir, "assembly-tick"):
         return _assembly_tick_impl(
             spark, output_dir, corpus, conv_col, idx_col, role_col,
-            text_col, max_turns, store_buckets,
+            text_col, tool_col, max_turns, store_buckets,
         )
 
 
@@ -146,13 +156,14 @@ def _assembly_tick_impl(
     idx_col: str,
     role_col: str,
     text_col: str,
+    tool_col: str | None,
     max_turns: int | None,
     store_buckets: int,
 ) -> dict:
     from fscrawler_spark.operators.deletes import has_parquet_files
 
     p = _paths(output_dir)
-    params = dict(zip(_PARAM_KEYS, (max_turns, store_buckets)))
+    params = dict(zip(_PARAM_KEYS, (max_turns, store_buckets, tool_col)))
     params["asm_version"] = _ASM_VERSION
     _check_meta(p["meta"], params, p["root"], "assembly", "assembled")
     if corpus is None:
@@ -167,7 +178,9 @@ def _assembly_tick_impl(
     # the changed/gone diffs AND the state upsert all consume them, and a
     # lazy plan would re-run the corpus scan + conv shuffle per consumer
     cur = materialize(
-        conversation_fingerprints(corpus, conv_col, idx_col, role_col, text_col)
+        conversation_fingerprints(
+            corpus, conv_col, idx_col, role_col, text_col, tool_col
+        )
     )
     has_state = has_parquet_files(spark, p["state"])
     if has_state:
@@ -206,6 +219,7 @@ def _assembly_tick_impl(
         idx_col=idx_col,
         role_col=role_col,
         text_col=text_col,
+        tool_col=tool_col,
         max_turns=max_turns,
     ).withColumnRenamed(conv_col, "conv_id")
     # materialize everything that reads the store paths before the

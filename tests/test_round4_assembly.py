@@ -220,3 +220,29 @@ def test_assembly_matches_python_fold(spark, rows, ctx):
         for r in sft_examples(df, context_turns=ctx).collect()
     }
     assert got_sft == exp_sft
+
+
+def test_tool_rendering(spark):
+    t = spark.createDataFrame(
+        [
+            ("c", 0, "user", "find it", None),
+            ("c", 1, "assistant", "searching", "search"),
+            ("c", 2, "assistant", "done", None),
+        ],
+        SCHEMA,
+    )
+    doc = assemble_conversations(t, tool_col="tool").collect()[0]["doc"]
+    assert doc == (
+        "<|user|>\nfind it\n<|assistant tool=search|>\nsearching\n<|assistant|>\ndone"
+    )
+    # without tool_col the template is unchanged (template stability)
+    plain = assemble_conversations(t).collect()[0]["doc"]
+    assert "tool=" not in plain
+    sft = {
+        r["turn_idx"]: r["prompt"]
+        for r in sft_examples(t, tool_col="tool", context_turns=4).collect()
+    }
+    assert sft[2] == "<|user|>\nfind it\n<|assistant tool=search|>\nsearching"
+    # still pure-JVM single-exchange with the tool column threaded
+    plan = plan_of(assemble_conversations(t, tool_col="tool"))
+    assert plan.count("Exchange") == 1 and "Python" not in plan

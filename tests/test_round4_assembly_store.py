@@ -270,3 +270,30 @@ def test_doctor_checks_assembly_store(spark, tmp_path):
         json.dump(m, f)
     res = check_output(spark, out)
     assert "assembly_store_dirty" in codes(res) and res["ok"] is False
+
+
+def test_store_tool_param(spark, tmp_path):
+    """tool_col is a store param: it renders into docs, rides the
+    fingerprint (a tool edit re-assembles), and drifting it refuses."""
+    rows = [
+        ("c", 0, "user", "ask", None),
+        ("c", 1, "assistant", "do", "search"),
+        ("d", 0, "assistant", "plain", None),
+    ]
+    sch = "conv_id string, turn_idx int, role string, extracted string, tool string"
+    out = str(tmp_path / "out")
+    spark.createDataFrame(rows, sch).write.parquet(os.path.join(out, "docs"))
+    res = assembly_tick(spark, out, tool_col="tool")
+    assert res["changed_convs"] == 2
+    assert "tool=search" in _stored(spark, out)["c"][0]
+    # tool edit on an otherwise identical turn -> that conv re-assembles
+    rows2 = [r if r[0] != "c" or r[1] != 1 else ("c", 1, "assistant", "do", "browse")
+             for r in rows]
+    spark.createDataFrame(rows2, sch).write.mode("overwrite").parquet(
+        os.path.join(out, "docs")
+    )
+    res = assembly_tick(spark, out, tool_col="tool")
+    assert res["changed_convs"] == 1
+    assert "tool=browse" in _stored(spark, out)["c"][0]
+    with pytest.raises(ValueError, match="drifted"):
+        assembly_tick(spark, out)  # tool_col=None drifts

@@ -594,3 +594,34 @@ def test_cli_dsir_reselect_own_output(spark, tmp_path, capsys):
     assert rc == 0
     cols = spark.read.parquet(out2).columns
     assert cols.count("log_weight") == 1 and cols.count("sample_key") == 1
+
+
+def test_cli_assemble_tools(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    p = str(tmp_path / "tool_docs")
+    spark.createDataFrame(
+        [
+            (0, "c0", 0, "user", "find it", None),
+            (1, "c0", 1, "assistant", "searching", "search"),
+        ],
+        "doc_id long, conv_id string, turn_idx int, role string, "
+        "extracted string, tool string",
+    ).write.parquet(os.path.join(p, "docs"))
+    out = str(tmp_path / "asm_tools")
+    rc = main(["--input", p, "--output", out, "--assemble", "--assemble-tools"],
+              spark=spark)
+    assert rc == 0
+    doc = spark.read.parquet(out).collect()[0]["doc"]
+    assert "<|assistant tool=search|>" in doc
+    # flag without any assembly verb is rejected
+    assert main(["--input", p, "--output", out, "--assemble-tools"], spark=spark) == 2
+    # docs table without a tool column is a clean error
+    bare = str(tmp_path / "bare_docs")
+    spark.createDataFrame(
+        [(0, "c0", 0, "user", "x")],
+        "doc_id long, conv_id string, turn_idx int, role string, extracted string",
+    ).write.parquet(os.path.join(bare, "docs"))
+    assert main(["--input", bare, "--output", out, "--assemble",
+                 "--assemble-tools"], spark=spark) == 2
+    assert "tool column" in capsys.readouterr().err
