@@ -64,7 +64,10 @@ HEADLINE = [
 # apples-to-apples; these report under "curation_queries"/"curation_sec".
 CURATION = [
     "q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget",
-    "q_chunk", "q_semantic_dedup", "q_dsir_select", "q_assemble", "q_sft_pairs",
+    "q_chunk", "q_semantic_dedup", "q_dsir_select",
+    # the assembly operators are timed as their REGISTRY entries, so the
+    # battery measures exactly the workload the driver oracle validates
+    "q_assemble_conversations", "q_sft_pairs",
 ]
 
 
@@ -150,26 +153,6 @@ def _q_simhash(spark, sf_dir: str):
     from fscrawler_spark.functions import dedup
 
     return dedup.simhash(_docs(spark, sf_dir), id_col="doc_id", bits=32)
-
-
-def _q_assemble(spark, sf_dir: str):
-    # conversation-level training docs: render in codegen, one hash
-    # shuffle on conv_id, sort_array within the aggregate. The turn shape
-    # is imported from __spark_entry__ so the bench measures exactly the
-    # workload the driver oracle validates
-    import __spark_entry__ as entry_mod
-    from fscrawler_spark.functions.assembly import assemble_conversations
-
-    return assemble_conversations(entry_mod._role_turns(spark, sf_dir))
-
-
-def _q_sft_pairs(spark, sf_dir: str):
-    # (prompt, response) extraction under a bounded context window: one
-    # shuffle + partition-local window, per-row cost O(context_turns)
-    import __spark_entry__ as entry_mod
-    from fscrawler_spark.functions.assembly import sft_examples
-
-    return sft_examples(entry_mod._role_turns(spark, sf_dir), context_turns=8)
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -544,8 +527,6 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_chunk"] = _q_chunk
         qs["q_semantic_dedup"] = _q_semantic_dedup
         qs["q_dsir_select"] = _q_dsir_select
-        qs["q_assemble"] = _q_assemble
-        qs["q_sft_pairs"] = _q_sft_pairs
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))

@@ -109,8 +109,11 @@ def assemble_conversations(
         # a mega-conversation never accumulates (then discards) its whole
         # text in one ObjectHashAggregate buffer. The window shares the
         # groupBy's hashpartitioning(conv_col), so this is still ONE
-        # Exchange (plan-pinned).
-        w = Window.partitionBy(conv_col).orderBy("_i")
+        # Exchange (plan-pinned). Tie-break on the rendered text too —
+        # the uncapped path's sort_array orders (_i, _r) structs, and a
+        # duplicate turn_idx at the cap boundary must not make which row
+        # survives depend on partitioning (output-bytes stability).
+        w = Window.partitionBy(conv_col).orderBy("_i", "_r")
         slim = (
             slim.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= max_turns)

@@ -64,18 +64,22 @@ def train_quality_classifier(
     never call this with the full corpus as a "seed")."""
     from fscrawler_spark.functions.mixing import train_importance_model
 
-    # count exactly what the gram pipeline will train on (it drops
-    # whitespace-only text, _gram_bucket_rows' input trim): an all-blank
-    # seed set must fail THIS guard, not silently train a zero-mass side;
-    # and blank seeds must not inflate the prior without contributing
-    # likelihood mass
-    has_text = F.trim(F.col(text_col)) != ""
-    n_pos = positive.filter(has_text).count()
-    n_neg = negative.filter(has_text).count()
+    # count exactly what the gram pipeline will train on: a doc
+    # contributes grams only if it has at least min(ns) whitespace words
+    # (an n-gram needs n words; _gram_bucket_rows additionally drops
+    # blank text). An all-too-short seed set must fail THIS guard, not
+    # silently train a zero-mass side; and non-contributing seeds must
+    # not inflate the prior without contributing likelihood mass.
+    min_n = min(ns)
+    has_grams = (F.trim(F.col(text_col)) != "") & (
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")) >= min_n
+    )
+    n_pos = positive.filter(has_grams).count()
+    n_neg = negative.filter(has_grams).count()
     if n_pos == 0 or n_neg == 0:
         raise ValueError(
-            f"both seed sets need at least one example with non-blank text "
-            f"(got positive={n_pos}, negative={n_neg})"
+            f"both seed sets need at least one example with >= {min_n} "
+            f"words of non-blank text (got positive={n_pos}, negative={n_neg})"
         )
     import math
 

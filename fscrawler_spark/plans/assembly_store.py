@@ -173,6 +173,17 @@ def _assembly_tick_impl(
                 f"no docs table at {docs_path} — run run_extraction_job first"
             )
         corpus = spark.read.parquet(docs_path)
+    needed = [conv_col, idx_col, role_col, text_col] + (
+        [tool_col] if tool_col is not None else []
+    )
+    missing = [c for c in needed if c not in corpus.columns]
+    if missing:
+        # a clean library-level refusal (the CLI's except clause turns it
+        # into exit 2), not an AnalysisException traceback mid-plan
+        raise ValueError(
+            f"assembly tick needs columns {needed} on the docs table; "
+            f"missing {missing} (has {corpus.columns})"
+        )
 
     # materialize the fingerprints ONCE (one short row per conversation):
     # the changed/gone diffs AND the state upsert all consume them, and a

@@ -246,3 +246,17 @@ def test_tool_rendering(spark):
     # still pure-JVM single-exchange with the tool column threaded
     plan = plan_of(assemble_conversations(t, tool_col="tool"))
     assert plan.count("Exchange") == 1 and "Python" not in plan
+
+
+def test_max_turns_tie_break_is_partition_stable(spark):
+    """Duplicate turn_idx at the cap boundary: which row survives must
+    not depend on partitioning (ties order by rendered text, matching
+    the uncapped sort_array tie-break)."""
+    rows = [("c", 0, "user", "first"), ("c", 1, "user", "aaa"),
+            ("c", 1, "user", "zzz"), ("c", 2, "user", "last")]
+    t = spark.createDataFrame(rows, "conv_id string, turn_idx int, role string, text string")
+    docs = {
+        assemble_conversations(shaped, max_turns=2).collect()[0]["doc"]
+        for shaped in (t, t.coalesce(1), t.repartition(7), t.orderBy(F.desc("text")))
+    }
+    assert docs == {"<|user|>\nfirst\n<|user|>\naaa"}

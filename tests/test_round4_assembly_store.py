@@ -297,3 +297,26 @@ def test_store_tool_param(spark, tmp_path):
     assert "tool=browse" in _stored(spark, out)["c"][0]
     with pytest.raises(ValueError, match="drifted"):
         assembly_tick(spark, out)  # tool_col=None drifts
+
+
+def test_tick_refuses_schema_gaps_cleanly(spark, tmp_path, capsys):
+    """A docs table missing turn columns (or the tool column with
+    tool_col) refuses with ValueError — and exits 2 through the CLI —
+    instead of an AnalysisException traceback mid-plan."""
+    from fscrawler_spark.cli import main
+
+    bare = str(tmp_path / "bare")
+    spark.createDataFrame(
+        [(0, "c", "x")], "doc_id long, conv_id string, extracted string"
+    ).write.parquet(os.path.join(bare, "docs"))
+    with pytest.raises(ValueError, match="missing"):
+        assembly_tick(spark, bare)
+    assert main(["--output", bare, "--assemble-store"], spark=spark) == 2
+    assert "missing" in capsys.readouterr().err
+    # tool_col missing is the same contract
+    v1 = _corpus_v1(spark)
+    out = _write_output(spark, tmp_path, v1)
+    with pytest.raises(ValueError, match="tool"):
+        assembly_tick(spark, out, tool_col="tool")
+    assert main(["--output", out, "--assemble-store", "--assemble-tools"],
+                spark=spark) == 2

@@ -136,3 +136,17 @@ def test_scoring_plan_inherits_dsir_shape(spark, model):
 def test_model_dataclass_carries_feature_params(model):
     assert isinstance(model, QualityModel)
     assert (model.buckets, model.ns, model.hash_family) == (B, NS, "md5")
+
+
+def test_seed_guard_counts_gram_capable_docs(spark):
+    """ns without unigrams: single-word seeds produce zero bigrams, so
+    they must fail the guard instead of training a zero-mass side."""
+    one_worders = spark.createDataFrame(
+        [(0, "hello"), (1, "world")], "doc_id long, text string"
+    )
+    ok = spark.createDataFrame([(9, "two words here")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="words"):
+        train_quality_classifier(ok, one_worders, buckets=B, ns=(2,), hash_family="md5")
+    # with unigrams in ns the same seeds are fine
+    m = train_quality_classifier(ok, one_worders, buckets=B, ns=(1, 2), hash_family="md5")
+    assert m.prior_log_odds != 0.0
