@@ -681,9 +681,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "text_hash", F.col("dup_count").cast("long").alias("dup_count"), "keeper_id"
         )
 
-    def q_minhash_lsh(spark, sf):
-        sigs = dedup.minhash_signatures(_dup_corpus(spark, sf), id_col="id", num_hashes=16)
-        return dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    # q_minhash_lsh (md5 candidate pairs) was a driver-registry row through
+    # mid-round-4; demoted to tests/test_analytics_queries.py (same Spark
+    # code + DuckDB twin) in the C4 swap — its oracle-parity role is
+    # redundant with q_near_dup_e2e, which value-checks the full md5
+    # pipeline INCLUDING the banded-LSH candidate stage.
 
     def q_ngram_jaccard(spark, sf):
         pairs = dedup.jaccard_pairs(_dup_corpus(spark, sf), id_col="id", threshold=0.5)
@@ -732,7 +734,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         q_dedup_exact=q_dedup_exact,
-        q_minhash_lsh=q_minhash_lsh,
         q_minhash_lsh_fast=q_minhash_lsh_fast,
         q_near_dup_e2e=q_near_dup_e2e,
         q_ngram_jaccard=q_ngram_jaccard,
@@ -810,6 +811,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             g["stopword_hits"].cast("long").alias("stopword_hits"),
             g["passes"].alias("passes"),
             F.array_join(g["fail_reasons"], ",").alias("fail_reasons"),
+        )
+
+    def q_c4_filter(spark, sf):
+        # C4 recipe (curation.c4_quality_flags, Raffel et al. 2020 §2.2):
+        # fixture weaves each doc's raw text between kept sentinel lines,
+        # plus per-id curly / lorem-ipsum / javascript / policy lines so
+        # every line rule and page rule fires somewhere
+        from fscrawler_spark.functions.curation import c4_quality_flags
+
+        d = _docs(spark, sf).withColumn(
+            "text",
+            F.concat_ws(
+                "\n",
+                F.lit("The first fixture sentence is long enough to keep easily."),
+                F.lit("tiny."),
+                F.col("text"),
+                F.when(
+                    F.col("doc_id") % 5 == 0,
+                    F.lit("A brace {x} sneaks into this otherwise kept sentence."),
+                ),
+                F.when(
+                    F.col("doc_id") % 7 == 0,
+                    F.lit("Lorem ipsum dolor sit amet is woven into this sentence."),
+                ),
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.lit("Enable javascript to view the rest of this page now."),
+                ),
+                F.lit("This site uses cookies and the line should be filtered out."),
+                F.lit("The closing fixture sentence also stays in the kept set."),
+            ),
+        )
+        q4 = c4_quality_flags(F.col("text"))
+        return d.select(
+            "doc_id",
+            q4["n_lines"].cast("long").alias("n_lines"),
+            q4["n_lines_kept"].cast("long").alias("n_lines_kept"),
+            q4["n_sentences"].cast("long").alias("n_sentences"),
+            F.length(q4["cleaned_text"]).cast("long").alias("clean_len"),
+            q4["passes"].alias("passes"),
+            F.array_join(q4["fail_reasons"], ",").alias("fail_reasons"),
         )
 
     def q_line_dedup(spark, sf):
@@ -917,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         q_gopher_quality=q_gopher_quality,
+        q_c4_filter=q_c4_filter,
         q_line_dedup=q_line_dedup,
         q_normalize_clean=q_normalize_clean,
         q_exact_substr_spans=q_exact_substr_spans,
@@ -1298,15 +1341,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
       ) WHERE bsz <= 1000
     )"""
-    sql["q_minhash_lsh"] = f"""
-    WITH base AS (SELECT id, {_sql_shingles()} AS shingles FROM {SQL_DUP_CORPUS}),
-    sigs AS (SELECT id, {_sql_minhash_sig(16)} AS sig FROM base),
-    banded AS ({' UNION ALL '.join(band_selects)}),
-    {banded_ok}
-    SELECT DISTINCT a.id AS id_a, b.id AS id_b
-    FROM banded_ok a JOIN banded_ok b
-      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
-    """
+    # (q_minhash_lsh's candidate-pair twin moved with its demotion to
+    # tests/test_analytics_queries.py; the band machinery above stays —
+    # q_near_dup_e2e's oracle uses it.)
 
     # full near-dup pipeline oracle: md5 MinHash -> banded LSH candidates
     # -> exact-Jaccard verify -> connected components via a recursive-CTE
@@ -1568,6 +1605,60 @@ def oracle_sql() -> dict[str, str]:
         "STOPWORDS_PLACEHOLDER",
         "[" + ",".join(f"'{w}'" for w in sorted(LANG_PROFILES["en"])) + "]",
     )
+
+    # C4 twin: same fixture weave (concat_ws skips the NULL branches in
+    # both engines), same line predicate, same page rules over the
+    # cleaned text; reason order mirrors the Spark struct's rule order
+    sql["q_c4_filter"] = """
+    WITH base AS (
+      SELECT doc_id, concat_ws(chr(10),
+        'The first fixture sentence is long enough to keep easily.',
+        'tiny.',
+        text,
+        CASE WHEN doc_id % 5 = 0 THEN 'A brace {x} sneaks into this otherwise kept sentence.' END,
+        CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet is woven into this sentence.' END,
+        CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript to view the rest of this page now.' END,
+        'This site uses cookies and the line should be filtered out.',
+        'The closing fixture sentence also stays in the kept set.'
+      ) AS t FROM documents
+    ), m AS (
+      SELECT doc_id, string_split(t, chr(10)) AS lines,
+        list_transform(list_filter(string_split(t, chr(10)), l ->
+          CASE WHEN len(trim(l)) > 0
+               THEN len(string_split_regex(trim(l), '\\s+')) ELSE 0 END >= 5
+          AND regexp_matches(trim(l), '[.!?"'']$')
+          AND NOT contains(lower(trim(l)), 'javascript')
+          AND NOT contains(lower(trim(l)), 'terms of use')
+          AND NOT contains(lower(trim(l)), 'privacy policy')
+          AND NOT contains(lower(trim(l)), 'cookie policy')
+          AND NOT contains(lower(trim(l)), 'uses cookies')
+          AND NOT contains(lower(trim(l)), 'use of cookies')
+          AND NOT contains(lower(trim(l)), 'use cookies')
+        ), l -> trim(l)) AS kept
+      FROM base
+    ), c AS (
+      SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+             array_to_string(kept, chr(10)) AS cleaned
+      FROM m
+    ), r AS (
+      SELECT doc_id, n_lines, n_kept, length(cleaned) AS clean_len,
+        len(regexp_extract_all(cleaned, '[.!?]')) AS n_sent,
+        [x FOR x IN [
+          CASE WHEN len(regexp_extract_all(cleaned, '[.!?]')) < 3
+               THEN 'too_few_sentences' END,
+          CASE WHEN contains(lower(cleaned), '{') OR contains(lower(cleaned), '}')
+               THEN 'has_curly_brace' END,
+          CASE WHEN contains(lower(cleaned), 'lorem ipsum')
+               THEN 'has_lorem_ipsum' END
+        ] IF x IS NOT NULL] AS reasons
+      FROM c
+    )
+    SELECT doc_id, n_lines::BIGINT AS n_lines, n_kept::BIGINT AS n_lines_kept,
+           n_sent::BIGINT AS n_sentences, clean_len::BIGINT AS clean_len,
+           len(reasons) = 0 AS passes,
+           coalesce(array_to_string(reasons, ','), '') AS fail_reasons
+    FROM r
+    """
 
     # repeated-line removal twin: trimmed line key (incl. NBSP), blank
     # lines never banned, reassembly in original position order

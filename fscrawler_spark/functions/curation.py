@@ -620,3 +620,144 @@ def gopher_quality_flags(
         (F.size(reasons) == 0).alias("passes"),
         reasons.alias("fail_reasons"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4 cleaning (Raffel et al. 2020 §2.2, the public Colossal Clean Crawled
+# Corpus recipe; the TFDS c4_utils.py reference behaviors). Complements
+# gopher_quality_flags: Gopher is a page-level GATE, C4 is line-level
+# CLEANING plus a page-level gate over what survives.
+# ---------------------------------------------------------------------------
+
+C4_TERMINAL_PUNCT = (".", "!", "?", '"', "'")
+# public c4_utils policy-line substrings (lines dropped as boilerplate)
+C4_POLICY_SUBSTRINGS = (
+    "terms of use",
+    "privacy policy",
+    "cookie policy",
+    "uses cookies",
+    "use of cookies",
+    "use cookies",
+)
+
+
+def _c4_kept_lines(
+    col,
+    min_words_per_line: int,
+    terminal_punct: tuple[str, ...],
+    drop_javascript_lines: bool,
+    drop_policy_lines: bool,
+):
+    import re as _re
+
+    term_re = "[" + "".join(_re.escape(c) for c in terminal_punct) + "]$"
+
+    def _keep(line):
+        t = F.trim(line)
+        wc = F.when(
+            F.length(t) > 0, F.size(F.split(t, r"\s+"))
+        ).otherwise(F.lit(0))
+        low = F.lower(t)
+        keep = (wc >= min_words_per_line) & t.rlike(term_re)
+        if drop_javascript_lines:
+            keep = keep & ~low.contains("javascript")
+        if drop_policy_lines:
+            for s in C4_POLICY_SUBSTRINGS:
+                keep = keep & ~low.contains(s)
+        return keep
+
+    lines = F.split(col, "\n", -1)
+    # output lines are TRIMMED, like the reference recipe's line.strip().
+    # NB: the lambda must be single-arg — transform() sees F.trim's
+    # optional second parameter and would pass (element, index), turning
+    # this into two-parameter TRIM(str, trimChars).
+    return lines, F.transform(F.filter(lines, _keep), lambda l: F.trim(l))
+
+
+def c4_clean_lines(
+    text_col,
+    min_words_per_line: int = 5,
+    terminal_punct: tuple[str, ...] = C4_TERMINAL_PUNCT,
+    drop_javascript_lines: bool = True,
+    drop_policy_lines: bool = True,
+) -> F.Column:
+    """C4 line-level cleaning: keep only trimmed lines that end in a
+    terminal punctuation mark, have >= ``min_words_per_line`` words, and
+    contain neither 'javascript' nor a policy-boilerplate phrase
+    (case-insensitive substrings, like the reference recipe).
+
+    Pure JVM column expression (split/filter/transform HOFs) — no
+    shuffle, no Python; at 100 TB it rides the extraction scan. NULL
+    text stays NULL.
+    """
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    _, kept = _c4_kept_lines(
+        col, min_words_per_line, terminal_punct,
+        drop_javascript_lines, drop_policy_lines,
+    )
+    return F.array_join(kept, "\n")
+
+
+def c4_quality_flags(
+    text_col,
+    min_sentences: int = 3,
+    min_words_per_line: int = 5,
+    terminal_punct: tuple[str, ...] = C4_TERMINAL_PUNCT,
+    bad_words: tuple[str, ...] = (),
+    drop_javascript_lines: bool = True,
+    drop_policy_lines: bool = True,
+) -> F.Column:
+    """C4 page gate over the line-cleaned text: one struct column with
+    the cleaned text, per-rule verdicts, ``passes`` and ``fail_reasons``
+    (the same FILTER+AUDIT shape as gopher_quality_flags).
+
+    Page rules (Raffel 2020): >= ``min_sentences`` sentences after line
+    cleaning (sentence count approximated as terminal-mark occurrences —
+    the reference uses an NLTK sentence splitter; the approximation is
+    deliberate so the rule stays a codegen expression), no curly brace,
+    no 'lorem ipsum', and no word from ``bad_words`` (word-boundary,
+    case-insensitive; default empty — production passes the public
+    LDNOOBW list, which this repo does not vendor). NULL text fails
+    with 'null_text'.
+    """
+    import re as _re
+
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    lines, kept = _c4_kept_lines(
+        col, min_words_per_line, terminal_punct,
+        drop_javascript_lines, drop_policy_lines,
+    )
+    cleaned = F.array_join(kept, "\n")
+    low = F.lower(cleaned)
+    n_sentences = F.when(
+        col.isNull(), F.lit(None).cast("int")
+    ).otherwise(F.regexp_count(cleaned, F.lit(r"[.!?]")))
+    if bad_words:
+        bad_re = (
+            "(?i)\\b(" + "|".join(_re.escape(w.lower()) for w in bad_words) + ")\\b"
+        )
+        has_bad = low.rlike(bad_re)
+    else:
+        has_bad = F.lit(False)
+    has_curly = low.contains("{") | low.contains("}")
+    has_lorem = low.contains("lorem ipsum")
+
+    rules = {
+        "null_text": col.isNull(),
+        "too_few_sentences": col.isNotNull() & (n_sentences < min_sentences),
+        "has_curly_brace": has_curly,
+        "has_lorem_ipsum": has_lorem,
+        "has_bad_word": has_bad,
+    }
+    reasons = F.filter(
+        F.array(*[F.when(cond, F.lit(name)) for name, cond in rules.items()]),
+        lambda r: r.isNotNull(),
+    )
+    return F.struct(
+        F.when(col.isNotNull(), cleaned).alias("cleaned_text"),
+        F.when(col.isNotNull(), F.size(lines)).alias("n_lines"),
+        F.when(col.isNotNull(), F.size(kept)).alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        (F.size(reasons) == 0).alias("passes"),
+        reasons.alias("fail_reasons"),
+    )

@@ -176,3 +176,36 @@ def test_simhash_signatures_demoted(spark, con):
         SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
         FROM votes GROUP BY id
     """)
+
+
+def test_minhash_lsh_candidates_demoted(spark, con):
+    """Driver row through mid-round-4; demoted in the C4 registry swap
+    (the md5 candidate stage stays driver-checked inside q_near_dup_e2e's
+    full-pipeline oracle). Same Spark code and DuckDB twin."""
+    from __spark_entry__ import SQL_DUP_CORPUS, _dup_corpus, _sql_minhash_sig, _sql_shingles
+    from fscrawler_spark.functions import dedup
+
+    sigs = dedup.minhash_signatures(_dup_corpus(spark, SF), id_col="id", num_hashes=16)
+    pairs = dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+
+    band_selects = []
+    for b in range(4):
+        lo = b * 4 + 1
+        band_selects.append(
+            f"""SELECT id, {b} AS band,
+            md5(array_to_string([x::VARCHAR for x in list_slice(sig, {lo}, {lo + 3})], ',')) AS bucket
+            FROM sigs"""
+        )
+    _match(pairs, con, f"""
+    WITH base AS (SELECT id, {_sql_shingles()} AS shingles FROM {SQL_DUP_CORPUS}),
+    sigs AS (SELECT id, {_sql_minhash_sig(16)} AS sig FROM base),
+    banded AS ({' UNION ALL '.join(band_selects)}),
+    banded_ok AS (
+      SELECT id, band, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM banded
+      ) WHERE bsz <= 1000
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM banded_ok a JOIN banded_ok b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """)
