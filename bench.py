@@ -64,7 +64,7 @@ HEADLINE = [
 # apples-to-apples; these report under "curation_queries"/"curation_sec".
 CURATION = [
     "q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget",
-    "q_chunk", "q_semantic_dedup", "q_dsir_select",
+    "q_chunk", "q_semantic_dedup", "q_dsir_select", "q_c4_filter", "q_bpe",
     # the assembly operators are timed as their REGISTRY entries, so the
     # battery measures exactly the workload the driver oracle validates
     "q_assemble_conversations", "q_sft_pairs",
@@ -145,6 +145,20 @@ def _q_dsir_select(spark, sf_dir: str):
     target = d.filter(F.col("doc_id") % 17 == 0)
     model = mixing.train_importance_model(d, target, buckets=8192)
     return mixing.importance_resample(d, model, k=1000, buckets=8192)
+
+
+def _q_bpe(spark, sf_dir: str):
+    # BPE train + encode: training (one histogram shuffle + driver merge
+    # loop) is eager and deliberately timed as part of the operator —
+    # like _q_perplexity_buckets, it IS the op's cost profile; encoding
+    # is the broadcast-ranks Arrow UDF over the corpus
+    from fscrawler_spark.functions.bpe import bpe_encode, train_bpe
+
+    d = _docs(spark, sf_dir)
+    merges = train_bpe(d, text_col="text", num_merges=64, max_words=100_000)
+    return bpe_encode(d, merges, text_col="text").select(
+        "doc_id", F.size("bpe_tokens").alias("n_tokens")
+    )
 
 
 def _q_simhash(spark, sf_dir: str):
@@ -527,6 +541,7 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_chunk"] = _q_chunk
         qs["q_semantic_dedup"] = _q_semantic_dedup
         qs["q_dsir_select"] = _q_dsir_select
+        qs["q_bpe"] = _q_bpe
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))

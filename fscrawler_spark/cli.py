@@ -131,6 +131,28 @@ def build_parser() -> argparse.ArgumentParser:
         "changed/mojibake audit counters",
     )
     p.add_argument(
+        "--c4-filter",
+        action="store_true",
+        help="one-shot curation pass: C4 recipe (Raffel 2020) — clean "
+        "each doc's lines (terminal punct, >=5 words, javascript/policy "
+        "boilerplate), drop pages failing the page gate, write kept rows "
+        "with extracted replaced by the cleaned text plus a "
+        "c4_lines_removed audit column; stats report per-reason drops",
+    )
+    p.add_argument(
+        "--c4-min-sentences",
+        type=int,
+        default=None,
+        help="page gate sentence floor for --c4-filter (default 3)",
+    )
+    p.add_argument(
+        "--gopher-filter",
+        action="store_true",
+        help="one-shot curation pass: Gopher rule gate (Rae 2021) — drop "
+        "docs failing any rule, text unchanged; stats report per-reason "
+        "drops",
+    )
+    p.add_argument(
         "--dedup-spans",
         type=int,
         default=None,
@@ -427,6 +449,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         for name, on in (
             ("--dedup-lines", args.dedup_lines is not None),
             ("--clean-text", args.clean_text),
+            ("--c4-filter", args.c4_filter),
+            ("--gopher-filter", args.gopher_filter),
             ("--dedup-spans", args.dedup_spans is not None),
             ("--mix", args.mix is not None),
             ("--mix-budget", args.mix_budget is not None),
@@ -506,6 +530,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "and cannot combine with another curation verb or "
             "--incremental/--restart/--dry-run/--compact/--doctor/"
             "--near-dup/--assemble-store/--loop",
+            file=sys.stderr,
+        )
+        return 2
+    if args.c4_min_sentences is not None and not args.c4_filter:
+        print("error: --c4-min-sentences requires --c4-filter", file=sys.stderr)
+        return 2
+    if args.c4_min_sentences is not None and args.c4_min_sentences < 0:
+        print(
+            f"error: --c4-min-sentences must be >= 0, got {args.c4_min_sentences}",
             file=sys.stderr,
         )
         return 2
@@ -782,6 +815,80 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "docs": stats["docs"],
                 "mojibake_before": int(stats["moji"] or 0),
                 "mojibake_after": int(stats["moji_after"] or 0),
+                "output": args.output,
+            }))
+            return 0
+        if args.c4_filter:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.curation import c4_quality_flags
+
+            q4 = c4_quality_flags(
+                "extracted",
+                min_sentences=(
+                    3 if args.c4_min_sentences is None else args.c4_min_sentences
+                ),
+            )
+            # re-filtering a previous --c4-filter output: drop its stale
+            # audit column before re-attaching
+            flagged = docs.drop("c4_lines_removed").withColumn("_q", q4)
+            total = docs.count()
+            dropped_by = {
+                r["reason"]: r["n"]
+                for r in flagged.select(
+                    F.explode("_q.fail_reasons").alias("reason")
+                )
+                .groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            out = (
+                flagged.filter(F.col("_q.passes"))
+                .withColumn("extracted", F.col("_q.cleaned_text"))
+                .withColumn(
+                    "c4_lines_removed",
+                    F.col("_q.n_lines") - F.col("_q.n_lines_kept"),
+                )
+                .drop("_q")
+            )
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            removed = written.agg(F.sum("c4_lines_removed")).collect()[0][0] or 0
+            print(json.dumps({
+                "c4_filter": True,
+                "total": total,
+                "kept": written.count(),
+                "dropped_by_reason": dropped_by,
+                "lines_removed_in_kept": int(removed),
+                "output": args.output,
+            }))
+            return 0
+        if args.gopher_filter:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.curation import gopher_quality_flags
+
+            qg = gopher_quality_flags("extracted")
+            flagged = docs.withColumn("_q", qg)
+            total = docs.count()
+            dropped_by = {
+                r["reason"]: r["n"]
+                for r in flagged.select(
+                    F.explode("_q.fail_reasons").alias("reason")
+                )
+                .groupBy("reason")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            out = flagged.filter(F.col("_q.passes")).drop("_q")
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            print(json.dumps({
+                "gopher_filter": True,
+                "total": total,
+                "kept": spark.read.parquet(args.output).count(),
+                "dropped_by_reason": dropped_by,
                 "output": args.output,
             }))
             return 0

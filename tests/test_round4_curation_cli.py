@@ -625,3 +625,114 @@ def test_cli_assemble_tools(spark, tmp_path, capsys):
     assert main(["--input", bare, "--output", out, "--assemble",
                  "--assemble-tools"], spark=spark) == 2
     assert "tool column" in capsys.readouterr().err
+
+
+GOOD_PAGE = "\n".join(
+    [
+        "The first sentence of this page is long enough to keep easily.",
+        "The second sentence also carries enough words to be retained.",
+        "The third sentence closes out the minimum page requirement now.",
+    ]
+)
+
+GOPHER_GOOD = (
+    "the quick brown fox jumps over a lazy dog and then it runs to "
+    "the river for water because it is thirsty after that long chase "
+    "in the warm sun while birds sing simple songs about summer days "
+    "that pass slowly in the quiet field near an old farm house there"
+)
+
+
+def test_cli_c4_filter(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, GOOD_PAGE + "\nshort line."),  # kept, 1 line removed
+            (1, "c0", 1, GOOD_PAGE + "\nA brace {x} hides in this kept sentence."),
+            (2, "c1", 0, "One lone sentence is not enough to pass the gate."),
+        ],
+    )
+    out = str(tmp_path / "c4")
+    rc = main(["--input", src, "--output", out, "--c4-filter"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total"] == 3 and res["kept"] == 1
+    assert res["dropped_by_reason"] == {
+        "has_curly_brace": 1,
+        "too_few_sentences": 1,
+    }
+    by_id = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert set(by_id) == {0}
+    assert by_id[0].extracted == GOOD_PAGE  # short line cleaned away
+    assert by_id[0].c4_lines_removed == 1
+    assert res["lines_removed_in_kept"] == 1
+
+    # re-filter own output: stale audit column dropped, result idempotent
+    out2 = str(tmp_path / "c4_again")
+    rc = main(["--input", out, "--output", out2, "--c4-filter"], spark=spark)
+    assert rc == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["kept"] == 1 and res2["lines_removed_in_kept"] == 0
+
+
+def test_cli_c4_filter_min_sentences_knob(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark, tmp_path,
+        [(0, "c0", 0, "One lone sentence is not enough by default here.")],
+    )
+    out = str(tmp_path / "c4_knob")
+    rc = main(
+        ["--input", src, "--output", out, "--c4-filter", "--c4-min-sentences", "1"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] == 1
+
+    # knob without the verb is a usage error
+    rc = main(
+        ["--input", src, "--output", out, "--c4-min-sentences", "1"], spark=spark
+    )
+    assert rc == 2
+    assert "--c4-min-sentences requires --c4-filter" in capsys.readouterr().err
+
+
+def test_cli_gopher_filter(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, GOPHER_GOOD),
+            (1, "c0", 1, "too short"),
+            (2, "c1", 0, None),
+        ],
+    )
+    out = str(tmp_path / "gopher")
+    rc = main(["--input", src, "--output", out, "--gopher-filter"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total"] == 3 and res["kept"] == 1
+    assert res["dropped_by_reason"]["too_few_words"] == 1
+    assert res["dropped_by_reason"]["null_text"] == 1
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].extracted == GOPHER_GOOD  # text unchanged
+
+
+def test_cli_c4_gopher_exclusive(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, GOOD_PAGE)])
+    rc = main(
+        ["--input", src, "--output", str(tmp_path / "x"),
+         "--c4-filter", "--gopher-filter"],
+        spark=spark,
+    )
+    assert rc == 2
+    assert "one-shot curation pass" in capsys.readouterr().err
