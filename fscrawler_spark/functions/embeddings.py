@@ -478,6 +478,73 @@ def sampled_centroids(
     return sorted(cents)
 
 
+def kmeans_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> list[tuple[int, list[float]]]:
+    """Spherical k-means (Lloyd) coarse centroids for IVF — the trained
+    upgrade over ``sampled_centroids`` (FAISS trains its IVF quantizer
+    the same way: k-means over a sample, cosine/IP metric).
+
+    Deterministic end to end: init = the hash-sampled corpus vectors
+    (no RNG), assignment ties break on the lower centroid id (the
+    shared ``make_ivf_assign_udf``), and the update is the per-cell
+    mean renormalized to the unit sphere (spherical k-means; cosine
+    assignment needs unit centroids for the GEMM to be the metric).
+    Empty cells keep their previous centroid.
+
+    Scale shape per iteration: ONE corpus pass — assignment is the same
+    broadcast-matrix Arrow map as query-time IVF (no shuffle), and the
+    update is a single hash aggregate producing ``dim`` column sums +
+    a count per cell (codegen, map-side partial combine; NO posexplode,
+    which would amplify rows dim×). Driver state is the (C × dim)
+    centroid matrix — KB-scale by construction. Returned re-keyed to
+    dense cids 0..C-1 (Lloyd means are no longer corpus vectors, so
+    corpus ids would be misleading).
+    """
+    if iters < 0:
+        raise ValueError(f"iters must be >= 0 (got {iters})")
+    dim = _infer_dim(corpus, vec_col, dim)
+    init = sampled_centroids(corpus, n_centroids, id_col, vec_col)
+    cents: list[list[float]] = [v for _cid, v in init]
+
+    def _unit(v: list[float]) -> list[float]:
+        import math
+
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v] if n > 0 else v
+
+    cents = [_unit(v) for v in cents]
+    vec = F.col(vec_col)
+    for _ in range(iters):
+        assign = make_ivf_assign_udf(list(enumerate(cents)), nprobe=1)
+        assigned = corpus.select(
+            F.element_at(assign(vec), 1).alias("cell"),
+            *[
+                F.element_at(vec, i + 1).cast("double").alias(f"x{i}")
+                for i in range(dim)
+            ],
+        )
+        stats = (
+            assigned.groupBy("cell")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(f"x{i}").alias(f"s{i}") for i in range(dim)],
+            )
+            .collect()
+        )
+        nxt = list(cents)  # empty cells keep their previous centroid
+        for r in stats:
+            c, n = int(r["cell"]), int(r["n"])
+            nxt[c] = _unit([r[f"s{i}"] / n for i in range(dim)])
+        cents = nxt
+    return list(enumerate(cents))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -488,6 +555,8 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[tuple[int, list[float]]] | None = None,
     exclude_self: bool = True,
+    train: str = "sample",
+    train_iters: int = 5,
 ) -> DataFrame:
     """IVF-flat approximate top-k: corpus vectors partition into coarse
     cells (nearest sampled centroid); a query scans only its ``nprobe``
@@ -499,8 +568,25 @@ def ivf_topk(
     shuffle); the candidate join is keyed on cell id; expected work per
     query = nprobe/n_centroids of the corpus. Recall grows with nprobe
     (nprobe = n_centroids degenerates to exact search).
+
+    ``train="sample"`` (default) uses the zero-training hash-sample
+    centroids; ``train="kmeans"`` runs ``train_iters`` spherical-Lloyd
+    iterations first (one corpus pass each) — cells then track the
+    data's actual density, which evens out cell populations and raises
+    recall at the same nprobe. Explicit ``centroids`` win over both.
     """
-    centroids = centroids or sampled_centroids(corpus, n_centroids, id_col, vec_col)
+    if centroids is None:
+        if train == "kmeans":
+            centroids = kmeans_centroids(
+                corpus, n_centroids, iters=train_iters,
+                id_col=id_col, vec_col=vec_col,
+            )
+        elif train == "sample":
+            centroids = sampled_centroids(corpus, n_centroids, id_col, vec_col)
+        else:
+            raise ValueError(
+                f"train must be 'sample' or 'kmeans' (got {train!r})"
+            )
     assign1 = make_ivf_assign_udf(centroids, nprobe=1)
     assignp = make_ivf_assign_udf(centroids, nprobe=nprobe)
     c = corpus.select(
