@@ -211,3 +211,41 @@ def test_encode_plan_no_shuffle(spark):
     )
     assert "Exchange" not in plan  # encoding rides the scan partitioning
     assert "ArrowEvalPython" in plan  # pandas UDF, not row-at-a-time
+
+
+# --- property tests (driver-side pure functions; no Spark per example) ------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_words_st = st.lists(
+    st.text(alphabet="abcdef", min_size=1, max_size=8), min_size=1, max_size=20
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(words=_words_st, freqs=st.lists(st.integers(1, 9), min_size=20, max_size=20),
+       n=st.integers(0, 30))
+def test_property_merge_loop_matches_oracle(words, freqs, n):
+    hist = [(w, f) for w, f in zip(words, freqs)]
+    texts = [" ".join([w] * f) for w, f in hist]
+    got = learn_bpe_from_histogram(
+        [(w, sum(f for x, f in hist if x == w)) for w in dict.fromkeys(words)],
+        n, min_freq=2,
+    )
+    assert got == _oracle_learn(texts, n, min_freq=2)
+
+
+@settings(max_examples=200, deadline=None)
+@given(corpus=_words_st, word=st.text(alphabet="abcdef", min_size=1, max_size=12),
+       n=st.integers(0, 20))
+def test_property_encode_matches_inorder_oracle_and_roundtrips(corpus, word, n):
+    from fscrawler_spark.functions.bpe import _encode_word
+
+    merges = _oracle_learn([" ".join(corpus)], n, min_freq=1)
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = _encode_word(word, ranks)
+    # greedy lowest-rank merging == applying merges in learned order
+    assert toks == _oracle_encode_word(word, merges)
+    # concatenation is invariant under merging
+    assert "".join(toks) == word + END

@@ -201,3 +201,64 @@ def test_plan_all_jvm_no_shuffle(spark):
     )
     assert "Exchange" not in plan
     assert "EvalPython" not in plan
+
+
+def test_randomized_batch_matches_python_twin(spark):
+    """200 seeded random multi-line texts vs an independent pure-Python
+    twin of the full recipe (one Spark job for the whole batch)."""
+    import random
+
+    rng = random.Random(20260818)
+    frags = [
+        "plain words with no mark", "This sentence ends properly.",
+        "short.", "Is it kept?", "No JavaScript here you say!",
+        "we use cookies", "a { brace", "lorem ipsum inline",
+        "   padded but fine sentence with enough words here.   ",
+        "", "x", "one two three four five six.",
+    ]
+    texts = [
+        "\n".join(rng.choice(frags) for _ in range(rng.randint(0, 8)))
+        for _ in range(200)
+    ]
+
+    def keep(line):
+        t = line.strip()
+        words = t.split() if t else []
+        if len(words) < 5 or not t or t[-1] not in '.!?"\'':
+            return False
+        low = t.lower()
+        if "javascript" in low:
+            return False
+        return not any(s in low for s in C4_POLICY_SUBSTRINGS)
+
+    def twin(text):
+        kept = [l.strip() for l in text.split("\n") if keep(l)]
+        cleaned = "\n".join(kept)
+        low = cleaned.lower()
+        reasons = []
+        if sum(cleaned.count(c) for c in ".!?") < 3:
+            reasons.append("too_few_sentences")
+        if "{" in low or "}" in low:
+            reasons.append("has_curly_brace")
+        if "lorem ipsum" in low:
+            reasons.append("has_lorem_ipsum")
+        return (cleaned, len(kept), not reasons, tuple(reasons))
+
+    sdf = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    q = c4_quality_flags("text")
+    got = {
+        r["doc_id"]: (
+            r["cleaned"], r["kept"], r["passes"], tuple(r["reasons"])
+        )
+        for r in sdf.select(
+            "doc_id",
+            q["cleaned_text"].alias("cleaned"),
+            q["n_lines_kept"].alias("kept"),
+            q["passes"].alias("passes"),
+            q["fail_reasons"].alias("reasons"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == twin(t), (i, repr(t), got[i], twin(t))
