@@ -153,6 +153,18 @@ def build_parser() -> argparse.ArgumentParser:
         "drops",
     )
     p.add_argument(
+        "--report",
+        action="store_true",
+        help="one-shot pass: corpus statistics report (plans/report.py) — "
+        "per-group + total docs/null/error/char/word counts in ONE rollup "
+        "aggregate; writes the report table to --output and prints it",
+    )
+    p.add_argument(
+        "--report-group",
+        default=None,
+        help="group column for --report (default mime)",
+    )
+    p.add_argument(
         "--dedup-spans",
         type=int,
         default=None,
@@ -451,6 +463,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--clean-text", args.clean_text),
             ("--c4-filter", args.c4_filter),
             ("--gopher-filter", args.gopher_filter),
+            ("--report", args.report),
             ("--dedup-spans", args.dedup_spans is not None),
             ("--mix", args.mix is not None),
             ("--mix-budget", args.mix_budget is not None),
@@ -532,6 +545,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--near-dup/--assemble-store/--loop",
             file=sys.stderr,
         )
+        return 2
+    if args.report_group is not None and not args.report:
+        print("error: --report-group requires --report", file=sys.stderr)
         return 2
     if args.c4_min_sentences is not None and not args.c4_filter:
         print("error: --c4-min-sentences requires --c4-filter", file=sys.stderr)
@@ -889,6 +905,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "total": total,
                 "kept": spark.read.parquet(args.output).count(),
                 "dropped_by_reason": dropped_by,
+                "output": args.output,
+            }))
+            return 0
+        if args.report:
+            from fscrawler_spark.plans.report import corpus_report
+
+            group = args.report_group or "mime"
+            try:
+                rep = corpus_report(docs, group_col=group)
+            except ValueError as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            rep.orderBy("group").write.mode("overwrite").parquet(args.output)
+            rows = [
+                r.asDict() for r in
+                spark.read.parquet(args.output).orderBy("group").collect()
+            ]
+            print(json.dumps({
+                "report": True,
+                "group_col": group,
+                "groups": len(rows) - 1,  # minus the <all> row
+                "rows": rows,
                 "output": args.output,
             }))
             return 0
