@@ -840,6 +840,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.lit("Enable javascript to view the rest of this page now."),
                 ),
                 F.lit("This site uses cookies and the line should be filtered out."),
+                # tab-led + NBSP-trailed: kept ONLY if the line rules trim
+                # the full whitespace class (pins the round-4 ws fix —
+                # F.trim would leave the NBSP and fail the punct check)
+                F.lit("\tA tab padded sentence stays after the whitespace fix.\u00a0"),
                 F.lit("The closing fixture sentence also stays in the kept set."),
             ),
         )
@@ -1608,7 +1612,9 @@ def oracle_sql() -> dict[str, str]:
 
     # C4 twin: same fixture weave (concat_ws skips the NULL branches in
     # both engines), same line predicate, same page rules over the
-    # cleaned text; reason order mirrors the Spark struct's rule order
+    # cleaned text; reason order mirrors the Spark struct's rule order.
+    # The trim/split whitespace class is spelled [\s\x0B\x{00A0}] — RE2's
+    # \s misses \x0B and NBSP that Java-side curation.WS_SPLIT_JAVA covers
     sql["q_c4_filter"] = """
     WITH base AS (
       SELECT doc_id, concat_ws(chr(10),
@@ -1619,22 +1625,25 @@ def oracle_sql() -> dict[str, str]:
         CASE WHEN doc_id % 7 = 0 THEN 'Lorem ipsum dolor sit amet is woven into this sentence.' END,
         CASE WHEN doc_id % 3 = 0 THEN 'Enable javascript to view the rest of this page now.' END,
         'This site uses cookies and the line should be filtered out.',
+        chr(9) || 'A tab padded sentence stays after the whitespace fix.' || chr(160),
         'The closing fixture sentence also stays in the kept set.'
       ) AS t FROM documents
     ), m AS (
       SELECT doc_id, string_split(t, chr(10)) AS lines,
-        list_transform(list_filter(string_split(t, chr(10)), l ->
-          CASE WHEN len(trim(l)) > 0
-               THEN len(string_split_regex(trim(l), '\\s+')) ELSE 0 END >= 5
-          AND regexp_matches(trim(l), '[.!?"'']$')
-          AND NOT contains(lower(trim(l)), 'javascript')
-          AND NOT contains(lower(trim(l)), 'terms of use')
-          AND NOT contains(lower(trim(l)), 'privacy policy')
-          AND NOT contains(lower(trim(l)), 'cookie policy')
-          AND NOT contains(lower(trim(l)), 'uses cookies')
-          AND NOT contains(lower(trim(l)), 'use of cookies')
-          AND NOT contains(lower(trim(l)), 'use cookies')
-        ), l -> trim(l)) AS kept
+        list_filter(list_transform(string_split(t, chr(10)), l ->
+          regexp_replace(l, '^[\\s\\x0B\\x{00A0}]+|[\\s\\x0B\\x{00A0}]+$', '', 'g')
+        ), tl ->
+          CASE WHEN len(tl) > 0
+               THEN len(string_split_regex(tl, '[\\s\\x0B\\x{00A0}]+')) ELSE 0 END >= 5
+          AND regexp_matches(tl, '[.!?"'']$')
+          AND NOT contains(lower(tl), 'javascript')
+          AND NOT contains(lower(tl), 'terms of use')
+          AND NOT contains(lower(tl), 'privacy policy')
+          AND NOT contains(lower(tl), 'cookie policy')
+          AND NOT contains(lower(tl), 'uses cookies')
+          AND NOT contains(lower(tl), 'use of cookies')
+          AND NOT contains(lower(tl), 'use cookies')
+        ) AS kept
       FROM base
     ), c AS (
       SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,

@@ -395,6 +395,46 @@ def _read_docs_table(spark, input_path: str):
     return docs, None
 
 
+def _run_quality_filter(
+    spark, docs, args, verb: str, flags_col, keep_cols=None, extra_stats=None
+) -> int:
+    """Shared drive for the page-gate verbs (--c4-filter /
+    --gopher-filter): flag -> per-reason drop audit -> write survivors in
+    deterministic order -> one JSON stats line. Variable parts: the
+    FILTER+AUDIT struct column, an optional transform applied to the
+    surviving rows while ``_q`` is still attached (C4 swaps in the
+    cleaned text), and extra stats computed over the written output."""
+    from pyspark.sql import functions as F
+
+    flagged = docs.withColumn("_q", flags_col)
+    total = docs.count()
+    dropped_by = {
+        r["reason"]: r["n"]
+        for r in flagged.select(F.explode("_q.fail_reasons").alias("reason"))
+        .groupBy("reason")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    out = flagged.filter(F.col("_q.passes"))
+    if keep_cols is not None:
+        out = keep_cols(out)
+    out = out.drop("_q")
+    order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+    out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+    written = spark.read.parquet(args.output)
+    stats = {
+        verb: True,
+        "total": total,
+        "kept": written.count(),
+        "dropped_by_reason": dropped_by,
+    }
+    if extra_stats is not None:
+        stats.update(extra_stats(written))
+    stats["output"] = args.output
+    print(json.dumps(stats))
+    return 0
+
+
 def main(argv: list[str] | None = None, spark=None) -> int:
     """CLI entry. ``spark``: optional externally-owned session (tests /
     embedding callers) — the CLI then neither creates nor stops it."""
@@ -845,69 +885,32 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     3 if args.c4_min_sentences is None else args.c4_min_sentences
                 ),
             )
-            # re-filtering a previous --c4-filter output: drop its stale
-            # audit column before re-attaching
-            flagged = docs.drop("c4_lines_removed").withColumn("_q", q4)
-            total = docs.count()
-            dropped_by = {
-                r["reason"]: r["n"]
-                for r in flagged.select(
-                    F.explode("_q.fail_reasons").alias("reason")
-                )
-                .groupBy("reason")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            out = (
-                flagged.filter(F.col("_q.passes"))
-                .withColumn("extracted", F.col("_q.cleaned_text"))
-                .withColumn(
+
+            def _swap_in_cleaned(out):
+                return out.withColumn(
+                    "extracted", F.col("_q.cleaned_text")
+                ).withColumn(
                     "c4_lines_removed",
                     F.col("_q.n_lines") - F.col("_q.n_lines_kept"),
                 )
-                .drop("_q")
-            )
-            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
-            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
-            written = spark.read.parquet(args.output)
-            removed = written.agg(F.sum("c4_lines_removed")).collect()[0][0] or 0
-            print(json.dumps({
-                "c4_filter": True,
-                "total": total,
-                "kept": written.count(),
-                "dropped_by_reason": dropped_by,
-                "lines_removed_in_kept": int(removed),
-                "output": args.output,
-            }))
-            return 0
-        if args.gopher_filter:
-            from pyspark.sql import functions as F
 
+            def _lines_removed(written):
+                n = written.agg(F.sum("c4_lines_removed")).collect()[0][0] or 0
+                return {"lines_removed_in_kept": int(n)}
+
+            # re-filtering a previous --c4-filter output: drop its stale
+            # audit column before re-attaching
+            return _run_quality_filter(
+                spark, docs.drop("c4_lines_removed"), args, "c4_filter", q4,
+                keep_cols=_swap_in_cleaned, extra_stats=_lines_removed,
+            )
+        if args.gopher_filter:
             from fscrawler_spark.functions.curation import gopher_quality_flags
 
-            qg = gopher_quality_flags("extracted")
-            flagged = docs.withColumn("_q", qg)
-            total = docs.count()
-            dropped_by = {
-                r["reason"]: r["n"]
-                for r in flagged.select(
-                    F.explode("_q.fail_reasons").alias("reason")
-                )
-                .groupBy("reason")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
-            }
-            out = flagged.filter(F.col("_q.passes")).drop("_q")
-            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
-            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
-            print(json.dumps({
-                "gopher_filter": True,
-                "total": total,
-                "kept": spark.read.parquet(args.output).count(),
-                "dropped_by_reason": dropped_by,
-                "output": args.output,
-            }))
-            return 0
+            return _run_quality_filter(
+                spark, docs, args, "gopher_filter",
+                gopher_quality_flags("extracted"),
+            )
         if args.report:
             from fscrawler_spark.plans.report import corpus_report
 

@@ -35,17 +35,31 @@ training is partitioning-stable (pinned by tests).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from ..session import widen_slim
+from .curation import WS_SPLIT_JAVA, ws_trim
 
 END = "</w>"
 
+# Python twin of curation.WS_SPLIT_JAVA (Java \s + NBSP), so the words
+# the histogram trains on are EXACTLY the words the encode UDF splits —
+# str.split() would additionally split on exotic Unicode whitespace the
+# JVM histogram treats as word characters, skewing encodings off the
+# trained distribution.
+_WS_PY = re.compile("[ \t\n\x0b\f\r\u00a0]+")
+
+
+def _py_words(text: str) -> list[str]:
+    return [w for w in _WS_PY.split(text) if w]
+
 
 def _words(text_col, lowercase: bool) -> F.Column:
-    t = F.trim(F.lower(text_col) if lowercase else text_col)
-    arr = F.when(F.length(t) > 0, F.split(t, r"\s+")).otherwise(
+    t = ws_trim(F.lower(text_col) if lowercase else text_col)
+    arr = F.when(F.length(t) > 0, F.split(t, WS_SPLIT_JAVA)).otherwise(
         F.array().cast("array<string>")
     )
     return arr
@@ -208,7 +222,7 @@ def bpe_encode(
                 return None
             toks: list[str] = []
             t = text.lower() if lc else text
-            for w in t.split():
+            for w in _py_words(t):
                 got = cache.get(w)
                 if got is None:
                     got = cache[w] = _encode_word(w, ranks)

@@ -25,6 +25,22 @@ from fscrawler_spark.session import widen_slim
 # selection is reproducible in ANY engine, oracle included
 _BUCKETS = 1_000_000
 
+# One whitespace definition for trims and word splits: Java's \s (Spark)
+# is ASCII-only, RE2's \s (DuckDB oracle) additionally misses \x0B, and
+# Python's \s is full-Unicode — relying on any engine's alias makes word
+# counts disagree on tab/NBSP-padded web text. The class is therefore
+# ASCII whitespace + NBSP, spelled per engine; bpe._WS_PY is the Python
+# twin and the DuckDB oracles spell it [\s\x0B\x{00A0}].
+WS_TRIM_JAVA = "^[\\s\\u00A0]+|[\\s\\u00A0]+$"
+WS_SPLIT_JAVA = "[\\s\\u00A0]+"
+
+
+def ws_trim(col) -> F.Column:
+    """str.strip()-like trim: whitespace INCLUDING tab/\\r/NBSP from both
+    ends. F.trim strips only 0x20, which silently inflates split-based
+    word counts (a leading tab makes split emit an empty first token)."""
+    return F.regexp_replace(col, WS_TRIM_JAVA, "")
+
 
 def _hash_bucket(key_col, salt: str = "") -> F.Column:
     """Uniform bucket in [0, 1e6) from md5 of the key (+salt), built on
@@ -420,7 +436,7 @@ def _line_key(line_col) -> F.Column:
     possibly under min_docs — the repeated line silently survives in
     half the corpus. (Reassembly keeps the ORIGINAL bytes; only the
     frequency/ban comparison normalizes.)"""
-    return F.regexp_replace(line_col, "^[\\s\\u00A0]+|[\\s\\u00A0]+$", "")
+    return ws_trim(line_col)
 
 
 def line_frequencies(
@@ -652,10 +668,12 @@ def _c4_kept_lines(
 
     term_re = "[" + "".join(_re.escape(c) for c in terminal_punct) + "]$"
 
-    def _keep(line):
-        t = F.trim(line)
+    def _keep(t):
+        # t is already ws_trim'd: no leading empty split token can
+        # inflate the word count, and a trailing tab/NBSP can't defeat
+        # the terminal-punct check (the round-4 review's tab/NBSP bug)
         wc = F.when(
-            F.length(t) > 0, F.size(F.split(t, r"\s+"))
+            F.length(t) > 0, F.size(F.split(t, WS_SPLIT_JAVA))
         ).otherwise(F.lit(0))
         low = F.lower(t)
         keep = (wc >= min_words_per_line) & t.rlike(term_re)
@@ -667,11 +685,11 @@ def _c4_kept_lines(
         return keep
 
     lines = F.split(col, "\n", -1)
-    # output lines are TRIMMED, like the reference recipe's line.strip().
-    # NB: the lambda must be single-arg — transform() sees F.trim's
-    # optional second parameter and would pass (element, index), turning
-    # this into two-parameter TRIM(str, trimChars).
-    return lines, F.transform(F.filter(lines, _keep), lambda l: F.trim(l))
+    # output lines are TRIMMED, like the reference recipe's line.strip()
+    # (full whitespace class, not F.trim's 0x20-only); trimming BEFORE
+    # the filter keeps the rules and the output in agreement. ws_trim is
+    # single-arg, so transform() passes only the element.
+    return lines, F.filter(F.transform(lines, ws_trim), _keep)
 
 
 def c4_clean_lines(

@@ -249,3 +249,27 @@ def test_property_encode_matches_inorder_oracle_and_roundtrips(corpus, word, n):
     assert toks == _oracle_encode_word(word, merges)
     # concatenation is invariant under merging
     assert "".join(toks) == word + END
+
+
+def test_histogram_no_empty_words_and_ws_parity(spark):
+    """Round-4 review fix: texts ending in '\\n' used to emit a bogus
+    '' histogram row (leading/trailing split tokens), and NBSP trained
+    as a word character (Java \\s) while encoding split on it (Python
+    str.split) — train/encode tokenizations now agree by construction
+    on one explicit whitespace class."""
+    df = spark.createDataFrame(
+        [("hi\n",), ("a\u00a0b",), ("  \t ",), (None,)], "text string"
+    )
+    hist = {r["word"]: r["freq"] for r in word_histogram(df).collect()}
+    assert hist == {"hi": 1, "a": 1, "b": 1}
+
+    toks = [
+        r["bpe_tokens"]
+        for r in bpe_encode(df, [], text_col="text")
+        .select("bpe_tokens")
+        .collect()
+    ]
+    assert toks[0] == ["h", "i", END]
+    assert toks[1] == ["a", END, "b", END]  # NBSP separates on BOTH sides
+    assert toks[2] == []
+    assert toks[3] is None

@@ -262,3 +262,23 @@ def test_randomized_batch_matches_python_twin(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == twin(t), (i, repr(t), got[i], twin(t))
+
+
+def test_whitespace_class_tab_nbsp(spark):
+    """Round-4 review fix: F.trim strips only 0x20, so a leading tab
+    inflated the split word count by an empty first token (4-word lines
+    survived the <5 floor) and a trailing tab/NBSP defeated the
+    terminal-punct check (good lines were dropped). The rules now trim
+    ASCII whitespace + NBSP on both ends before judging."""
+    tab_short = "\tone two three four."  # 4 real words -> dropped
+    nbsp_tail = "A full proper sentence with enough words here.\u00a0"  # kept
+    tab_tail = "Another proper sentence with plenty of words too.\t"  # kept
+    nbsp_mid = "alpha\u00a0beta gamma delta epsilon zeta."  # NBSP splits: 6 words, kept
+    page = "\n".join([tab_short, nbsp_tail, tab_tail, nbsp_mid])
+    assert _clean(spark, page) == "\n".join(
+        [
+            "A full proper sentence with enough words here.",
+            "Another proper sentence with plenty of words too.",
+            nbsp_mid,
+        ]
+    )
