@@ -579,8 +579,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
         return _docs(spark, sf).select(*cols)
 
-    def q_fingerprint(spark, sf):
-        return _docs(spark, sf).select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    # q_fingerprint (bag-of-words doc fingerprint) was a driver-registry
+    # row through round 4; demoted to tests/test_analytics_queries.py
+    # (same Spark code + DuckDB twin) in the export-tier registry swap.
 
     def q_quality_stats(spark, sf):
         nospace = F.regexp_replace(F.col("text"), r"\s+", "")
@@ -665,7 +666,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q.update(
         q_langid_hits=q_langid_hits,
-        q_fingerprint=q_fingerprint,
         q_quality_stats=q_quality_stats,
         q_sample_split=q_sample_split,
         q_pack_sequences=q_pack_sequences,
@@ -687,13 +687,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # redundant with q_near_dup_e2e, which value-checks the full md5
     # pipeline INCLUDING the banded-LSH candidate stage.
 
-    def q_ngram_jaccard(spark, sf):
-        pairs = dedup.jaccard_pairs(_dup_corpus(spark, sf), id_col="id", threshold=0.5)
-        return pairs.select(
-            "id_a",
-            "id_b",
-            (F.floor(F.col("jaccard") * 1_000_000) / 1_000_000).alias("jaccard_f"),
-        )
+    # q_ngram_jaccard (inverted-index exact-Jaccard pairs) was a
+    # driver-registry row through round 4; demoted to
+    # tests/test_analytics_queries.py in the export-tier registry swap —
+    # the same jaccard machinery stays driver-checked inside
+    # q_near_dup_e2e's verify stage.
 
     # q_simhash (the bare signature query) was a driver-registry row
     # through round 4's mid-round state; demoted to
@@ -736,16 +734,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_dedup_exact=q_dedup_exact,
         q_minhash_lsh_fast=q_minhash_lsh_fast,
         q_near_dup_e2e=q_near_dup_e2e,
-        q_ngram_jaccard=q_ngram_jaccard,
         q_simhash_pairs=q_simhash_pairs,
     )
 
     # --- embeddings -----------------------------------------------------------------
 
-    def q_ann_topk(spark, sf):
-        e = _emb(spark, sf)
-        out = embeddings.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
-        return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+    # q_ann_topk (brute-force cosine top-k, the ANN baseline) was a
+    # driver-registry row through round 4; demoted to
+    # tests/test_analytics_queries.py in the export-tier registry swap —
+    # brute_force_topk remains the recall ground truth inside the LSH/IVF
+    # recall tests, and q_ann_lsh / q_ann_ivf stay driver-checked.
 
     def q_ann_lsh(spark, sf):
         # bits PINNED to 8: the DuckDB twin embeds the 8-bit plane
@@ -783,7 +781,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).select("id_a", "id_b")
 
     q.update(
-        q_ann_topk=q_ann_topk,
         q_ann_lsh=q_ann_lsh,
         q_ann_ivf=q_ann_ivf,
         q_embed_near_dup=q_embed_near_dup,
@@ -961,10 +958,73 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _role_turns(spark, sf), target_role="assistant", context_turns=4
         ).select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "prompt", "response")
 
+    def q_doc_line_dedup(spark, sf):
+        # WITHIN-doc repeated-line removal (curation.dedupe_doc_lines):
+        # the fixture weaves the same nav line three times per doc — one
+        # of them whitespace-padded to exercise the trimmed key — plus a
+        # unique trailer; expect exactly the first occurrence kept
+        from fscrawler_spark.functions.curation import dedupe_doc_lines
+
+        d = _docs(spark, sf).withColumn(
+            "woven",
+            F.concat_ws(
+                "\n",
+                F.lit("INTRO repeated line."),
+                F.col("text"),
+                F.lit("INTRO repeated line."),
+                F.lit("  INTRO repeated line.  "),
+                F.concat(F.lit("unique-"), F.col("doc_id").cast("string")),
+            ),
+        )
+        r = dedupe_doc_lines(F.col("woven"))
+        return d.select(
+            "doc_id",
+            r["text"].alias("text"),
+            r["kept_lines"].alias("kept_lines"),
+            r["removed_lines"].alias("removed_lines"),
+        )
+
+    def q_canonical_dedup(spark, sf):
+        # quality-aware keeper selection (dedup.keep_best_of_cluster):
+        # every third doc joins a synthetic %97 cluster, quality = text
+        # length; survivors = per-cluster argmax(quality, id) + all
+        # unclustered docs
+        from fscrawler_spark.functions.dedup import keep_best_of_cluster
+
+        d = _docs(spark, sf).withColumn(
+            "quality", F.coalesce(F.length("text"), F.lit(-1)).cast("long")
+        )
+        clusters = d.filter(F.col("doc_id") % 3 == 0).select(
+            F.col("doc_id").alias("id"), (F.col("doc_id") % 97).alias("cluster_id")
+        )
+        kept = keep_best_of_cluster(d, clusters, quality_col="quality")
+        return kept.select("doc_id", "quality")
+
+    def q_export_manifest(spark, sf):
+        # training-data export layout (export.training_order +
+        # shard_manifest): deterministic md5 epoch permutation, hash
+        # shards, XOR checksums — the manifest IS the shard assignment
+        # and ordering made value-checkable
+        from fscrawler_spark.functions.export import shard_manifest, training_order
+
+        ordered = training_order(_docs(spark, sf), id_col="doc_id", seed=7, n_shards=8)
+        m = shard_manifest(ordered, text_col="text")
+        return m.select(
+            F.col("shard").cast("int").alias("shard"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("key_xor").cast("long").alias("key_xor"),
+            "min_key",
+            "max_key",
+            F.col("bytes").cast("long").alias("bytes"),
+        )
+
     q.update(
         q_gopher_quality=q_gopher_quality,
         q_c4_filter=q_c4_filter,
         q_line_dedup=q_line_dedup,
+        q_doc_line_dedup=q_doc_line_dedup,
+        q_canonical_dedup=q_canonical_dedup,
+        q_export_manifest=q_export_manifest,
         q_normalize_clean=q_normalize_clean,
         q_exact_substr_spans=q_exact_substr_spans,
         q_corpus_mix=q_corpus_mix,
@@ -1201,12 +1261,8 @@ def oracle_sql() -> dict[str, str]:
         )
     sql["q_langid_hits"] = f"SELECT doc_id, {', '.join(lang_cols)} FROM documents"
 
-    sql["q_fingerprint"] = """
-    SELECT doc_id,
-           md5(array_to_string(list_sort(list_distinct(
-               string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp
-    FROM documents
-    """
+    # q_fingerprint's twin moved to tests/test_analytics_queries.py with
+    # the demoted query (export-tier registry swap)
 
     sql["q_quality_stats"] = """
     SELECT doc_id, length(text)::BIGINT AS n_chars2,
@@ -1389,21 +1445,8 @@ def oracle_sql() -> dict[str, str]:
     FROM walk GROUP BY id
     """
 
-    sql["q_ngram_jaccard"] = f"""
-    WITH base AS (SELECT id, {_sql_shingles()} AS sh FROM {SQL_DUP_CORPUS}),
-    sizes AS (SELECT id, len(sh) AS n FROM base),
-    inv AS (SELECT id, unnest(sh) AS s FROM base),
-    common AS (
-      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS common
-      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
-      GROUP BY 1, 2
-    )
-    SELECT id_a, id_b, floor((common / (na.n + nb.n - common)) * 1000000) / 1000000 AS jaccard_f
-    FROM common
-    JOIN sizes na ON na.id = common.id_a
-    JOIN sizes nb ON nb.id = common.id_b
-    WHERE common / (na.n + nb.n - common) >= 0.5
-    """
+    # q_ngram_jaccard's twin moved to tests/test_analytics_queries.py
+    # with the demoted query (export-tier registry swap)
 
     # masks for 4 pigeonhole bands of the 32-bit simhash (max_hamming=3)
     _sh_masks = ", ".join(f"({b}, {((1 << 8) - 1) << (b * 8)})" for b in range(4))
@@ -1438,18 +1481,8 @@ def oracle_sql() -> dict[str, str]:
     WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
     """
 
-    sql["q_ann_topk"] = """
-    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
-    scored AS (
-      SELECT q.query_id, c.vec_id AS neighbor_id,
-             list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
-      FROM embeddings c, q WHERE c.vec_id <> q.query_id
-    ),
-    r AS (SELECT query_id, neighbor_id,
-                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-          FROM scored)
-    SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
-    """
+    # q_ann_topk's twin moved to tests/test_analytics_queries.py with
+    # the demoted query (export-tier registry swap)
 
     # --- random-hyperplane ANN LSH oracle twins ------------------------------
     # The SAME seeded hyperplane literals used by the Spark side
@@ -1701,6 +1734,74 @@ def oracle_sql() -> dict[str, str]:
            sum(CASE WHEN removable THEN 1 ELSE 0 END)::BIGINT AS removed_lines,
            sum(CASE WHEN NOT removable THEN 1 ELSE 0 END)::BIGINT AS kept_lines
     FROM m GROUP BY id
+    """
+
+    # within-doc line dedup twin: first occurrence per trimmed key via a
+    # min(pos) window; blank lines always kept; the same explicit
+    # whitespace class as the engine's ws_trim
+    sql["q_doc_line_dedup"] = """
+    WITH d AS (
+      SELECT doc_id, concat_ws(chr(10),
+        'INTRO repeated line.', text, 'INTRO repeated line.',
+        '  INTRO repeated line.  ', 'unique-' || doc_id) AS t
+      FROM documents
+    ), ex AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(string_split(t, chr(10))))) AS pos,
+             unnest(string_split(t, chr(10))) AS line
+      FROM d
+    ), k AS (
+      SELECT doc_id, pos, line,
+             regexp_replace(line, '^[\\s\\x0B\\x{00A0}]+|[\\s\\x0B\\x{00A0}]+$', '', 'g') AS tline
+      FROM ex
+    ), m AS (
+      SELECT doc_id, pos, line, tline,
+             min(pos) OVER (PARTITION BY doc_id, tline) AS first_pos
+      FROM k
+    )
+    SELECT doc_id,
+           coalesce(string_agg(
+             CASE WHEN tline = '' OR pos = first_pos THEN line END,
+             chr(10) ORDER BY pos), '') AS text,
+           sum(CASE WHEN tline = '' OR pos = first_pos THEN 1 ELSE 0 END)::BIGINT AS kept_lines,
+           sum(CASE WHEN tline <> '' AND pos <> first_pos THEN 1 ELSE 0 END)::BIGINT AS removed_lines
+    FROM m GROUP BY doc_id
+    """
+
+    # canonical-selection twin: per-cluster argmax(quality, id) via a
+    # row_number window, survivors = everything not out-ranked
+    sql["q_canonical_dedup"] = """
+    WITH q AS (
+      SELECT doc_id, coalesce(length(text), -1)::BIGINT AS quality FROM documents
+    ), c AS (
+      SELECT doc_id AS id, doc_id % 97 AS cluster_id
+      FROM documents WHERE doc_id % 3 = 0
+    ), w AS (
+      SELECT c.id,
+             row_number() OVER (
+               PARTITION BY c.cluster_id
+               ORDER BY q.quality DESC, c.id DESC) AS rn
+      FROM c JOIN q ON q.doc_id = c.id
+    )
+    SELECT doc_id, quality FROM q
+    WHERE doc_id NOT IN (SELECT id FROM w WHERE rn > 1)
+    """
+
+    # export-manifest twin: the same md5 permutation key, hash shard,
+    # XOR checksum; strlen = byte length (Spark octet_length)
+    sql["q_export_manifest"] = """
+    WITH o AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5('order:7:' || doc_id), 1, 15))::BIGINT AS order_key
+      FROM documents
+    )
+    SELECT (order_key % 8)::INT AS shard,
+           count(*)::BIGINT AS n_rows,
+           bit_xor(order_key)::BIGINT AS key_xor,
+           min(order_key) AS min_key,
+           max(order_key) AS max_key,
+           sum(coalesce(strlen(text), 0))::BIGINT AS bytes
+    FROM o GROUP BY 1
     """
 
     # clean_text twin: the woven damage is known, so the oracle asserts the

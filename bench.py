@@ -51,6 +51,8 @@ HEADLINE = [
     # battery column (bench-local callable) so the r1-r4 history rows
     # remain comparable
     "q_simhash",
+    # q_ann_topk left the driver registry in the export-tier swap; it
+    # stays a battery column (bench-local callable) for history continuity
     "q_ann_topk",
     "q_ann_lsh",
     "q_parsed_object",
@@ -68,6 +70,8 @@ CURATION = [
     # the assembly operators are timed as their REGISTRY entries, so the
     # battery measures exactly the workload the driver oracle validates
     "q_assemble_conversations", "q_sft_pairs",
+    # late-round-4 export tier + line/canonical dedup (registry entries)
+    "q_doc_line_dedup", "q_canonical_dedup", "q_export_manifest",
 ]
 
 
@@ -167,6 +171,17 @@ def _q_simhash(spark, sf_dir: str):
     from fscrawler_spark.functions import dedup
 
     return dedup.simhash(_docs(spark, sf_dir), id_col="doc_id", bits=32)
+
+
+def _q_ann_topk(spark, sf_dir: str):
+    # battery continuity: q_ann_topk left the driver registry in the
+    # export-tier swap (its oracle now lives in tests/test_analytics_queries)
+    from pyspark.sql import functions as F
+
+    from fscrawler_spark.functions import embeddings
+
+    e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embeddings.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -534,6 +549,7 @@ def run_headline_queries() -> dict[str, float]:
         qs = entry_mod.queries()
         qs["q_near_dup_fast"] = _q_near_dup_fast
         qs["q_simhash"] = _q_simhash
+        qs["q_ann_topk"] = _q_ann_topk
         qs["q_clean_text"] = _q_clean_text
         qs["q_exact_substr"] = _q_exact_substr
         qs["q_perplexity_buckets"] = _q_perplexity_buckets

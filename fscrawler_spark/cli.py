@@ -165,6 +165,22 @@ def build_parser() -> argparse.ArgumentParser:
         help="group column for --report (default mime)",
     )
     p.add_argument(
+        "--export",
+        type=int,
+        default=None,
+        metavar="N_SHARDS",
+        help="one-shot pass: export the docs table at --input as N_SHARDS "
+        "deterministic training shards under --output/shards plus a "
+        "verifiable --output/manifest (functions/export.py: md5 epoch "
+        "permutation, hash shards, XOR checksums; no global sort)",
+    )
+    p.add_argument(
+        "--export-seed",
+        type=int,
+        default=0,
+        help="epoch seed for --export (a new seed is a new permutation)",
+    )
+    p.add_argument(
         "--dedup-spans",
         type=int,
         default=None,
@@ -504,6 +520,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--c4-filter", args.c4_filter),
             ("--gopher-filter", args.gopher_filter),
             ("--report", args.report),
+            ("--export", args.export is not None),
             ("--dedup-spans", args.dedup_spans is not None),
             ("--mix", args.mix is not None),
             ("--mix-budget", args.mix_budget is not None),
@@ -588,6 +605,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 2
     if args.report_group is not None and not args.report:
         print("error: --report-group requires --report", file=sys.stderr)
+        return 2
+    if args.export is not None and args.export < 1:
+        print(f"error: --export must be >= 1, got {args.export}", file=sys.stderr)
+        return 2
+    if args.export_seed != 0 and args.export is None:
+        print("error: --export-seed requires --export", file=sys.stderr)
         return 2
     if args.c4_min_sentences is not None and not args.c4_filter:
         print("error: --c4-min-sentences requires --c4-filter", file=sys.stderr)
@@ -933,6 +956,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "output": args.output,
             }))
             return 0
+        if args.export is not None:
+            from fscrawler_spark.functions.export import export_shards, verify_export
+
+            stats = export_shards(
+                docs, args.output, n_shards=args.export,
+                id_col="doc_id", seed=args.export_seed, text_col="extracted",
+            )
+            problems = verify_export(spark, args.output)
+            print(json.dumps({
+                "export": True,
+                "shards": stats["shards"],
+                "rows": stats["rows"],
+                "seed": args.export_seed,
+                "verify_findings": problems,
+                "output": args.output,
+            }))
+            return 0 if not problems else 1
         if args.dedup_spans is not None:
             from pyspark.sql import functions as F
 

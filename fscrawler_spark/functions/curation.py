@@ -481,6 +481,43 @@ def line_frequencies(
     )
 
 
+def dedupe_doc_lines(text_col, sep: str = "\n") -> F.Column:
+    """WITHIN-doc repeated-line removal: keep the FIRST occurrence of
+    each trimmed-identical non-blank line inside one document (nav menus
+    repeated mid-page, chat-log echo lines, scraped pagination blocks —
+    the intra-document counterpart of strip_repeated_lines' cross-doc
+    ban). Returns struct(text, kept_lines, removed_lines); NULL text
+    propagates NULL fields. Blank lines are structure and always kept.
+
+    Pure HOF column expression (split/transform/filter with index):
+    zero shuffle, zero Python — it rides the extraction scan like
+    c4_clean_lines. The first-occurrence test is array_position over the
+    trimmed-lines array, O(L²) worst case per document in line count L —
+    fine for real pages (L is hundreds); a pathological million-line doc
+    should go through the exploded strip_repeated_lines shape instead.
+    Comparison keys use the shared ws_trim class; output keeps the
+    ORIGINAL line bytes (first occurrence verbatim, padding included).
+    """
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    lines = F.split(col, sep, -1)
+    trimmed = F.transform(lines, ws_trim)
+
+    def _first_occurrence(_line, i):
+        key = F.element_at(trimmed, i + 1)
+        return (key == F.lit("")) | (
+            F.array_position(trimmed, key) == (i + 1).cast("long")
+        )
+
+    kept = F.filter(lines, _first_occurrence)
+    n_all = F.size(lines)
+    n_kept = F.size(kept)
+    return F.struct(
+        F.array_join(kept, sep if len(sep) == 1 else "\n").alias("text"),
+        F.when(col.isNotNull(), n_kept).cast("long").alias("kept_lines"),
+        F.when(col.isNotNull(), n_all - n_kept).cast("long").alias("removed_lines"),
+    )
+
+
 def strip_repeated_lines(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -530,6 +530,55 @@ def near_dup_pipeline(
     return clusters.withColumn("is_keeper", F.col("id") == F.col("cluster_id"))
 
 
+def keep_best_of_cluster(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: str = "quality",
+    member_col: str = "id",
+    cluster_col: str = "cluster_id",
+) -> DataFrame:
+    """Quality-aware keeper selection: for each dup cluster keep the
+    member with the HIGHEST ``quality_col`` (ties: highest id) and drop
+    the rest; docs outside every cluster always survive. Returns the
+    surviving ``docs`` rows unchanged.
+
+    The upgrade over near_dup_pipeline's positional keeper (cluster_id =
+    min id): production pipelines keep the best-of-cluster — longest
+    extraction, highest quality score, preferred source — not whichever
+    member hashed lowest. ``clusters`` is any (member_col, cluster_col)
+    assignment (near_dup_pipeline output, semantic_dedup cells, a manual
+    grouping). A doc in several clusters survives only if it wins ALL of
+    them (losing any marks it a duplicate of some keeper).
+
+    Scale shape: quality rides a SLIM (id, quality) projection joined to
+    the cluster table — dup members only, ≪ corpus; winners are ONE
+    max_by hash aggregate; the corpus itself is touched only by the
+    final id-keyed left-anti join against the loser set (AQE broadcasts
+    it when small). The full docs rows never shuffle.
+
+    ``quality_col`` is any orderable column; coalesce NULLs to a floor
+    value first — NULL ordering inside the max_by struct is otherwise
+    engine-defined.
+    """
+    q = docs.select(F.col(id_col).alias("id"), F.col(quality_col).alias("q"))
+    members = clusters.select(
+        F.col(member_col).alias("id"), F.col(cluster_col).alias("cid")
+    )
+    scored = members.join(q, "id")
+    winners = scored.groupBy("cid").agg(
+        F.max_by(F.col("id"), F.struct(F.col("q"), F.col("id"))).alias("id")
+    )
+    # a LOST MEMBERSHIP (not merely "never won anything") marks a doc a
+    # duplicate of that cluster's keeper — a doc in overlapping clusters
+    # is dropped on its first loss even if it won elsewhere (its own win
+    # is transitively represented by whatever beat it)
+    losers = scored.join(winners, ["cid", "id"], "left_anti").select("id").distinct()
+    return docs.join(
+        losers.withColumnRenamed("id", id_col), id_col, "left_anti"
+    )
+
+
 def simhash_near_dup_pairs(
     sims: DataFrame,
     max_hamming: int = 3,

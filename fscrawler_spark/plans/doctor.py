@@ -470,5 +470,32 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                             )
                         )
 
+    # --- export root (functions/export) -----------------------------------
+    shards_dir = os.path.join(output_dir, "shards")
+    manifest_dir = os.path.join(output_dir, "manifest")
+    if os.path.isdir(shards_dir) != os.path.isdir(manifest_dir):
+        missing = "manifest" if os.path.isdir(shards_dir) else "shards"
+        findings.append(
+            _finding(
+                "ERROR",
+                "export_half_written",
+                f"export root has shards/ xor manifest/ ({missing}/ is "
+                "missing) — torn export; re-run --export (the layout is "
+                "deterministic, a re-run is byte-identical)",
+            )
+        )
+    elif os.path.isdir(shards_dir):
+        from fscrawler_spark.functions.export import verify_export
+
+        for msg in verify_export(spark, output_dir):
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "export_manifest_mismatch",
+                    f"{msg} — truncated/duplicated shard data or a stale "
+                    "manifest; re-run --export before training on this",
+                )
+            )
+
     ok = not any(f["severity"] == "ERROR" for f in findings)
     return {"ok": ok, "findings": findings}

@@ -19,7 +19,7 @@ SF = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def con():
     c = duckdb.connect()
-    for t in ("customer", "orders", "lineitem", "events", "documents"):
+    for t in ("customer", "orders", "lineitem", "events", "documents", "embeddings"):
         c.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     return c
 
@@ -208,4 +208,72 @@ def test_minhash_lsh_candidates_demoted(spark, con):
     SELECT DISTINCT a.id AS id_a, b.id AS id_b
     FROM banded_ok a JOIN banded_ok b
       ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    """)
+
+
+def test_fingerprint_demoted(spark, con):
+    """Driver row through round 4; demoted in the export-tier registry
+    swap. Same Spark code and DuckDB twin, value-for-value."""
+    from fscrawler_spark.functions.text_analysis import fingerprint
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    _match(d.select("doc_id", fingerprint(F.col("text")).alias("fp")), con, """
+        SELECT doc_id,
+               md5(array_to_string(list_sort(list_distinct(
+                   string_split_regex(lower(trim(text)), '\\s+'))), ' ')) AS fp
+        FROM documents
+    """)
+
+
+def test_ngram_jaccard_pairs_demoted(spark, con):
+    """Driver row through round 4; demoted in the export-tier registry
+    swap (the jaccard verify machinery stays driver-checked inside
+    q_near_dup_e2e). Same Spark code and DuckDB twin."""
+    from __spark_entry__ import SQL_DUP_CORPUS, _dup_corpus, _sql_shingles
+    from fscrawler_spark.functions import dedup
+
+    pairs = dedup.jaccard_pairs(_dup_corpus(spark, SF), id_col="id", threshold=0.5)
+    sdf = pairs.select(
+        "id_a", "id_b",
+        (F.floor(F.col("jaccard") * 1_000_000) / 1_000_000).alias("jaccard_f"),
+    )
+    _match(sdf, con, f"""
+    WITH base AS (SELECT id, {_sql_shingles()} AS sh FROM {SQL_DUP_CORPUS}),
+    sizes AS (SELECT id, len(sh) AS n FROM base),
+    inv AS (SELECT id, unnest(sh) AS s FROM base),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS common
+      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, floor((common / (na.n + nb.n - common)) * 1000000) / 1000000 AS jaccard_f
+    FROM common
+    JOIN sizes na ON na.id = common.id_a
+    JOIN sizes nb ON nb.id = common.id_b
+    WHERE common / (na.n + nb.n - common) >= 0.5
+    """)
+
+
+def test_ann_brute_force_topk_demoted(spark, con):
+    """Driver row through round 4; demoted in the export-tier registry
+    swap (brute force remains the recall ground truth for the LSH/IVF
+    tests). Same Spark code and DuckDB twin."""
+    from fscrawler_spark.functions import embeddings
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = embeddings.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+    sdf = out.select(
+        "query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id"
+    )
+    _match(sdf, con, """
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) AS sim
+      FROM embeddings c, q WHERE c.vec_id <> q.query_id
+    ),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+          FROM scored)
+    SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
     """)

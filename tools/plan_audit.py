@@ -42,6 +42,9 @@ AUDITED = [
     ("q_sft_pairs", "SFT pairs: one Exchange -> partition-local window over a bounded frame"),
     ("q_c4_filter", "C4 recipe: line clean + page gate as one all-JVM projection"),
     ("q_bpe_encode", "BPE encode: broadcast merge ranks -> zero-shuffle Arrow map"),
+    ("q_doc_line_dedup", "within-doc line dedup: all-JVM HOF projection"),
+    ("q_canonical_dedup", "best-of-cluster keeper: slim max_by agg -> anti join"),
+    ("q_export_manifest", "export manifest: permutation key -> one shard hash agg"),
 ]
 
 
