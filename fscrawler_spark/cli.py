@@ -181,6 +181,12 @@ def build_parser() -> argparse.ArgumentParser:
         help="epoch seed for --export (a new seed is a new permutation)",
     )
     p.add_argument(
+        "--export-format",
+        default="parquet",
+        choices=("parquet", "json"),
+        help="shard file format for --export (json = JSONL shard files)",
+    )
+    p.add_argument(
         "--dedup-spans",
         type=int,
         default=None,
@@ -612,6 +618,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.export_seed != 0 and args.export is None:
         print("error: --export-seed requires --export", file=sys.stderr)
         return 2
+    if args.export_format != "parquet" and args.export is None:
+        print("error: --export-format requires --export", file=sys.stderr)
+        return 2
     if args.c4_min_sentences is not None and not args.c4_filter:
         print("error: --c4-min-sentences requires --c4-filter", file=sys.stderr)
         return 2
@@ -962,6 +971,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             stats = export_shards(
                 docs, args.output, n_shards=args.export,
                 id_col="doc_id", seed=args.export_seed, text_col="extracted",
+                fmt=args.export_format,
             )
             problems = verify_export(spark, args.output)
             print(json.dumps({
@@ -969,6 +979,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "shards": stats["shards"],
                 "rows": stats["rows"],
                 "seed": args.export_seed,
+                "format": args.export_format,
                 "verify_findings": problems,
                 "output": args.output,
             }))

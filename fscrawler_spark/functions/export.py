@@ -102,6 +102,9 @@ def shard_manifest(
     return ordered.groupBy("shard").agg(*aggs)
 
 
+EXPORT_FORMATS = ("parquet", "json")
+
+
 def export_shards(
     df: DataFrame,
     path: str,
@@ -109,26 +112,31 @@ def export_shards(
     id_col: str = "doc_id",
     seed: int = 0,
     text_col: str | None = None,
+    fmt: str = "parquet",
 ) -> dict:
-    """Write the corpus as ``path/shards/shard=K/`` parquet plus
-    ``path/manifest/``. Rows land in their hash shard sorted by
-    (order_key, id) — the reproducible training stream — via ONE
-    repartition(n_shards, shard) exchange + sortWithinPartitions (no
-    global sort). Returns summary stats.
+    """Write the corpus as ``path/shards/shard=K/`` files plus
+    ``path/manifest/`` (always parquet). Rows land in their hash shard
+    sorted by (order_key, id) — the reproducible training stream — via
+    ONE repartition(n_shards, shard) exchange + sortWithinPartitions (no
+    global sort). ``fmt``: 'parquet' (columnar, the default) or 'json'
+    (JSONL shard files, the format most training loaders stream
+    directly). Returns summary stats.
 
-    Idempotent: same (corpus, seed, n_shards) produces byte-identical
-    shard contents at any parallelism.
+    Idempotent: same (corpus, seed, n_shards, fmt) produces
+    byte-identical shard contents at any parallelism.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    if fmt not in EXPORT_FORMATS:
+        raise ValueError(f"fmt must be one of {EXPORT_FORMATS}, got {fmt!r}")
     ordered = training_order(df, id_col=id_col, seed=seed, n_shards=n_shards)
-    (
+    writer = (
         ordered.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "order_key", id_col)
         .write.mode("overwrite")
         .partitionBy("shard")
-        .parquet(os.path.join(path, "shards"))
     )
+    writer.format(fmt).save(os.path.join(path, "shards"))
     manifest = shard_manifest(ordered, text_col=text_col)
     manifest.orderBy("shard").write.mode("overwrite").parquet(
         os.path.join(path, "manifest")
@@ -146,13 +154,30 @@ def export_shards(
     }
 
 
+def _read_shards(spark, path: str) -> DataFrame:
+    """Read shards back in whichever format they were exported (the data
+    files' extension says which; mixed dirs don't occur — export always
+    overwrites the whole shards/ tree)."""
+    sp = os.path.join(path, "shards")
+    for root, _dirs, files in os.walk(sp):
+        for f in files:
+            if f.endswith(".json"):
+                # read the key columns with an explicit schema — JSON
+                # inference could narrow types on small shards (shard
+                # itself resolves from the partition dirs)
+                return spark.read.schema("order_key long, shard int").json(sp)
+            if f.endswith(".parquet"):
+                return spark.read.parquet(sp)
+    return spark.read.parquet(sp)  # empty export: let the reader error
+
+
 def verify_export(spark, path: str) -> list[str]:
     """Recompute the manifest FROM the written shards and diff it against
     the stored one — the pre-training integrity gate (truncated shard
     files, duplicated rows, a stale manifest after a partial rewrite).
     Returns a list of human-readable findings; empty = clean."""
     findings: list[str] = []
-    shards = spark.read.parquet(os.path.join(path, "shards"))
+    shards = _read_shards(spark, path)
     # bytes (when present) was derived from a caller-named text column at
     # export time; the self-derivable columns are the integrity surface
     stored = spark.read.parquet(os.path.join(path, "manifest")).drop("bytes")
