@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from fscrawler_spark.functions.dedup import _md5_int
+from fscrawler_spark.functions.dedup import _md5_key
 from fscrawler_spark.functions.text_analysis import EN_STOPWORDS
 from fscrawler_spark.session import widen_slim
 
@@ -44,11 +44,9 @@ def ws_trim(col) -> F.Column:
 
 def _hash_bucket(key_col, salt: str = "") -> F.Column:
     """Uniform bucket in [0, 1e6) from md5 of the key (+salt), built on
-    the shared cross-engine hash (dedup._md5_int). NULL keys hash as the
-    literal '<null>' group: they all share one bucket (and therefore one
-    split) instead of silently vanishing from every sample."""
-    key = F.coalesce(key_col.cast("string"), F.lit("<null>"))
-    return _md5_int(F.concat(F.lit(salt), key)) % _BUCKETS
+    the shared cross-engine salted hash (dedup._md5_key, which owns the
+    NULL-as-'<null>' sentinel convention)."""
+    return _md5_key(key_col, salt) % _BUCKETS
 
 
 def _word_ngram_rows(

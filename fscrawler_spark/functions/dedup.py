@@ -31,6 +31,16 @@ def _md5_int(col) -> F.Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
 
+def _md5_key(key_col, salt: str = "") -> F.Column:
+    """Salted cross-engine hash of an id-ish column: NULL keys hash as
+    the literal '<null>' (one stable group, never silently vanishing).
+    The ONE spelling of this convention — curation._hash_bucket and
+    export.order_key both build on it, so the sentinel and salt layout
+    cannot drift between the sampling and export families."""
+    key = F.coalesce(key_col.cast("string"), F.lit("<null>"))
+    return _md5_int(F.concat(F.lit(salt), key))
+
+
 def _shingle_array(text_col, k: int, wrap, empty_type: str) -> F.Column:
     """Shared skeleton of the two shingle twins: distinct k-word
     shingles of the normalized text, each passed through ``wrap``

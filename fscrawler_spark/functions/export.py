@@ -40,17 +40,16 @@ import os
 
 from pyspark.sql import DataFrame, functions as F
 
-from .dedup import _md5_int
+from .dedup import _md5_key
 
 
 def order_key(id_col, seed: int = 0) -> F.Column:
     """Deterministic pseudo-random permutation key for one epoch:
-    non-negative int64 md5 of ``order:<seed>:<id>``. NULL ids group
-    under the literal '<null>' (they still get a stable position rather
-    than vanishing)."""
-    key = F.coalesce(F.col(id_col).cast("string") if isinstance(id_col, str) else id_col.cast("string"),
-                     F.lit("<null>"))
-    return _md5_int(F.concat(F.lit(f"order:{seed}:"), key))
+    non-negative int64 md5 of ``order:<seed>:<id>``, built on the shared
+    salted hash (dedup._md5_key, which owns the NULL-as-'<null>'
+    sentinel convention)."""
+    col = F.col(id_col) if isinstance(id_col, str) else id_col
+    return _md5_key(col, salt=f"order:{seed}:")
 
 
 def training_order(
