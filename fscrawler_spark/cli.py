@@ -342,6 +342,79 @@ def build_parser() -> argparse.ArgumentParser:
         help="negative ('junk') seed docs table for --quality-filter",
     )
     p.add_argument(
+        "--decontaminate",
+        default=None,
+        metavar="BENCH_PATH",
+        help="one-shot curation pass: drop every doc in the docs table at "
+        "--input sharing >= --decon-min-hits distinct --decon-ngrams-word "
+        "n-grams with any doc of the benchmark table at BENCH_PATH (an "
+        "extraction output root or its docs/ dir) — the removal half of "
+        "the eval-leakage scan (curation.decontaminate); write survivors "
+        "to --output",
+    )
+    p.add_argument(
+        "--decon-ngrams",
+        type=int,
+        default=None,
+        metavar="N",
+        help="n-gram length for --decontaminate (default: 8 — long grams "
+        "keep hits specific)",
+    )
+    p.add_argument(
+        "--decon-min-hits",
+        type=int,
+        default=None,
+        metavar="K",
+        help="distinct shared n-grams per (doc, bench item) pair needed "
+        "to drop the doc for --decontaminate (default: 2)",
+    )
+    p.add_argument(
+        "--ppl-filter",
+        default=None,
+        metavar="BUCKETS",
+        help="one-shot curation pass: CCNet perplexity bucketing "
+        "(lm_quality.perplexity_buckets) — train a char n-gram LM on the "
+        "docs table at --ppl-target (default: the --input table itself), "
+        "score every --input doc, split head/middle/tail at the "
+        "--ppl-cuts quantiles, and write only the comma-listed BUCKETS "
+        "(e.g. 'head' or 'head,middle') to --output with ppl/ppl_bucket "
+        "audit columns. Unscorable docs (null/too-short text) keep a "
+        "NULL bucket and are always dropped",
+    )
+    p.add_argument(
+        "--ppl-target",
+        default=None,
+        metavar="PATH",
+        help="trusted seed docs table to train the LM for --ppl-filter "
+        "(CCNet trains on Wikipedia, not the crawl; default: --input)",
+    )
+    p.add_argument(
+        "--ppl-cuts",
+        default=None,
+        metavar="LO,HI",
+        help="head/middle and middle/tail perplexity quantiles for "
+        "--ppl-filter (default: 0.3333,0.6667)",
+    )
+    p.add_argument(
+        "--tokenize",
+        type=int,
+        default=None,
+        metavar="N_MERGES",
+        help="one-shot composition pass: train a byte-pair-encoding "
+        "vocabulary of N_MERGES merges on the docs table at --input "
+        "(bpe.train_bpe; skipped when --bpe-merges is given), encode "
+        "every doc (bpe_tokens/n_bpe_tokens columns), and write the "
+        "encoded docs to --output/docs plus the reusable merges table "
+        "to --output/merges",
+    )
+    p.add_argument(
+        "--bpe-merges",
+        default=None,
+        metavar="PATH",
+        help="reuse a previously trained merges table (a --tokenize "
+        "run's --output/merges) instead of training on --input",
+    )
+    p.add_argument(
         "--semantic-dedup",
         type=float,
         default=None,
@@ -535,6 +608,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--sft-pairs", args.sft_pairs),
             ("--dsir-select", args.dsir_select is not None),
             ("--quality-filter", args.quality_filter is not None),
+            ("--decontaminate", args.decontaminate is not None),
+            ("--ppl-filter", args.ppl_filter is not None),
+            ("--tokenize", args.tokenize is not None),
         )
         if on
     ]
@@ -608,6 +684,65 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             "--near-dup/--assemble-store/--loop",
             file=sys.stderr,
         )
+        return 2
+    if args.decontaminate is None and (
+        args.decon_ngrams is not None or args.decon_min_hits is not None
+    ):
+        print(
+            "error: --decon-ngrams/--decon-min-hits require --decontaminate",
+            file=sys.stderr,
+        )
+        return 2
+    if args.decon_ngrams is not None and args.decon_ngrams < 1:
+        print(
+            f"error: --decon-ngrams must be >= 1, got {args.decon_ngrams}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.decon_min_hits is not None and args.decon_min_hits < 1:
+        print(
+            f"error: --decon-min-hits must be >= 1, got {args.decon_min_hits}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.ppl_filter is None and (
+        args.ppl_target is not None or args.ppl_cuts is not None
+    ):
+        print("error: --ppl-target/--ppl-cuts require --ppl-filter", file=sys.stderr)
+        return 2
+    ppl_keep: list[str] = []
+    if args.ppl_filter is not None:
+        ppl_keep = [b.strip() for b in args.ppl_filter.split(",") if b.strip()]
+        bad = [b for b in ppl_keep if b not in ("head", "middle", "tail")]
+        if bad or not ppl_keep:
+            print(
+                f"error: --ppl-filter takes a comma list of head/middle/tail, "
+                f"got {args.ppl_filter!r}",
+                file=sys.stderr,
+            )
+            return 2
+    ppl_cuts = (1 / 3, 2 / 3)
+    if args.ppl_cuts is not None:
+        try:
+            lo, hi = (float(x) for x in args.ppl_cuts.split(","))
+        except ValueError:
+            print(
+                f"error: --ppl-cuts must be 'LO,HI' floats, got {args.ppl_cuts!r}",
+                file=sys.stderr,
+            )
+            return 2
+        if not (0.0 < lo < hi < 1.0):
+            print(
+                f"error: --ppl-cuts must satisfy 0 < LO < HI < 1, got {lo},{hi}",
+                file=sys.stderr,
+            )
+            return 2
+        ppl_cuts = (lo, hi)
+    if args.tokenize is not None and args.tokenize < 1:
+        print(f"error: --tokenize must be >= 1, got {args.tokenize}", file=sys.stderr)
+        return 2
+    if args.bpe_merges is not None and args.tokenize is None:
+        print("error: --bpe-merges requires --tokenize", file=sys.stderr)
         return 2
     if args.report_group is not None and not args.report:
         print("error: --report-group requires --report", file=sys.stderr)
@@ -1156,6 +1291,138 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "kept": stats["n"],
                 "log_odds_min": stats["lo"],
                 "log_odds_max": stats["hi"],
+                "output": args.output,
+            }))
+            return 0
+        if args.decontaminate is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.curation import decontaminate
+
+            bench, berr = _read_docs_table(spark, args.decontaminate)
+            if berr:
+                print(f"error: --decontaminate: {berr}", file=sys.stderr)
+                return 2
+            total = docs.count()
+            out = decontaminate(
+                docs,
+                bench,
+                id_col="doc_id",
+                text_col="extracted",
+                bench_id_col="doc_id",
+                bench_text_col="extracted",
+                n=args.decon_ngrams if args.decon_ngrams is not None else 8,
+                min_hits=args.decon_min_hits if args.decon_min_hits is not None else 2,
+            )
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            kept = spark.read.parquet(args.output).count()
+            print(json.dumps({
+                "decontaminate": True,
+                "ngrams": args.decon_ngrams if args.decon_ngrams is not None else 8,
+                "min_hits": args.decon_min_hits if args.decon_min_hits is not None else 2,
+                "total": total,
+                "kept": kept,
+                "dropped": total - kept,
+                "output": args.output,
+            }))
+            return 0
+        if args.ppl_filter is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.lm_quality import (
+                perplexity_buckets,
+                train_char_lm,
+            )
+
+            seed = docs
+            if args.ppl_target is not None:
+                seed, terr = _read_docs_table(spark, args.ppl_target)
+                if terr:
+                    print(f"error: --ppl-target: {terr}", file=sys.stderr)
+                    return 2
+            try:
+                lm = train_char_lm(seed, text_col="extracted")
+            except ValueError as e:
+                print(f"error: --ppl-filter: {e}", file=sys.stderr)
+                return 2
+            total = docs.count()
+            # re-filtering a previous ppl-filter output: drop its stale
+            # audit columns before re-attaching
+            bucketed = perplexity_buckets(
+                docs.drop("ppl", "ppl_bucket"), lm,
+                text_col="extracted", cuts=ppl_cuts,
+            )
+            by_bucket = {
+                ("<null>" if r["b"] is None else r["b"]): r["n"]
+                for r in bucketed.groupBy(F.col("ppl_bucket").alias("b"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            }
+            out = bucketed.filter(F.col("ppl_bucket").isin(ppl_keep))
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            kept = spark.read.parquet(args.output).count()
+            print(json.dumps({
+                "ppl_filter": ppl_keep,
+                "cuts": list(ppl_cuts),
+                "trained_on": args.ppl_target or "input",
+                "total": total,
+                "kept": kept,
+                "by_bucket": by_bucket,
+                "output": args.output,
+            }))
+            return 0
+        if args.tokenize is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.bpe import (
+                bpe_encode,
+                merges_table,
+                train_bpe,
+            )
+
+            if args.bpe_merges is not None:
+                try:
+                    mt = spark.read.parquet(args.bpe_merges)
+                    rows = mt.orderBy("rank").select("left", "right").collect()
+                except Exception as e:
+                    print(
+                        f"error: --bpe-merges: cannot read merges table at "
+                        f"{args.bpe_merges}: {e}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                merges = [(r["left"], r["right"]) for r in rows][: args.tokenize]
+            else:
+                merges = train_bpe(docs, text_col="extracted", num_merges=args.tokenize)
+            # re-tokenizing a previous output: drop its stale audit columns
+            out = bpe_encode(
+                docs.drop("bpe_tokens", "n_bpe_tokens"), merges, text_col="extracted"
+            ).withColumn(
+                "n_bpe_tokens",
+                F.when(
+                    F.col("bpe_tokens").isNull(), F.lit(None).cast("int")
+                ).otherwise(F.size("bpe_tokens")),
+            )
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(
+                os.path.join(args.output, "docs")
+            )
+            merges_table(spark, merges).coalesce(1).write.mode("overwrite").parquet(
+                os.path.join(args.output, "merges")
+            )
+            written = spark.read.parquet(os.path.join(args.output, "docs"))
+            stats = written.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("n_bpe_tokens").alias("toks"),
+            ).collect()[0]
+            print(json.dumps({
+                "tokenize": args.tokenize,
+                "merges": len(merges),
+                "trained": args.bpe_merges is None,
+                "rows": stats["n"],
+                "total_tokens": stats["toks"],
                 "output": args.output,
             }))
             return 0

@@ -406,6 +406,39 @@ def contamination_check(
     )
 
 
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    n: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop every corpus doc that ``contamination_check`` flags against
+    the benchmark — the removal half of the eval-leakage scan (flagging
+    alone doesn't protect a training run; the drop does).
+
+    Shape: the flagged-id set is a projection of contamination_check's
+    output (corpus-grams broadcast-joined against the tiny distinct
+    benchmark grams), distinct'd down to ids — small by construction
+    (bounded by the docs that actually overlap an eval item) — then a
+    LEFT ANTI join removes them. The anti join's left side is the only
+    corpus-scale relation and AQE turns the right side into a broadcast
+    when it is as small as contamination usually is; no corpus shuffle.
+    """
+    flagged = (
+        contamination_check(
+            corpus, benchmark, id_col, text_col, bench_id_col, bench_text_col,
+            n=n, min_hits=min_hits,
+        )
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(flagged, id_col, "left_anti")
+
+
 # --- cross-document repeated-line (boilerplate) removal ---------------------
 
 

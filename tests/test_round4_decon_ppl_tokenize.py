@@ -1,0 +1,301 @@
+"""Round 4+: the --decontaminate / --ppl-filter / --tokenize one-shot
+CLI verbs (cli.py) and the curation.decontaminate library wrapper.
+Expectations are computed independently of the modules under test:
+pure-Python word-n-gram set intersections for decontamination, the
+token-reconstruction invariant (join(tokens) == word + '</w>' per word)
+for BPE, and corpus construction that forces the perplexity ordering
+(fluent repeated English vs consonant gibberish) for the CCNet split.
+"""
+
+import json
+import os
+
+import pytest
+
+FLUENT = [
+    "the quick brown fox jumps over the lazy dog near the river bank",
+    "the quick brown fox runs over the lazy dog near the river bend",
+    "a quick brown fox walks over the lazy dog by the river bank",
+    "the quick red fox jumps over the sleepy dog near the river bank",
+]
+GIBBERISH = [
+    "zqx vkj wfp bzt qxz jvk pfw tzb xqz kjv",
+    "qzj xvw kpf tzq bxj vwk fpz qtb zxq jkv",
+]
+
+
+def _docs_table(spark, tmp_path, rows, name="docs_in"):
+    p = str(tmp_path / name)
+    spark.createDataFrame(
+        rows, "doc_id long, conv_id string, turn_idx int, extracted string"
+    ).write.parquet(os.path.join(p, "docs"))
+    return p
+
+
+def _py_ngrams(text, n):
+    words = text.lower().split()
+    return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+
+# --- decontamination ---------------------------------------------------------
+
+BENCH_ITEM = "what is the capital city of the ancient kingdom of lydia answer sardis"
+# 10 words copied from the bench item -> 3 shared distinct 8-grams
+LEAK_10 = "intro words then " + " ".join(BENCH_ITEM.split()[:10]) + " trailing text"
+# exactly 8 words copied -> exactly 1 shared 8-gram
+LEAK_8 = "prefix " + " ".join(BENCH_ITEM.split()[:8]) + " suffix"
+CLEAN = "completely unrelated prose about gardening tips and tomato seedlings in spring"
+
+
+def _expected_dropped(corpus_rows, bench_texts, n, min_hits):
+    bench_grams = set()
+    for t in bench_texts:
+        bench_grams |= _py_ngrams(t, n)
+    dropped = set()
+    for doc_id, text in corpus_rows:
+        if text is None:
+            continue
+        # per-pair hit count with a single bench item == plain intersection
+        if len(_py_ngrams(text, n) & bench_grams) >= min_hits:
+            dropped.add(doc_id)
+    return dropped
+
+
+def test_decontaminate_library(spark):
+    from fscrawler_spark.functions.curation import decontaminate
+
+    corpus_rows = [(0, LEAK_10), (1, LEAK_8), (2, CLEAN), (3, None)]
+    corpus = spark.createDataFrame(corpus_rows, "doc_id long, text string")
+    bench = spark.createDataFrame([(0, BENCH_ITEM)], "bench_id long, text string")
+
+    expected_dropped = _expected_dropped(corpus_rows, [BENCH_ITEM], n=8, min_hits=2)
+    assert expected_dropped == {0}  # the construction above is the point
+
+    kept = {
+        r.doc_id
+        for r in decontaminate(
+            corpus, bench, id_col="doc_id", text_col="text", n=8, min_hits=2
+        ).collect()
+    }
+    assert kept == {0, 1, 2, 3} - expected_dropped
+
+    # min_hits=1 also drops the single-shared-gram doc; the clean and
+    # null-text docs always survive
+    kept1 = {
+        r.doc_id
+        for r in decontaminate(
+            corpus, bench, id_col="doc_id", text_col="text", n=8, min_hits=1
+        ).collect()
+    }
+    assert kept1 == {2, 3}
+
+
+def test_cli_decontaminate(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [(0, "c0", 0, LEAK_10), (1, "c0", 1, LEAK_8), (2, "c1", 0, CLEAN), (3, "c1", 1, None)],
+    )
+    bench = _docs_table(spark, tmp_path, [(0, "b", 0, BENCH_ITEM)], name="bench")
+    out = str(tmp_path / "decon")
+    rc = main(
+        ["--input", src, "--output", out, "--decontaminate", bench], spark=spark
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {
+        "decontaminate": True,
+        "ngrams": 8,
+        "min_hits": 2,
+        "total": 4,
+        "kept": 3,
+        "dropped": 1,
+        "output": out,
+    }
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {1, 2, 3}
+
+
+def test_cli_decontaminate_min_hits_1(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark, tmp_path, [(0, "c0", 0, LEAK_10), (1, "c0", 1, LEAK_8), (2, "c1", 0, CLEAN)]
+    )
+    bench = _docs_table(spark, tmp_path, [(0, "b", 0, BENCH_ITEM)], name="bench")
+    out = str(tmp_path / "decon1")
+    rc = main(
+        ["--input", src, "--output", out, "--decontaminate", bench,
+         "--decon-min-hits", "1", "--decon-ngrams", "8"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kept"] == 1 and res["dropped"] == 2 and res["min_hits"] == 1
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {2}
+
+
+# --- perplexity filter -------------------------------------------------------
+
+def test_cli_ppl_filter(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    rows = [(i, "c0", i, t) for i, t in enumerate(FLUENT)] + [
+        (10, "c1", 0, GIBBERISH[0]),
+        (11, "c1", 1, GIBBERISH[1]),
+        (12, "c2", 0, None),  # unscorable -> NULL bucket -> always dropped
+    ]
+    src = _docs_table(spark, tmp_path, rows)
+    out = str(tmp_path / "ppl")
+    rc = main(
+        ["--input", src, "--output", out, "--ppl-filter", "head,middle"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["total"] == 7 and res["trained_on"] == "input"
+    assert res["by_bucket"].get("<null>") == 1
+    written = spark.read.parquet(out)
+    kept = {r.doc_id for r in written.collect()}
+    # the LM is trained on a corpus dominated by the fluent docs; the
+    # consonant gibberish must score in the tail and the null text has
+    # no bucket — only fluent docs survive a head+middle keep
+    assert kept == {0, 1, 2, 3}
+    assert res["kept"] == 4
+    # audit columns ride along
+    assert {"ppl", "ppl_bucket"} <= set(written.columns)
+    assert {r.ppl_bucket for r in written.collect()} <= {"head", "middle"}
+
+
+def test_cli_ppl_filter_seed_corpus_and_recycle(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    seed = _docs_table(
+        spark, tmp_path, [(i, "s", i, t) for i, t in enumerate(FLUENT)], name="seed"
+    )
+    # 2 fluent + 2 gibberish docs, keep head at the median cut: the
+    # median of 4 ppl values is a FLUENT doc's ppl (quantiles return
+    # actual data values), so head == the two fluent docs regardless of
+    # where inside each cluster the boundary value lands
+    rows = [
+        (0, "c0", 0, FLUENT[0]),
+        (1, "c0", 1, FLUENT[1]),
+        (2, "c1", 0, GIBBERISH[0]),
+        (3, "c1", 1, GIBBERISH[1]),
+    ]
+    src = _docs_table(spark, tmp_path, rows)
+    out1 = str(tmp_path / "ppl1")
+    rc = main(
+        ["--input", src, "--output", out1, "--ppl-filter", "head",
+         "--ppl-target", seed, "--ppl-cuts", "0.5,0.75"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["trained_on"] == seed and res["cuts"] == [0.5, 0.75]
+    # trained on fluent text only: the fluent docs are the head
+    assert {r.doc_id for r in spark.read.parquet(out1).collect()} == {0, 1}
+    # re-filtering a previous output drops stale audit columns first
+    out2 = str(tmp_path / "ppl2")
+    rc = main(
+        ["--input", out1, "--output", out2, "--ppl-filter", "head,middle,tail",
+         "--ppl-target", seed],
+        spark=spark,
+    )
+    assert rc == 0
+    assert spark.read.parquet(out2).count() == 2
+
+
+# --- BPE tokenize ------------------------------------------------------------
+
+def test_cli_tokenize_and_reuse_merges(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    rows = [
+        (0, "c0", 0, "banana bandana banana bandana banana"),
+        (1, "c0", 1, "banana banana bandana"),
+        (2, "c1", 0, None),
+    ]
+    src = _docs_table(spark, tmp_path, rows)
+    out1 = str(tmp_path / "tok1")
+    rc = main(["--input", src, "--output", out1, "--tokenize", "20"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["tokenize"] == 20 and res["trained"] is True and res["rows"] == 3
+    assert 0 < res["merges"] <= 20
+    docs1 = {r.doc_id: r for r in spark.read.parquet(os.path.join(out1, "docs")).collect()}
+    # reconstruction invariant: joined tokens == each word + '</w>'
+    for doc_id, _, _, text in rows:
+        if text is None:
+            assert docs1[doc_id].bpe_tokens is None
+            assert docs1[doc_id].n_bpe_tokens is None
+        else:
+            expect = "".join(w + "</w>" for w in text.split())
+            assert "".join(docs1[doc_id].bpe_tokens) == expect
+            assert docs1[doc_id].n_bpe_tokens == len(docs1[doc_id].bpe_tokens)
+    assert res["total_tokens"] == sum(
+        r.n_bpe_tokens for r in docs1.values() if r.n_bpe_tokens is not None
+    )
+    # the merges table is the persistable artifact
+    merges = spark.read.parquet(os.path.join(out1, "merges"))
+    assert {"rank", "left", "right", "merged"} <= set(merges.columns)
+    assert merges.count() == res["merges"]
+
+    # reuse run: encode a NEW corpus with the trained vocabulary —
+    # shared words must encode identically to the training run
+    src2 = _docs_table(
+        spark, tmp_path, [(5, "c9", 0, "bandana banana")], name="docs_in2"
+    )
+    out2 = str(tmp_path / "tok2")
+    rc = main(
+        ["--input", src2, "--output", out2, "--tokenize", "20",
+         "--bpe-merges", os.path.join(out1, "merges")],
+        spark=spark,
+    )
+    assert rc == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["trained"] is False and res2["merges"] == res["merges"]
+    toks2 = spark.read.parquet(os.path.join(out2, "docs")).collect()[0].bpe_tokens
+    # per-word encodings are position-independent: banana/bandana encode
+    # the same as in the training corpus
+    t1 = docs1[1].bpe_tokens  # "banana banana bandana"
+
+    def split_words(tokens):
+        words, cur = [], []
+        for t in tokens:
+            cur.append(t)
+            if t.endswith("</w>"):
+                words.append(tuple(cur))
+                cur = []
+        return words
+
+    w1 = split_words(t1)
+    w2 = split_words(toks2)
+    assert w2 == [w1[2], w1[0]]  # bandana, banana
+
+
+# --- argument validation -----------------------------------------------------
+
+@pytest.mark.parametrize(
+    "argv,msg",
+    [
+        (["--decon-ngrams", "8"], "--decon-ngrams/--decon-min-hits require"),
+        (["--decontaminate", "x", "--decon-ngrams", "0"], "--decon-ngrams must be >= 1"),
+        (["--ppl-target", "x"], "--ppl-target/--ppl-cuts require"),
+        (["--ppl-filter", "head,bogus"], "comma list of head/middle/tail"),
+        (["--ppl-filter", "head", "--ppl-cuts", "0.9,0.1"], "0 < LO < HI < 1"),
+        (["--ppl-filter", "head", "--ppl-cuts", "nope"], "must be 'LO,HI' floats"),
+        (["--tokenize", "0"], "--tokenize must be >= 1"),
+        (["--bpe-merges", "x"], "--bpe-merges requires --tokenize"),
+        (["--tokenize", "5", "--clean-text"], "one-shot curation pass"),
+        (["--decontaminate", "x", "--ppl-filter", "head"], "one-shot curation pass"),
+    ],
+)
+def test_cli_new_verb_arg_validation(spark, tmp_path, capsys, argv, msg):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "x")])
+    rc = main(["--input", src, "--output", str(tmp_path / "o")] + argv, spark=spark)
+    assert rc == 2
+    assert msg in capsys.readouterr().err
