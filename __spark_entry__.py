@@ -949,14 +949,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return assemble_conversations(_role_turns(spark, sf))
 
-    def q_sft_pairs(spark, sf):
-        # (prompt, response) SFT examples: each assistant turn paired with
-        # its rendered 4-turn context window
-        from fscrawler_spark.functions.assembly import sft_examples
+    # q_sft_pairs ((prompt, response) SFT examples over the role-alternating
+    # turn shape) was a driver-registry row through round 4; demoted to
+    # tests/test_analytics_queries.py (same Spark code + DuckDB twin) in the
+    # preference-pair registry swap — q_preference_pairs drives the same
+    # sft_examples path end-to-end before pairing.
 
-        return sft_examples(
-            _role_turns(spark, sf), target_role="assistant", context_turns=4
-        ).select("conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "prompt", "response")
+    def q_preference_pairs(spark, sf):
+        # DPO-style preference pairs (assembly.preference_pairs): two-turn
+        # conversations whose user question cycles through 7 templates, so
+        # each rendered prompt groups ~N/7 candidate responses; chosen /
+        # rejected are the argmax/argmin responses per prompt. The driver
+        # row scores by whitespace token count (integer-exact in both
+        # engines); the composite quality_score default is pytest-covered
+        # (test_round4_preference.py).
+        from fscrawler_spark.functions.assembly import preference_pairs, sft_examples
+
+        d = _docs(spark, sf).select("doc_id", "text")
+        conv = F.concat(F.lit("c"), F.col("doc_id").cast("string")).alias("conv_id")
+        user = d.select(
+            conv,
+            F.lit(0).alias("turn_idx"),
+            F.lit("user").alias("role"),
+            F.concat(F.lit("Question "), (F.col("doc_id") % 7).cast("string")).alias("text"),
+        )
+        asst = d.select(
+            conv, F.lit(1).alias("turn_idx"), F.lit("assistant").alias("role"), F.col("text")
+        )
+        ex = sft_examples(
+            user.unionByName(asst), target_role="assistant", context_turns=1
+        )
+        return preference_pairs(ex, score=token_count(F.col("response")))
 
     def q_doc_line_dedup(spark, sf):
         # WITHIN-doc repeated-line removal (curation.dedupe_doc_lines):
@@ -1030,7 +1053,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_corpus_mix=q_corpus_mix,
         q_perplexity=q_perplexity,
         q_assemble_conversations=q_assemble_conversations,
-        q_sft_pairs=q_sft_pairs,
+        q_preference_pairs=q_preference_pairs,
     )
 
     # --- multimodal plumbing (rows-only check; no SQL oracle) -----------------------
@@ -1927,20 +1950,37 @@ def oracle_sql() -> dict[str, str]:
     SELECT conv_id, doc, n_turns, length(doc)::BIGINT AS n_chars FROM a
     """
 
-    sql["q_sft_pairs"] = f"""
-    WITH t AS ({_SQL_ROLE_TURNS}),
-    r AS (SELECT conv_id, turn_idx, role, coalesce(text, '') AS resp,
-                 '<|' || role || '|>' || chr(10) || coalesce(text, '') AS rend
-          FROM t),
-    w AS (
-      SELECT conv_id, turn_idx, role, resp,
-             string_agg(rend, chr(10)) OVER (
-               PARTITION BY conv_id ORDER BY turn_idx
-               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prompt
-      FROM r
+    # the sft_examples twin (q_sft_pairs) moved to
+    # tests/test_analytics_queries.py in the preference-pair swap; the
+    # pairing twin below re-derives the same context-1 prompt rendering
+    # inline (the two-turn fixture makes the window a plain concat).
+    sql["q_preference_pairs"] = """
+    WITH scored AS (
+      SELECT '<|user|>' || chr(10) || 'Question ' || (doc_id % 7)::VARCHAR AS prompt,
+             coalesce(text, '') AS r,
+             (CASE WHEN length(trim(coalesce(text, ''))) = 0 THEN 0
+                   ELSE len(string_split_regex(trim(coalesce(text, '')), '\\s+'))
+              END)::DOUBLE AS s
+      FROM documents
+    ),
+    sel AS (
+      SELECT prompt, r, s,
+             row_number() OVER (PARTITION BY prompt ORDER BY s DESC, r DESC) AS rhi,
+             row_number() OVER (PARTITION BY prompt ORDER BY s ASC, r ASC) AS rlo
+      FROM scored
+    ),
+    pair AS (
+      SELECT prompt,
+             max(CASE WHEN rhi = 1 THEN r END) AS chosen,
+             max(CASE WHEN rlo = 1 THEN r END) AS rejected,
+             max(CASE WHEN rhi = 1 THEN s END) AS chosen_score,
+             max(CASE WHEN rlo = 1 THEN s END) AS rejected_score,
+             count(*)::BIGINT AS n_candidates
+      FROM sel GROUP BY prompt
     )
-    SELECT conv_id, turn_idx::BIGINT AS turn_idx, prompt, resp AS response
-    FROM w WHERE role = 'assistant' AND prompt IS NOT NULL AND length(prompt) > 0
+    SELECT prompt, chosen, rejected, chosen_score, rejected_score, n_candidates
+    FROM pair
+    WHERE chosen <> rejected AND chosen_score - rejected_score >= 0.0
     """
 
     return sql

@@ -68,8 +68,11 @@ CURATION = [
     "q_clean_text", "q_exact_substr", "q_perplexity_buckets", "q_mix_budget",
     "q_chunk", "q_semantic_dedup", "q_dsir_select", "q_c4_filter", "q_bpe",
     # the assembly operators are timed as their REGISTRY entries, so the
-    # battery measures exactly the workload the driver oracle validates
-    "q_assemble_conversations", "q_sft_pairs",
+    # battery measures exactly the workload the driver oracle validates.
+    # q_sft_pairs left the driver registry in the preference-pair swap;
+    # it stays a battery column (bench-local callable) for history
+    # continuity, and q_preference_pairs times the new registry entry
+    "q_assemble_conversations", "q_sft_pairs", "q_preference_pairs",
     # late-round-4 export tier + line/canonical dedup (registry entries)
     "q_doc_line_dedup", "q_canonical_dedup", "q_export_manifest",
 ]
@@ -182,6 +185,22 @@ def _q_ann_topk(spark, sf_dir: str):
 
     e = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return embeddings.brute_force_topk(e, e.filter(F.col("vec_id") < 5), k=5)
+
+
+def _q_sft_pairs(spark, sf_dir: str):
+    # battery continuity: q_sft_pairs left the driver registry in the
+    # preference-pair swap (its oracle now lives in
+    # tests/test_analytics_queries); same code as the old registry entry
+    import __spark_entry__ as entry_mod
+    from fscrawler_spark.functions.assembly import sft_examples
+
+    return sft_examples(
+        entry_mod._role_turns(spark, sf_dir),
+        target_role="assistant",
+        context_turns=4,
+    ).select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "prompt", "response"
+    )
 
 
 def _q_near_dup_fast(spark, sf_dir: str):
@@ -548,6 +567,7 @@ def run_headline_queries() -> dict[str, float]:
     try:
         qs = entry_mod.queries()
         qs["q_near_dup_fast"] = _q_near_dup_fast
+        qs["q_sft_pairs"] = _q_sft_pairs
         qs["q_simhash"] = _q_simhash
         qs["q_ann_topk"] = _q_ann_topk
         qs["q_clean_text"] = _q_clean_text

@@ -187,6 +187,15 @@ def build_parser() -> argparse.ArgumentParser:
         help="shard file format for --export (json = JSONL shard files)",
     )
     p.add_argument(
+        "--export-curriculum",
+        default=None,
+        metavar="STAGE_COL",
+        help="curriculum export: order each shard's stream stage-major by "
+        "this integer difficulty-bin column (easy-to-hard), seeded "
+        "permutation within each stage (export.curriculum_order); shard "
+        "assignment stays stage-stratified",
+    )
+    p.add_argument(
         "--dedup-spans",
         type=int,
         default=None,
@@ -263,6 +272,23 @@ def build_parser() -> argparse.ArgumentParser:
         default=None,
         metavar="ROLE",
         help="the response role for --sft-pairs (default assistant)",
+    )
+    p.add_argument(
+        "--pref-pairs",
+        action="store_true",
+        help="one-shot assembly pass: build --sft-pairs examples, then group "
+        "them by identical prompt and emit one (prompt, chosen, rejected) "
+        "DPO/RM preference pair per prompt with >= 2 distinct responses, "
+        "chosen/rejected by quality_score (assembly.preference_pairs), "
+        "written to --output; --sft-context/--sft-role shape the examples",
+    )
+    p.add_argument(
+        "--pref-margin",
+        type=float,
+        default=None,
+        metavar="GAP",
+        help="minimum chosen-rejected score gap for --pref-pairs "
+        "(default 0.0 — any distinct-response pair)",
     )
     p.add_argument(
         "--mix",
@@ -606,6 +632,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--chunk", args.chunk is not None),
             ("--assemble", args.assemble),
             ("--sft-pairs", args.sft_pairs),
+            ("--pref-pairs", args.pref_pairs),
             ("--dsir-select", args.dsir_select is not None),
             ("--quality-filter", args.quality_filter is not None),
             ("--decontaminate", args.decontaminate is not None),
@@ -784,10 +811,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.assemble_tools and not (args.assemble or args.sft_pairs or args.assemble_store):
+    if args.assemble_tools and not (
+        args.assemble or args.sft_pairs or args.pref_pairs or args.assemble_store
+    ):
         print(
-            "error: --assemble-tools requires --assemble, --sft-pairs, or "
-            "--assemble-store",
+            "error: --assemble-tools requires --assemble, --sft-pairs, "
+            "--pref-pairs, or --assemble-store",
             file=sys.stderr,
         )
         return 2
@@ -797,8 +826,25 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if (args.sft_context is not None or args.sft_role is not None) and not args.sft_pairs:
-        print("error: --sft-context/--sft-role require --sft-pairs", file=sys.stderr)
+    if (args.sft_context is not None or args.sft_role is not None) and not (
+        args.sft_pairs or args.pref_pairs
+    ):
+        print(
+            "error: --sft-context/--sft-role require --sft-pairs or --pref-pairs",
+            file=sys.stderr,
+        )
+        return 2
+    if args.pref_margin is not None and not args.pref_pairs:
+        print("error: --pref-margin requires --pref-pairs", file=sys.stderr)
+        return 2
+    if args.pref_margin is not None and args.pref_margin < 0:
+        print(
+            f"error: --pref-margin must be >= 0, got {args.pref_margin}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.export_curriculum is not None and args.export is None:
+        print("error: --export-curriculum requires --export", file=sys.stderr)
         return 2
     if args.sft_context is not None and args.sft_context < 1:
         print(
@@ -942,11 +988,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "output": args.output,
             }))
             return 0
-        if args.assemble or args.sft_pairs:
+        if args.assemble or args.sft_pairs or args.pref_pairs:
             from pyspark.sql import functions as F
 
             from fscrawler_spark.functions.assembly import (
                 assemble_conversations,
+                preference_pairs,
                 sft_examples,
             )
 
@@ -986,6 +1033,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     "conversations": stats["convs"],
                     "turns_kept": int(stats["turns"] or 0),
                     "chars": int(stats["chars"] or 0),
+                    "output": args.output,
+                }))
+            elif args.pref_pairs:
+                sft_role = args.sft_role if args.sft_role is not None else "assistant"
+                sft_context = args.sft_context if args.sft_context is not None else 8
+                margin = args.pref_margin if args.pref_margin is not None else 0.0
+                ex = sft_examples(
+                    docs,
+                    text_col="extracted",
+                    target_role=sft_role,
+                    context_turns=sft_context,
+                    **tool_kw,
+                )
+                out = preference_pairs(ex, min_margin=margin)
+                out.sortWithinPartitions("prompt").write.mode("overwrite").parquet(
+                    args.output
+                )
+                written = spark.read.parquet(args.output)
+                stats = written.agg(
+                    F.count(F.lit(1)).alias("pairs"),
+                    F.sum("n_candidates").alias("cands"),
+                    F.avg(
+                        F.col("chosen_score") - F.col("rejected_score")
+                    ).alias("gap"),
+                ).collect()[0]
+                print(json.dumps({
+                    "pref_pairs": True,
+                    "role": sft_role,
+                    "context_turns": sft_context,
+                    "min_margin": margin,
+                    "pairs": stats["pairs"],
+                    "candidates": int(stats["cands"] or 0),
+                    "mean_gap": round(float(stats["gap"]), 6) if stats["gap"] is not None else None,
                     "output": args.output,
                 }))
             else:
@@ -1103,10 +1183,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.export is not None:
             from fscrawler_spark.functions.export import export_shards, verify_export
 
+            if args.export_curriculum is not None and (
+                args.export_curriculum not in docs.columns
+            ):
+                print(
+                    f"error: --export-curriculum column "
+                    f"{args.export_curriculum!r} not on the docs table",
+                    file=sys.stderr,
+                )
+                return 2
             stats = export_shards(
                 docs, args.output, n_shards=args.export,
                 id_col="doc_id", seed=args.export_seed, text_col="extracted",
-                fmt=args.export_format,
+                fmt=args.export_format, stage_col=args.export_curriculum,
             )
             problems = verify_export(spark, args.output)
             print(json.dumps({
@@ -1115,6 +1204,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "rows": stats["rows"],
                 "seed": args.export_seed,
                 "format": args.export_format,
+                "curriculum": args.export_curriculum,
                 "verify_findings": problems,
                 "output": args.output,
             }))

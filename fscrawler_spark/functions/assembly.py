@@ -193,3 +193,71 @@ def sft_examples(
     if require_context:
         out = out.filter(F.length("prompt") > 0)
     return out.drop("_role")
+
+
+def preference_pairs(
+    examples: DataFrame,
+    *,
+    prompt_col: str = "prompt",
+    response_col: str = "response",
+    score=None,
+    min_margin: float = 0.0,
+) -> DataFrame:
+    """(prompt, chosen, rejected) preference pairs for DPO/RM training:
+    group (prompt, response) examples by IDENTICAL prompt and pick the
+    best- and worst-scored distinct responses as chosen/rejected.
+    Returns (prompt, chosen, rejected, chosen_score, rejected_score,
+    n_candidates); groups whose best and worst response coincide (a
+    single distinct response, or all responses byte-equal) emit nothing
+    — a pair that teaches no preference is not a pair.
+
+    ``score`` is a Column over the response text (default
+    ``text_analysis.quality_score``); rows whose score is NULL are
+    dropped before pairing (an unscorable response can be neither chosen
+    nor rejected). ``min_margin`` keeps only pairs whose score gap is
+    >= the margin — the knob that trades pair count for label
+    confidence. Ties on score break on the response bytes (struct
+    lexicographic order), so the output is deterministic under any
+    partitioning.
+
+    Plan shape: codegen score projection -> ONE hash Exchange on the
+    prompt -> hash aggregate. Chosen/rejected are lexicographic
+    max/min over (score, response) structs — both partial-aggregatable,
+    so a skewed mega-prompt (the "hi" of preference data) combines
+    map-side and never concentrates its group in one buffer, unlike a
+    collect_list/row_number formulation. No Python, no window, no
+    second shuffle.
+
+    Upstream of this, "identical prompt" is the caller's contract:
+    route near-identical prompts through normalize/near-dup first, or
+    feed a cluster id as ``prompt_col``. Reference analog: the
+    reference dedups by path identity (FsParser checksum loop); pairing
+    by prompt identity is the training-data counterpart.
+    """
+    from .text_analysis import quality_score
+
+    resp = F.col(response_col)
+    s = (score if score is not None else quality_score(resp)).cast("double")
+    scored = examples.select(
+        F.col(prompt_col).alias("prompt"),
+        F.struct(s.alias("s"), resp.alias("r")).alias("_sr"),
+    ).filter(F.col("_sr.s").isNotNull() & F.col("_sr.r").isNotNull())
+    agg = scored.groupBy("prompt").agg(
+        F.max("_sr").alias("_hi"),
+        F.min("_sr").alias("_lo"),
+        F.count(F.lit(1)).alias("n_candidates"),
+    )
+    return (
+        agg.filter(
+            (F.col("_hi.r") != F.col("_lo.r"))
+            & (F.col("_hi.s") - F.col("_lo.s") >= F.lit(float(min_margin)))
+        )
+        .select(
+            "prompt",
+            F.col("_hi.r").alias("chosen"),
+            F.col("_lo.r").alias("rejected"),
+            F.col("_hi.s").alias("chosen_score"),
+            F.col("_lo.s").alias("rejected_score"),
+            "n_candidates",
+        )
+    )

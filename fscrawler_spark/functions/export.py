@@ -72,6 +72,66 @@ def training_order(
     return out
 
 
+def curriculum_key(stage_col, id_col, seed: int = 0) -> F.Column:
+    """Deterministic curriculum-order key: ``stage * 2^52 + order_key``
+    packed into one int64, so sorting by this single column yields
+    stages in ascending order with a seeded pseudo-random permutation
+    WITHIN each stage — the standard easy-to-hard curriculum layout
+    (stage = a difficulty bin the caller computes: quality decile,
+    length bucket, perplexity cut). One column instead of a composite
+    sort key so it drops into ``training_order``-shaped consumers
+    (shard-local sorts, manifests) unchanged.
+
+    ``order_key`` is 52 bits here (md5 key masked down from 60) so the
+    pack never overflows int64 for stage < 2^11 = 2048 stages — far
+    beyond any curriculum's bin count; stages outside [0, 2048) raise
+    at runtime via the overflow guard below.
+    """
+    stage = (stage_col if not isinstance(stage_col, str) else F.col(stage_col)).cast(
+        "long"
+    )
+    # pmod-masked 52-bit permutation key; same cross-engine md5 family
+    perm = F.pmod(order_key(id_col, seed), F.lit(1 << 52))
+    guarded = F.when(
+        (stage >= 0) & (stage < (1 << 11)), stage
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("curriculum stage out of [0, 2048): "), stage.cast("string")
+            )
+        )
+    )
+    return (guarded * F.lit(1 << 52) + perm).alias("curriculum_key")
+
+
+def curriculum_order(
+    df: DataFrame,
+    stage_col,
+    id_col: str = "doc_id",
+    seed: int = 0,
+    n_shards: int | None = None,
+) -> DataFrame:
+    """Append ``order_key`` (= the curriculum key: stage-major,
+    seeded-permutation minor) and, with ``n_shards``, a ``shard``
+    assignment that is stage-stratified: the shard comes from the
+    PERMUTATION bits only, so every shard holds an unbiased ~1/n sample
+    of EVERY stage and a loader reading shards in parallel still sees
+    the curriculum ramp inside each shard after its in-shard sort.
+    Pure codegen projection, no shuffle — same contract as
+    ``training_order``."""
+    if n_shards is not None and n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
+    out = df.withColumn("order_key", curriculum_key(stage_col, id_col, seed))
+    if n_shards is not None:
+        out = out.withColumn(
+            "shard",
+            (F.pmod(F.col("order_key"), F.lit(1 << 52)) % F.lit(int(n_shards))).cast(
+                "int"
+            ),
+        )
+    return out
+
+
 def shard_manifest(
     ordered: DataFrame,
     text_col: str | None = None,
@@ -112,6 +172,7 @@ def export_shards(
     seed: int = 0,
     text_col: str | None = None,
     fmt: str = "parquet",
+    stage_col: str | None = None,
 ) -> dict:
     """Write the corpus as ``path/shards/shard=K/`` files plus
     ``path/manifest/`` (always parquet). Rows land in their hash shard
@@ -119,16 +180,26 @@ def export_shards(
     ONE repartition(n_shards, shard) exchange + sortWithinPartitions (no
     global sort). ``fmt``: 'parquet' (columnar, the default) or 'json'
     (JSONL shard files, the format most training loaders stream
-    directly). Returns summary stats.
+    directly). With ``stage_col`` the order key is the CURRICULUM key
+    (``curriculum_order``): each shard's in-shard stream ramps through
+    the stages easy-to-hard with a seeded permutation within each stage,
+    and shard assignment stays stage-stratified. Returns summary stats.
 
-    Idempotent: same (corpus, seed, n_shards, fmt) produces
-    byte-identical shard contents at any parallelism.
+    Idempotent: same (corpus, seed, n_shards, fmt, stage_col) produces
+    byte-identical shard contents at any parallelism. ``verify_export``
+    needs no flag — the manifest checksums the written keys, whichever
+    family built them.
     """
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1 (got {n_shards})")
     if fmt not in EXPORT_FORMATS:
         raise ValueError(f"fmt must be one of {EXPORT_FORMATS}, got {fmt!r}")
-    ordered = training_order(df, id_col=id_col, seed=seed, n_shards=n_shards)
+    if stage_col is not None:
+        ordered = curriculum_order(
+            df, stage_col, id_col=id_col, seed=seed, n_shards=n_shards
+        )
+    else:
+        ordered = training_order(df, id_col=id_col, seed=seed, n_shards=n_shards)
     writer = (
         ordered.repartition(n_shards, F.col("shard"))
         .sortWithinPartitions("shard", "order_key", id_col)
@@ -149,6 +220,7 @@ def export_shards(
         "shards": int(agg["shards"]),
         "rows": int(agg["rows"] or 0),
         "seed": seed,
+        "curriculum": stage_col,
         "path": path,
     }
 

@@ -277,3 +277,44 @@ def test_ann_brute_force_topk_demoted(spark, con):
           FROM scored)
     SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
     """)
+
+
+def test_sft_pairs_demoted(spark, con):
+    """Driver row through round 4; demoted in the preference-pair
+    registry swap (q_preference_pairs drives the same sft_examples path
+    end-to-end before pairing). Same Spark code and DuckDB twin."""
+    from fscrawler_spark.functions.assembly import sft_examples
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    turns = d.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+        F.expr("CAST(doc_id DIV 50 AS INT)").alias("turn_idx"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("text"),
+    )
+    sdf = sft_examples(turns, target_role="assistant", context_turns=4).select(
+        "conv_id", F.col("turn_idx").cast("long").alias("turn_idx"), "prompt", "response"
+    )
+    _match(sdf, con, """
+    WITH t AS (
+      SELECT 'conv-' || (doc_id % 50)::VARCHAR AS conv_id,
+             (doc_id // 50)::INT AS turn_idx,
+             CASE WHEN doc_id % 2 = 0 THEN 'user' ELSE 'assistant' END AS role,
+             text
+      FROM documents
+    ),
+    r AS (SELECT conv_id, turn_idx, role, coalesce(text, '') AS resp,
+                 '<|' || role || '|>' || chr(10) || coalesce(text, '') AS rend
+          FROM t),
+    w AS (
+      SELECT conv_id, turn_idx, role, resp,
+             string_agg(rend, chr(10)) OVER (
+               PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING) AS prompt
+      FROM r
+    )
+    SELECT conv_id, turn_idx::BIGINT AS turn_idx, prompt, resp AS response
+    FROM w WHERE role = 'assistant' AND prompt IS NOT NULL AND length(prompt) > 0
+    """)

@@ -40,6 +40,7 @@ AUDITED = [
     ("q_dsir_select", "DSIR: gram hash aggs -> broadcast model score -> Gumbel top-k"),
     ("q_assemble_conversations", "assembly: codegen render -> one conv_id Exchange -> sort_array agg"),
     ("q_sft_pairs", "SFT pairs: one Exchange -> partition-local window over a bounded frame"),
+    ("q_preference_pairs", "preference pairs: sft window -> one prompt Exchange -> max/min struct agg"),
     ("q_c4_filter", "C4 recipe: line clean + page gate as one all-JVM projection"),
     ("q_bpe_encode", "BPE encode: broadcast merge ranks -> zero-shuffle Arrow map"),
     ("q_doc_line_dedup", "within-doc line dedup: all-JVM HOF projection"),
@@ -114,6 +115,7 @@ def _generate(spark, entry_mod) -> None:
     qs["q_semantic_pairs"] = _q_semantic_pairs
     qs["q_dsir_select"] = bench._q_dsir_select
     qs["q_bpe_encode"] = _q_bpe_encode
+    qs["q_sft_pairs"] = bench._q_sft_pairs
     out = ["# PLANS — physical-plan audit of the headline queries", "",
            f"Generated by `python tools/plan_audit.py` at {SF_DIR} (regenerate after plan-shape changes).",
            "",
