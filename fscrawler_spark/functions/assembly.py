@@ -220,13 +220,21 @@ def preference_pairs(
     lexicographic order), so the output is deterministic under any
     partitioning.
 
-    Plan shape: codegen score projection -> ONE hash Exchange on the
-    prompt -> hash aggregate. Chosen/rejected are lexicographic
-    max/min over (score, response) structs — both partial-aggregatable,
-    so a skewed mega-prompt (the "hi" of preference data) combines
-    map-side and never concentrates its group in one buffer, unlike a
-    collect_list/row_number formulation. No Python, no window, no
-    second shuffle.
+    Plan shape: codegen score projection -> ONE Exchange keyed on a
+    16-byte md5 digest of the prompt -> partial-combining aggregate.
+    Chosen/rejected are lexicographic max/min over (score, response)
+    structs — struct buffers aren't hash-map eligible, so Spark lowers
+    this to SortAggregate; grouping on the digest instead of the raw
+    prompt keeps that sort prefix-decisive (random 8-byte prefixes)
+    rather than comparing long, common-prefix prompt strings, and the
+    exchange key is 16 bytes regardless of prompt length. Both sides
+    partial-aggregate, so a skewed mega-prompt (the "hi" of preference
+    data) combines map-side and never concentrates its group in one
+    buffer, unlike a collect_list/row_number formulation. The prompt
+    itself is recovered as min(prompt) — every member of a group is
+    byte-identical by construction (an md5 collision merging two
+    distinct prompts is cryptographically negligible). No Python, no
+    window, no second shuffle.
 
     Upstream of this, "identical prompt" is the caller's contract:
     route near-identical prompts through normalize/near-dup first, or
@@ -239,10 +247,14 @@ def preference_pairs(
     resp = F.col(response_col)
     s = (score if score is not None else quality_score(resp)).cast("double")
     scored = examples.select(
+        # NULL prompt digests to NULL, so NULL prompts still form one
+        # group exactly as a raw-prompt groupBy would
+        F.unhex(F.md5(F.col(prompt_col))).alias("_pk"),
         F.col(prompt_col).alias("prompt"),
         F.struct(s.alias("s"), resp.alias("r")).alias("_sr"),
     ).filter(F.col("_sr.s").isNotNull() & F.col("_sr.r").isNotNull())
-    agg = scored.groupBy("prompt").agg(
+    agg = scored.groupBy("_pk").agg(
+        F.min("prompt").alias("prompt"),
         F.max("_sr").alias("_hi"),
         F.min("_sr").alias("_lo"),
         F.count(F.lit(1)).alias("n_candidates"),
