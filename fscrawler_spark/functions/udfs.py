@@ -60,31 +60,36 @@ def build_extract_batch(pairs, settings: ExtractSettings) -> pa.Array:
     """
     want_raw = settings.raw_metadata
     want_obj = settings.parse_object
-    mimes: list[str] = []
-    extracted: list[str | None] = []
-    errors: list[str | None] = []
-    titles: list[str | None] = []
-    raws: list[dict | None] = []
-    objects: list[dict | None] = []
+    pairs = list(pairs)
+    rows = [r for _, r in pairs]
+    # column-at-a-time comprehensions (C-speed) — the row-at-a-time
+    # append loop measured ~2x slower on the default hot path
+    mimes = [r.mime for r in rows]
+    extracted = [r.extracted for r in rows]
+    errors = [r.error for r in rows]
+    titles = [r.title for r in rows]
+    if want_raw or want_obj:
+        raws = []
+        objects = []
+        for t, r in pairs:
+            # ONE json.loads shared by raw-meta and object extraction
+            # (they each re-parse only when parsed is absent); the
+            # validation parse inside extract_json is separate — 2
+            # parses total, not 3
+            parsed = None
+            if t and r.mime == MIME_JSON:
+                try:
+                    parsed = json.loads(t)
+                except Exception:
+                    parsed = None
+            raws.append(extract_raw_meta(t, r.mime, parsed) if (want_raw and t) else None)
+            objects.append(extract_object(t, r.mime, parsed) if (want_obj and t) else None)
+    else:
+        raws = objects = [None] * len(rows)
     packed: list[int] = []
     offsets: list[int] = [0]
     n_spans = 0
-    for t, r in pairs:
-        mimes.append(r.mime)
-        extracted.append(r.extracted)
-        errors.append(r.error)
-        titles.append(r.title)
-        # ONE json.loads shared by raw-meta and object extraction (they
-        # each re-parse only when parsed is absent); the validation parse
-        # inside extract_json is separate — 2 parses total, not 3
-        parsed = None
-        if t and r.mime == MIME_JSON and (want_raw or want_obj):
-            try:
-                parsed = json.loads(t)
-            except Exception:
-                parsed = None
-        raws.append(extract_raw_meta(t, r.mime, parsed) if (want_raw and t) else None)
-        objects.append(extract_object(t, r.mime, parsed) if (want_obj and t) else None)
+    for r in rows:
         for s, e in r.spans:
             packed.append((s << 32) | e)
         n_spans += len(r.spans)
