@@ -115,6 +115,15 @@ class ExtractSettings:
     num_buckets: int = 32          # output partition buckets (conv-hash)
     skew_salt: int = 8             # salt fan-out for mega-conversations
     arrow_batch_rows: int = 2_000  # spark.sql.execution.arrow.maxRecordsPerBatch
+    # batch-local memoization of IDENTICAL turn texts (system prompts and
+    # tool boilerplate repeat heavily in real transcript corpora): probe
+    # each Arrow batch's prefix with a C-level dictionary_encode, and when
+    # duplication shows up extract only the unique texts and scatter the
+    # results back with one take(). Output is byte-identical either way
+    # (extract is a pure function of (text, settings)), so this knob is
+    # deliberately NOT part of the settings fingerprint — flipping it
+    # never invalidates a checkpoint.
+    dedupe_turns: bool = True
     # bounded driver re-drive of a failed write wave (reference: network
     # retry x10 w/ backoff, FsParser.java:104-107,811-850); retries are
     # recorded in the manifest (retry_count / last_error)
