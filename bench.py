@@ -144,14 +144,15 @@ def _q_semantic_dedup(spark, sf_dir: str):
 
 
 def _q_dsir_select(spark, sf_dir: str):
-    # DSIR select: train target/raw hashed-ngram models (two hash aggs +
-    # bounded totals), score the corpus via broadcast join, Gumbel top-k
+    # DSIR select, fused path: one raw-corpus gram pass materialized as
+    # per-(id,b) counts feeding both the model and the scores, then
+    # Gumbel top-k (~40% faster than the modular train+resample pair,
+    # identical selected set — mixing.dsir_select docstring)
     from fscrawler_spark.functions import mixing
 
     d = _docs(spark, sf_dir)
     target = d.filter(F.col("doc_id") % 17 == 0)
-    model = mixing.train_importance_model(d, target, buckets=8192)
-    return mixing.importance_resample(d, model, k=1000, buckets=8192)
+    return mixing.dsir_select(d, target, k=1000, buckets=8192)
 
 
 def _q_bpe(spark, sf_dir: str):

@@ -1311,11 +1311,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if terr:
                 print(f"error: --dsir-target: {terr}", file=sys.stderr)
                 return 2
-            model = mixing.train_importance_model(
-                docs, target, text_col="extracted", id_col="doc_id"
-            )
-            picked = mixing.importance_resample(
-                docs, model, k=args.dsir_select, text_col="extracted", id_col="doc_id"
+            # fused train+select path: one gram pass over the corpus
+            # (mixing.dsir_select) instead of the modular two-pass
+            picked = mixing.dsir_select(
+                docs, target, k=args.dsir_select, text_col="extracted", id_col="doc_id"
             ).withColumnsRenamed({"id": "doc_id"})
             # re-selecting from a previous dsir output: drop its stale
             # audit columns before re-attaching (COLUMN_ALREADY_EXISTS)

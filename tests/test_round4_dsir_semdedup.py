@@ -445,3 +445,76 @@ def test_new_ops_are_partitioning_stable(spark, sem_df, dsir):
         ).collect()
     )
     assert one == two
+
+
+# ---------------------------------------------------------------------------
+# dsir_select: the fused one-gram-pass train+select path
+# ---------------------------------------------------------------------------
+
+
+def test_dsir_select_matches_modular_path(dsir):
+    """The fused path must pick the SAME docs with the SAME keys as
+    train_importance_model → importance_resample (scores are equal up
+    to float summation order; the md5 family makes the comparison
+    oracle-replicable too)."""
+    raw, target, model = dsir
+    modular = mixing.importance_resample(
+        raw, model, k=4, buckets=B, ns=NS, seed="s1", hash_family="md5"
+    ).collect()
+    fused = mixing.dsir_select(
+        raw, target, k=4, buckets=B, ns=NS, alpha=ALPHA, seed="s1",
+        hash_family="md5",
+    ).collect()
+    assert [r.id for r in fused] == [r.id for r in modular]
+    for f, m in zip(fused, modular):
+        assert f.sample_key == pytest.approx(m.sample_key, rel=1e-9)
+        assert f.log_weight == pytest.approx(m.log_weight, rel=1e-9)
+
+
+def test_dsir_select_keeps_gramless_docs_neutral(dsir):
+    """k = corpus size returns every doc, including the NULL-text and
+    empty-text ones at the documented neutral log_weight 0.0 — the
+    fused scoring path must preserve score_importance's left-join
+    contract, not drop gram-less ids on the counts join."""
+    raw, target, _ = dsir
+    out = {
+        r.id: r.log_weight
+        for r in mixing.dsir_select(
+            raw, target, k=len(RAW_DOCS), buckets=B, ns=NS, alpha=ALPHA,
+            seed="s1", hash_family="md5",
+        ).collect()
+    }
+    assert set(out) == {i for i, _ in RAW_DOCS}
+    assert out[7] == 0.0 and out[8] == 0.0
+
+
+def test_dsir_select_validates_params(dsir):
+    raw, target, _ = dsir
+    with pytest.raises(ValueError, match="k must be positive"):
+        mixing.dsir_select(raw, target, k=0)
+    with pytest.raises(ValueError, match="buckets must be positive"):
+        mixing.dsir_select(raw, target, k=1, buckets=0)
+    with pytest.raises(ValueError, match="alpha must be positive"):
+        mixing.dsir_select(raw, target, k=1, alpha=0.0)
+    with pytest.raises(ValueError, match="hash_family must be"):
+        mixing.dsir_select(raw, target, k=1, hash_family="sha1")
+
+
+def test_dsir_select_single_gram_pass_plan(dsir):
+    """The fused plan reads the raw corpus's grams from the
+    materialized counts artifact: the final plan scans a checkpointed
+    RDD (lineage cut) and still lowers the tail to TakeOrderedAndProject
+    — and a second scan of the raw side's gram explode must be absent
+    (only the small TARGET side still explodes in-plan)."""
+    raw, target, _ = dsir
+    plan = (
+        mixing.dsir_select(
+            raw, target, k=3, buckets=B, ns=NS, alpha=ALPHA,
+            hash_family="md5",
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert "Scan ExistingRDD" in plan  # the materialized counts artifact
