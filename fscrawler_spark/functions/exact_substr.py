@@ -57,12 +57,21 @@ def _gram_rows(df: DataFrame, id_col: str, text_col: str, min_len: int) -> DataF
     same HOF-vs-explode reshape MinHash shingles and chunking use;
     measured −21% warm / −55% cold on this stage at sf0.1). Text is
     consumed inside the single codegen span and never materialized per
-    gram row."""
+    gram row.
+
+    The slim (id, text) projection is WIDENED before the explode (the
+    shared widen_slim round-robin): a dense parquet corpus arrives in
+    byte-sized splits — sf0.1 is ONE split — and without this the
+    per-char explode+hash, the costliest stage here, runs at the FILE's
+    parallelism, not the session's (measured 4.4s -> 1.3s at
+    sf0.1/local[16], interleaved min-of-3)."""
+    from fscrawler_spark.session import widen_slim
+
     t = F.col(text_col)
     idx = F.when(
         F.length(t) >= min_len, F.sequence(F.lit(1), F.length(t) - (min_len - 1))
     ).otherwise(F.array().cast("array<int>"))
-    return df.select(F.col(id_col), t, F.explode(idx).alias("pos")).select(
+    return widen_slim(df, id_col, text_col).select(F.col(id_col), t, F.explode(idx).alias("pos")).select(
         id_col, "pos", F.xxhash64(t.substr(F.col("pos"), F.lit(min_len))).alias("h")
     )
 
