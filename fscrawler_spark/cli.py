@@ -460,6 +460,25 @@ def build_parser() -> argparse.ArgumentParser:
         "clamped to [16, 65536] — cells of ~512 vectors)",
     )
     p.add_argument(
+        "--embed",
+        type=int,
+        default=None,
+        metavar="DIM",
+        help="one-shot pass: read the docs table at --input and write a "
+        "DIM-dimensional deterministic hashed-feature embedding table "
+        "(vec_id, embedding) to --output (embeddings.text_embeddings — "
+        "feature-hashed word n-grams, unit-L2; vocabulary-free and "
+        "reproducible on any cluster). The output IS the embeddings-table "
+        "contract: feed it to --semantic-dedup in a second invocation",
+    )
+    p.add_argument(
+        "--embed-ngrams",
+        type=int,
+        default=None,
+        metavar="N",
+        help="word n-gram order for --embed (default 1 = unigrams)",
+    )
+    p.add_argument(
         "--near-dup",
         action="store_true",
         help="maintain the persisted near-dup store under --output "
@@ -638,6 +657,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--decontaminate", args.decontaminate is not None),
             ("--ppl-filter", args.ppl_filter is not None),
             ("--tokenize", args.tokenize is not None),
+            ("--embed", args.embed is not None),
         )
         if on
     ]
@@ -802,6 +822,18 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(
             f"error: --chunk-stride must be in [1, --chunk={args.chunk}], "
             f"got {args.chunk_stride} (a stride past the window drops tokens)",
+            file=sys.stderr,
+        )
+        return 2
+    if args.embed is not None and not (1 <= args.embed <= 4096):
+        print(f"error: --embed DIM must be in [1, 4096], got {args.embed}", file=sys.stderr)
+        return 2
+    if args.embed_ngrams is not None and args.embed is None:
+        print("error: --embed-ngrams requires --embed", file=sys.stderr)
+        return 2
+    if args.embed_ngrams is not None and args.embed_ngrams < 1:
+        print(
+            f"error: --embed-ngrams must be >= 1, got {args.embed_ngrams}",
             file=sys.stderr,
         )
         return 2
@@ -985,6 +1017,59 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 "docs": stats["docs"],
                 "chunks": stats["chunks"],
                 "max_chunk_tokens": stats["widest"],
+                "output": args.output,
+            }))
+            return 0
+        if args.embed is not None:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.embeddings import text_embeddings
+
+            emb = text_embeddings(
+                docs,
+                id_col="doc_id",
+                text_col="extracted",
+                dim=args.embed,
+                ngrams=args.embed_ngrams or 1,
+            )
+            # the vector stack's centroid path (--semantic-dedup / IVF)
+            # requires INTEGER ids; extraction doc_ids are strings, so
+            # emit a deterministic int64 surrogate and keep doc_id
+            # alongside for mapping results back (collision budget
+            # n^2/2^65 — the same one hashed_shingles accepts)
+            id_type = dict(docs.dtypes).get("doc_id")
+            if id_type not in ("tinyint", "smallint", "int", "bigint"):
+                emb = emb.select(
+                    F.xxhash64("vec_id").alias("vec_id"),
+                    F.col("vec_id").alias("doc_id"),
+                    "embedding",
+                )
+            emb.sortWithinPartitions("vec_id").write.mode("overwrite").parquet(
+                args.output
+            )
+            written = spark.read.parquet(args.output)
+            stats = written.agg(
+                F.count(F.lit(1)).alias("docs"),
+                F.count_distinct("vec_id").alias("ids"),
+                F.sum(
+                    (
+                        F.aggregate(
+                            "embedding", F.lit(0.0), lambda a, x: a + F.abs(x)
+                        )
+                        > 0
+                    ).cast("long")
+                ).alias("nonzero"),
+            ).collect()[0]
+            print(json.dumps({
+                "embed": args.embed,
+                "ngrams": args.embed_ngrams or 1,
+                "docs": stats["docs"],
+                # ids < docs would mean surrogate collisions — surfaced,
+                # not silently absorbed
+                "distinct_vec_ids": stats["ids"],
+                # zero vectors = NULL/blank extractions; they can never
+                # semantic-match anything downstream
+                "nonzero_vectors": int(stats["nonzero"] or 0),
                 "output": args.output,
             }))
             return 0

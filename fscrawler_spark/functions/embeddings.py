@@ -874,3 +874,122 @@ def semantic_dedup(
         scored.withColumn("is_keeper", F.row_number().over(w) == 1)
         .select("id", "cluster_id", "is_keeper")
     )
+
+
+# --- deterministic text embeddings (the docs-table -> vector bridge) --------
+
+
+def _gram_multiset(text_col, n: int):
+    """Word n-grams of the normalized text as a MULTISET (repeats kept —
+    term frequency is the feature weight, unlike word_shingles' distinct
+    sets). NULL text -> empty array; fewer than n words -> one
+    whole-text gram (word_shingles' short-text convention)."""
+    from fscrawler_spark.functions.text_analysis import normalized_text
+
+    words = F.filter(
+        F.split(normalized_text(text_col), " "), lambda w: F.length(w) > 0
+    )
+    if n == 1:
+        grams = words
+    else:
+        cnt = F.size(words)
+        idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+        # ZERO words -> zero grams (the whole-text convention would emit
+        # one "" gram, giving every blank doc the same non-zero vector)
+        grams = (
+            F.when(cnt == 0, F.array().cast("array<string>"))
+            .when(cnt < n, F.array(F.array_join(words, " ")))
+            .otherwise(
+                F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+            )
+        )
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    return F.when(col.isNotNull(), grams).otherwise(F.array().cast("array<string>"))
+
+
+def make_hash_embed_udf(dim: int):
+    """arrow_udf: array<long> gram hashes -> unit-L2 array<float> of
+    ``dim`` dims via the hashing trick. One bincount per Arrow batch —
+    per-row cost O(grams), never O(grams x dim)."""
+
+    @F.arrow_udf(T.ArrayType(T.FloatType()))
+    def embed_udf(hashes: pa.Array) -> pa.Array:
+        if isinstance(hashes, pa.ChunkedArray):
+            hashes = hashes.combine_chunks()
+        n = len(hashes)
+        offsets = hashes.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = hashes.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        # index = low bits (numpy int64 % follows Python sign rules ->
+        # already non-negative); sign = bit 32, independent of the index
+        idx = vals % dim
+        sign = np.where((vals >> 32) & 1 == 1, 1.0, -1.0)
+        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
+        # bincount degrades to int64 zeros when the batch has no grams
+        # at all (weights empty) — force the float dtype
+        out = (
+            np.bincount(row * dim + idx, weights=sign, minlength=n * dim)
+            .astype(np.float64, copy=False)
+            .reshape(n, dim)
+        )
+        norms = np.linalg.norm(out, axis=1)
+        nz = norms > 0.0
+        out[nz] /= norms[nz, None]
+        return pa.array(out.astype(np.float32).tolist(), pa.list_(pa.float32()))
+
+    return embed_udf
+
+
+def text_embeddings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = 42,
+    ngrams: int = 1,
+) -> DataFrame:
+    """Deterministic, vocabulary-free text embeddings: feature-hash word
+    n-grams into ``dim`` signed buckets (the hashing trick, Weinberger
+    et al. 2009 §3; sign from an independent hash bit is that paper's
+    unbiased ξ) and L2-normalize — the dense-output cousin of SimHash
+    (Charikar 2002). Bridges a docs table to the vector stack: output
+    schema is the embeddings-table contract (vec_id, embedding:
+    array<float>), so semantic_dedup / lsh_topk / ivf_topk / knn search
+    run over corpora that ship no external embedding column. Two docs
+    with similar n-gram multisets land close in cosine; disjoint
+    vocabularies are near-orthogonal in expectation.
+
+    NULL/empty text embeds as the ZERO vector: it never normalizes into
+    a false direction, every cosine against it is 0/NaN (below any
+    threshold; both guarded downstream), so extraction-failed docs can
+    never semantic-match each other — the same clustering hazard
+    word_shingles' NULL contract exists to prevent.
+
+    Shape at 100 TB: gram build + salted xxhash64 are one codegen
+    projection; the embedding is ONE Arrow boundary doing a single
+    bincount per batch (O(grams) per row); no shuffle anywhere — the
+    result rides the scan partitioning. The slim (id, text) projection
+    is widened first (dense corpus parquet arrives in byte-sized splits
+    that under-parallelize CPU-amplified maps — session.widen's
+    contract, no-op at real scale). ``seed`` salts the gram hash, so
+    two embedders with different seeds are independent projections.
+
+    Determinism = reproducibility: the same (text, dim, seed, ngrams)
+    embeds identically on any cluster, any partitioning, any Spark
+    version that keeps xxhash64's spec (pinned by the pure-Python XXH64
+    twin in tests/test_round4_fasthash_oracle.py).
+    """
+    if not 1 <= dim <= 4096:
+        raise ValueError(f"dim must be in [1, 4096], got {dim}")
+    if ngrams < 1:
+        raise ValueError(f"ngrams must be >= 1, got {ngrams}")
+    from fscrawler_spark.session import widen_slim
+
+    salt = f"emb{seed}:"
+    hashes = F.transform(
+        _gram_multiset(F.col(text_col), ngrams),
+        lambda g: F.xxhash64(F.concat(F.lit(salt), g)),
+    )
+    embed = make_hash_embed_udf(dim)
+    return widen_slim(df, id_col, text_col).select(
+        F.col(id_col).alias("vec_id"), embed(hashes).alias("embedding")
+    )

@@ -736,3 +736,87 @@ def test_cli_c4_gopher_exclusive(spark, tmp_path, capsys):
     )
     assert rc == 2
     assert "one-shot curation pass" in capsys.readouterr().err
+
+
+# --- --embed (deterministic hashed-feature text embeddings) -----------------
+
+
+def test_cli_embed_and_semantic_dedup_chain(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, "the cat sat on the mat"),
+            (1, "c0", 1, "the cat sat on the mat"),  # planted exact dup
+            (2, "c1", 0, "a completely different sentence about spark"),
+            (3, "c1", 1, None),
+        ],
+    )
+    vecs = str(tmp_path / "vecs")
+    rc = main(["--input", src, "--output", vecs, "--embed", "64"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res == {
+        "embed": 64, "ngrams": 1, "docs": 4, "distinct_vec_ids": 4,
+        "nonzero_vectors": 3, "output": vecs,
+    }
+    rows = {r.vec_id: r for r in spark.read.parquet(vecs).collect()}
+    # integer doc_ids pass through as vec_id (no surrogate column)
+    assert set(rows) == {0, 1, 2, 3}
+    assert "doc_id" not in spark.read.parquet(vecs).columns
+    assert rows[0].embedding == rows[1].embedding
+    assert all(x == 0.0 for x in rows[3].embedding)  # NULL text -> zero vector
+    norm = sum(x * x for x in rows[0].embedding)
+    assert norm == pytest.approx(1.0, abs=1e-6)
+
+    # the output IS an embeddings table: --semantic-dedup consumes it
+    sem = str(tmp_path / "sem")
+    rc = main(
+        ["--input", vecs, "--output", sem, "--semantic-dedup", "0.99"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["clustered_vectors"] == 2 and res["clusters"] == 1
+    got = {r.id: (r.cluster_id, r.is_keeper) for r in spark.read.parquet(sem).collect()}
+    assert got == {0: (0, True), 1: (0, False)}
+
+
+def test_cli_embed_string_ids_get_int_surrogates(spark, tmp_path, capsys):
+    import os as _os
+
+    from fscrawler_spark.cli import main
+
+    p = str(tmp_path / "docs_str")
+    spark.createDataFrame(
+        [("doc-a", "some plain text here"), ("doc-b", "other plain text there")],
+        "doc_id string, extracted string",
+    ).write.parquet(_os.path.join(p, "docs"))
+    vecs = str(tmp_path / "vecs_str")
+    rc = main(["--input", p, "--output", vecs, "--embed", "16"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["docs"] == 2 and res["distinct_vec_ids"] == 2
+    out = spark.read.parquet(vecs)
+    assert dict(out.dtypes)["vec_id"] == "bigint"  # centroid-path-compatible
+    by_doc = {r.doc_id: r.vec_id for r in out.collect()}  # mapping preserved
+    assert set(by_doc) == {"doc-a", "doc-b"}
+    assert len(set(by_doc.values())) == 2
+
+
+def test_cli_embed_validation(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "text")])
+    out = str(tmp_path / "x")
+    rc = main(["--input", src, "--output", out, "--embed", "0"], spark=spark)
+    assert rc == 2 and "--embed DIM" in capsys.readouterr().err
+    rc = main(["--input", src, "--output", out, "--embed-ngrams", "2"], spark=spark)
+    assert rc == 2 and "requires --embed" in capsys.readouterr().err
+    rc = main(
+        ["--input", src, "--output", out, "--embed", "8", "--chunk", "32"],
+        spark=spark,
+    )
+    assert rc == 2 and "one-shot curation pass" in capsys.readouterr().err

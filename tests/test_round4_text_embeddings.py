@@ -1,0 +1,146 @@
+"""Round 4: deterministic hashed-feature text embeddings — the
+docs-table -> vector-stack bridge (embeddings.text_embeddings).
+
+Value oracle shares NO Spark code: the pure-Python XXH64 twin (proven
+bit-identical to F.xxhash64 in test_round4_fasthash_oracle) + stdlib
+tokenization + numpy-free float math re-derive every vector.
+
+References (public): Weinberger et al. 2009 (feature hashing, the
+signed ξ construction), Charikar 2002 (random projections for cosine).
+"""
+from __future__ import annotations
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.functions.embeddings import semantic_dedup, text_embeddings
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+# --- pure-Python oracle ------------------------------------------------------
+
+
+def _norm_words(text: str) -> list[str]:
+    return [w for w in re.sub(r"\s+", " ", text.strip().lower()).split(" ") if w]
+
+
+def _grams(text: str | None, n: int) -> list[str]:
+    if text is None:
+        return []
+    words = _norm_words(text)
+    if not words:
+        return []
+    if n == 1:
+        return words
+    if len(words) < n:
+        return [" ".join(words)]
+    return [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+
+
+def _embed_py(text: str | None, dim: int, seed: int, n: int) -> list[float]:
+    import test_round4_fasthash_oracle as fh
+
+    vec = [0.0] * dim
+    for g in _grams(text, n):
+        h = fh.xxh64(f"emb{seed}:{g}".encode())
+        vec[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+    norm = math.sqrt(sum(x * x for x in vec))
+    return [x / norm for x in vec] if norm > 0 else vec
+
+
+FIXTURE = [
+    (1, "The cat sat on the mat"),
+    (2, "the cat  sat on the mat"),  # normalization twin of 1
+    (3, "a completely different sentence about spark plans"),
+    (4, None),
+    (5, ""),
+    (6, "   \t  "),  # whitespace-only -> zero vector like empty
+    (7, "single"),
+    (8, "the cat sat on the mat but this one keeps going with more words"),
+    (9, "répétition non-ascii tökens § with punctuation, kept as-is!"),
+]
+
+
+def _docs(spark):
+    return spark.createDataFrame(FIXTURE, "doc_id long, text string")
+
+
+# --- value oracle -------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dim,seed,ngrams", [(16, 42, 1), (64, 7, 1), (32, 42, 2)])
+def test_matches_python_oracle(spark, dim, seed, ngrams):
+    got = {
+        r.vec_id: list(r.embedding)
+        for r in text_embeddings(
+            _docs(spark), dim=dim, seed=seed, ngrams=ngrams
+        ).collect()
+    }
+    assert set(got) == {i for i, _ in FIXTURE}
+    for doc_id, text in FIXTURE:
+        want = _embed_py(text, dim, seed, ngrams)
+        assert len(got[doc_id]) == dim
+        for a, b in zip(got[doc_id], want):
+            assert a == pytest.approx(b, abs=1e-6), (doc_id, text)
+
+
+def test_normalization_twins_and_null_zero(spark):
+    rows = {r.vec_id: list(r.embedding) for r in text_embeddings(_docs(spark)).collect()}
+    # case/whitespace-normalized twins embed identically
+    assert rows[1] == rows[2]
+    # unit norm for non-empty docs
+    assert sum(x * x for x in rows[1]) == pytest.approx(1.0, abs=1e-6)
+    # NULL, empty, and whitespace-only text -> the zero vector
+    for doc_id in (4, 5, 6):
+        assert all(x == 0.0 for x in rows[doc_id])
+
+
+def test_partitioning_stability_and_seed_sensitivity(spark):
+    base = {r.vec_id: list(r.embedding) for r in text_embeddings(_docs(spark)).collect()}
+    repart = {
+        r.vec_id: list(r.embedding)
+        for r in text_embeddings(_docs(spark).repartition(7)).collect()
+    }
+    assert base == repart
+    other = {
+        r.vec_id: list(r.embedding)
+        for r in text_embeddings(_docs(spark), seed=99).collect()
+    }
+    assert base[1] != other[1]  # a different seed is a different projection
+
+
+def test_validation(spark):
+    with pytest.raises(ValueError, match="dim"):
+        text_embeddings(_docs(spark), dim=0)
+    with pytest.raises(ValueError, match="dim"):
+        text_embeddings(_docs(spark), dim=5000)
+    with pytest.raises(ValueError, match="ngrams"):
+        text_embeddings(_docs(spark), ngrams=0)
+
+
+# --- plan + composition --------------------------------------------------------
+
+
+def test_plan_one_arrow_eval_no_key_shuffle(spark):
+    plan = plan_of(text_embeddings(_docs(spark)))
+    assert plan.count("ArrowEvalPython") == 1
+    # the only Exchange is the deliberate round-robin widen — never a
+    # key shuffle (hashpartitioning) or a global sort (rangepartitioning)
+    assert "hashpartitioning" not in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_bridges_docs_to_semantic_dedup(spark):
+    emb = text_embeddings(_docs(spark), dim=64)
+    out = {
+        r.id: (r.cluster_id, r.is_keeper)
+        for r in semantic_dedup(emb, n_cells=2, threshold=0.99).collect()
+    }
+    # exactly the normalization twins cluster; keeper = min id
+    assert out == {1: (1, True), 2: (1, False)}
