@@ -479,6 +479,24 @@ def build_parser() -> argparse.ArgumentParser:
         help="word n-gram order for --embed (default 1 = unigrams)",
     )
     p.add_argument(
+        "--redact-pii",
+        action="store_true",
+        help="one-shot curation pass: read the docs table at --input, "
+        "replace PII occurrences with typed placeholder tags "
+        "(curation.redact_pii — precision-first email/phone/ssn/ipv4 "
+        "patterns, all whole-stage-codegen regexp chains) and write to "
+        "--output with a pii_found map<kind,count> audit column "
+        "(pre-redaction counts)",
+    )
+    p.add_argument(
+        "--pii-kinds",
+        default=None,
+        metavar="K1,K2",
+        help="comma-separated subset of PII kinds to REDACT for "
+        "--redact-pii (default: all; the pii_found audit column always "
+        "counts every kind)",
+    )
+    p.add_argument(
         "--near-dup",
         action="store_true",
         help="maintain the persisted near-dup store under --output "
@@ -658,6 +676,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             ("--ppl-filter", args.ppl_filter is not None),
             ("--tokenize", args.tokenize is not None),
             ("--embed", args.embed is not None),
+            ("--redact-pii", args.redact_pii),
         )
         if on
     ]
@@ -837,6 +856,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
+    if args.pii_kinds is not None and not args.redact_pii:
+        print("error: --pii-kinds requires --redact-pii", file=sys.stderr)
+        return 2
+    if args.pii_kinds is not None:
+        from fscrawler_spark.functions.curation import PII_PATTERNS
+
+        known = {k for k, _p, _t in PII_PATTERNS}
+        bad = [k for k in args.pii_kinds.split(",") if k not in known]
+        if bad:
+            print(
+                f"error: unknown --pii-kinds {bad}; known: {sorted(known)}",
+                file=sys.stderr,
+            )
+            return 2
     if args.assemble_max_turns is not None and not (args.assemble or args.assemble_store):
         print(
             "error: --assemble-max-turns requires --assemble or --assemble-store",
@@ -1070,6 +1103,41 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 # zero vectors = NULL/blank extractions; they can never
                 # semantic-match anything downstream
                 "nonzero_vectors": int(stats["nonzero"] or 0),
+                "output": args.output,
+            }))
+            return 0
+        if args.redact_pii:
+            from pyspark.sql import functions as F
+
+            from fscrawler_spark.functions.curation import (
+                PII_PATTERNS,
+                pii_counts,
+                redact_pii,
+            )
+
+            kinds = tuple(args.pii_kinds.split(",")) if args.pii_kinds else None
+            # audit BEFORE redacting: pii_found counts every kind on the
+            # original text even when only a subset is redacted
+            out = docs.withColumn(
+                "pii_found", pii_counts(F.col("extracted"))
+            ).withColumn("extracted", redact_pii(F.col("extracted"), kinds))
+            order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
+            out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
+            written = spark.read.parquet(args.output)
+            per_kind = [
+                F.sum(F.element_at("pii_found", k)).alias(k)
+                for k, _p, _t in PII_PATTERNS
+            ]
+            stats = written.agg(F.count(F.lit(1)).alias("docs"), *per_kind).collect()[0]
+            print(json.dumps({
+                "redact_pii": True,
+                "kinds_redacted": sorted(kinds) if kinds else sorted(
+                    k for k, _p, _t in PII_PATTERNS
+                ),
+                "docs": stats["docs"],
+                "found": {
+                    k: int(stats[k] or 0) for k, _p, _t in PII_PATTERNS
+                },
                 "output": args.output,
             }))
             return 0

@@ -820,3 +820,78 @@ def test_cli_embed_validation(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 2 and "one-shot curation pass" in capsys.readouterr().err
+
+
+# --- --redact-pii ------------------------------------------------------------
+
+
+def test_cli_redact_pii(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, "mail me at jane.doe@example.com or call 555-123-4567 now"),
+            (1, "c0", 1, "server at 10.0.0.1 and ssn 123-45-6789"),
+            (2, "c1", 0, "nothing sensitive in here"),
+            (3, "c1", 1, None),
+        ],
+    )
+    out = str(tmp_path / "redacted")
+    rc = main(["--input", src, "--output", out, "--redact-pii"], spark=spark)
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["docs"] == 4
+    assert res["found"] == {"email": 1, "phone": 1, "ssn": 1, "ipv4": 1}
+    assert res["kinds_redacted"] == ["email", "ipv4", "phone", "ssn"]
+    by_id = {r.doc_id: r for r in spark.read.parquet(out).collect()}
+    assert by_id[0].extracted == "mail me at <EMAIL> or call <PHONE> now"
+    assert by_id[1].extracted == "server at <IP> and ssn <SSN>"
+    assert by_id[2].extracted == "nothing sensitive in here"
+    assert by_id[3].extracted is None
+    # audit column reflects the PRE-redaction text
+    assert by_id[0].pii_found["email"] == 1 and by_id[0].pii_found["phone"] == 1
+    assert by_id[2].pii_found["email"] == 0
+
+
+def test_cli_redact_pii_kinds_subset(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [(0, "c0", 0, "jane.doe@example.com from 10.0.0.1")],
+    )
+    out = str(tmp_path / "redacted2")
+    rc = main(
+        ["--input", src, "--output", out, "--redact-pii", "--pii-kinds", "email"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["kinds_redacted"] == ["email"]
+    assert res["found"] == {"email": 1, "phone": 0, "ssn": 0, "ipv4": 1}
+    row = spark.read.parquet(out).collect()[0]
+    # only email redacted; the ip stays but is still COUNTED in the audit
+    assert row.extracted == "<EMAIL> from 10.0.0.1"
+    assert row.pii_found["ipv4"] == 1
+
+
+def test_cli_redact_pii_validation(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "text")])
+    out = str(tmp_path / "x")
+    rc = main(["--input", src, "--output", out, "--pii-kinds", "email"], spark=spark)
+    assert rc == 2 and "requires --redact-pii" in capsys.readouterr().err
+    rc = main(
+        ["--input", src, "--output", out, "--redact-pii", "--pii-kinds", "email,creditcard"],
+        spark=spark,
+    )
+    assert rc == 2 and "unknown --pii-kinds" in capsys.readouterr().err
+    rc = main(
+        ["--input", src, "--output", out, "--redact-pii", "--clean-text"],
+        spark=spark,
+    )
+    assert rc == 2 and "one-shot curation pass" in capsys.readouterr().err
