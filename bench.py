@@ -75,6 +75,8 @@ CURATION = [
     "q_assemble_conversations", "q_sft_pairs", "q_preference_pairs",
     # late-round-4 export tier + line/canonical dedup (registry entries)
     "q_doc_line_dedup", "q_canonical_dedup", "q_export_manifest",
+    # docs-table -> vector-stack bridge (bench-local callable)
+    "q_text_embed",
 ]
 
 
@@ -167,6 +169,14 @@ def _q_bpe(spark, sf_dir: str):
     return bpe_encode(d, merges, text_col="text").select(
         "doc_id", F.size("bpe_tokens").alias("n_tokens")
     )
+
+
+def _q_text_embed(spark, sf_dir: str):
+    # docs-table -> vector-stack bridge: deterministic hashed-feature
+    # embeddings (one codegen gram+hash projection, one Arrow bincount)
+    from fscrawler_spark.functions.embeddings import text_embeddings
+
+    return text_embeddings(_docs(spark, sf_dir), dim=64)
 
 
 def _q_simhash(spark, sf_dir: str):
@@ -579,6 +589,7 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_semantic_dedup"] = _q_semantic_dedup
         qs["q_dsir_select"] = _q_dsir_select
         qs["q_bpe"] = _q_bpe
+        qs["q_text_embed"] = _q_text_embed
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
