@@ -46,6 +46,7 @@ AUDITED = [
     ("q_doc_line_dedup", "within-doc line dedup: all-JVM HOF projection"),
     ("q_canonical_dedup", "best-of-cluster keeper: slim max_by agg -> anti join"),
     ("q_export_manifest", "export manifest: permutation key -> one shard hash agg"),
+    ("q_text_embed", "hashed-feature text embeddings: codegen gram+hash -> one Arrow bincount"),
 ]
 
 
@@ -116,6 +117,7 @@ def _generate(spark, entry_mod) -> None:
     qs["q_dsir_select"] = bench._q_dsir_select
     qs["q_bpe_encode"] = _q_bpe_encode
     qs["q_sft_pairs"] = bench._q_sft_pairs
+    qs["q_text_embed"] = bench._q_text_embed
     out = ["# PLANS — physical-plan audit of the headline queries", "",
            f"Generated by `python tools/plan_audit.py` at {SF_DIR} (regenerate after plan-shape changes).",
            "",
