@@ -923,14 +923,26 @@ def make_hash_embed_udf(dim: int):
         # already non-negative); sign = bit 32, independent of the index
         idx = vals % dim
         sign = np.where((vals >> 32) & 1 == 1, 1.0, -1.0)
-        row = np.repeat(np.arange(n, dtype=np.int64), np.diff(offsets))
-        # bincount degrades to int64 zeros when the batch has no grams
-        # at all (weights empty) — force the float dtype
-        out = (
-            np.bincount(row * dim + idx, weights=sign, minlength=n * dim)
-            .astype(np.float64, copy=False)
-            .reshape(n, dim)
-        )
+        lens = np.diff(offsets)
+        out = np.zeros((n, dim), dtype=np.float64)
+        # block the dense bincount buffer: at dim=4096 a 20k-row Arrow
+        # batch would otherwise allocate a ~650 MB scratch array
+        step = max(1, 2_000_000 // dim)
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
+            g0, g1 = offsets[lo] - offsets[0], offsets[hi] - offsets[0]
+            rows = np.repeat(np.arange(hi - lo, dtype=np.int64), lens[lo:hi])
+            # bincount degrades to int64 zeros when the block has no
+            # grams at all (weights empty) — force the float dtype
+            out[lo:hi] = (
+                np.bincount(
+                    rows * dim + idx[g0:g1],
+                    weights=sign[g0:g1],
+                    minlength=(hi - lo) * dim,
+                )
+                .astype(np.float64, copy=False)
+                .reshape(hi - lo, dim)
+            )
         norms = np.linalg.norm(out, axis=1)
         nz = norms > 0.0
         out[nz] /= norms[nz, None]

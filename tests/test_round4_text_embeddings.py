@@ -144,3 +144,24 @@ def test_bridges_docs_to_semantic_dedup(spark):
     }
     # exactly the normalization twins cluster; keeper = min id
     assert out == {1: (1, True), 2: (1, False)}
+
+
+def test_blocked_bincount_path_matches_oracle(spark):
+    # dim=4096 -> the UDF's dense scratch buffer is blocked at
+    # step = 2_000_000 // 4096 = 488 rows; 600 single-partition rows
+    # force >1 block inside ONE Arrow batch. Values must be identical
+    # to the unblocked math (the Python oracle).
+    rows = [(i, f"word{i} tail{i % 7}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").coalesce(1)
+    got = {
+        r.vec_id: list(r.embedding)
+        for r in text_embeddings(df, dim=4096).collect()
+    }
+    assert len(got) == 600
+    # spot-check rows straddling the 488-row block boundary + endpoints
+    for doc_id in (0, 486, 487, 488, 489, 599):
+        want = _embed_py(rows[doc_id][1], 4096, 42, 1)
+        for a, b in zip(got[doc_id], want):
+            assert a == pytest.approx(b, abs=1e-6), doc_id
+    for v in got.values():
+        assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-5)
