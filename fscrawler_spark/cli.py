@@ -395,6 +395,18 @@ def build_parser() -> argparse.ArgumentParser:
         "to drop the doc for --decontaminate (default: 2)",
     )
     p.add_argument(
+        "--decon-fuzzy",
+        type=float,
+        default=None,
+        metavar="SIM",
+        help="switch --decontaminate to NEAR-duplicate matching: drop "
+        "docs whose word-shingle Jaccard vs any benchmark item is >= SIM "
+        "(curation.fuzzy_decontaminate — MinHash/LSH with recall-first "
+        "banding + exact-Jaccard verify; catches paraphrased eval "
+        "leakage the exact n-gram scan misses). Excludes "
+        "--decon-ngrams/--decon-min-hits",
+    )
+    p.add_argument(
         "--ppl-filter",
         default=None,
         metavar="BUCKETS",
@@ -853,6 +865,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.embed_ngrams is not None and args.embed_ngrams < 1:
         print(
             f"error: --embed-ngrams must be >= 1, got {args.embed_ngrams}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.decon_fuzzy is not None and args.decontaminate is None:
+        print("error: --decon-fuzzy requires --decontaminate", file=sys.stderr)
+        return 2
+    if args.decon_fuzzy is not None and not (0.0 < args.decon_fuzzy <= 1.0):
+        print(
+            f"error: --decon-fuzzy SIM must be in (0, 1], got {args.decon_fuzzy}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.decon_fuzzy is not None and (
+        args.decon_ngrams is not None or args.decon_min_hits is not None
+    ):
+        print(
+            "error: --decon-fuzzy replaces the n-gram scan; "
+            "--decon-ngrams/--decon-min-hits do not apply",
             file=sys.stderr,
         )
         return 2
@@ -1546,23 +1576,40 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"error: --decontaminate: {berr}", file=sys.stderr)
                 return 2
             total = docs.count()
-            out = decontaminate(
-                docs,
-                bench,
-                id_col="doc_id",
-                text_col="extracted",
-                bench_id_col="doc_id",
-                bench_text_col="extracted",
-                n=args.decon_ngrams if args.decon_ngrams is not None else 8,
-                min_hits=args.decon_min_hits if args.decon_min_hits is not None else 2,
-            )
+            if args.decon_fuzzy is not None:
+                from fscrawler_spark.functions.curation import fuzzy_decontaminate
+
+                out = fuzzy_decontaminate(
+                    docs,
+                    bench,
+                    id_col="doc_id",
+                    text_col="extracted",
+                    bench_id_col="doc_id",
+                    bench_text_col="extracted",
+                    threshold=args.decon_fuzzy,
+                )
+                stats_extra = {"fuzzy_jaccard": args.decon_fuzzy}
+            else:
+                out = decontaminate(
+                    docs,
+                    bench,
+                    id_col="doc_id",
+                    text_col="extracted",
+                    bench_id_col="doc_id",
+                    bench_text_col="extracted",
+                    n=args.decon_ngrams if args.decon_ngrams is not None else 8,
+                    min_hits=args.decon_min_hits if args.decon_min_hits is not None else 2,
+                )
+                stats_extra = {
+                    "ngrams": args.decon_ngrams if args.decon_ngrams is not None else 8,
+                    "min_hits": args.decon_min_hits if args.decon_min_hits is not None else 2,
+                }
             order = [c for c in ("conv_id", "turn_idx") if c in out.columns] or ["doc_id"]
             out.sortWithinPartitions(*order).write.mode("overwrite").parquet(args.output)
             kept = spark.read.parquet(args.output).count()
             print(json.dumps({
                 "decontaminate": True,
-                "ngrams": args.decon_ngrams if args.decon_ngrams is not None else 8,
-                "min_hits": args.decon_min_hits if args.decon_min_hits is not None else 2,
+                **stats_extra,
                 "total": total,
                 "kept": kept,
                 "dropped": total - kept,

@@ -439,6 +439,98 @@ def decontaminate(
     return corpus.join(flagged, id_col, "left_anti")
 
 
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    threshold: float = 0.8,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_k: int = 3,
+    max_bucket: int | None = 1000,
+    hash_family: str = "fast",
+) -> DataFrame:
+    """NEAR-duplicate decontamination: drop every corpus doc whose
+    word-shingle Jaccard against ANY benchmark item is >= ``threshold``
+    — the paraphrase-tolerant complement of ``decontaminate`` (exact
+    n-gram overlap misses an eval item that was lightly reworded or
+    partially truncated on its way into the crawl; MinHash similarity
+    does not). Same knobs as near_dup_pipeline but a RECALL-FIRST
+    default banding: 16 hashes in 8 bands of 2 rows (near-dup dedup's
+    4x4 s-curve has ~30% candidate recall at Jaccard 0.55 — acceptable
+    when missing a dup costs bytes, not when missing eval leakage costs
+    benchmark integrity; 8x2 recalls ~94% there and ~99.9% at 0.8).
+    Precision is unaffected either way — verify_candidates re-checks
+    every candidate with exact Jaccard.
+
+    Shape at 100 TB: signatures are the shared one-explode aggregates;
+    the candidate stage joins the CORPUS band rows against a BROADCAST
+    of the benchmark band rows (a benchmark is thousands of items, not
+    a second corpus — pinned with an explicit broadcast hint), so no
+    corpus-vs-corpus self-join ever forms and the only corpus-scale
+    exchanges are the signature agg and verify_candidates' prefiltered
+    shingle lookup. Corpus buckets are capped by the shared giant-bucket
+    guard. Namespaced string ids ('c:'/'b:') keep the two tables' id
+    spaces from colliding inside the shared verify machinery.
+    """
+    from fscrawler_spark.functions.dedup import (
+        _banded,
+        cap_groups,
+        minhash_signatures,
+        minhash_signatures_fast,
+        verify_candidates,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    if hash_family not in ("fast", "md5"):
+        raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
+    sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
+    c = corpus.select(
+        F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias("id"),
+        F.col(text_col).alias("text"),
+    )
+    b = benchmark.select(
+        F.concat(F.lit("b:"), F.col(bench_id_col).cast("string")).alias("id"),
+        F.col(bench_text_col).alias("text"),
+    )
+    c_bands = cap_groups(
+        _banded(sig_fn(c, id_col="id", text_col="text", num_hashes=num_hashes),
+                num_hashes, bands),
+        ["band", "bucket"],
+        max_bucket,
+    )
+    b_bands = _banded(
+        sig_fn(b, id_col="id", text_col="text", num_hashes=num_hashes),
+        num_hashes, bands,
+    )
+    pairs = (
+        c_bands.join(
+            F.broadcast(b_bands.withColumnRenamed("id", "id_b")),
+            ["band", "bucket"],
+        )
+        .select(F.col("id").alias("id_a"), "id_b")
+        .distinct()
+    )
+    verified = verify_candidates(
+        c.unionByName(b), pairs, id_col="id", text_col="text",
+        shingle_k=shingle_k, threshold=threshold,
+    )
+    flagged = verified.select(
+        # strip the 'c:' namespace back off; compared against the
+        # original id CAST TO STRING, so any id type round-trips
+        F.substring("id_a", 3, 2_147_483_647).alias("_contaminated_id")
+    ).distinct()
+    return corpus.join(
+        flagged,
+        F.col(id_col).cast("string") == F.col("_contaminated_id"),
+        "left_anti",
+    )
+
+
 # --- cross-document repeated-line (boilerplate) removal ---------------------
 
 

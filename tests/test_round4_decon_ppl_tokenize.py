@@ -299,3 +299,132 @@ def test_cli_new_verb_arg_validation(spark, tmp_path, capsys, argv, msg):
     rc = main(["--input", src, "--output", str(tmp_path / "o")] + argv, spark=spark)
     assert rc == 2
     assert msg in capsys.readouterr().err
+
+
+# --- fuzzy (near-duplicate) decontamination ----------------------------------
+
+
+def _py_jaccard_shingles(a, b, k=3):
+    def sh(t):
+        w = " ".join(t.lower().split()).split(" ")
+        if len(w) < k:
+            return {" ".join(w)}
+        return {" ".join(w[i : i + k]) for i in range(len(w) - k + 1)}
+
+    sa, sb = sh(a), sh(b)
+    return len(sa & sb) / len(sa | sb)
+
+
+def test_fuzzy_decontaminate_library(spark):
+    from fscrawler_spark.functions.curation import fuzzy_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single morning"
+    paraphrase = "the quick brown fox leaps over the lazy dog every single morning"
+    unrelated = "a totally unrelated document about spark physical plans and shuffles"
+    # the paraphrase's true shingle Jaccard sits between the two thresholds
+    j = _py_jaccard_shingles(bench_text, paraphrase)
+    assert 0.5 <= j < 0.9
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, paraphrase), (3, unrelated), (4, None)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, bench_text)], "bench_id long, text string"
+    )
+    # threshold below j: exact copy AND paraphrase dropped
+    kept = sorted(
+        r.doc_id
+        for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
+    )
+    assert kept == [3, 4]
+    # threshold above j: only the exact copy dropped
+    kept = sorted(
+        r.doc_id
+        for r in fuzzy_decontaminate(corpus, bench, threshold=0.9).collect()
+    )
+    assert kept == [2, 3, 4]
+    # empty benchmark: everything survives
+    kept = sorted(
+        r.doc_id
+        for r in fuzzy_decontaminate(
+            corpus, bench.filter("bench_id < 0"), threshold=0.5
+        ).collect()
+    )
+    assert kept == [1, 2, 3, 4]
+    # string ids round-trip through the 'c:' namespace intact
+    scorpus = corpus.selectExpr("concat('id-', doc_id) as doc_id", "text")
+    kept_s = sorted(
+        r.doc_id
+        for r in fuzzy_decontaminate(scorpus, bench, threshold=0.5).collect()
+    )
+    assert kept_s == ["id-3", "id-4"]
+
+
+def test_fuzzy_decontaminate_validation_and_broadcast(spark):
+    from fscrawler_spark.functions.curation import fuzzy_decontaminate
+
+    corpus = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    bench = spark.createDataFrame([(9, "a b c")], "bench_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        fuzzy_decontaminate(corpus, bench, threshold=0.0)
+    with pytest.raises(ValueError, match="hash_family"):
+        fuzzy_decontaminate(corpus, bench, hash_family="sha")
+    # the benchmark band table must broadcast (never a corpus-vs-corpus
+    # sort-merge on the candidate stage)
+    plan = (
+        fuzzy_decontaminate(corpus, bench, threshold=0.9)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cli_decontaminate_fuzzy(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single morning"
+    paraphrase = "the quick brown fox leaps over the lazy dog every single morning"
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, bench_text),
+            (1, "c0", 1, paraphrase),
+            (2, "c1", 0, "a totally unrelated document about spark physical plans"),
+        ],
+    )
+    bench = _docs_table(spark, tmp_path, [(0, "b", 0, bench_text)], name="bench_f")
+    out = str(tmp_path / "decon_fuzzy")
+    rc = main(
+        ["--input", src, "--output", out,
+         "--decontaminate", bench, "--decon-fuzzy", "0.5"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["fuzzy_jaccard"] == 0.5
+    assert res["total"] == 3 and res["kept"] == 1 and res["dropped"] == 2
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+
+
+def test_cli_decon_fuzzy_validation(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    src = _docs_table(spark, tmp_path, [(0, "c0", 0, "x")])
+    bench = _docs_table(spark, tmp_path, [(0, "b", 0, "x")], name="bench_v")
+    out = str(tmp_path / "x")
+    rc = main(["--input", src, "--output", out, "--decon-fuzzy", "0.5"], spark=spark)
+    assert rc == 2 and "requires --decontaminate" in capsys.readouterr().err
+    rc = main(
+        ["--input", src, "--output", out,
+         "--decontaminate", bench, "--decon-fuzzy", "1.5"],
+        spark=spark,
+    )
+    assert rc == 2 and "must be in (0, 1]" in capsys.readouterr().err
+    rc = main(
+        ["--input", src, "--output", out, "--decontaminate", bench,
+         "--decon-fuzzy", "0.5", "--decon-ngrams", "4"],
+        spark=spark,
+    )
+    assert rc == 2 and "do not apply" in capsys.readouterr().err
