@@ -27,7 +27,11 @@ def plan_of(df) -> str:
 
 
 def _norm_words(text: str) -> list[str]:
-    return [w for w in re.sub(r"\s+", " ", text.strip().lower()).split(" ") if w]
+    # mirror normalized_text's ENGINE semantics exactly: Spark trim()
+    # strips 0x20 only, Java \s is ASCII-only ([ \t\n\x0B\f\r]) — NBSP /
+    # ideographic space are word CHARS there, unlike Python's unicode \s
+    t = re.sub(r"[ \t\n\x0b\f\r]+", " ", text.strip(" ").lower())
+    return [w for w in t.split(" ") if w]
 
 
 def _grams(text: str | None, n: int) -> list[str]:
@@ -165,3 +169,30 @@ def test_blocked_bincount_path_matches_oracle(spark):
             assert a == pytest.approx(b, abs=1e-6), doc_id
     for v in got.values():
         assert sum(x * x for x in v) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_random_unicode_sweep_matches_oracle(spark):
+    # 200 seeded pseudo-random texts over a hostile alphabet (unicode
+    # whitespace, combining marks, CJK, emoji, quotes, NULs are absent —
+    # parquet strings) in ONE Spark job, every vector re-derived by the
+    # pure-Python oracle.
+    import random
+
+    rng = random.Random(4242)
+    alphabet = (
+        "abc XYZ 123 \t\n 　 éü ß 中文字 🙂🚀 'quote' \"dq\" ,.;:!? "
+        "́̈ \r  -_/\\|"
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 120)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.vec_id: list(r.embedding) for r in text_embeddings(df, dim=32).collect()}
+    assert len(got) == 200
+    for i, t in enumerate(texts):
+        want = _embed_py(t, 32, 42, 1)
+        for a, b in zip(got[i], want):
+            assert a == pytest.approx(b, abs=1e-6), (i, repr(t))
