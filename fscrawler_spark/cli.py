@@ -407,6 +407,24 @@ def build_parser() -> argparse.ArgumentParser:
         "--decon-ngrams/--decon-min-hits",
     )
     p.add_argument(
+        "--decon-semantic",
+        type=float,
+        default=None,
+        metavar="SIM",
+        help="switch --decontaminate to EMBEDDING-space matching: drop "
+        "docs whose hashed-feature embedding cosine vs any benchmark "
+        "item is >= SIM (curation.semantic_decontaminate — benchmark "
+        "collected once and broadcast, corpus side a pure map, no "
+        "corpus shuffle). Excludes the n-gram knobs and --decon-fuzzy",
+    )
+    p.add_argument(
+        "--decon-dim",
+        type=int,
+        default=None,
+        metavar="DIM",
+        help="embedding dimension for --decon-semantic (default 256)",
+    )
+    p.add_argument(
         "--ppl-filter",
         default=None,
         metavar="BUCKETS",
@@ -883,6 +901,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print(
             "error: --decon-fuzzy replaces the n-gram scan; "
             "--decon-ngrams/--decon-min-hits do not apply",
+            file=sys.stderr,
+        )
+        return 2
+    if args.decon_semantic is not None:
+        if args.decontaminate is None:
+            print("error: --decon-semantic requires --decontaminate", file=sys.stderr)
+            return 2
+        if not (0.0 < args.decon_semantic <= 1.0):
+            print(
+                f"error: --decon-semantic SIM must be in (0, 1], got "
+                f"{args.decon_semantic}",
+                file=sys.stderr,
+            )
+            return 2
+        if (
+            args.decon_fuzzy is not None
+            or args.decon_ngrams is not None
+            or args.decon_min_hits is not None
+        ):
+            print(
+                "error: --decon-semantic replaces the n-gram scan; "
+                "--decon-fuzzy/--decon-ngrams/--decon-min-hits do not apply",
+                file=sys.stderr,
+            )
+            return 2
+    if args.decon_dim is not None and args.decon_semantic is None:
+        print("error: --decon-dim requires --decon-semantic", file=sys.stderr)
+        return 2
+    if args.decon_dim is not None and not (1 <= args.decon_dim <= 4096):
+        print(
+            f"error: --decon-dim must be in [1, 4096], got {args.decon_dim}",
             file=sys.stderr,
         )
         return 2
@@ -1576,7 +1625,24 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"error: --decontaminate: {berr}", file=sys.stderr)
                 return 2
             total = docs.count()
-            if args.decon_fuzzy is not None:
+            if args.decon_semantic is not None:
+                from fscrawler_spark.functions.curation import semantic_decontaminate
+
+                out = semantic_decontaminate(
+                    docs,
+                    bench,
+                    id_col="doc_id",
+                    text_col="extracted",
+                    bench_id_col="doc_id",
+                    bench_text_col="extracted",
+                    threshold=args.decon_semantic,
+                    dim=args.decon_dim if args.decon_dim is not None else 256,
+                )
+                stats_extra = {
+                    "semantic_cosine": args.decon_semantic,
+                    "dim": args.decon_dim if args.decon_dim is not None else 256,
+                }
+            elif args.decon_fuzzy is not None:
                 from fscrawler_spark.functions.curation import fuzzy_decontaminate
 
                 out = fuzzy_decontaminate(

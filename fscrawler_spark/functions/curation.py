@@ -489,14 +489,21 @@ def fuzzy_decontaminate(
     if hash_family not in ("fast", "md5"):
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
+    # blank texts NEVER match: word_shingles' short-text convention gives
+    # every empty doc the same "" shingle, so without this filter every
+    # empty extraction would 'contaminate' against an empty bench item at
+    # Jaccard 1.0 — an empty doc leaks nothing (found live: 24 empty docs
+    # were the only cross-seed 'contamination' between two synthetic
+    # corpora). Same effective semantics as the semantic variant's
+    # zero-vector contract.
     c = corpus.select(
         F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias("id"),
         F.col(text_col).alias("text"),
-    )
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
     b = benchmark.select(
         F.concat(F.lit("b:"), F.col(bench_id_col).cast("string")).alias("id"),
         F.col(bench_text_col).alias("text"),
-    )
+    ).filter(F.length(F.trim(F.col("text"))) > 0)
     c_bands = cap_groups(
         _banded(sig_fn(c, id_col="id", text_col="text", num_hashes=num_hashes),
                 num_hashes, bands),
@@ -529,6 +536,59 @@ def fuzzy_decontaminate(
         F.col(id_col).cast("string") == F.col("_contaminated_id"),
         "left_anti",
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+    threshold: float = 0.9,
+    dim: int = 256,
+    seed: int = 42,
+    ngrams: int = 1,
+    max_benchmark: int = 100_000,
+) -> DataFrame:
+    """Embedding-space decontamination: drop every corpus doc whose
+    hashed-feature embedding cosine against ANY benchmark item is >=
+    ``threshold`` — the third rung of the leakage ladder (exact n-grams
+    -> shingle Jaccard -> vector cosine; each catches rewrites the
+    previous one misses). With the built-in text_embeddings this is
+    lexical-overlap cosine (hashed bag-of-n-grams); pipelines with a
+    real encoder get true semantic matching by calling
+    embeddings.reference_max_sim directly over their own embeddings
+    tables — this wrapper is the text-level convenience.
+
+    Shape at 100 TB: the benchmark embeds and collects ONCE (bounded by
+    ``max_benchmark``, loud refusal above); the corpus side is
+    text_embeddings' zero-key-shuffle map feeding reference_max_sim's
+    broadcast GEMM — no join, no corpus shuffle anywhere except the
+    final AQE-broadcast anti join removing the (small) flagged id set.
+    """
+    from fscrawler_spark.functions.embeddings import (
+        reference_max_sim,
+        text_embeddings,
+    )
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    bvecs = text_embeddings(
+        benchmark, id_col=bench_id_col, text_col=bench_text_col,
+        dim=dim, seed=seed, ngrams=ngrams,
+    )
+    cvecs = text_embeddings(
+        corpus, id_col=id_col, text_col=text_col,
+        dim=dim, seed=seed, ngrams=ngrams,
+    )
+    sims = reference_max_sim(cvecs, bvecs, max_reference=max_benchmark)
+    flagged = (
+        sims.filter(F.col("ref_max_sim") >= threshold)
+        .select(F.col("id").alias(id_col))
+        .distinct()
+    )
+    return corpus.join(flagged, id_col, "left_anti")
 
 
 # --- cross-document repeated-line (boilerplate) removal ---------------------

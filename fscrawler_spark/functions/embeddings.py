@@ -876,6 +876,70 @@ def semantic_dedup(
     )
 
 
+# --- max similarity vs a bounded reference set (pure map) -------------------
+
+
+def make_max_sim_udf(ref_matrix):
+    """arrow_udf: embedding -> max cosine against the (bounded)
+    reference matrix. One GEMM per Arrow batch; rows and reference are
+    normalized inside, so callers may pass un-normalized vectors. A
+    zero vector scores 0.0 (no direction matches nothing)."""
+    ref = np.asarray(ref_matrix, dtype=np.float64)  # (n_ref, dim)
+    norms = np.linalg.norm(ref, axis=1)
+    ref = ref[norms > 0.0] / norms[norms > 0.0, None]
+    dim = ref.shape[1] if ref.size else 0
+
+    @F.arrow_udf(T.DoubleType())
+    def max_sim(emb: pa.Array) -> pa.Array:
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(emb)
+        if not ref.size:
+            return pa.array([0.0] * n, pa.float64())
+        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+        m = vals.reshape(n, dim)
+        vn = np.linalg.norm(m, axis=1)
+        vn[vn == 0.0] = 1.0  # zero vectors stay zero -> sim 0.0
+        sims = (m / vn[:, None]) @ ref.T
+        return pa.array(sims.max(axis=1).tolist(), pa.float64())
+
+    return max_sim
+
+
+def reference_max_sim(
+    df: DataFrame,
+    reference: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    ref_vec_col: str = "embedding",
+    max_reference: int = 100_000,
+) -> DataFrame:
+    """(id, ref_max_sim): each corpus vector's maximum cosine against
+    the ENTIRE reference table — the primitive under semantic
+    decontamination, seed-proximity scoring, and recall audits.
+
+    Shape at 100 TB: the reference is collected ONCE (bounded by
+    ``max_reference`` — it is an eval benchmark or a seed set, not a
+    second corpus; loudly refuses anything bigger) and broadcast inside
+    the UDF closure; the corpus side is a single widened pure map (one
+    GEMM per Arrow batch), NO shuffle, NO join — the cheapest possible
+    plan for 'compare everything against a small fixed set'."""
+    rows = reference.select(ref_vec_col).limit(max_reference + 1).collect()
+    if len(rows) > max_reference:
+        raise ValueError(
+            f"reference has more than max_reference={max_reference} rows; "
+            "a corpus-sized 'reference' needs the keyed-join operators "
+            "(cosine_near_dup_pairs / lsh_topk), not a broadcast matrix"
+        )
+    from fscrawler_spark.session import widen_slim
+
+    mat = [r[0] for r in rows if r[0] is not None]
+    udf = make_max_sim_udf(mat if mat else np.zeros((0, 1)))
+    return widen_slim(df, id_col, vec_col).select(
+        F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("ref_max_sim")
+    )
+
+
 # --- deterministic text embeddings (the docs-table -> vector bridge) --------
 
 

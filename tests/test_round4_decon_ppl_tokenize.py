@@ -325,24 +325,26 @@ def test_fuzzy_decontaminate_library(spark):
     j = _py_jaccard_shingles(bench_text, paraphrase)
     assert 0.5 <= j < 0.9
     corpus = spark.createDataFrame(
-        [(1, bench_text), (2, paraphrase), (3, unrelated), (4, None)],
+        [(1, bench_text), (2, paraphrase), (3, unrelated), (4, None), (5, "")],
         "doc_id long, text string",
     )
     bench = spark.createDataFrame(
-        [(100, bench_text)], "bench_id long, text string"
+        # the empty bench item must never 'contaminate' empty corpus
+        # docs (word_shingles gives all blanks the same "" shingle)
+        [(100, bench_text), (101, "")], "bench_id long, text string"
     )
     # threshold below j: exact copy AND paraphrase dropped
     kept = sorted(
         r.doc_id
         for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
     )
-    assert kept == [3, 4]
+    assert kept == [3, 4, 5]
     # threshold above j: only the exact copy dropped
     kept = sorted(
         r.doc_id
         for r in fuzzy_decontaminate(corpus, bench, threshold=0.9).collect()
     )
-    assert kept == [2, 3, 4]
+    assert kept == [2, 3, 4, 5]
     # empty benchmark: everything survives
     kept = sorted(
         r.doc_id
@@ -350,14 +352,14 @@ def test_fuzzy_decontaminate_library(spark):
             corpus, bench.filter("bench_id < 0"), threshold=0.5
         ).collect()
     )
-    assert kept == [1, 2, 3, 4]
+    assert kept == [1, 2, 3, 4, 5]
     # string ids round-trip through the 'c:' namespace intact
     scorpus = corpus.selectExpr("concat('id-', doc_id) as doc_id", "text")
     kept_s = sorted(
         r.doc_id
         for r in fuzzy_decontaminate(scorpus, bench, threshold=0.5).collect()
     )
-    assert kept_s == ["id-3", "id-4"]
+    assert kept_s == ["id-3", "id-4", "id-5"]
 
 
 def test_fuzzy_decontaminate_validation_and_broadcast(spark):
@@ -428,3 +430,108 @@ def test_cli_decon_fuzzy_validation(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 2 and "do not apply" in capsys.readouterr().err
+
+
+# --- semantic (embedding-space) decontamination -------------------------------
+
+
+def test_semantic_decontaminate_library(spark):
+    import math
+
+    import test_round4_fasthash_oracle as fh
+    from fscrawler_spark.functions.curation import semantic_decontaminate
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single morning"
+    paraphrase = "the quick brown fox leaps over the lazy dog every single morning"
+
+    # independent expected cosine from the pure-Python embedding twin
+    def emb(text, dim=256):
+        v = [0.0] * dim
+        for w in " ".join(text.lower().split()).split(" "):
+            h = fh.xxh64(f"emb42:{w}".encode())
+            v[h % dim] += 1.0 if (h >> 32) & 1 else -1.0
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    cos = sum(a * b for a, b in zip(emb(bench_text), emb(paraphrase)))
+    assert 0.8 < cos < 0.99  # the two test thresholds bracket it
+    corpus = spark.createDataFrame(
+        [(1, bench_text), (2, paraphrase),
+         (3, "a totally unrelated document about spark plans"), (4, None)],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, bench_text)], "bench_id long, text string")
+    kept = sorted(
+        r.doc_id
+        for r in semantic_decontaminate(corpus, bench, threshold=0.8).collect()
+    )
+    assert kept == [3, 4]
+    kept = sorted(
+        r.doc_id
+        for r in semantic_decontaminate(corpus, bench, threshold=0.99).collect()
+    )
+    assert kept == [2, 3, 4]
+
+
+def test_reference_max_sim_shape_and_bounds(spark):
+    from fscrawler_spark.functions.embeddings import (
+        reference_max_sim,
+        text_embeddings,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, None)],
+        "doc_id long, text string",
+    )
+    vecs = text_embeddings(docs, dim=32)
+    sims = reference_max_sim(vecs, vecs)  # self-reference: non-zero rows hit 1.0
+    got = {r.id: r.ref_max_sim for r in sims.collect()}
+    assert got[1] == pytest.approx(1.0, abs=1e-9)
+    assert got[2] == pytest.approx(1.0, abs=1e-9)
+    assert got[3] == 0.0  # zero vector matches nothing
+    # pure map: no join, no key shuffle anywhere in the plan
+    plan = sims._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "hashpartitioning" not in plan
+    # bounded reference: loud refusal, never a silent broadcast OOM
+    with pytest.raises(ValueError, match="max_reference"):
+        reference_max_sim(vecs, vecs, max_reference=1)
+
+
+def test_cli_decontaminate_semantic(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    bench_text = "the quick brown fox jumps over the lazy dog every single morning"
+    paraphrase = "the quick brown fox leaps over the lazy dog every single morning"
+    src = _docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "c0", 0, bench_text),
+            (1, "c0", 1, paraphrase),
+            (2, "c1", 0, "a totally unrelated document about spark physical plans"),
+        ],
+    )
+    bench = _docs_table(spark, tmp_path, [(0, "b", 0, bench_text)], name="bench_s")
+    out = str(tmp_path / "decon_sem")
+    rc = main(
+        ["--input", src, "--output", out,
+         "--decontaminate", bench, "--decon-semantic", "0.8"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["semantic_cosine"] == 0.8 and res["dim"] == 256
+    assert res["total"] == 3 and res["kept"] == 1
+    assert [r.doc_id for r in spark.read.parquet(out).collect()] == [2]
+    # validation: semantic excludes fuzzy + n-gram knobs; dim gated
+    rc = main(
+        ["--input", src, "--output", out, "--decontaminate", bench,
+         "--decon-semantic", "0.8", "--decon-fuzzy", "0.5"],
+        spark=spark,
+    )
+    assert rc == 2 and "do not apply" in capsys.readouterr().err
+    rc = main(
+        ["--input", src, "--output", out, "--decon-dim", "64"],
+        spark=spark,
+    )
+    assert rc == 2 and "requires --decon-semantic" in capsys.readouterr().err
