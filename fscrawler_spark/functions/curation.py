@@ -450,7 +450,7 @@ def fuzzy_decontaminate(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_k: int = 3,
-    max_bucket: int | None = 1000,
+    max_bucket: int | None = None,
     hash_family: str = "fast",
 ) -> DataFrame:
     """NEAR-duplicate decontamination: drop every corpus doc whose
@@ -472,9 +472,18 @@ def fuzzy_decontaminate(
     a second corpus — pinned with an explicit broadcast hint), so no
     corpus-vs-corpus self-join ever forms and the only corpus-scale
     exchanges are the signature agg and verify_candidates' prefiltered
-    shingle lookup. Corpus buckets are capped by the shared giant-bucket
-    guard. Namespaced string ids ('c:'/'b:') keep the two tables' id
-    spaces from colliding inside the shared verify machinery.
+    shingle lookup. Namespaced string ids ('c:'/'b:') keep the two
+    tables' id spaces from colliding inside the shared verify machinery.
+
+    ``max_bucket`` defaults to UNCAPPED here, deliberately diverging
+    from the dedup pipelines: the giant-bucket guard exists to bound a
+    corpus SELF-join's quadratic fan-out, but this join's fan-out per
+    corpus band row is bounded by the (broadcast, benchmark-sized)
+    bucket it lands in — and a benchmark passage crawled into the
+    corpus 10^6 times is exactly the leakage this pass exists to drop;
+    capping would silently exempt the most-contaminated docs. Set it
+    only if a pathological all-identical corpus makes the candidate
+    row count itself a problem.
     """
     from fscrawler_spark.functions.dedup import (
         _banded,
@@ -490,28 +499,37 @@ def fuzzy_decontaminate(
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
     # blank texts NEVER match: word_shingles' short-text convention gives
-    # every empty doc the same "" shingle, so without this filter every
-    # empty extraction would 'contaminate' against an empty bench item at
-    # Jaccard 1.0 — an empty doc leaks nothing (found live: 24 empty docs
-    # were the only cross-seed 'contamination' between two synthetic
-    # corpora). Same effective semantics as the semantic variant's
-    # zero-vector contract.
+    # every wordless doc the same whole-text shingle, so without this
+    # filter every empty extraction would 'contaminate' against an empty
+    # bench item at Jaccard 1.0 — an empty doc leaks nothing (found
+    # live: 24 empty docs were the only cross-seed 'contamination'
+    # between two synthetic corpora). Blank = no words under the
+    # engine's ASCII-\s splitter (F.trim strips 0x20 only — a "\t" doc
+    # would slip past it and collapse to the shared " " shingle). Same
+    # effective semantics as the semantic variant's zero-vector rule.
+    _nonblank = F.length(F.regexp_replace(F.col("text"), r"\s+", "")) > 0
     c = corpus.select(
         F.concat(F.lit("c:"), F.col(id_col).cast("string")).alias("id"),
         F.col(text_col).alias("text"),
-    ).filter(F.length(F.trim(F.col("text"))) > 0)
+    ).filter(_nonblank)
     b = benchmark.select(
         F.concat(F.lit("b:"), F.col(bench_id_col).cast("string")).alias("id"),
         F.col(bench_text_col).alias("text"),
-    ).filter(F.length(F.trim(F.col("text"))) > 0)
+    ).filter(_nonblank)
+    # shingle_k reaches BOTH stages: signatures generated at one k with
+    # verification at another would band on a different similarity than
+    # the one being thresholded (candidates lost before verify can see
+    # them)
     c_bands = cap_groups(
-        _banded(sig_fn(c, id_col="id", text_col="text", num_hashes=num_hashes),
+        _banded(sig_fn(c, id_col="id", text_col="text",
+                       num_hashes=num_hashes, shingle_k=shingle_k),
                 num_hashes, bands),
         ["band", "bucket"],
         max_bucket,
     )
     b_bands = _banded(
-        sig_fn(b, id_col="id", text_col="text", num_hashes=num_hashes),
+        sig_fn(b, id_col="id", text_col="text",
+               num_hashes=num_hashes, shingle_k=shingle_k),
         num_hashes, bands,
     )
     pairs = (
@@ -584,7 +602,11 @@ def semantic_decontaminate(
     )
     sims = reference_max_sim(cvecs, bvecs, max_reference=max_benchmark)
     flagged = (
-        sims.filter(F.col("ref_max_sim") >= threshold)
+        # embeddings are float32 on disk: a VERBATIM copy of a bench item
+        # scores 0.9999999x, so a literal >= 1.0 would flag nothing —
+        # the strictest setting silently off. 1e-6 absorbs float32
+        # rounding and is far below any meaningful cosine distinction.
+        sims.filter(F.col("ref_max_sim") >= threshold - 1e-6)
         .select(F.col("id").alias(id_col))
         .distinct()
     )

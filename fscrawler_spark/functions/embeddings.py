@@ -896,12 +896,37 @@ def make_max_sim_udf(ref_matrix):
         n = len(emb)
         if not ref.size:
             return pa.array([0.0] * n, pa.float64())
-        vals = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        m = vals.reshape(n, dim)
-        vn = np.linalg.norm(m, axis=1)
-        vn[vn == 0.0] = 1.0  # zero vectors stay zero -> sim 0.0
-        sims = (m / vn[:, None]) @ ref.T
-        return pa.array(sims.max(axis=1).tolist(), pa.float64())
+        # externally-supplied embeddings tables carry hazards the
+        # built-in embedder never produces: NULL rows (failed encoder)
+        # score 0.0 like zero vectors, and a corpus/reference dimension
+        # mismatch fails LOUDLY here instead of as an opaque numpy
+        # reshape error mid-stage
+        offsets = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        lens = np.diff(offsets)
+        valid = emb.is_valid().to_numpy(zero_copy_only=False) & (lens == dim)
+        bad = ~emb.is_valid().to_numpy(zero_copy_only=False) | (lens == 0)
+        if not (valid | bad).all():
+            got = set(lens[~(valid | bad)][:3].tolist())
+            raise ValueError(
+                f"embedding dim mismatch: reference is {dim}-dimensional, "
+                f"corpus rows have lengths {sorted(got)}"
+            )
+        out = np.zeros(n, dtype=np.float64)
+        if valid.any():
+            # the RAW child buffer + absolute offsets, NOT flatten():
+            # flatten() re-packs around null slots, silently misaligning
+            # every row after the first null
+            vals = emb.values.to_numpy(zero_copy_only=False).astype(
+                np.float64, copy=False
+            )
+            take = (
+                offsets[:-1][valid, None] + np.arange(dim, dtype=np.int64)
+            ).reshape(-1)
+            m = vals[take].reshape(-1, dim)
+            vn = np.linalg.norm(m, axis=1)
+            vn[vn == 0.0] = 1.0  # zero vectors stay zero -> sim 0.0
+            out[valid] = ((m / vn[:, None]) @ ref.T).max(axis=1)
+        return pa.array(out.tolist(), pa.float64())
 
     return max_sim
 
@@ -934,6 +959,11 @@ def reference_max_sim(
     from fscrawler_spark.session import widen_slim
 
     mat = [r[0] for r in rows if r[0] is not None]
+    dims = {len(v) for v in mat}
+    if len(dims) > 1:
+        raise ValueError(
+            f"reference embeddings have mixed dimensions {sorted(dims)}"
+        )
     udf = make_max_sim_udf(mat if mat else np.zeros((0, 1)))
     return widen_slim(df, id_col, vec_col).select(
         F.col(id_col).alias("id"), udf(F.col(vec_col)).alias("ref_max_sim")

@@ -535,3 +535,101 @@ def test_cli_decontaminate_semantic(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 2 and "requires --decon-semantic" in capsys.readouterr().err
+
+
+def test_fuzzy_decontaminate_review_fixes(spark):
+    from fscrawler_spark.functions.curation import fuzzy_decontaminate
+
+    # tab/newline-only docs must NOT contaminate each other (F.trim
+    # strips 0x20 only; the blank filter uses the ASCII-\s class)
+    corpus = spark.createDataFrame(
+        [(1, "\t"), (2, "\n\n"), (3, "real words here forming a doc")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(9, "\n"), (10, " \t ")], "bench_id long, text string"
+    )
+    kept = sorted(
+        r.doc_id for r in fuzzy_decontaminate(corpus, bench, threshold=0.5).collect()
+    )
+    assert kept == [1, 2, 3]
+
+    # shingle_k forwards to the SIGNATURE stage too: these two docs
+    # share every unigram (k=1 Jaccard 1.0) but almost no 3-shingles
+    # (opposite word order), so k=1 must flag what k=3 cannot band
+    a = "alpha beta gamma delta epsilon zeta eta theta"
+    b_rev = " ".join(reversed(a.split()))
+    corpus2 = spark.createDataFrame([(1, b_rev)], "doc_id long, text string")
+    bench2 = spark.createDataFrame([(9, a)], "bench_id long, text string")
+    kept = [
+        r.doc_id
+        for r in fuzzy_decontaminate(
+            corpus2, bench2, threshold=0.9, shingle_k=1
+        ).collect()
+    ]
+    assert kept == []  # unigram-identical -> dropped
+    kept = [
+        r.doc_id
+        for r in fuzzy_decontaminate(
+            corpus2, bench2, threshold=0.9, shingle_k=3
+        ).collect()
+    ]
+    assert kept == [1]  # trigram similarity is ~0 -> survives
+
+    # uncapped by default: 50 identical copies of the bench item all
+    # drop (a max_bucket cap would silently keep the overflow)
+    many = spark.createDataFrame(
+        [(i, a) for i in range(50)] + [(99, "an unrelated document about engines")],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r.doc_id for r in fuzzy_decontaminate(many, bench2, threshold=0.9).collect()
+    )
+    assert kept == [99]
+
+
+def test_semantic_decontaminate_threshold_one_and_hardening(spark):
+    import pyspark.sql.functions as F
+
+    from fscrawler_spark.functions.curation import semantic_decontaminate
+    from fscrawler_spark.functions.embeddings import (
+        reference_max_sim,
+        text_embeddings,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog"
+    corpus = spark.createDataFrame(
+        [(1, text), (2, "something else entirely different")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(9, text)], "bench_id long, text string")
+    # threshold=1.0 must still drop the VERBATIM copy despite float32
+    kept = sorted(
+        r.doc_id
+        for r in semantic_decontaminate(corpus, bench, threshold=1.0).collect()
+    )
+    assert kept == [2]
+
+    # NULL embedding rows (failed external encoder) score 0.0, not crash
+    vecs = text_embeddings(corpus, dim=16)
+    with_null = vecs.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 2, F.lit(None).cast("array<float>")).otherwise(
+            F.col("embedding")
+        ),
+    )
+    got = {r.id: r.ref_max_sim for r in reference_max_sim(with_null, vecs).collect()}
+    assert got[2] == 0.0 and got[1] == pytest.approx(1.0, abs=1e-9)
+
+    # dim mismatch fails loudly, not as a numpy reshape traceback
+    bad = vecs.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") == 2, F.array(F.lit(1.0), F.lit(0.0))).otherwise(
+            F.col("embedding")
+        ),
+    )
+    with pytest.raises(Exception, match="dim mismatch"):
+        reference_max_sim(bad, vecs).collect()
+    # mixed-dimension REFERENCE rejected at collect time
+    with pytest.raises(ValueError, match="mixed dimensions"):
+        reference_max_sim(vecs, bad)

@@ -78,7 +78,13 @@ def _docs(spark):
 # --- value oracle -------------------------------------------------------------
 
 
-@pytest.mark.parametrize("dim,seed,ngrams", [(16, 42, 1), (64, 7, 1), (32, 42, 2)])
+@pytest.mark.parametrize(
+    # 100 is deliberately NOT a power of two: engine (numpy signed
+    # floor-mod) and twin (Python signed floor-mod) must agree for ANY
+    # dim, not just when the mod reduces to a bit mask
+    "dim,seed,ngrams",
+    [(16, 42, 1), (64, 7, 1), (32, 42, 2), (100, 42, 1)],
+)
 def test_matches_python_oracle(spark, dim, seed, ngrams):
     got = {
         r.vec_id: list(r.embedding)

@@ -78,14 +78,17 @@ def paired_ab(
         for build, sink in pair:
             t0 = time.time()
             _noop_run(build())
-            sink.append(round(time.time() - t0, 3))
-    ratios = [round(a / b, 3) for a, b in zip(a_secs, b_secs)]
+            # RAW floats here; round only in the report — quantizing to
+            # 1 ms before the ratio distorts fast plans and a 0.000
+            # denominator would kill the whole session
+            sink.append(time.time() - t0)
+    ratios = [round(a / max(b, 1e-9), 3) for a, b in zip(a_secs, b_secs)]
     out = {
         "label_a": label_a,
         "label_b": label_b,
         "rounds": rounds,
-        "a_secs": a_secs,
-        "b_secs": b_secs,
+        "a_secs": [round(t, 3) for t in a_secs],
+        "b_secs": [round(t, 3) for t in b_secs],
         "ratios": ratios,
         "median_ratio": round(statistics.median(ratios), 3),
         "min_ratio": min(ratios),
