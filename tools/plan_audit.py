@@ -47,6 +47,8 @@ AUDITED = [
     ("q_canonical_dedup", "best-of-cluster keeper: slim max_by agg -> anti join"),
     ("q_export_manifest", "export manifest: permutation key -> one shard hash agg"),
     ("q_text_embed", "hashed-feature text embeddings: codegen gram+hash -> one Arrow bincount"),
+    ("q_fuzzy_decon", "fuzzy decontamination: corpus bands x broadcast bench bands -> verify -> anti join"),
+    ("q_semantic_decon", "semantic decontamination: broadcast-GEMM max-sim pure map -> anti join"),
 ]
 
 
@@ -118,6 +120,29 @@ def _generate(spark, entry_mod) -> None:
     qs["q_bpe_encode"] = _q_bpe_encode
     qs["q_sft_pairs"] = bench._q_sft_pairs
     qs["q_text_embed"] = bench._q_text_embed
+
+    def _q_fuzzy_decon(spark, sf_dir):
+        import os as _os
+
+        from fscrawler_spark.functions.curation import fuzzy_decontaminate
+
+        d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        return fuzzy_decontaminate(d, d.filter("doc_id % 31 = 0").selectExpr(
+            "doc_id as bench_id", "text"
+        ))
+
+    def _q_semantic_decon(spark, sf_dir):
+        import os as _os
+
+        from fscrawler_spark.functions.curation import semantic_decontaminate
+
+        d = spark.read.parquet(_os.path.join(sf_dir, "documents.parquet"))
+        return semantic_decontaminate(d, d.filter("doc_id % 31 = 0").selectExpr(
+            "doc_id as bench_id", "text"
+        ))
+
+    qs["q_fuzzy_decon"] = _q_fuzzy_decon
+    qs["q_semantic_decon"] = _q_semantic_decon
     out = ["# PLANS — physical-plan audit of the headline queries", "",
            f"Generated by `python tools/plan_audit.py` at {SF_DIR} (regenerate after plan-shape changes).",
            "",
