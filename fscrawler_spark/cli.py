@@ -245,6 +245,16 @@ def build_parser() -> argparse.ArgumentParser:
         "--assemble (the mega-conversation bound)",
     )
     p.add_argument(
+        "--assemble-spans",
+        default=None,
+        metavar="ROLE",
+        help="with --assemble: also emit train_spans — [start, end) char "
+        "offsets into doc covering the TEXT of every ROLE turn (header "
+        "and separators excluded) — the SFT loss mask over the assembled "
+        "representation; slicing doc at each span reproduces the turn "
+        "text exactly",
+    )
+    p.add_argument(
         "--assemble-tools",
         action="store_true",
         help="render tool-call turns with a tool= attribute in the header "
@@ -949,6 +959,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 file=sys.stderr,
             )
             return 2
+    if args.assemble_spans is not None and not args.assemble:
+        print("error: --assemble-spans requires --assemble", file=sys.stderr)
+        return 2
     if args.assemble_max_turns is not None and not (args.assemble or args.assemble_store):
         print(
             "error: --assemble-max-turns requires --assemble or --assemble-store",
@@ -1248,25 +1261,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             if args.assemble:
                 out = assemble_conversations(
                     docs, text_col="extracted",
-                    max_turns=args.assemble_max_turns, **tool_kw
+                    max_turns=args.assemble_max_turns,
+                    spans_role=args.assemble_spans, **tool_kw
                 )
                 out.sortWithinPartitions("conv_id").write.mode("overwrite").parquet(
                     args.output
                 )
                 written = spark.read.parquet(args.output)
-                stats = written.agg(
+                aggs = [
                     F.count(F.lit(1)).alias("convs"),
                     F.sum("n_turns").alias("turns"),
                     F.sum("n_chars").alias("chars"),
-                ).collect()[0]
-                print(json.dumps({
+                ]
+                if args.assemble_spans is not None:
+                    aggs.append(F.sum(F.size("train_spans")).alias("spans"))
+                stats = written.agg(*aggs).collect()[0]
+                line = {
                     "assemble": True,
                     "max_turns": args.assemble_max_turns,
                     "conversations": stats["convs"],
                     "turns_kept": int(stats["turns"] or 0),
                     "chars": int(stats["chars"] or 0),
                     "output": args.output,
-                }))
+                }
+                if args.assemble_spans is not None:
+                    line["spans_role"] = args.assemble_spans
+                    line["train_spans"] = int(stats["spans"] or 0)
+                print(json.dumps(line))
             elif args.pref_pairs:
                 sft_role = args.sft_role if args.sft_role is not None else "assistant"
                 sft_context = args.sft_context if args.sft_context is not None else 8

@@ -78,6 +78,7 @@ def assemble_conversations(
     tool_col: str | None = None,
     sep: str = TURN_SEP,
     max_turns: int | None = None,
+    spans_role: str | None = None,
 ) -> DataFrame:
     """Concatenate each conversation's turns, in stable turn order, into
     ONE training document: ``<|role|>\\ntext`` per turn joined by
@@ -88,12 +89,26 @@ def assemble_conversations(
     mega-conversation from concentrating unbounded text on one row).
     ``n_turns`` counts the turns KEPT, not the raw turns.
 
+    ``spans_role``: additionally emit ``train_spans`` — [start, end)
+    char offsets into ``doc`` covering the TEXT region (header
+    excluded, separator excluded) of every kept turn whose role equals
+    ``spans_role``. This is the loss mask an SFT trainer needs over the
+    assembled representation: train on the assistant's text, mask the
+    prompt/tool turns and the role markup — without re-tokenizing or
+    re-finding the regions downstream. Slicing ``doc`` at each span
+    reproduces the turn's text exactly (the pinned invariant); offsets
+    count Unicode code points (both Spark's length() and Python's len
+    agree, astral chars included). Computed by ONE fold over the same
+    sorted struct array the doc itself is built from — same single
+    Exchange, per-row cost O(n_turns), zero when unset.
+
     Plan shape: slim projection -> map-side render (codegen) -> one
     hash Exchange on conv_col -> sort_array over (idx, rendered)
     structs -> array_join. No global Sort, no Python.
     """
     if max_turns is not None and max_turns < 1:
         raise ValueError(f"max_turns must be >= 1, got {max_turns}")
+    with_spans = spans_role is not None
     slim = turns.select(
         F.col(conv_col),
         F.col(idx_col).alias("_i"),
@@ -102,6 +117,25 @@ def assemble_conversations(
             F.col(text_col),
             F.col(tool_col) if tool_col is not None else None,
         ).alias("_r"),
+        *(
+            []
+            if not with_spans
+            else [
+                (
+                    F.length(
+                        _rendered(
+                            F.col(role_col),
+                            F.col(text_col),
+                            F.col(tool_col) if tool_col is not None else None,
+                        )
+                    )
+                    - F.length(F.coalesce(F.col(text_col), F.lit("")))
+                ).alias("_hl"),
+                F.coalesce(
+                    F.col(role_col) == F.lit(spans_role), F.lit(False)
+                ).alias("_m"),
+            ]
+        ),
     )
     if max_turns is not None:
         # bound the aggregation BUFFER, not just the output: drop past-cap
@@ -119,15 +153,57 @@ def assemble_conversations(
             .filter(F.col("_rn") <= max_turns)
             .drop("_rn")
         )
-    arr = F.sort_array(F.collect_list(F.struct("_i", "_r")))
+    # extra span fields ride BEHIND (_i, _r) in the struct, so sort_array
+    # still orders by (_i, _r) first — they only break ties between rows
+    # whose (_i, _r) are already identical, where they are functionally
+    # determined by _r anyway (output-bytes stability preserved)
+    fields = ["_i", "_r"] + (["_hl", "_m"] if with_spans else [])
+    arr = F.sort_array(F.collect_list(F.struct(*fields)))
     agg = slim.groupBy(conv_col).agg(arr.alias("_turns"))
     doc = F.array_join(F.transform("_turns", lambda t: t["_r"]), sep)
-    return agg.select(
+    out = [
         conv_col,
         doc.alias("doc"),
         F.size("_turns").cast("long").alias("n_turns"),
         F.length(doc).cast("long").alias("n_chars"),
-    )
+    ]
+    if with_spans:
+        # one fold over the SAME sorted array the doc is built from:
+        # walk the turns accumulating the cursor (rendered length + sep)
+        # and emit [cursor + header_len, cursor + rendered_len) for
+        # matching turns — the text region, header and separator excluded
+        sep_len = len(sep)
+        spans = F.aggregate(
+            "_turns",
+            F.struct(
+                F.lit(0).cast("bigint").alias("pos"),
+                F.array().cast("array<struct<start:bigint,end:bigint>>").alias("sp"),
+            ),
+            lambda acc, t: F.struct(
+                (acc["pos"] + F.length(t["_r"]) + F.lit(sep_len))
+                .cast("bigint")
+                .alias("pos"),
+                F.when(
+                    t["_m"],
+                    F.concat(
+                        acc["sp"],
+                        F.array(
+                            F.struct(
+                                (acc["pos"] + t["_hl"]).cast("bigint").alias("start"),
+                                (acc["pos"] + F.length(t["_r"]))
+                                .cast("bigint")
+                                .alias("end"),
+                            )
+                        ),
+                    ),
+                )
+                .otherwise(acc["sp"])
+                .alias("sp"),
+            ),
+            lambda acc: acc["sp"],
+        )
+        out.append(spans.alias("train_spans"))
+    return agg.select(*out)
 
 
 def sft_examples(

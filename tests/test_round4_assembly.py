@@ -260,3 +260,104 @@ def test_max_turns_tie_break_is_partition_stable(spark):
         for shaped in (t, t.coalesce(1), t.repartition(7), t.orderBy(F.desc("text")))
     }
     assert docs == {"<|user|>\nfirst\n<|user|>\naaa"}
+
+
+# --- train_spans (SFT loss mask over the assembled doc) -----------------------
+
+
+def _py_spans(rows, role, sep="\n", tool=False):
+    """Independent oracle: render + walk with plain Python strings."""
+    def rend(r, t, tl):
+        h = (r or "") + ((" tool=" + tl) if (tool and tl is not None) else "")
+        return "<|" + h + "|>\n" + (t or "")
+
+    ordered = sorted(rows, key=lambda x: (x[0], rend(x[1], x[2], x[3] if tool else None)))
+    doc, spans, pos = [], [], 0
+    for idx, r, t, tl in ordered:
+        s = rend(r, t, tl if tool else None)
+        if r == role:
+            hl = len(s) - len(t or "")
+            spans.append((pos + hl, pos + len(s)))
+        doc.append(s)
+        pos += len(s) + len(sep)
+    return sep.join(doc), spans
+
+
+def test_train_spans_match_python_oracle_and_slice_back(spark):
+    rows = [
+        (0, "user", "hello there", None),
+        (1, "assistant", "hi! how can I help", None),
+        (2, "user", "what's 2+2 🙂", None),          # astral char before a span
+        (3, "assistant", "4 and a 🚀 emoji", None),
+        (4, "tool", "result: 4", None),
+        (5, "assistant", None, None),                # NULL text -> empty span
+    ]
+    turns = spark.createDataFrame(
+        [("c1", i, r, t) for i, r, t, _ in rows],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    got = assemble_conversations(turns, spans_role="assistant").collect()[0]
+    want_doc, want_spans = _py_spans(rows, "assistant")
+    assert got.doc == want_doc
+    assert [(s.start, s.end) for s in got.train_spans] == want_spans
+    # the pinned invariant: slicing doc at each span reproduces the text
+    texts = [t or "" for _, r, t, _ in rows if r == "assistant"]
+    assert [got.doc[s.start:s.end] for s in got.train_spans] == texts
+
+
+def test_train_spans_max_turns_tools_and_no_match(spark):
+    rows = [
+        (0, "user", "q1", None),
+        (1, "assistant", "a1", "search"),
+        (2, "user", "q2", None),
+        (3, "assistant", "a2", None),
+    ]
+    turns = spark.createDataFrame(
+        [("c1", i, r, t, tl) for i, r, t, tl in rows],
+        "conv_id string, turn_idx int, role string, text string, tool string",
+    )
+    # tool header shifts the span start; max_turns drops the later span
+    got = assemble_conversations(
+        turns, tool_col="tool", max_turns=2, spans_role="assistant"
+    ).collect()[0]
+    want_doc, want_spans = _py_spans(
+        [r for r in rows[:2]], "assistant", tool=True
+    )
+    assert got.doc == want_doc
+    assert [(s.start, s.end) for s in got.train_spans] == want_spans
+    assert got.doc[got.train_spans[0].start:got.train_spans[0].end] == "a1"
+    # a role that never occurs -> empty array, not null
+    got = assemble_conversations(turns, spans_role="nobody").collect()[0]
+    assert list(got.train_spans) == []
+    # unset -> the column does not exist (schema unchanged for old callers)
+    assert "train_spans" not in assemble_conversations(turns).columns
+
+
+def test_train_spans_plan_still_one_exchange_no_python(spark):
+    turns = spark.createDataFrame(
+        [("c1", 0, "user", "x"), ("c1", 1, "assistant", "y")],
+        "conv_id string, turn_idx int, role string, text string",
+    )
+    plan = plan_of(assemble_conversations(turns, spans_role="assistant"))
+    assert plan.count("Exchange") == 1
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas"):
+        assert marker not in plan
+
+
+def test_train_spans_repartition_stability(spark):
+    rows = [("c%d" % (i % 5), i, ["user", "assistant"][i % 2], f"text {i}")
+            for i in range(40)]
+    turns = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string"
+    )
+    a = {
+        r.conv_id: (r.doc, [(s.start, s.end) for s in r.train_spans])
+        for r in assemble_conversations(turns, spans_role="assistant").collect()
+    }
+    b = {
+        r.conv_id: (r.doc, [(s.start, s.end) for s in r.train_spans])
+        for r in assemble_conversations(
+            turns.repartition(13), spans_role="assistant"
+        ).collect()
+    }
+    assert a == b

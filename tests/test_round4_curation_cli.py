@@ -895,3 +895,44 @@ def test_cli_redact_pii_validation(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 2 and "one-shot curation pass" in capsys.readouterr().err
+
+
+# --- --assemble-spans ---------------------------------------------------------
+
+
+def test_cli_assemble_spans(spark, tmp_path, capsys):
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from fscrawler_spark.cli import main
+
+    p = str(tmp_path / "docs_asm")
+    spark.createDataFrame(
+        [
+            ("c1", 0, "user", "hello"),
+            ("c1", 1, "assistant", "hi there"),
+            ("c2", 0, "assistant", "solo answer"),
+        ],
+        "conv_id string, turn_idx int, role string, extracted string",
+    ).withColumn("doc_id", F.concat_ws(":", "conv_id", "turn_idx")).write.parquet(
+        _os.path.join(p, "docs")
+    )
+    out = str(tmp_path / "asm_spans")
+    rc = main(
+        ["--input", p, "--output", out, "--assemble",
+         "--assemble-spans", "assistant"],
+        spark=spark,
+    )
+    assert rc == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["spans_role"] == "assistant" and res["train_spans"] == 2
+    rows = {r.conv_id: r for r in spark.read.parquet(out).collect()}
+    s = rows["c1"].train_spans[0]
+    assert rows["c1"].doc[s.start:s.end] == "hi there"
+    # validation: requires --assemble
+    rc = main(
+        ["--input", p, "--output", out, "--assemble-spans", "assistant"],
+        spark=spark,
+    )
+    assert rc == 2 and "requires --assemble" in capsys.readouterr().err
