@@ -77,6 +77,9 @@ CURATION = [
     "q_doc_line_dedup", "q_canonical_dedup", "q_export_manifest",
     # docs-table -> vector-stack bridge (bench-local callable)
     "q_text_embed",
+    # leakage-ladder rungs 2 and 3 (bench-local callables; the exact
+    # n-gram rung is timed as the q_contamination registry entry)
+    "q_fuzzy_decon", "q_semantic_decon",
 ]
 
 
@@ -177,6 +180,30 @@ def _q_text_embed(spark, sf_dir: str):
     from fscrawler_spark.functions.embeddings import text_embeddings
 
     return text_embeddings(_docs(spark, sf_dir), dim=64)
+
+
+def _bench_benchmark_slice(spark, sf_dir: str):
+    # a benchmark-sized slice of the corpus (every 31st doc) so both
+    # decon rungs do real matching work at this SF
+    return _docs(spark, sf_dir).filter(F.col("doc_id") % 31 == 0).selectExpr(
+        "doc_id as bench_id", "text"
+    )
+
+
+def _q_fuzzy_decon(spark, sf_dir: str):
+    from fscrawler_spark.functions.curation import fuzzy_decontaminate
+
+    return fuzzy_decontaminate(
+        _docs(spark, sf_dir), _bench_benchmark_slice(spark, sf_dir)
+    )
+
+
+def _q_semantic_decon(spark, sf_dir: str):
+    from fscrawler_spark.functions.curation import semantic_decontaminate
+
+    return semantic_decontaminate(
+        _docs(spark, sf_dir), _bench_benchmark_slice(spark, sf_dir)
+    )
 
 
 def _q_simhash(spark, sf_dir: str):
@@ -590,6 +617,8 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_dsir_select"] = _q_dsir_select
         qs["q_bpe"] = _q_bpe
         qs["q_text_embed"] = _q_text_embed
+        qs["q_fuzzy_decon"] = _q_fuzzy_decon
+        qs["q_semantic_decon"] = _q_semantic_decon
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
