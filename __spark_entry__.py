@@ -816,8 +816,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # plus per-id curly / lorem-ipsum / javascript / policy lines so
         # every line rule and page rule fires somewhere
         from fscrawler_spark.functions.curation import c4_quality_flags
+        from fscrawler_spark.session import widen
 
-        d = _docs(spark, sf).withColumn(
+        # the C4 line/page HOF chain is CPU-amplified per row and the
+        # corpus parquet arrives in byte-sized splits (sf0.1 is ONE
+        # split) — widen the scan so the rules run at session
+        # parallelism, not the file's (interleaved paired A/B at
+        # sf0.1/local[16]: 1.65s -> 0.70s, min-of-3 ratios 2.24-2.48x);
+        # partitioning-only, oracle values unchanged
+        d = widen(_docs(spark, sf)).withColumn(
             "text",
             F.concat_ws(
                 "\n",
