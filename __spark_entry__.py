@@ -189,6 +189,178 @@ def _sql_minhash_sig(num_hashes: int = 16) -> str:
     return f"[{mins}]"
 
 
+# --- XXH64 in pure DuckDB SQL ----------------------------------------------
+# Round-5 close of the last rows-only driver row: `q_minhash_lsh_fast` uses
+# Spark's F.xxhash64 (seed 42), which plain DuckDB lacks. The spec
+# (github.com/Cyan4973/xxHash/blob/dev/doc/xxhash_spec.md) is pure 64-bit
+# arithmetic, so it IS expressible in SQL: strings are decomposed to UTF-8
+# byte lists via unicode() code points, 64-bit wraparound multiplication is
+# emulated over HUGEINT with a 32-bit split (no 128-bit overflow), and the
+# variable-length stripe/tail loops run as recursive CTEs. Bit-identity with
+# F.xxhash64 is pinned by tests/test_round4_fasthash_oracle.py's Python twin
+# (itself proven identical to Spark) plus a 232-case random unicode sweep in
+# tests/test_round5_sql_xxh64.py. The emitted SQL is machine-built here
+# (~85 KB expanded) — the builders below are the readable source of truth.
+
+_XXP1 = 0x9E3779B185EBCA87
+_XXP2 = 0xC2B2AE3D27D4EB4F
+_XXP3 = 0x165667B19E3779F9
+_XXP4 = 0x85EBCA77C2B2AE63
+_XXP5 = 0x27D4EB2F165667C5
+_XXSEED = 42  # Spark's default xxhash64 seed
+_M64 = 1 << 64
+
+
+def _sql_mul64(a: str, b: str) -> str:
+    """(a*b) mod 2^64 over HUGEINT via 32-bit split: every partial product
+    stays under 2^96, inside signed-128 HUGEINT range."""
+    return (
+        f"(((({a}) % 4294967296) * (({b}) % 4294967296)"
+        f" + (((({a}) // 4294967296) * (({b}) % 4294967296)"
+        f" + (({a}) % 4294967296) * (({b}) // 4294967296)) % 4294967296) * 4294967296)"
+        f" % 18446744073709551616::HUGEINT)"
+    )
+
+
+def _sql_rotl(x: str, r: int) -> str:
+    lo = 1 << (64 - r)
+    return f"((({x}) % {lo}) * {1 << r} + ({x}) // {lo})"
+
+
+def _sql_u64le(bs: str, pos: str) -> str:
+    """Little-endian uint64 read from a 1-based byte-int list at 0-based pos."""
+    terms = " + ".join(
+        f"({bs})[({pos}) + {i + 1}]::HUGEINT * {1 << (8 * i)}" for i in range(8)
+    )
+    return f"({terms})"
+
+
+def _sql_u32le(bs: str, pos: str) -> str:
+    terms = " + ".join(
+        f"({bs})[({pos}) + {i + 1}]::HUGEINT * {1 << (8 * i)}" for i in range(4)
+    )
+    return f"({terms})"
+
+
+# UTF-8 encoding of one code point `cp` as a list of byte ints (RFC 3629)
+_SQL_UTF8 = (
+    "CASE WHEN cp < 128 THEN [cp] "
+    "WHEN cp < 2048 THEN [192 + cp // 64, 128 + cp % 64] "
+    "WHEN cp < 65536 THEN [224 + cp // 4096, 128 + (cp // 64) % 64, 128 + cp % 64] "
+    "ELSE [240 + cp // 262144, 128 + (cp // 4096) % 64, 128 + (cp // 64) % 64, 128 + cp % 64] END"
+)
+
+
+def _sql_xxh64_ctes(src: str) -> str:
+    """CTE chain computing xxh64(utf8(s), seed=42) for every row of ``src``
+    (a CTE with one VARCHAR column ``s``; pass distinct strings). The final
+    CTE ``xh`` yields (s, h) with h the SIGNED int64 hash, matching Spark's
+    F.xxhash64 column output. Must be spliced into a WITH RECURSIVE.
+
+    Shape: one recursive CTE folds the 32-byte stripe loop with the four
+    accumulator lanes as ROWS (one mul64 expansion in the body instead of
+    four); the merge rounds and final avalanche are stacked non-recursive
+    CTEs (inlining them would blow up textually — each mul64 references its
+    operand three times); the 8/1-byte tail loops are two more recursive
+    CTEs whose terminal row per string is selected by the loop predicate.
+    """
+    stripe_u64 = _sql_u64le("bs", "(blk * 32 + (lane - 1) * 8)")
+    add = f"((v + {_sql_mul64(stripe_u64, str(_XXP2))}) % 18446744073709551616::HUGEINT)"
+    stripe_v = _sql_mul64(_sql_rotl(add, 31), str(_XXP1))
+
+    def merge_round(acc: str, v: str) -> str:
+        lane = _sql_mul64(_sql_rotl(_sql_mul64(v, str(_XXP2)), 31), str(_XXP1))
+        return (
+            f"(({_sql_mul64(f'xor(({acc}), {lane})', str(_XXP1))} + {_XXP4})"
+            f" % 18446744073709551616::HUGEINT)"
+        )
+
+    t8_k = _sql_mul64(_sql_rotl(_sql_mul64(_sql_u64le("bs", "i"), str(_XXP2)), 31), str(_XXP1))
+    t8_acc = (
+        f"((({_sql_mul64(_sql_rotl(f'xor(acc, {t8_k})', 27), str(_XXP1))}) + {_XXP4})"
+        f" % 18446744073709551616::HUGEINT)"
+    )
+    u32 = _sql_u32le("bs", "i")
+    # u32 < 2^32 and the byte < 2^8, so (u32*P1) and (byte*P5) fit HUGEINT
+    # directly — no mul64 split needed on the inner product.
+    t4_acc = (
+        f"((({_sql_mul64(_sql_rotl(f'xor(acc, ({u32} * {_XXP1}) % 18446744073709551616::HUGEINT)', 23), str(_XXP2))})"
+        f" + {_XXP3}) % 18446744073709551616::HUGEINT)"
+    )
+    t1_acc = _sql_mul64(
+        _sql_rotl(f"xor(acc, (bs[i + 1]::HUGEINT * {_XXP5}) % 18446744073709551616::HUGEINT)", 11),
+        str(_XXP1),
+    )
+    v_init = (
+        f"CASE lane WHEN 1 THEN {(_XXSEED + _XXP1 + _XXP2) % _M64}"
+        f" WHEN 2 THEN {(_XXSEED + _XXP2) % _M64}"
+        f" WHEN 3 THEN {_XXSEED}"
+        f" ELSE {(_XXSEED - _XXP1) % _M64} END::HUGEINT"
+    )
+    return f"""
+    xb AS (
+      SELECT s, flatten([{_SQL_UTF8} for cp in
+                         [unicode(substr(s, ci, 1)) for ci in range(1, length(s) + 1)]]) AS bs
+      FROM {src}
+    ),
+    xn AS (SELECT s, bs, len(bs) AS n FROM xb),
+    lane_fold AS (
+      SELECT s, bs, n, lane, {v_init} AS v, 0 AS blk
+      FROM xn, (SELECT unnest([1, 2, 3, 4]) AS lane) lanes
+      WHERE n >= 32
+      UNION ALL
+      SELECT s, bs, n, lane, {stripe_v} AS v, blk + 1
+      FROM lane_fold WHERE blk < n // 32
+    ),
+    lanes AS (SELECT s, lane, v FROM lane_fold WHERE blk = n // 32),
+    lmerged AS (
+      SELECT s,
+             max(CASE WHEN lane = 1 THEN v END) AS v1,
+             max(CASE WHEN lane = 2 THEN v END) AS v2,
+             max(CASE WHEN lane = 3 THEN v END) AS v3,
+             max(CASE WHEN lane = 4 THEN v END) AS v4
+      FROM lanes GROUP BY s
+    ),
+    m0 AS (SELECT s, ({_sql_rotl('v1', 1)} + {_sql_rotl('v2', 7)} + {_sql_rotl('v3', 12)} + {_sql_rotl('v4', 18)})
+                     % 18446744073709551616::HUGEINT AS acc, v1, v2, v3, v4 FROM lmerged),
+    m1 AS (SELECT s, {merge_round('acc', 'v1')} AS acc, v2, v3, v4 FROM m0),
+    m2 AS (SELECT s, {merge_round('acc', 'v2')} AS acc, v3, v4 FROM m1),
+    m3 AS (SELECT s, {merge_round('acc', 'v3')} AS acc, v4 FROM m2),
+    m4 AS (SELECT s, {merge_round('acc', 'v4')} AS acc FROM m3),
+    acc0 AS (
+      SELECT x.s, x.bs, x.n, (m4.acc + x.n) % 18446744073709551616::HUGEINT AS acc,
+             (x.n // 32) * 32 AS i
+      FROM xn x JOIN m4 ON m4.s = x.s
+      UNION ALL
+      SELECT s, bs, n, ({(_XXSEED + _XXP5) % _M64}::HUGEINT + n) % 18446744073709551616::HUGEINT AS acc, 0 AS i
+      FROM xn WHERE n < 32
+    ),
+    t8 AS (
+      SELECT s, bs, n, acc, i FROM acc0
+      UNION ALL
+      SELECT s, bs, n, {t8_acc} AS acc, i + 8 FROM t8 WHERE i <= n - 8
+    ),
+    t8f AS (SELECT s, bs, n, acc, i FROM t8 WHERE i > n - 8),
+    t4f AS (
+      SELECT s, bs, n, CASE WHEN i <= n - 4 THEN {t4_acc} ELSE acc END AS acc,
+             CASE WHEN i <= n - 4 THEN i + 4 ELSE i END AS i
+      FROM t8f
+    ),
+    t1 AS (
+      SELECT s, bs, n, acc, i FROM t4f
+      UNION ALL
+      SELECT s, bs, n, {t1_acc} AS acc, i + 1 FROM t1 WHERE i < n
+    ),
+    t1f AS (SELECT s, acc FROM t1 WHERE i = n),
+    av1 AS (SELECT s, xor(acc, acc // 8589934592) AS acc FROM t1f),
+    av2 AS (SELECT s, {_sql_mul64('acc', str(_XXP2))} AS acc FROM av1),
+    av3 AS (SELECT s, xor(acc, acc // 536870912) AS acc FROM av2),
+    av4 AS (SELECT s, {_sql_mul64('acc', str(_XXP3))} AS acc FROM av3),
+    av5 AS (SELECT s, xor(acc, acc // 4294967296) AS acc FROM av4),
+    xh AS (SELECT s, (CASE WHEN acc >= 9223372036854775808 THEN acc - 18446744073709551616::HUGEINT
+                           ELSE acc END)::BIGINT AS h FROM av5)"""
+
+
 # ---------------------------------------------------------------------------
 # queries
 # ---------------------------------------------------------------------------
@@ -721,12 +893,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("id", "cluster_id", F.col("is_keeper").cast("boolean").alias("is_keeper"))
 
     def q_minhash_lsh_fast(spark, sf):
-        # production xxhash64 minhash path. Driver row is rows-only by
-        # declaration (DuckDB has no xxhash64 and the oracle harness has
-        # no UDF registration), but the path IS value-verified: a pure-
-        # Python XXH64 proven bit-identical to F.xxhash64 recomputes the
-        # whole normalize→shingle→minhash→band→pair pipeline and the
-        # outputs match exactly (tests/test_round4_fasthash_oracle.py).
+        # production xxhash64 minhash path. Rows-only through round 4
+        # (plain DuckDB has no xxhash64); round 5 closed it with a full
+        # value oracle — XXH64 re-derived in pure DuckDB SQL (HUGEINT
+        # 32-bit-split wraparound arithmetic + recursive-CTE loops, see
+        # _sql_xxh64_ctes) driving the whole normalize→shingle→minhash→
+        # band→pair pipeline. The same semantics stay pinned by the
+        # pure-Python twin in tests/test_round4_fasthash_oracle.py and
+        # the SQL-vs-Spark sweep in tests/test_round5_sql_xxh64.py.
         sigs = dedup.minhash_signatures_fast(_dup_corpus(spark, sf), id_col="id", num_hashes=16)
         return dedup.lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
 
@@ -1473,6 +1647,55 @@ def oracle_sql() -> dict[str, str]:
     )
     SELECT id, min(reach) AS cluster_id, (id = min(reach)) AS is_keeper
     FROM walk GROUP BY id
+    """
+
+    # xxhash64 fast-minhash oracle (round 5): the full production path —
+    # normalize → positional shingles → XXH64 (the pure-SQL build above) →
+    # 31-bit fold → 16 Carter-Wegman permutations → min-agg → band → cap →
+    # candidate pairs — entirely in DuckDB SQL, closing the one driver row
+    # that was rows-only through round 4. Shingles here use the fast path's
+    # positional form (sequence over greatest(nw-2,1), no distinct — min
+    # over a multiset equals min over its set) rather than _sql_shingles'
+    # CASE form; list_slice clamps at the end exactly like F.slice.
+    _xw = f"string_split({SQL_NORM}, ' ')"
+    _xmins = ", ".join(
+        f"min((h31 * {dedup._MIX_A[s % len(dedup._MIX_A)]}::BIGINT + {s}) % 2147483647) AS _h{s}"
+        for s in range(16)
+    )
+    _xsig = "[" + ", ".join(f"_h{s}" for s in range(16)) + "]"
+    _xband_selects = []
+    for b in range(4):
+        lo = b * 4 + 1
+        _xband_selects.append(
+            f"""SELECT id, {b} AS band,
+            md5(array_to_string([x::VARCHAR for x in list_slice(sig, {lo}, {lo + 3})], ',')) AS bucket
+            FROM fsigs"""
+        )
+    sql["q_minhash_lsh_fast"] = f"""
+    WITH RECURSIVE fcorpus AS (SELECT * FROM {SQL_DUP_CORPUS} WHERE text IS NOT NULL),
+    fshing AS (
+      SELECT id, unnest([array_to_string(list_slice({_xw}, i, i + 2), ' ')
+                         for i in generate_series(1, greatest(len({_xw}) - 2, 1))]) AS s
+      FROM fcorpus
+    ),
+    fsrc AS (SELECT DISTINCT s FROM fshing),{_sql_xxh64_ctes('fsrc')},
+    fh31 AS (SELECT s, ((h % 2147483647) + 2147483647) % 2147483647 AS h31 FROM xh),
+    fsigs AS (
+      SELECT id, {_xsig} AS sig FROM (
+        SELECT fshing.id, {_xmins}
+        FROM fshing JOIN fh31 ON fh31.s = fshing.s
+        GROUP BY fshing.id
+      )
+    ),
+    fbanded AS ({' UNION ALL '.join(_xband_selects)}),
+    fcapped AS (
+      SELECT id, band, bucket FROM (
+        SELECT *, count(*) OVER (PARTITION BY band, bucket) AS bsz FROM fbanded
+      ) WHERE bsz <= 1000
+    )
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM fcapped a JOIN fcapped b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
     """
 
     # q_ngram_jaccard's twin moved to tests/test_analytics_queries.py
