@@ -61,10 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--layout",
         choices=["parquet", "bucketed"],
-        default="parquet",
+        default=None,
         help="incremental-tick diff layout: 'bucketed' routes the "
         "corpus-scale change/delete diff through the co-located snapshot "
-        "index (zero-shuffle with a table: input; see plans/bucketed.py)",
+        "index (zero-shuffle with a table: input; see plans/bucketed.py). "
+        "Default: self-selecting — the layout recorded in the table's "
+        "checkpoint manifest, else 'bucketed' when a valid snapshot index "
+        "exists on disk, else 'parquet'",
     )
     p.add_argument("--skew-salt", type=int, default=8)
     p.add_argument("--lang-detect", action="store_true")

@@ -75,6 +75,12 @@ class CheckpointManifest:
     # next run forward, like the reference's shouldWakeFromCheckpoint
     # (FsParser.java:1401-1417)
     next_check: float | None = None
+    # diff layout the incremental tick runs with ('parquet' | 'bucketed').
+    # Recorded the first time a real tick resolves a layout so later ticks
+    # called WITHOUT an explicit layout default to the table's own — the
+    # scale-correct bucketed diff must not hide behind a flag the operator
+    # has to remember (round-5 close of the r4 "opt-in layout" finding).
+    tick_layout: str | None = None
     # True while an explicit set_next_check is pending its save — save()
     # then skips the on-disk pull-forward merge (the overwrite path)
     _next_check_dirty: bool = field(default=False, repr=False, compare=False)
@@ -120,6 +126,7 @@ class CheckpointManifest:
                 retry_count=d.get("retry_count", 0),
                 last_error=d.get("last_error"),
                 next_check=d.get("next_check"),
+                tick_layout=d.get("tick_layout"),
             )
             # refuse to mix incompatible runs; a legacy manifest without a
             # recorded fingerprint adopts the caller's (cannot verify)
@@ -233,6 +240,14 @@ class CheckpointManifest:
             self.state = "RUNNING"
             self.save()
 
+    def set_tick_layout(self, layout: str) -> None:
+        """Persist the incremental tick's diff layout so later ticks
+        default to it (see run_incremental_update's resolution order)."""
+        if layout not in ("parquet", "bucketed"):
+            raise ValueError(f"tick_layout must be 'parquet' or 'bucketed', got {layout!r}")
+        self.tick_layout = layout
+        self.save()
+
     def finish(self) -> None:
         self.state = "COMPLETED"
         self.save()
@@ -251,6 +266,7 @@ class CheckpointManifest:
             "retry_count": self.retry_count,
             "last_error": self.last_error,
             "next_check": self.next_check,
+            "tick_layout": self.tick_layout,
         }
 
     def save(self) -> None:
@@ -291,6 +307,7 @@ class CheckpointManifest:
             "retry_count": self.retry_count,
             "last_error": self.last_error,
             "next_check": self.next_check,
+            "tick_layout": self.tick_layout,
         }
         dir_ = os.path.dirname(self.path) or "."
         os.makedirs(dir_, exist_ok=True)

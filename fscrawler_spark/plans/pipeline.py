@@ -27,6 +27,7 @@ only), never by caching the full extraction result.
 
 from __future__ import annotations
 
+import logging
 import os
 import threading
 import uuid
@@ -240,7 +241,7 @@ def run_incremental_update(
     output_dir: str,
     settings: ExtractSettings | None = None,
     dry_run: bool = False,
-    layout: str = "parquet",
+    layout: str | None = None,
 ) -> dict:
     """Public tick entry: real ticks hold the per-output job lock (ONE
     mutator per table, like the reference's one-thread-per-job model —
@@ -262,7 +263,7 @@ def _run_incremental_update_impl(
     output_dir: str,
     settings: ExtractSettings | None = None,
     dry_run: bool = False,
-    layout: str = "parquet",
+    layout: str | None = None,
 ) -> dict:
     """Steady-state incremental tick — the reference's recurring-scan
     loop body (FsParser.run() per update_rate, FsParser.java:488-556)
@@ -296,12 +297,30 @@ def _run_incremental_update_impl(
     deleted key sets — with ZERO Exchange on either side when the input
     is itself a bucketed table (``input_path="table:NAME"``), and zero
     Exchange on the corpus side even for a plain-path input (only the
-    input re-shuffles). The parquet layout (default) instead anti-joins
-    the full docs table — fine at fixture scale, a corpus-sized shuffle
-    per tick at 10^12 turns. Delta application (bucket swaps, deletes,
-    lineage) is identical in both layouts; the index is refreshed
+    input re-shuffles). The parquet layout instead anti-joins the full
+    docs table — fine at fixture scale, a corpus-sized shuffle per tick
+    at 10^12 turns. Delta application (bucket swaps, deletes, lineage)
+    is identical in both layouts; the index is refreshed
     partition-scoped after the swaps and rebuilt from the docs parquet
     whenever its crash marker can't be trusted.
+
+    ``layout=None`` (the default) is SELF-SELECTING — the scale-correct
+    plan must not hide behind a flag the operator has to remember
+    (round-5 close of the r4 "opt-in layout" finding):
+
+      1. the layout recorded in the checkpoint manifest (what this
+         table's ticks ran with before) wins;
+      2. else a valid snapshot index on disk ⇒ ``bucketed`` (someone
+         bootstrapped the index; keep using it);
+      3. else ``parquet``, with a logged warning that the diff will
+         shuffle the corpus — at fixture scale that's fine, at 10^12
+         turns run one explicit ``layout="bucketed"`` tick to bootstrap.
+
+    A real (non-dry-run) tick persists the resolved layout in the
+    manifest, so one explicit choice is sticky for the table's lifetime;
+    an explicit ``layout=`` always wins over the stored value and
+    re-records it. ``dry_run`` resolves identically but never persists.
+    The result dict reports the layout used under ``"layout"``.
     """
     from fscrawler_spark.operators.deletes import (
         apply_deletes,
@@ -312,8 +331,8 @@ def _run_incremental_update_impl(
     from fscrawler_spark.operators.incremental import changed_vs_snapshot, deleted_keys
     from fscrawler_spark.plans import bucketed as snap
 
-    if layout not in ("parquet", "bucketed"):
-        raise ValueError(f"layout must be 'parquet' or 'bucketed', got {layout!r}")
+    if layout not in (None, "parquet", "bucketed"):
+        raise ValueError(f"layout must be None, 'parquet' or 'bucketed', got {layout!r}")
     settings = settings or ExtractSettings()
     _refuse_mid_restart(output_dir)
     out_data = os.path.join(output_dir, "docs")
@@ -365,6 +384,24 @@ def _run_incremental_update_impl(
     # the RAW input so a changed turn that no longer passes a filter can
     # still purge its stale row.
     fp = settings.fingerprint()
+    if layout is None:
+        # self-selection (docstring order): stored > index-on-disk > parquet
+        if manifest.tick_layout in ("parquet", "bucketed"):
+            layout = manifest.tick_layout
+        elif snap.snapshot_is_valid(spark, output_dir, settings.num_buckets, fp):
+            layout = "bucketed"
+        else:
+            layout = "parquet"
+            logging.getLogger(__name__).warning(
+                "incremental tick at %s defaulting to layout='parquet' (no "
+                "recorded layout, no snapshot index): the diff anti-joins "
+                "the full docs table — corpus-sized shuffle per tick. At "
+                "scale, bootstrap the co-located index once with "
+                "layout='bucketed' and it becomes this table's default.",
+                output_dir,
+            )
+    if not dry_run and manifest.tick_layout != layout:
+        manifest.set_tick_layout(layout)
     use_bucketed = layout == "bucketed"
     if use_bucketed and dry_run and not snap.snapshot_is_valid(
         spark, output_dir, settings.num_buckets, fp
@@ -499,6 +536,9 @@ def _run_incremental_update_impl(
             "touched_buckets": sorted(set(touched) | del_buckets),
             # >0 = the REAL tick would refuse with continue_on_error=False
             "would_fail_fast": would_fail_fast,
+            # NOTE: "bucketed" here means the preview USED the index; a
+            # dry_run with an invalid index reports the parquet fallback
+            "layout": "bucketed" if use_bucketed else "parquet",
         }
 
     # mutations begin: the snapshot index (if any) can no longer be
@@ -582,6 +622,7 @@ def _run_incremental_update_impl(
         "changed": changed,
         "deleted": deleted,
         "touched_buckets": targets,
+        "layout": layout,
     }
 
 
