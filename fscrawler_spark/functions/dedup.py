@@ -171,9 +171,16 @@ def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "tex
     NULL-text rows are excluded: md5(NULL) is one NULL groupBy key, so
     without the filter every extraction-failed doc would land in a
     single "duplicate" cluster and all but one would be marked for
-    deletion — unknown content is not equal content."""
+    deletion — unknown content is not equal content.
+
+    Deliberately NOT widened (unlike the shingle family): there is no
+    explode amplification here — one md5 per row, then the groupBy's own
+    exchange redistributes. The round-robin widen exchange carries the
+    full texts and buys nothing; interleaved A/B at sf0.1/local[32]
+    measured median 0.48s widened vs 0.31s without (the r4 bench
+    regression on q_dedup_exact was exactly this exchange)."""
     return (
-        widen_slim(df, id_col, text_col)
+        df
         .select(
             F.col(id_col).alias("id"),
             F.md5(normalized_text(F.col(text_col))).alias("text_hash"),
