@@ -218,6 +218,7 @@ def sft_examples(
     context_turns: int | None = 8,
     sep: str = TURN_SEP,
     require_context: bool = True,
+    max_unbounded_context: int = 10_000,
 ) -> DataFrame:
     """One (prompt, response) SFT example per ``target_role`` turn: the
     prompt is the rendered concatenation of the preceding turns (all of
@@ -231,12 +232,21 @@ def sft_examples(
     Plan shape: slim projection -> one hash Exchange on conv_col ->
     partition-local sort on idx -> window collect_list over the bounded
     frame -> codegen filter. The frame bound makes per-row prompt cost
-    O(context_turns); ``context_turns=None`` is exact-prefix semantics
-    for short conversations but O(n^2) characters on a mega-conversation
-    — bound it in production.
+    O(context_turns); ``context_turns=None`` is exact-prefix semantics —
+    O(n^2) characters per conversation, so it is guarded: a target turn
+    whose prefix exceeds ``max_unbounded_context`` turns fails the job
+    loudly (per-row codegen comparison over the same window buffer, ~free)
+    instead of silently rendering a gigabyte prompt on one executor — the
+    same validated-knob contract as export.py's curriculum-stage guard.
+    Raise the limit deliberately if a mega-conversation prefix is truly
+    intended; with a bounded ``context_turns`` the guard is inactive.
     """
     if context_turns is not None and context_turns < 1:
         raise ValueError(f"context_turns must be >= 1, got {context_turns}")
+    if max_unbounded_context < 1:
+        raise ValueError(
+            f"max_unbounded_context must be >= 1, got {max_unbounded_context}"
+        )
     lo = Window.unboundedPreceding if context_turns is None else -context_turns
     w = (
         Window.partitionBy(conv_col)
@@ -250,20 +260,37 @@ def sft_examples(
         F.coalesce(F.col(text_col), F.lit("")).alias("_text"),
         *([F.col(tool_col).alias("_tool")] if tool_col is not None else []),
     )
+    prompt = F.array_join(
+        F.collect_list(
+            _rendered(
+                F.col("_role"),
+                F.col("_text"),
+                F.col("_tool") if tool_col is not None else None,
+            )
+        ).over(w),
+        sep,
+    )
+    if context_turns is None:
+        nprev = F.count(F.lit(1)).over(w)
+        prompt = F.when(nprev <= max_unbounded_context, prompt).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "sft_examples(context_turns=None): prefix of "
+                    ),
+                    nprev.cast("string"),
+                    F.lit(
+                        f" turns exceeds max_unbounded_context={max_unbounded_context}"
+                        " — bound context_turns or raise the limit deliberately"
+                    ),
+                )
+            )
+        )
     out = slim.select(
         conv_col,
         idx_col,
         "_role",
-        F.array_join(
-            F.collect_list(
-                _rendered(
-                    F.col("_role"),
-                    F.col("_text"),
-                    F.col("_tool") if tool_col is not None else None,
-                )
-            ).over(w),
-            sep,
-        ).alias("prompt"),
+        prompt.alias("prompt"),
         F.col("_text").alias("response"),
     ).filter(F.col("_role") == target_role)
     if require_context:
