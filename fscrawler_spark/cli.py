@@ -438,6 +438,16 @@ def build_parser() -> argparse.ArgumentParser:
         help="embedding dimension for --decon-semantic (default 256)",
     )
     p.add_argument(
+        "--decon-max-benchmark",
+        type=int,
+        default=None,
+        metavar="N",
+        help="benchmark-size bound for --decon-fuzzy/--decon-semantic "
+        "(default 100000): both broadcast the benchmark side, so a "
+        "corpus-sized table is refused with exit 2 — raise this "
+        "deliberately if the benchmark truly is that large",
+    )
+    p.add_argument(
         "--ppl-filter",
         default=None,
         metavar="BUCKETS",
@@ -811,6 +821,21 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.decon_min_hits is not None and args.decon_min_hits < 1:
         print(
             f"error: --decon-min-hits must be >= 1, got {args.decon_min_hits}",
+            file=sys.stderr,
+        )
+        return 2
+    if args.decon_max_benchmark is not None and (
+        args.decon_fuzzy is None and args.decon_semantic is None
+    ):
+        print(
+            "error: --decon-max-benchmark requires --decon-fuzzy or "
+            "--decon-semantic",
+            file=sys.stderr,
+        )
+        return 2
+    if args.decon_max_benchmark is not None and args.decon_max_benchmark < 1:
+        print(
+            f"error: --decon-max-benchmark must be >= 1, got {args.decon_max_benchmark}",
             file=sys.stderr,
         )
         return 2
@@ -1649,19 +1674,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"error: --decontaminate: {berr}", file=sys.stderr)
                 return 2
             total = docs.count()
+            max_bench = (
+                args.decon_max_benchmark
+                if args.decon_max_benchmark is not None
+                else 100_000
+            )
             if args.decon_semantic is not None:
                 from fscrawler_spark.functions.curation import semantic_decontaminate
 
-                out = semantic_decontaminate(
-                    docs,
-                    bench,
-                    id_col="doc_id",
-                    text_col="extracted",
-                    bench_id_col="doc_id",
-                    bench_text_col="extracted",
-                    threshold=args.decon_semantic,
-                    dim=args.decon_dim if args.decon_dim is not None else 256,
-                )
+                try:
+                    out = semantic_decontaminate(
+                        docs,
+                        bench,
+                        id_col="doc_id",
+                        text_col="extracted",
+                        bench_id_col="doc_id",
+                        bench_text_col="extracted",
+                        threshold=args.decon_semantic,
+                        dim=args.decon_dim if args.decon_dim is not None else 256,
+                        max_benchmark=max_bench,
+                    )
+                except ValueError as e:
+                    # oversized benchmark / bad threshold: the documented
+                    # exit-2-with-message contract, not a traceback
+                    print(f"error: --decon-semantic: {e}", file=sys.stderr)
+                    return 2
                 stats_extra = {
                     "semantic_cosine": args.decon_semantic,
                     "dim": args.decon_dim if args.decon_dim is not None else 256,
@@ -1669,15 +1706,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             elif args.decon_fuzzy is not None:
                 from fscrawler_spark.functions.curation import fuzzy_decontaminate
 
-                out = fuzzy_decontaminate(
-                    docs,
-                    bench,
-                    id_col="doc_id",
-                    text_col="extracted",
-                    bench_id_col="doc_id",
-                    bench_text_col="extracted",
-                    threshold=args.decon_fuzzy,
-                )
+                try:
+                    out = fuzzy_decontaminate(
+                        docs,
+                        bench,
+                        id_col="doc_id",
+                        text_col="extracted",
+                        bench_id_col="doc_id",
+                        bench_text_col="extracted",
+                        threshold=args.decon_fuzzy,
+                        max_benchmark=max_bench,
+                    )
+                except ValueError as e:
+                    print(f"error: --decon-fuzzy: {e}", file=sys.stderr)
+                    return 2
                 stats_extra = {"fuzzy_jaccard": args.decon_fuzzy}
             else:
                 out = decontaminate(

@@ -452,6 +452,7 @@ def fuzzy_decontaminate(
     shingle_k: int = 3,
     max_bucket: int | None = None,
     hash_family: str = "fast",
+    max_benchmark: int = 100_000,
 ) -> DataFrame:
     """NEAR-duplicate decontamination: drop every corpus doc whose
     word-shingle Jaccard against ANY benchmark item is >= ``threshold``
@@ -497,6 +498,19 @@ def fuzzy_decontaminate(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     if hash_family not in ("fast", "md5"):
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
+    # the benchmark side is BROADCAST below — a corpus-sized table passed
+    # as the 'benchmark' would OOM every executor instead of failing with
+    # a message. Same loud-refusal contract as semantic_decontaminate's
+    # max_benchmark / reference_max_sim's max_reference (one count job on
+    # the small side, ~free).
+    n_bench = benchmark.count()
+    if n_bench > max_benchmark:
+        raise ValueError(
+            f"benchmark has {n_bench} rows, above max_benchmark="
+            f"{max_benchmark}: the benchmark band table is broadcast to "
+            "every executor, so it must be an eval set, not a second "
+            "corpus — raise max_benchmark deliberately if it truly is one"
+        )
     sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
     # blank texts NEVER match: word_shingles' short-text convention gives
     # every wordless doc the same whole-text shingle, so without this
@@ -601,12 +615,17 @@ def semantic_decontaminate(
         dim=dim, seed=seed, ngrams=ngrams,
     )
     sims = reference_max_sim(cvecs, bvecs, max_reference=max_benchmark)
+    # embeddings are float32 on disk: a VERBATIM copy of a bench item
+    # scores 0.9999999x, so a literal >= 1.0 would flag nothing — the
+    # strictest setting silently off. The 1e-6 absorber applies ONLY when
+    # the threshold itself is within 1e-6 of 1.0 (the verbatim-copy
+    # setting): at any looser threshold the requested cut is honored
+    # exactly, instead of also dropping docs genuinely up to 1e-6 below
+    # it (round-5 advice fix — epsilon as rounding guard, not a global
+    # threshold shift).
+    eps = 1e-6 if threshold >= 1.0 - 1e-6 else 0.0
     flagged = (
-        # embeddings are float32 on disk: a VERBATIM copy of a bench item
-        # scores 0.9999999x, so a literal >= 1.0 would flag nothing —
-        # the strictest setting silently off. 1e-6 absorbs float32
-        # rounding and is far below any meaningful cosine distinction.
-        sims.filter(F.col("ref_max_sim") >= threshold - 1e-6)
+        sims.filter(F.col("ref_max_sim") >= threshold - eps)
         .select(F.col("id").alias(id_col))
         .distinct()
     )

@@ -900,13 +900,16 @@ def make_max_sim_udf(ref_matrix):
         # built-in embedder never produces: NULL rows (failed encoder)
         # score 0.0 like zero vectors, and a corpus/reference dimension
         # mismatch fails LOUDLY here instead of as an opaque numpy
-        # reshape error mid-stage
+        # reshape error mid-stage. Only NULL is excused: a NON-null
+        # empty array is a dim mismatch like any other wrong length —
+        # excusing it would let a table full of [] turn semantic
+        # decontamination into a silent no-op (round-5 advice fix)
         offsets = emb.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         lens = np.diff(offsets)
-        valid = emb.is_valid().to_numpy(zero_copy_only=False) & (lens == dim)
-        bad = ~emb.is_valid().to_numpy(zero_copy_only=False) | (lens == 0)
-        if not (valid | bad).all():
-            got = set(lens[~(valid | bad)][:3].tolist())
+        is_null = ~emb.is_valid().to_numpy(zero_copy_only=False)
+        valid = ~is_null & (lens == dim)
+        if not (valid | is_null).all():
+            got = set(lens[~(valid | is_null)][:3].tolist())
             raise ValueError(
                 f"embedding dim mismatch: reference is {dim}-dimensional, "
                 f"corpus rows have lengths {sorted(got)}"
