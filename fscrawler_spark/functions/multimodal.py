@@ -1,12 +1,14 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via mapInPandas.
 
-The decode step is STUBBED (image/audio libraries are not available in
-this environment): ``decode_image_batch`` raises NotImplementedError
-unless ``fake=True``, in which case a deterministic fake decoder derives
-pixel stats from the payload bytes — the Spark-side plumbing (schema,
-Arrow batch shape, partitioning, UDF signatures) is real and tested, so
-swapping in PIL/ffmpeg later is a one-function change.
+Decode is conditionally REAL for images: ``extract_media_features`` and
+``resize_images`` run a true PIL decode (feature stats / LANCZOS resize)
+whenever PIL imports on the executors, with per-row failures captured in
+``decode_error``; without PIL they raise NotImplementedError unless
+``fake=True``, in which case a deterministic fake decoder derives
+pixel-stat stand-ins from the payload bytes — the Spark-side plumbing
+(schema, Arrow batch shape, partitioning, UDF signatures) is identical
+on both paths. Video frame sampling remains fake-only (no ffmpeg).
 
 Analog in the reference: Tika's image parsers are wired into the parser
 composition but OCR auto-disables when the tesseract binary is missing
@@ -63,25 +65,67 @@ def _fake_decode(payload: bytes, dim: int = 8) -> list[float]:
     return [round(x / total, 6) for x in buckets]
 
 
+def _pil_features(Image, payload: bytes) -> list[float]:
+    """Real image features from a decoded payload: [width, height, bands,
+    mean_r, mean_g, mean_b, std_r, std_g, std_b]. Stats are computed on a
+    bounded (64x64 thumbnail) RGB view so the per-item cost is constant
+    regardless of source resolution; width/height report the ORIGINAL
+    size. Raises on undecodable bytes — callers turn that into a per-row
+    decode_error."""
+    import io
+
+    import numpy as np
+
+    img = Image.open(io.BytesIO(payload))
+    width, height = img.size
+    bands = len(img.getbands())
+    rgb = img.convert("RGB")
+    rgb.thumbnail((64, 64))
+    arr = np.asarray(rgb, dtype=np.float64) / 255.0
+    means = arr.mean(axis=(0, 1))
+    stds = arr.std(axis=(0, 1))
+    return (
+        [float(width), float(height), float(bands)]
+        + [round(float(x), 6) for x in means]
+        + [round(float(x), 6) for x in stds]
+    )
+
+
 def extract_media_features(df: DataFrame, fake: bool = True, feature_dim: int = 8) -> DataFrame:
     """mapInPandas over binary payloads -> per-item feature rows.
 
     Batched with Arrow; each pandas batch is independent (stateless), so
     partitioning is free-form and the op scales embarrassingly parallel.
-    """
+
+    fake=True (default): the deterministic byte-histogram decoder — the
+    oracle-stable fixture path (q_media_features pins it). fake=False:
+    REAL decode via PIL when importable on the executors — 9-dim
+    [width, height, bands, RGB means, RGB stds] per image (see
+    _pil_features; per-row decode failures, including audio/video
+    payloads PIL cannot open, land in decode_error and never fail the
+    job), else NotImplementedError. Same conditional-capability gate as
+    resize_images — the reference auto-disables OCR the same way when
+    tesseract is missing (tika/.../TikaInstance.java:151-207)."""
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        if not fake:
+            try:
+                from PIL import Image
+            except ImportError as e:
+                raise NotImplementedError(
+                    "real media feature decode requires PIL on the executors; "
+                    "run with fake=True"
+                ) from e
         for pdf in batches:
             feats, errs = [], []
             for payload in pdf["payload"]:
-                if not fake:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg; run with fake=True"
-                    )
+                b = bytes(payload) if payload is not None else b""
                 try:
-                    feats.append(_fake_decode(bytes(payload) if payload is not None else b"", feature_dim))
+                    feats.append(
+                        _fake_decode(b, feature_dim) if fake else _pil_features(Image, b)
+                    )
                     errs.append(None)
                 except Exception as e:  # never fail the job on one item
                     feats.append(None)
