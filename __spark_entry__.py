@@ -1110,14 +1110,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("min_id"))
 
     def q_perplexity(spark, sf):
-        # CCNet-style LM quality (lm_quality): train the char-trigram LM on
-        # the corpus itself, score every doc. Values are floor-truncated at
-        # 1e-3 so float-sum-order differences between the Python UDF and the
-        # SQL oracle aggregation cannot flip a digit.
-        from fscrawler_spark.functions.lm_quality import add_perplexity, train_char_lm
+        # CCNet-style LM quality (lm_quality): round 5 upgraded this row
+        # to the WORD-trigram stupid-backoff model (train_word_lm —
+        # hashed n-gram counts, Brants '07 backoff, much closer to
+        # CCNet's KenLM semantics than the char model), trained on the
+        # corpus itself, scoring every doc. The char-trigram model keeps
+        # its own full value oracles in tests/test_round4_perplexity.py
+        # and the CLI (--ppl-model char, the default there) — a
+        # deliberate, documented model swap. Values are floor-truncated
+        # at 1e-3 so float-sum-order differences between the Python UDF
+        # and the SQL oracle aggregation cannot flip a digit.
+        from fscrawler_spark.functions.lm_quality import add_perplexity, train_word_lm
 
         d = _docs(spark, sf)
-        lm = train_char_lm(d, n=3, add_k=0.5, min_count=2, max_ngrams=200_000)
+        lm = train_word_lm(d, n=3, alpha=0.4, min_count=2, max_ngrams=200_000)
         return add_perplexity(d, lm).select(
             "doc_id", (F.floor(F.col("ppl") * 1000) / 1000).alias("ppl_t")
         )
@@ -2120,36 +2126,69 @@ def oracle_sql() -> dict[str, str]:
     FROM e GROUP BY source, epoch
     """
 
-    # char-trigram LM twin: same normalize, same min_count/cap/tie-break,
-    # TRUE context totals restricted to kept contexts, vocab = distinct
-    # last chars + 1 (<unk>). Per-event ln() is bit-identical (same libm);
-    # only the sum order differs, absorbed by the 1e-3 floor.
+    # word-trigram stupid-backoff LM twin (round-5 model swap; the char
+    # twin moved to tests/test_round5_word_lm.py with the demoted model):
+    # same normalize, same per-order min_count(>=2 for orders 2-3)/cap/
+    # md5-int tie-break, N = pre-cap unigram total. Backoff at position i
+    # (1-based, m = least(3, i) orders available): longest order whose
+    # gram AND context are both in the capped dicts wins, one 0.4 factor
+    # per skipped order, unigram floor (count | 0.5)/N. The mult
+    # literals are written 0.4 and 0.4*0.4 and the expression shapes
+    # ((mult*num)/den, mult*(x/N)) match the engine's IEEE evaluation
+    # order exactly; per-event ln() is bit-identical (same libm), only
+    # the per-doc sum order differs, absorbed by the 1e-3 floor.
     sql["q_perplexity"] = f"""
     WITH norm AS (SELECT doc_id, {SQL_NORM} AS t FROM documents),
-    g AS (
-      SELECT substr(t, i, 3) AS g3
-      FROM norm, unnest(generate_series(1, length(t) - 2)) AS u(i)
-      WHERE length(t) >= 3
-    ),
-    counts AS (SELECT g3, count(*) AS c FROM g GROUP BY g3),
-    kept AS (SELECT g3, c FROM counts WHERE c >= 2
-             ORDER BY c DESC, g3 ASC LIMIT 200000),
-    kctx AS (SELECT DISTINCT substr(g3, 1, 2) AS ctx FROM kept),
-    ctx AS (SELECT substr(g3, 1, 2) AS ctx, sum(c) AS tot FROM counts GROUP BY 1),
-    kc AS (SELECT ctx.ctx, ctx.tot FROM ctx JOIN kctx USING (ctx)),
-    v AS (SELECT count(DISTINCT substr(g3, 3, 1)) + 1 AS vs FROM counts),
-    sg AS (
-      SELECT doc_id, substr(t, i, 3) AS g3, substr(t, i, 2) AS cx
-      FROM norm, unnest(generate_series(1, length(t) - 2)) AS u(i)
-      WHERE length(t) >= 3
+    w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM norm
+          WHERE t IS NOT NULL AND length(t) > 0),
+    u1 AS (SELECT unnest(ws) AS g FROM w),
+    c1 AS (SELECT g, count(*) AS c FROM u1 GROUP BY g),
+    k1 AS (SELECT g, c FROM c1
+           ORDER BY c DESC, ('0x' || substr(md5(g), 1, 15))::BIGINT ASC
+           LIMIT 200000),
+    u2 AS (SELECT array_to_string(list_slice(ws, i, i + 1), ' ') AS g
+           FROM w, unnest(generate_series(1, len(ws) - 1)) AS s2(i)
+           WHERE len(ws) >= 2),
+    c2 AS (SELECT g, count(*) AS c FROM u2 GROUP BY g),
+    k2 AS (SELECT g, c FROM c2 WHERE c >= 2
+           ORDER BY c DESC, ('0x' || substr(md5(g), 1, 15))::BIGINT ASC
+           LIMIT 200000),
+    u3 AS (SELECT array_to_string(list_slice(ws, i, i + 2), ' ') AS g
+           FROM w, unnest(generate_series(1, len(ws) - 2)) AS s3(i)
+           WHERE len(ws) >= 3),
+    c3 AS (SELECT g, count(*) AS c FROM u3 GROUP BY g),
+    k3 AS (SELECT g, c FROM c3 WHERE c >= 2
+           ORDER BY c DESC, ('0x' || substr(md5(g), 1, 15))::BIGINT ASC
+           LIMIT 200000),
+    nn AS (SELECT greatest(sum(c), 1) AS n FROM c1),
+    pos AS (
+      SELECT doc_id, i, ws[i] AS w1,
+             CASE WHEN i >= 2 THEN ws[i - 1] || ' ' || ws[i] END AS b2,
+             CASE WHEN i >= 2 THEN ws[i - 1] END AS bctx,
+             CASE WHEN i >= 3 THEN ws[i - 2] || ' ' || ws[i - 1] || ' ' || ws[i] END AS t3,
+             CASE WHEN i >= 3 THEN ws[i - 2] || ' ' || ws[i - 1] END AS tctx
+      FROM w, unnest(generate_series(1, len(ws))) AS sp(i)
     ),
     scored AS (
-      SELECT sg.doc_id,
-             CASE WHEN kc.ctx IS NULL THEN -ln(v.vs)
-                  ELSE ln((coalesce(k.c, 0) + 0.5) / (kc.tot + 0.5 * v.vs)) END AS lp
-      FROM sg LEFT JOIN kc ON kc.ctx = sg.cx
-              LEFT JOIN kept k ON k.g3 = sg.g3
-              CROSS JOIN v
+      SELECT p.doc_id,
+             CASE
+               WHEN kt.c IS NOT NULL AND ktd.c IS NOT NULL
+                 THEN ln(kt.c / ktd.c)
+               WHEN kb.c IS NOT NULL AND kbd.c IS NOT NULL
+                 THEN ln((CASE WHEN p.t3 IS NOT NULL THEN 0.4::DOUBLE ELSE 1.0::DOUBLE END
+                          * kb.c) / kbd.c)
+               ELSE ln((CASE WHEN p.t3 IS NOT NULL THEN 0.4::DOUBLE * 0.4::DOUBLE
+                             WHEN p.b2 IS NOT NULL THEN 0.4::DOUBLE
+                             ELSE 1.0::DOUBLE END)
+                       * (coalesce(ku.c::DOUBLE, 0.5::DOUBLE) / nn.n))
+             END AS lp
+      FROM pos p
+      LEFT JOIN k3 kt ON kt.g = p.t3
+      LEFT JOIN k2 ktd ON ktd.g = p.tctx
+      LEFT JOIN k2 kb ON kb.g = p.b2
+      LEFT JOIN k1 kbd ON kbd.g = p.bctx
+      LEFT JOIN k1 ku ON ku.g = p.w1
+      CROSS JOIN nn
     ),
     p AS (SELECT doc_id, exp(-sum(lp) / count(*)) AS ppl FROM scored GROUP BY doc_id)
     SELECT d.doc_id, floor(p.ppl * 1000) / 1000 AS ppl_t

@@ -448,6 +448,17 @@ def build_parser() -> argparse.ArgumentParser:
         "deliberately if the benchmark truly is that large",
     )
     p.add_argument(
+        "--ppl-model",
+        choices=["char", "word"],
+        default="char",
+        help="LM family for --ppl-filter: 'char' = character-trigram "
+        "add-k (the oracle-parity twin, default), 'word' = hashed "
+        "word-trigram stupid backoff (closer to CCNet's KenLM "
+        "semantics; lm_quality.train_word_lm). Swapping models changes "
+        "ppl values and therefore bucket membership — a deliberate, "
+        "documented model swap",
+    )
+    p.add_argument(
         "--ppl-filter",
         default=None,
         metavar="BUCKETS",
@@ -1754,6 +1765,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             from fscrawler_spark.functions.lm_quality import (
                 perplexity_buckets,
                 train_char_lm,
+                train_word_lm,
             )
 
             seed = docs
@@ -1762,8 +1774,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 if terr:
                     print(f"error: --ppl-target: {terr}", file=sys.stderr)
                     return 2
+            train = train_word_lm if args.ppl_model == "word" else train_char_lm
             try:
-                lm = train_char_lm(seed, text_col="extracted")
+                lm = train(seed, text_col="extracted")
             except ValueError as e:
                 print(f"error: --ppl-filter: {e}", file=sys.stderr)
                 return 2
@@ -1786,6 +1799,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             kept = spark.read.parquet(args.output).count()
             print(json.dumps({
                 "ppl_filter": ppl_keep,
+                "model": args.ppl_model,
                 "cuts": list(ppl_cuts),
                 "trained_on": args.ppl_target or "input",
                 "total": total,

@@ -5,9 +5,22 @@ corpus (or a trusted seed corpus), then split head / middle / tail by
 perplexity quantiles — head = lowest perplexity = most LM-like text.
 
 CCNet uses a KenLM 5-gram over SentencePiece tokens; that toolchain is
-not installable here, so the model is an in-repo character-n-gram LM
-with add-k smoothing. The SHAPE is what matters at 100 TB and it is
-preserved exactly:
+not installable here, so TWO in-repo models stand in, sharing one plan
+shape and one scoring interface (``log_prob``/``perplexity`` duck type):
+
+* ``train_word_lm`` -> ``WordLM`` — the closer-to-CCNet model (round
+  5): hashed word-n-gram STUPID BACKOFF (Brants et al. 2007, "Large
+  Language Models in Machine Translation": S(w|ctx) = count(ctx·w) /
+  count(ctx), backing off to the shorter context with a fixed alpha
+  multiplier — no discounting, designed for exactly this
+  web-scale-counts regime). Grams are stored by their 60-bit md5 int
+  (the repo's cross-engine hash), so shuffle keys are 8-byte longs and
+  the broadcast model is bounded dicts of int->count per order.
+* ``train_char_lm`` -> ``CharLM`` — the character-trigram add-k model
+  (round 4), kept as the oracle-parity twin and the CLI default.
+
+The SHAPE is what matters at 100 TB and both models preserve it
+exactly:
 
 - **Training is one distributed pass**: char n-grams are generated
   JVM-side (transform over a sequence — whole-stage codegen), exploded,
@@ -112,6 +125,142 @@ def _normalize_py(text: str | None) -> str | None:
     return _ASCII_WS.sub(" ", t)
 
 
+@dataclass(frozen=True)
+class WordLM:
+    """Hashed word-n-gram stupid-backoff LM (module docstring). For the
+    word at 0-based position i with m = min(n, i+1) available orders:
+
+        S = count_k(gram) / count_{k-1}(ctx)   at the LONGEST order
+            k <= m where both the k-gram and its (k-1)-gram context are
+            in the capped dicts, with one alpha factor per skipped
+            order;
+        S = alpha^(m-1) * count_1(w)/N          at the unigram floor
+            (0.5 pseudo-count for unseen words — deterministic, no
+            vocab-size term needed).
+
+    ``counts[k-1]`` maps the md5-int of the order-k gram string to its
+    corpus count (top ``max_ngrams`` per order; ``min_count`` applies
+    to orders >= 2 — unigram counts must stay complete because they are
+    order-2's backoff denominators). A numerator kept while its
+    denominator fell past the per-order cap line backs off — mass stays
+    consistent because backoff always reaches the unigram floor.
+
+    Per-event log expressions are shaped EXACTLY like the DuckDB twin's
+    ((mult * num) / den — same IEEE evaluation order), so only the
+    per-doc sum order differs between engines, absorbed by the driver
+    row's 1e-3 floor like CharLM's."""
+
+    n: int
+    alpha: float
+    total_tokens: int
+    counts: tuple[dict[int, int], ...] = field(repr=False)
+
+    def log_prob(self, text: str | None) -> tuple[float, int]:
+        norm = _normalize_py(text)
+        if not norm:
+            return 0.0, 0
+        words = norm.split(" ")
+        lp = 0.0
+        for i in range(len(words)):
+            m = min(self.n, i + 1)
+            mult = 1.0
+            s = None
+            for k in range(m, 1, -1):
+                num = self.counts[k - 1].get(_md5_int_py(" ".join(words[i - k + 1 : i + 1])))
+                den = self.counts[k - 2].get(_md5_int_py(" ".join(words[i - k + 1 : i])))
+                if num is not None and den is not None:
+                    s = mult * num / den
+                    break
+                mult *= self.alpha
+            if s is None:
+                c1 = self.counts[0].get(_md5_int_py(words[i]))
+                s = mult * ((c1 if c1 is not None else 0.5) / self.total_tokens)
+            lp += math.log(s)
+        return lp, len(words)
+
+    def perplexity(self, text: str | None) -> float | None:
+        lp, events = self.log_prob(text)
+        if events <= 0:
+            return None
+        return math.exp(-lp / events)
+
+
+def _md5_int_py(s: str) -> int:
+    """Python twin of dedup._md5_int (first 15 md5 hex chars as int64) —
+    the scoring side must hash exactly like the training aggregate."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+
+
+def train_word_lm(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    alpha: float = 0.4,
+    min_count: int = 2,
+    max_ngrams: int = 200_000,
+) -> WordLM:
+    """Train the stupid-backoff word LM in ONE distributed corpus pass —
+    the same plan shape as train_char_lm: every order's grams are
+    generated JVM-side (transform over a sequence, whole-stage codegen),
+    hashed to int64 in the same projection, exploded, and counted in a
+    single hash aggregate keyed (order, hash). The per-order caps, the
+    token total, and the collects are tiny jobs over that one
+    materialized table. Deterministic: cap ties break on the gram hash."""
+    from fscrawler_spark.functions.dedup import _md5_int
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if max_ngrams < 1:
+        raise ValueError(f"max_ngrams must be >= 1, got {max_ngrams}")
+    t = normalized_text(F.col(text_col))
+    words = F.split(t, " ")
+    length = F.size(words)
+
+    def _order_grams(k: int) -> F.Column:
+        # closure factory, NOT a defaulted second lambda parameter:
+        # F.transform dispatches on lambda ARITY, so `lambda i, k=k`
+        # would receive the array index as k and silently slice garbage
+        idx = F.when(
+            # Spark's sequence DESCENDS when start > stop — the guard is
+            # not optional for docs shorter than k words
+            length >= k, F.sequence(F.lit(1), length - (k - 1))
+        ).otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.struct(
+                F.lit(k).alias("ord"),
+                _md5_int(F.array_join(F.slice(words, i, k), " ")).alias("h"),
+            ),
+        )
+
+    per_order = [_order_grams(k) for k in range(1, n + 1)]
+    counts = materialize(
+        widen_slim(df, text_col)
+        .filter(F.length(t) > 0)
+        .select(F.explode(F.flatten(F.array(*per_order))).alias("g"))
+        .select(F.col("g.ord").alias("ord"), F.col("g.h").alias("h"))
+        .groupBy("ord", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = (
+        counts.filter(F.col("ord") == 1).agg(F.sum("c").alias("t")).collect()[0]["t"]
+    )
+    dicts = []
+    for k in range(1, n + 1):
+        q = counts.filter(F.col("ord") == k)
+        if k >= 2 and min_count > 1:
+            q = q.filter(F.col("c") >= min_count)
+        rows = q.orderBy(F.desc("c"), F.asc("h")).limit(max_ngrams).collect()
+        dicts.append({r["h"]: int(r["c"]) for r in rows})
+    return WordLM(
+        n=n, alpha=alpha, total_tokens=max(int(total or 0), 1), counts=tuple(dicts)
+    )
+
+
 def train_char_lm(
     df: DataFrame,
     text_col: str = "text",
@@ -175,7 +324,7 @@ def train_char_lm(
 
 
 def add_perplexity(
-    df: DataFrame, lm: CharLM, text_col: str = "text", out_col: str = "ppl"
+    df: DataFrame, lm: "CharLM | WordLM", text_col: str = "text", out_col: str = "ppl"
 ) -> DataFrame:
     """Append a per-doc perplexity column. The model ships as ONE Spark
     broadcast (executor-wide, torrent-distributed) — never a per-task
@@ -192,7 +341,7 @@ def add_perplexity(
 
 def perplexity_buckets(
     df: DataFrame,
-    lm: CharLM,
+    lm: "CharLM | WordLM",
     text_col: str = "text",
     cuts: tuple[float, float] = (1 / 3, 2 / 3),
     accuracy: int = 10_000,
