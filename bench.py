@@ -80,6 +80,9 @@ CURATION = [
     # leakage-ladder rungs 2 and 3 (bench-local callables; the exact
     # n-gram rung is timed as the q_contamination registry entry)
     "q_fuzzy_decon", "q_semantic_decon",
+    # round-5 word-trigram stupid-backoff LM column (bench-local
+    # callable; the char column above stays for history continuity)
+    "q_ppl_word",
 ]
 
 
@@ -111,6 +114,16 @@ def _q_perplexity_buckets(spark, sf_dir: str):
 
     d = _docs(spark, sf_dir)
     return perplexity_buckets(d, train_char_lm(d, "text"), "text")
+
+
+def _q_ppl_word(spark, sf_dir: str):
+    # round-5 word-trigram stupid-backoff twin of the column above: same
+    # eager-training + bucket split, the CCNet-closer model (word-level
+    # events make scoring cheaper per doc; training explodes 3 orders)
+    from fscrawler_spark.functions.lm_quality import perplexity_buckets, train_word_lm
+
+    d = _docs(spark, sf_dir)
+    return perplexity_buckets(d, train_word_lm(d, "text"), "text")
 
 
 def _q_mix_budget(spark, sf_dir: str):
@@ -619,6 +632,7 @@ def run_headline_queries() -> dict[str, float]:
         qs["q_text_embed"] = _q_text_embed
         qs["q_fuzzy_decon"] = _q_fuzzy_decon
         qs["q_semantic_decon"] = _q_semantic_decon
+        qs["q_ppl_word"] = _q_ppl_word
         # warmup session
         noop_write(qs["q_terms_agg"](spark, SF_DIR))
         trials = int(os.environ.get("SPARK_GRAFT_BENCH_QUERY_TRIALS", "2"))
