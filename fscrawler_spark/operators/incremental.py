@@ -71,6 +71,71 @@ def changed_vs_snapshot(
     return cur.join(prev_keys, cond, "left_anti").drop("_ck")
 
 
+def snapshot_file_delta(
+    old_rows: DataFrame,
+    new_rows: DataFrame,
+    checksum_algo: str = "sha256",
+    attr_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """J1+J2 from a snapshot-manifest diff: the O(changed-files) tick.
+
+    ``old_rows`` / ``new_rows`` are the rows of the data files REMOVED /
+    ADDED between two input-table snapshots (plans/snapshot_table.diff)
+    — both delta-sized, the corpus's unchanged files never read. One
+    full-outer join on the key yields every tick decision at once:
+
+    * ``changed``  — row present in the new files and either absent from
+      the old files or different (checksum or any attr, null-safely):
+      re-extract. A row that merely MOVED files unmodified (compaction)
+      lands on both sides equal and drops out.
+    * ``deleted``  — row present only in the old files: remove.
+    * ``in_old``   — the purge hint (the row had a prior version).
+
+    Same change semantics as ``changed_vs_snapshot`` (checksum over
+    ``text`` + null-safe attr compare) so the two diff paths classify
+    edits identically; the reference analog is the same scan-date/hash
+    comparison (FsParser.java:1147-1215) — but fed by metadata instead
+    of a corpus walk. Both sides must be key-unique (the transcript
+    contract; duplicate keys would fan the join out).
+
+    Output: the new-side contract columns (null for deleted keys) +
+    ``in_old``/``changed``/``deleted`` flags.
+    """
+    if checksum_algo not in ("sha256", "md5"):
+        raise ValueError(f"checksum_algo must be 'sha256' or 'md5', got {checksum_algo!r}")
+
+    def ck(col):
+        return F.sha2(col, 256) if checksum_algo == "sha256" else F.md5(col)
+
+    contract = list(new_rows.columns)
+    o = old_rows.select(
+        "conv_id",
+        "turn_idx",
+        ck(F.col("text")).alias("_ck_old"),
+        F.lit(True).alias("_in_old"),
+        *[F.col(c).alias(f"_old_{c}") for c in attr_cols],
+    )
+    n = new_rows.withColumn("_ck_new", ck(F.col("text"))).withColumn(
+        "_in_new", F.lit(True)
+    )
+    j = n.join(o, ["conv_id", "turn_idx"], "full_outer")
+    attrs_same = F.lit(True)
+    for c in attr_cols:
+        attrs_same = attrs_same & F.col(c).eqNullSafe(F.col(f"_old_{c}"))
+    changed = F.col("_in_new").isNotNull() & (
+        F.col("_in_old").isNull()
+        | ~F.col("_ck_new").eqNullSafe(F.col("_ck_old"))
+        | ~attrs_same
+    )
+    deleted = F.col("_in_old").isNotNull() & F.col("_in_new").isNull()
+    return j.select(
+        *contract,
+        F.coalesce(F.col("_in_old"), F.lit(False)).alias("in_old"),
+        changed.alias("changed"),
+        deleted.alias("deleted"),
+    )
+
+
 def deleted_keys(prev: DataFrame, current: DataFrame) -> DataFrame:
     """J2 — deletion detection (FsParser.java:1010-1057): keys present in
     the previous output but absent from the current input form the delete

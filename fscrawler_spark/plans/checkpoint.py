@@ -81,6 +81,12 @@ class CheckpointManifest:
     # scale-correct bucketed diff must not hide behind a flag the operator
     # has to remember (round-5 close of the r4 "opt-in layout" finding).
     tick_layout: str | None = None
+    # snapshot id of the ``snap:`` input table this output is known to
+    # equal the extraction of — the basis of the tick's O(changed-files)
+    # manifest-diff delta (plans/pipeline.run_incremental_update). None
+    # whenever that correspondence can't be proven (non-snapshot inputs,
+    # resumed/partial full runs): the tick then full-diffs and re-records.
+    input_snapshot: int | None = None
     # True while an explicit set_next_check is pending its save — save()
     # then skips the on-disk pull-forward merge (the overwrite path)
     _next_check_dirty: bool = field(default=False, repr=False, compare=False)
@@ -127,6 +133,7 @@ class CheckpointManifest:
                 last_error=d.get("last_error"),
                 next_check=d.get("next_check"),
                 tick_layout=d.get("tick_layout"),
+                input_snapshot=d.get("input_snapshot"),
             )
             # refuse to mix incompatible runs; a legacy manifest without a
             # recorded fingerprint adopts the caller's (cannot verify)
@@ -248,6 +255,14 @@ class CheckpointManifest:
         self.tick_layout = layout
         self.save()
 
+    def set_input_snapshot(self, snapshot_id: int | None) -> None:
+        """Record (or clear) the input-table snapshot this output now
+        corresponds to; see the field doc. Cleared by any mutation that
+        breaks the output == extraction(snapshot) correspondence."""
+        if self.input_snapshot != snapshot_id:
+            self.input_snapshot = snapshot_id
+            self.save()
+
     def finish(self) -> None:
         self.state = "COMPLETED"
         self.save()
@@ -267,6 +282,7 @@ class CheckpointManifest:
             "last_error": self.last_error,
             "next_check": self.next_check,
             "tick_layout": self.tick_layout,
+            "input_snapshot": self.input_snapshot,
         }
 
     def save(self) -> None:
@@ -308,6 +324,7 @@ class CheckpointManifest:
             "last_error": self.last_error,
             "next_check": self.next_check,
             "tick_layout": self.tick_layout,
+            "input_snapshot": self.input_snapshot,
         }
         dir_ = os.path.dirname(self.path) or "."
         os.makedirs(dir_, exist_ok=True)

@@ -41,6 +41,7 @@ from fscrawler_spark.operators.extract import extract_transcripts
 from fscrawler_spark.operators.stats import parse_failure_flag
 from fscrawler_spark.plans.checkpoint import CheckpointManifest
 from fscrawler_spark.session import dynamic_partition_overwrite, materialize
+from fscrawler_spark.sources.transcripts import SNAP_INPUT_PREFIX, parse_snap_input
 
 # rebuild-path anti-join key sets broadcast below this many keys
 # (~50 B/key ⇒ ≲100 MB executor-side at the cap); above it the delta is
@@ -322,6 +323,24 @@ def _run_incremental_update_impl(
     re-records it. ``dry_run`` resolves identically but never persists.
     The result dict reports the layout used under ``"layout"``.
 
+    ``snap:ROOT`` inputs (plans/snapshot_table.py) unlock the
+    **manifest-diff tick** — the O(changed-files) steady state. When the
+    checkpoint manifest records which input snapshot the output equals
+    (``input_snapshot``, set by a virgin full run or a previous tick over
+    the same table), the delta comes from diffing the two snapshot
+    MANIFESTS: only the data files added/removed between them are read,
+    and one delta-sized full-outer join (snapshot_file_delta) yields the
+    changed AND deleted keys. The corpus is never scanned, joined, or
+    shuffled — tick cost is O(changed files), independent of table size,
+    which neither join layout achieves (both scan the full corpus even
+    with zero Exchange). Falls back to the layout-resolved full diff when
+    no base is recorded (then records one, so the NEXT tick fast-paths),
+    or when the base snapshot has been expired. Reported as
+    ``layout="snapshot-diff"`` + ``input_files_read``; the resolved join
+    layout still applies to fallback ticks. Correspondence is guarded:
+    any non-snapshot mutation path (a non-snap tick, a non-virgin full
+    run) CLEARS the recorded base rather than risk a stale diff.
+
     Measured wall-clock crossover (local[32], 32 buckets, ~1% delta,
     round 5): parquet wins below ~350k turns (120k: 6.4s vs 7.9s —
     the gap is the index refresh, a corpus-INDEPENDENT ~2s floor of
@@ -339,7 +358,11 @@ def _run_incremental_update_impl(
         stage_and_swap_buckets,
     )
     from fscrawler_spark.operators.extract import salted_bucket
-    from fscrawler_spark.operators.incremental import changed_vs_snapshot, deleted_keys
+    from fscrawler_spark.operators.incremental import (
+        changed_vs_snapshot,
+        deleted_keys,
+        snapshot_file_delta,
+    )
     from fscrawler_spark.plans import bucketed as snap
 
     if layout not in (None, "parquet", "bucketed"):
@@ -377,6 +400,20 @@ def _run_incremental_update_impl(
         recover_stale_stage(spark, out_data)
     run_id = f"incr-{uuid.uuid4().hex[:12]}"
 
+    # snapshot-table input: pin the tick to one snapshot id and remember
+    # the diff base (the snapshot the output is known to equal) — when
+    # both exist the tick can manifest-diff: read ONLY the files that
+    # changed between the two snapshots, never the corpus
+    snap_tbl = None
+    snap_from = snap_to = None
+    if input_path.startswith(SNAP_INPUT_PREFIX):
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        snap_root, _sid = parse_snap_input(input_path)
+        snap_tbl = SnapshotTable(snap_root)
+        snap_to = _sid if _sid is not None else snap_tbl.current_id()
+        input_path = f"{SNAP_INPUT_PREFIX}{snap_root}@{snap_to}"
+        snap_from = manifest.input_snapshot
     src = read_transcripts(spark, input_path)
     if _has_parquet_files(spark, out_data):
         prev = spark.read.parquet(out_data)
@@ -395,7 +432,30 @@ def _run_incremental_update_impl(
     # the RAW input so a changed turn that no longer passes a filter can
     # still purge its stale row.
     fp = settings.fingerprint()
-    if layout is None:
+    # manifest-diff fast path (``snap:`` input with a recorded diff base):
+    # the tick's delta comes from the files that changed between the two
+    # snapshots — O(changed files), never a corpus scan or corpus join.
+    # Supersedes BOTH join layouts for the diff; the resolved layout still
+    # governs fallback ticks and stays recorded.
+    use_snapdiff = False
+    file_delta = None
+    if snap_tbl is not None and snap_from is not None:
+        from fscrawler_spark.plans.snapshot_table import SnapshotIntegrityError
+
+        try:
+            file_delta = snap_tbl.diff(snap_from, snap_to)
+            use_snapdiff = True
+        except (FileNotFoundError, SnapshotIntegrityError) as e:
+            logging.getLogger(__name__).warning(
+                "snapshot diff %s->%s at %s unavailable (%s); falling back "
+                "to a full diff for this tick",
+                snap_from, snap_to, snap_tbl.root, e,
+            )
+    if layout is None and use_snapdiff:
+        # nothing to resolve: the join layouts are bypassed this tick, and
+        # recording one the operator never chose would pin fallbacks
+        pass
+    elif layout is None:
         # self-selection (docstring order): stored > index-on-disk > parquet
         if manifest.tick_layout in ("parquet", "bucketed"):
             layout = manifest.tick_layout
@@ -411,9 +471,9 @@ def _run_incremental_update_impl(
                 "layout='bucketed' and it becomes this table's default.",
                 output_dir,
             )
-    if not dry_run and manifest.tick_layout != layout:
+    if not dry_run and layout in ("parquet", "bucketed") and manifest.tick_layout != layout:
         manifest.set_tick_layout(layout)
-    use_bucketed = layout == "bucketed"
+    use_bucketed = layout == "bucketed" and not use_snapdiff
     if use_bucketed and dry_run and not snap.snapshot_is_valid(
         spark, output_dir, settings.num_buckets, fp
     ):
@@ -421,7 +481,38 @@ def _run_incremental_update_impl(
         # yields the identical counts
         use_bucketed = False
     delta = None
-    if use_bucketed:
+    sdelta = None
+    if use_snapdiff:
+        from fscrawler_spark.sources.transcripts import validate_schema
+
+        old_rows = validate_schema(
+            snap_tbl.read_entries(spark, file_delta["removed"], snap_from)
+        )
+        new_rows = validate_schema(
+            snap_tbl.read_entries(spark, file_delta["added"], snap_to)
+        )
+        # ONE delta-sized full-outer join over ONLY the changed files'
+        # rows (operators/incremental.snapshot_file_delta); materialized —
+        # keys, counts, deletions and the extraction all re-consume it
+        sdelta = materialize(
+            snapshot_file_delta(
+                old_rows,
+                new_rows,
+                checksum_algo=settings.checksum_algo,
+                attr_cols=snap.SNAPSHOT_ATTRS,
+            )
+        )
+        changed_raw = sdelta.filter(F.col("changed")).select(*src.columns)
+        # purge hint: prior-version presence in the OLD files is the
+        # delta-local proxy for membership in prev — a filtered-out row
+        # costs one no-op bucket rebuild per ACTUAL input change (unlike
+        # the full diff, where only the prev probe keeps it from
+        # rewriting its bucket on every tick), and the corpus-side
+        # semi-join disappears entirely
+        changed_in_prev = sdelta.filter(F.col("changed") & F.col("in_old")).select(
+            "conv_id", "turn_idx"
+        )
+    elif use_bucketed:
         if dry_run:
             # READ-ONLY preview: validity was pre-checked above, and
             # ensure_snapshot must not run — its rebuild path WRITES, and
@@ -519,6 +610,9 @@ def _run_incremental_update_impl(
     # remove_deleted=False (reference knob): vanished keys stay — empty set.
     if not settings.remove_deleted:
         gone = spark.createDataFrame([], "conv_id string, turn_idx int")
+    elif use_snapdiff:
+        # J2 rides the same delta-sized join — already materialized
+        gone = sdelta.filter(F.col("deleted")).select("conv_id", "turn_idx")
     elif use_bucketed:
         # J2 rides the same co-located join — already materialized
         gone = delta.filter(F.col("deleted")).select("conv_id", "turn_idx")
@@ -549,7 +643,20 @@ def _run_incremental_update_impl(
             "would_fail_fast": would_fail_fast,
             # NOTE: "bucketed" here means the preview USED the index; a
             # dry_run with an invalid index reports the parquet fallback
-            "layout": "bucketed" if use_bucketed else "parquet",
+            "layout": "snapshot-diff"
+            if use_snapdiff
+            else ("bucketed" if use_bucketed else "parquet"),
+            **(
+                {
+                    "input_snapshot": snap_to,
+                    "input_files_read": len(file_delta["added"])
+                    + len(file_delta["removed"])
+                    if use_snapdiff
+                    else None,
+                }
+                if snap_tbl is not None
+                else {}
+            ),
         }
 
     # mutations begin: the snapshot index (if any) can no longer be
@@ -628,12 +735,33 @@ def _run_incremental_update_impl(
     # successful tick after a fail-fast must clear it, like the full
     # job's per-wave reset
     manifest.reset_retries()
+    if snap_tbl is not None:
+        # the output is now synced to snapshot snap_to — by manifest diff
+        # (the delta applied on top of the recorded base) or by full diff
+        # (output forced to match src == snapshot snap_to): either way the
+        # NEXT tick may manifest-diff from here
+        manifest.set_input_snapshot(snap_to)
+    elif manifest.input_snapshot is not None:
+        # a non-snapshot tick re-synced the output to some other input:
+        # the recorded correspondence no longer holds
+        manifest.set_input_snapshot(None)
     return {
         "run_id": run_id,
         "changed": changed,
         "deleted": deleted,
         "touched_buckets": targets,
-        "layout": layout,
+        "layout": "snapshot-diff" if use_snapdiff else layout,
+        **(
+            {
+                "input_snapshot": snap_to,
+                "input_files_read": len(file_delta["added"])
+                + len(file_delta["removed"])
+                if use_snapdiff
+                else None,
+            }
+            if snap_tbl is not None
+            else {}
+        ),
     }
 
 
@@ -1029,6 +1157,20 @@ def _run_extraction_job_impl(
             "skipped_buckets": sorted(manifest.completed),
         }
 
+    # snapshot-table input: pin the WHOLE run (every wave in this call)
+    # to one snapshot id captured up front, and remember whether the
+    # output started from scratch — only a virgin full run PROVES
+    # output == extraction(snapshot), the precondition for recording
+    # input_snapshot (the tick's O(changed-files) diff base)
+    snap_to = None
+    if input_path.startswith(SNAP_INPUT_PREFIX):
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        root, sid = parse_snap_input(input_path)
+        snap_to = sid if sid is not None else SnapshotTable(root).current_id()
+        input_path = f"{SNAP_INPUT_PREFIX}{root}@{snap_to}"
+    virgin = not _dir_exists(spark, out_data)
+
     src = read_transcripts(spark, input_path)
     docs = extract_transcripts(src, settings)
 
@@ -1131,6 +1273,18 @@ def _run_extraction_job_impl(
             "output": out_data,
             "metrics": out_metrics,
         }
+    if snap_to is not None and virgin:
+        # a from-scratch full run over snapshot S completed every bucket:
+        # the output IS extraction(S) — record it so the first tick can
+        # manifest-diff instead of full-diffing
+        manifest.set_input_snapshot(snap_to)
+    elif manifest.input_snapshot is not None:
+        # a non-virgin full run (resume over an existing table, or a
+        # non-snapshot input) may leave rows the recorded snapshot never
+        # produced (dynamic overwrite keeps buckets absent from the new
+        # data): the correspondence is broken — clear, the next tick
+        # full-diffs and re-records
+        manifest.set_input_snapshot(None)
     manifest.finish()
     return {
         "run_id": run_id,

@@ -1,0 +1,518 @@
+"""Snapshot-manifest table format: Iceberg-shaped metadata over parquet.
+
+The north-star deployment reads and writes *Iceberg tables*; this sandbox
+cannot install an Iceberg catalog, so this module re-derives the three
+Iceberg properties the engine actually leans on, over plain parquet plus
+JSON manifests — the same trick the checkpoint manifest plays for run
+state (plans/checkpoint.py), lifted to table data:
+
+1. **Atomic snapshot commits with optimistic concurrency.** A snapshot is
+   an immutable JSON manifest (``_snap/v%08d.json``) listing every data
+   file (path, length, row count, per-column min/max stats). Publishing
+   is an exclusive ``os.link`` of a fully-fsynced temp file onto the next
+   version name — the link either creates the manifest completely or
+   fails with EEXIST (another committer won), exactly Iceberg's
+   rename-based commit arbitration. Readers resolve "current" as the
+   highest complete manifest, so a torn write is unreachable garbage,
+   never a corrupt table.
+2. **Snapshot isolation + time travel.** A read binds to one manifest's
+   explicit file list; concurrent commits are invisible until re-read,
+   and any historical snapshot stays readable (``read(snapshot_id=N)``)
+   because data files are immutable — mutation is copy-on-write
+   (``replace``), never in-place.
+3. **File-level stats pruning and manifest diffs.** Per-file min/max
+   stats come from the parquet FOOTERS (collected distributed, one task
+   per file batch — no data pages read), so a predicate can discard
+   whole files driver-side before Spark plans a single task; and two
+   manifests diff into (added, removed) file lists by name — the basis
+   of the incremental tick's O(changed-files) delta
+   (plans/pipeline.run_incremental_update with a ``snap:`` input), the
+   engine's answer to the reference's full rescan-per-loop
+   (core/.../FsParser.java:488-556, which re-walks the whole tree every
+   update_rate even when nothing changed).
+
+At 100 TB: manifests are metadata (one JSON row per data file — ~800k
+files at 128 MB each, a few hundred MB of JSON; real Iceberg shards this
+into avro manifest *lists*, and swapping this module for a real catalog
+keeps every caller unchanged because the API is file-list-shaped).
+Stats collection is a distributed footer scan, the commit is O(1), and
+pruning/diffing are driver-side set ops over the metadata — nothing here
+scales with row count.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass
+from typing import Iterable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SNAP_DIR = "_snap"
+DATA_DIR = "data"
+_V_RE = re.compile(r"^v(\d{8})\.json$")
+
+# columns whose footer min/max ride the manifest by default — the three
+# the engine prunes on (key ranges for bucket routing, ts for watermark
+# reads à la changed_since)
+DEFAULT_STAT_COLS = ("conv_id", "turn_idx", "ts")
+
+
+class CommitConflictError(RuntimeError):
+    """Another committer published this version first (optimistic
+    concurrency): re-read current and retry the commit."""
+
+
+class SnapshotIntegrityError(RuntimeError):
+    """A manifest references a data file whose on-disk length changed —
+    the immutability contract was violated out-of-band."""
+
+
+@dataclass(frozen=True)
+class FileEntry:
+    """One immutable data file inside a snapshot."""
+
+    path: str  # RELATIVE to the table root ("data/<uuid>-0.parquet")
+    length: int
+    rows: int
+    # {"col": {"min": scalar, "max": scalar, "nulls": int}} — JSON-safe
+    # scalars (timestamps as ISO-8601 strings, which compare correctly
+    # as strings); {} when the footer carries no stats for the column
+    stats: dict
+
+    def to_dict(self) -> dict:
+        return {
+            "path": self.path,
+            "length": self.length,
+            "rows": self.rows,
+            "stats": self.stats,
+        }
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "FileEntry":
+        return cls(
+            path=d["path"], length=d["length"], rows=d["rows"], stats=d.get("stats", {})
+        )
+
+
+def _json_scalar(v):
+    """Footer stat -> JSON-safe scalar that still ORDERS correctly when
+    compared against a predicate literal of the same column type."""
+    if v is None or isinstance(v, (int, float, str, bool)):
+        return v
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # undecodable byte stats: drop (conservative keep)
+    # datetime.datetime / date: ISO-8601 strings sort chronologically
+    iso = getattr(v, "isoformat", None)
+    return iso() if iso else str(v)
+
+
+def _footer_stats(path: str, cols: Sequence[str]) -> tuple[int, dict]:
+    """(row_count, {col: {min,max,nulls}}) from ONE parquet footer.
+
+    Aggregates row-group statistics; a column with stats missing on ANY
+    row group reports no stats at all (pruning must stay conservative).
+    """
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    names = {md.schema.column(i).path: i for i in range(md.num_columns)}
+    out: dict = {}
+    for col in cols:
+        ci = names.get(col)
+        if ci is None:
+            continue
+        mins, maxs, nulls, ok = [], [], 0, True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mins.append(st.min)
+            maxs.append(st.max)
+            nulls += st.null_count or 0
+        if not ok or not mins:
+            continue
+        lo, hi = _json_scalar(min(mins)), _json_scalar(max(maxs))
+        if lo is None or hi is None:
+            continue
+        out[col] = {"min": lo, "max": hi, "nulls": nulls}
+    return md.num_rows, out
+
+
+def _collect_entries(
+    spark: SparkSession, root: str, rel_paths: list[str], stat_cols: Sequence[str]
+) -> list[FileEntry]:
+    """Distributed footer-stats collection: one row per data file, footer
+    reads fanned out over the cluster (at 800k files this is the only
+    non-driver-side step of a commit). The collect is bounded — manifest
+    metadata, one small row per file."""
+    import pandas as pd
+
+    cols = list(stat_cols)
+    abs_root = root
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for rel in pdf["rel"]:
+                ap = os.path.join(abs_root, rel)
+                nrows, stats = _footer_stats(ap, cols)
+                rows.append(
+                    {
+                        "rel": rel,
+                        "length": os.path.getsize(ap),
+                        "rows": nrows,
+                        "stats": json.dumps(stats),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["rel", "length", "rows", "stats"])
+
+    if not rel_paths:
+        return []
+    if len(rel_paths) <= 16:
+        # tiny commits: a driver loop beats a Spark job's scheduling cost
+        out = []
+        for rel in rel_paths:
+            ap = os.path.join(abs_root, rel)
+            nrows, stats = _footer_stats(ap, cols)
+            out.append(FileEntry(rel, os.path.getsize(ap), nrows, stats))
+        return out
+    pdf = spark.createDataFrame([(p,) for p in rel_paths], "rel string")
+    n_parts = min(len(rel_paths), spark.sparkContext.defaultParallelism)
+    rows = (
+        pdf.repartition(n_parts)
+        .mapInPandas(gen, "rel string, length long, rows long, stats string")
+        .collect()
+    )
+    by_rel = {r["rel"]: r for r in rows}
+    return [
+        FileEntry(rel, by_rel[rel]["length"], by_rel[rel]["rows"], json.loads(by_rel[rel]["stats"]))
+        for rel in rel_paths
+    ]
+
+
+def _stat_cmp_value(entry_stats: dict, col: str):
+    s = entry_stats.get(col)
+    if not s:
+        return None
+    return s
+
+
+def file_may_match(entry: FileEntry, predicates: Iterable[tuple]) -> bool:
+    """Conservative file-level predicate check: False ONLY when the
+    file's stats PROVE no row can match. Predicates are
+    ``(col, op, value)`` with op in {'=','<','<=','>','>=','between'}
+    ('between' takes a (lo, hi) value). Unknown column / missing stats /
+    type mismatch -> keep the file."""
+    for col, op, val in predicates:
+        s = _stat_cmp_value(entry.stats, col)
+        if s is None:
+            continue
+        lo, hi = s["min"], s["max"]
+        try:
+            if op == "=" and (val < lo or val > hi):
+                return False
+            if op == "<" and lo >= val:
+                return False
+            if op == "<=" and lo > val:
+                return False
+            if op == ">" and hi <= val:
+                return False
+            if op == ">=" and hi < val:
+                return False
+            if op == "between":
+                vlo, vhi = val
+                if hi < vlo or lo > vhi:
+                    return False
+        except TypeError:
+            continue  # incomparable literal vs stat type: keep
+    return True
+
+
+class SnapshotTable:
+    """A parquet table governed by snapshot manifests (module doc)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        self.snap_dir = os.path.join(root, SNAP_DIR)
+        self.data_dir = os.path.join(root, DATA_DIR)
+
+    # -- metadata ---------------------------------------------------------
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.snap_dir) and self.snapshot_ids() != []
+
+    def snapshot_ids(self) -> list[int]:
+        if not os.path.isdir(self.snap_dir):
+            return []
+        out = []
+        for name in os.listdir(self.snap_dir):
+            m = _V_RE.match(name)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def current_id(self) -> int:
+        ids = self.snapshot_ids()
+        if not ids:
+            raise FileNotFoundError(f"no snapshots at {self.root}")
+        return ids[-1]
+
+    def _manifest_path(self, sid: int) -> str:
+        return os.path.join(self.snap_dir, f"v{sid:08d}.json")
+
+    def manifest(self, snapshot_id: int | None = None) -> dict:
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        p = self._manifest_path(sid)
+        if not os.path.exists(p):
+            raise FileNotFoundError(f"snapshot {sid} does not exist at {self.root}")
+        with open(p) as f:
+            return json.load(f)
+
+    def files(
+        self,
+        snapshot_id: int | None = None,
+        predicates: Iterable[tuple] | None = None,
+    ) -> list[FileEntry]:
+        m = self.manifest(snapshot_id)
+        entries = [FileEntry.from_dict(d) for d in m["files"]]
+        if predicates:
+            entries = [e for e in entries if file_may_match(e, predicates)]
+        return entries
+
+    def history(self) -> list[dict]:
+        """Commit log (Iceberg ``table.history()`` analog)."""
+        out = []
+        for sid in self.snapshot_ids():
+            m = self.manifest(sid)
+            out.append(
+                {
+                    "snapshot_id": m["snapshot_id"],
+                    "parent_id": m["parent_id"],
+                    "operation": m["operation"],
+                    "files": len(m["files"]),
+                    "rows": sum(f["rows"] for f in m["files"]),
+                }
+            )
+        return out
+
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
+
+    # -- reads ------------------------------------------------------------
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        predicates: Iterable[tuple] | None = None,
+    ) -> DataFrame:
+        """Bind a DataFrame to ONE snapshot's (optionally stats-pruned)
+        explicit file list — snapshot isolation by construction: commits
+        after this call cannot change what the plan reads. The stored
+        schema is applied so an empty (fully pruned) read keeps the
+        table's exact shape."""
+        m = self.manifest(snapshot_id)
+        entries = [FileEntry.from_dict(d) for d in m["files"]]
+        if predicates:
+            entries = [e for e in entries if file_may_match(e, predicates)]
+        return self.read_entries(spark, entries, snapshot_id=snapshot_id)
+
+    def read_entries(
+        self,
+        spark: SparkSession,
+        entries: Sequence[FileEntry],
+        snapshot_id: int | None = None,
+    ) -> DataFrame:
+        """DataFrame over an explicit FileEntry subset (e.g. one side of a
+        manifest diff), with the named snapshot's stored schema — an empty
+        subset keeps the table's exact shape."""
+        schema = T.StructType.fromJson(json.loads(self.manifest(snapshot_id)["schema"]))
+        if not entries:
+            return spark.createDataFrame([], schema)
+        paths = [os.path.join(self.root, e.path) for e in entries]
+        return spark.read.schema(schema).parquet(*paths)
+
+    def diff(self, from_id: int, to_id: int) -> dict:
+        """Manifest diff: {'added': [FileEntry], 'removed': [FileEntry]}
+        by file name. Immutability is defended, not assumed: a path
+        present in both with a different recorded length means someone
+        rewrote a data file in place -> SnapshotIntegrityError."""
+        a = {e.path: e for e in self.files(from_id)}
+        b = {e.path: e for e in self.files(to_id)}
+        for p in a.keys() & b.keys():
+            if a[p].length != b[p].length:
+                raise SnapshotIntegrityError(
+                    f"data file {p} changed length between snapshots "
+                    f"{from_id} and {to_id} ({a[p].length} -> {b[p].length}); "
+                    "data files are immutable — mutate via replace()/overwrite()"
+                )
+        return {
+            "added": [b[p] for p in sorted(b.keys() - a.keys())],
+            "removed": [a[p] for p in sorted(a.keys() - b.keys())],
+        }
+
+    # -- writes -----------------------------------------------------------
+
+    def _stage_data_files(self, df: DataFrame, commit_uuid: str) -> list[str]:
+        """Write df's partitions as immutable data files under data/.
+
+        Spark writes to a scratch dir; the part files are then renamed to
+        uuid-prefixed names under data/ (same-filesystem rename — on an
+        object store this is the upload step; the COMMIT is the manifest
+        link either way, so a crash here leaks unreferenced files, never
+        a broken table)."""
+        os.makedirs(self.data_dir, exist_ok=True)
+        stage = os.path.join(self.root, f"_stage-{commit_uuid}")
+        # Spark's legacy INT96 timestamp encoding writes NO footer stats
+        # (deprecated physical type) — snapshot data files use int64
+        # micros (Iceberg's own encoding) so ts participates in pruning.
+        # Scoped set/restore: other writers in the session keep their
+        # configured encoding.
+        spark = df.sparkSession
+        key = "spark.sql.parquet.outputTimestampType"
+        prev = spark.conf.get(key)
+        spark.conf.set(key, "TIMESTAMP_MICROS")
+        try:
+            df.write.mode("overwrite").parquet(stage)
+        finally:
+            spark.conf.set(key, prev)
+        rels = []
+        i = 0
+        for name in sorted(os.listdir(stage)):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(DATA_DIR, f"{commit_uuid}-{i}.parquet")
+            os.replace(os.path.join(stage, name), os.path.join(self.root, rel))
+            rels.append(rel)
+            i += 1
+        shutil.rmtree(stage, ignore_errors=True)
+        return rels
+
+    def _commit(
+        self,
+        spark: SparkSession,
+        files: list[FileEntry],
+        operation: str,
+        parent_id: int | None,
+        schema_json: str,
+    ) -> int:
+        next_id = (parent_id or 0) + 1
+        manifest = {
+            "format_version": 1,
+            "snapshot_id": next_id,
+            "parent_id": parent_id,
+            "operation": operation,
+            "schema": schema_json,
+            "files": [e.to_dict() for e in files],
+        }
+        os.makedirs(self.snap_dir, exist_ok=True)
+        fd, tmp = tempfile.mkstemp(dir=self.snap_dir, prefix=".tmp-")
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
+            target = self._manifest_path(next_id)
+            try:
+                # atomic-exclusive publish: link() cannot clobber — the
+                # second committer of the same version gets EEXIST
+                os.link(tmp, target)
+            except FileExistsError:
+                raise CommitConflictError(
+                    f"snapshot {next_id} at {self.root} was committed by "
+                    "another writer; re-read current and retry"
+                ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return next_id
+
+    def _schema_json(self, df: DataFrame) -> str:
+        return json.dumps(df.schema.jsonValue())
+
+    def overwrite(
+        self, spark: SparkSession, df: DataFrame, stat_cols: Sequence[str] = DEFAULT_STAT_COLS
+    ) -> int:
+        """Replace the whole table contents in one atomic snapshot. Old
+        snapshots stay readable (their files are not deleted)."""
+        cu = uuid.uuid4().hex[:12]
+        rels = self._stage_data_files(df, cu)
+        entries = _collect_entries(spark, self.root, rels, stat_cols)
+        parent = self.snapshot_ids()[-1] if self.snapshot_ids() else None
+        return self._commit(spark, entries, "overwrite", parent, self._schema_json(df))
+
+    def append(
+        self, spark: SparkSession, df: DataFrame, stat_cols: Sequence[str] = DEFAULT_STAT_COLS
+    ) -> int:
+        """Add df's rows as new data files; existing files carry over."""
+        cu = uuid.uuid4().hex[:12]
+        rels = self._stage_data_files(df, cu)
+        entries = _collect_entries(spark, self.root, rels, stat_cols)
+        if self.snapshot_ids():
+            parent = self.current_id()
+            base = self.files(parent)
+            schema_json = self.manifest(parent)["schema"]
+        else:
+            parent, base, schema_json = None, [], self._schema_json(df)
+        return self._commit(spark, base + entries, "append", parent, schema_json)
+
+    def replace(
+        self,
+        spark: SparkSession,
+        remove_paths: Sequence[str],
+        add_df: DataFrame | None,
+        stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+    ) -> int:
+        """Copy-on-write mutation: drop the named files (RELATIVE paths)
+        from the snapshot and add add_df's rows as new files — the
+        MERGE/rewrite primitive every upsert/compaction reduces to.
+        Old files stay on disk for time travel."""
+        parent = self.current_id()
+        base = {e.path: e for e in self.files(parent)}
+        missing = [p for p in remove_paths if p not in base]
+        if missing:
+            raise ValueError(
+                f"replace: {missing} not in snapshot {parent} at {self.root}"
+            )
+        kept = [e for p, e in sorted(base.items()) if p not in set(remove_paths)]
+        added: list[FileEntry] = []
+        if add_df is not None:
+            cu = uuid.uuid4().hex[:12]
+            rels = self._stage_data_files(add_df, cu)
+            added = _collect_entries(spark, self.root, rels, stat_cols)
+        return self._commit(
+            spark, kept + added, "replace", parent, self.manifest(parent)["schema"]
+        )
+
+    def expire_unreferenced(self, keep_snapshots: int = 1) -> list[str]:
+        """GC: drop manifests older than the newest ``keep_snapshots`` and
+        delete data files no retained snapshot references (Iceberg
+        ``expireSnapshots`` analog). Returns deleted file paths."""
+        ids = self.snapshot_ids()
+        if len(ids) <= keep_snapshots:
+            return []
+        keep_ids = ids[-keep_snapshots:]
+        referenced = set()
+        for sid in keep_ids:
+            referenced.update(e.path for e in self.files(sid))
+        deleted = []
+        for sid in ids[: -keep_snapshots or None]:
+            for e in self.files(sid):
+                if e.path not in referenced:
+                    ap = os.path.join(self.root, e.path)
+                    if os.path.exists(ap):
+                        os.remove(ap)
+                    deleted.append(e.path)
+            os.remove(self._manifest_path(sid))
+        return sorted(set(deleted))

@@ -30,6 +30,21 @@ _COLS = [f.name for f in TRANSCRIPT_SCHEMA.fields]
 # prefix contract; see read_transcripts
 TABLE_INPUT_PREFIX = "table:"
 
+# snapshot-table input scheme ("snap:ROOT" = current snapshot,
+# "snap:ROOT@N" = time travel to snapshot N) — plans/snapshot_table.py
+SNAP_INPUT_PREFIX = "snap:"
+
+
+def parse_snap_input(path: str) -> tuple[str, int | None]:
+    """Split a ``snap:ROOT[@N]`` input path into (root, snapshot_id|None).
+    The @N suffix is only parsed when N is all digits, so table roots
+    containing '@' stay addressable."""
+    body = path[len(SNAP_INPUT_PREFIX):]
+    root, sep, suffix = body.rpartition("@")
+    if sep and suffix.isdigit():
+        return root, int(suffix)
+    return body, None
+
 
 class SchemaError(ValueError):
     pass
@@ -65,6 +80,15 @@ def read_transcripts(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     its cast and legitimately re-shuffles."""
     if path.startswith(TABLE_INPUT_PREFIX):
         return validate_schema(spark.table(path[len(TABLE_INPUT_PREFIX):]))
+    if path.startswith(SNAP_INPUT_PREFIX):
+        # snapshot-table input (plans/snapshot_table.py): the read binds
+        # to ONE manifest's file list, so the job sees a consistent table
+        # even while writers keep committing — and an explicit @N reads
+        # history (time travel)
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        root, sid = parse_snap_input(path)
+        return validate_schema(SnapshotTable(root).read(spark, snapshot_id=sid))
     reader = spark.read
     if fmt == "json":
         df = reader.schema(TRANSCRIPT_SCHEMA).json(path)

@@ -1,0 +1,204 @@
+"""Snapshot-manifest table layer (plans/snapshot_table.py): atomic
+commits, snapshot isolation, time travel, stats pruning, manifest diffs.
+
+The Iceberg-shaped substrate the ``snap:`` input mode and the
+O(changed-files) incremental tick stand on — each property here is one
+the tick's correctness proof assumes."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+
+import pytest
+
+from fscrawler_spark.plans.snapshot_table import (
+    CommitConflictError,
+    FileEntry,
+    SnapshotTable,
+    file_may_match,
+)
+from fscrawler_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+
+def _rows(conv, lo, hi):
+    return [
+        (
+            conv,
+            i,
+            "user" if i % 2 == 0 else "assistant",
+            f"text {conv} {i}",
+            None,
+            dt.datetime(2026, 1, 1) + dt.timedelta(minutes=i),
+        )
+        for i in range(lo, hi)
+    ]
+
+
+def _collected(df):
+    return sorted((r.conv_id, r.turn_idx, r.text) for r in df.collect())
+
+
+def test_overwrite_read_roundtrip(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = _df(spark, _rows("c1", 0, 10))
+    sid = t.overwrite(spark, df)
+    assert sid == 1 and t.current_id() == 1
+    assert _collected(t.read(spark)) == _collected(df)
+    h = t.history()
+    assert h[-1]["operation"] == "overwrite" and h[-1]["rows"] == 10
+
+
+def test_append_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark, _df(spark, _rows("a", 0, 5)))
+    t.append(spark, _df(spark, _rows("b", 0, 7)))
+    assert t.snapshot_ids() == [1, 2]
+    assert t.read(spark).count() == 12
+    old = t.read(spark, snapshot_id=1)
+    assert _collected(old) == _collected(_df(spark, _rows("a", 0, 5)))
+
+
+def test_snapshot_isolation_under_concurrent_commit(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("a", 0, 5)))
+    bound = t.read(spark)  # binds to snapshot 1's file list
+    t.append(spark, _df(spark, _rows("b", 0, 5)))
+    # the bound plan still reads only snapshot 1, after the commit
+    assert bound.count() == 5
+    assert t.read(spark).count() == 10
+
+
+def test_commit_conflict_is_exclusive(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("a", 0, 3)))
+    schema_json = t.manifest()["schema"]
+    files = t.files()
+    # two committers that both read current=1 race to publish v2:
+    # the second one must get a conflict, never a clobber
+    t._commit(spark, files, "replace", parent_id=1, schema_json=schema_json)
+    with pytest.raises(CommitConflictError):
+        t._commit(spark, files, "replace", parent_id=1, schema_json=schema_json)
+
+
+def test_torn_manifest_is_unreachable(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("a", 0, 3)))
+    # a crashed committer's temp file is ignored by every reader
+    with open(os.path.join(t.snap_dir, ".tmp-crashed"), "w") as f:
+        f.write('{"snapshot_id": 99')
+    assert t.snapshot_ids() == [1]
+    assert t.current_id() == 1
+
+
+def test_stats_pruning_reduces_files_read(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    # three appends with DISJOINT turn_idx ranges -> disjoint file stats
+    t.append(spark, _df(spark, _rows("a", 0, 50)).coalesce(1))
+    t.append(spark, _df(spark, _rows("a", 100, 150)).coalesce(1))
+    t.append(spark, _df(spark, _rows("a", 200, 250)).coalesce(1))
+    all_files = {os.path.basename(p) for p in t.read(spark).inputFiles()}
+    assert len(all_files) == 3
+    pruned = t.read(spark, predicates=[("turn_idx", "between", (100, 149))])
+    pruned_files = {os.path.basename(p) for p in pruned.inputFiles()}
+    assert len(pruned_files) == 1
+    # pruning is an IO optimization, never a semantics change
+    want = t.read(spark).filter("turn_idx between 100 and 149")
+    assert _collected(pruned.filter("turn_idx between 100 and 149")) == _collected(want)
+
+
+def test_pruning_is_conservative_on_missing_stats():
+    e = FileEntry("data/x.parquet", 1, 1, stats={})
+    assert file_may_match(e, [("turn_idx", "=", 5)])
+    e2 = FileEntry("data/y.parquet", 1, 1, stats={"turn_idx": {"min": 0, "max": 3, "nulls": 0}})
+    assert not file_may_match(e2, [("turn_idx", "=", 5)])
+    assert file_may_match(e2, [("turn_idx", "<=", 0)])
+    assert not file_may_match(e2, [("turn_idx", ">", 3)])
+    # incomparable literal: conservative keep
+    assert file_may_match(e2, [("turn_idx", "=", "not-an-int")])
+
+
+def test_fully_pruned_read_keeps_schema(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("a", 0, 5)))
+    empty = t.read(spark, predicates=[("turn_idx", ">", 10_000)])
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == [
+        f.name for f in TRANSCRIPT_SCHEMA.fields
+    ]
+
+
+def test_stats_match_data(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("conv9", 3, 40)).coalesce(1))
+    (entry,) = t.files()
+    assert entry.rows == 37
+    assert entry.stats["turn_idx"] == {"min": 3, "max": 39, "nulls": 0}
+    assert entry.stats["conv_id"]["min"] == "conv9"
+    # ts stats ride as ISO strings (string order == chronological order)
+    assert entry.stats["ts"]["min"].startswith("2026-01-01T00:03")
+
+
+def test_replace_diff_and_time_travel(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark, _df(spark, _rows("a", 0, 5)).coalesce(1))
+    t.append(spark, _df(spark, _rows("b", 0, 5)).coalesce(1))
+    victim = [e.path for e in t.files() if e.stats["conv_id"]["min"] == "a"]
+    assert len(victim) == 1
+    sid = t.replace(spark, victim, _df(spark, _rows("a2", 0, 3)).coalesce(1))
+    d = t.diff(2, sid)
+    assert [e.path for e in d["removed"]] == victim
+    assert len(d["added"]) == 1
+    # time travel: the replaced file's rows are still readable at v2
+    assert t.read(spark, snapshot_id=2).count() == 10
+    assert _collected(t.read(spark)) == _collected(
+        _df(spark, _rows("b", 0, 5) + _rows("a2", 0, 3))
+    )
+    with pytest.raises(ValueError, match="not in snapshot"):
+        t.replace(spark, ["data/nope.parquet"], None)
+
+
+def test_expire_unreferenced(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark, _df(spark, _rows("a", 0, 5)).coalesce(1))
+    t.append(spark, _df(spark, _rows("b", 0, 5)).coalesce(1))
+    victim = [e.path for e in t.files() if e.stats["conv_id"]["min"] == "a"]
+    t.replace(spark, victim, _df(spark, _rows("a2", 0, 3)).coalesce(1))
+    deleted = t.expire_unreferenced(keep_snapshots=1)
+    assert deleted == victim  # only the no-longer-referenced file dies
+    assert not os.path.exists(os.path.join(t.root, victim[0]))
+    assert t.snapshot_ids() == [3]
+    assert t.read(spark).count() == 8  # current snapshot untouched
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=2)
+
+
+def test_distributed_stats_collection(spark, tmp_path):
+    # >16 files routes stats collection through the mapInPandas path
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = _df(spark, _rows("a", 0, 200)).repartition(20)
+    t.overwrite(spark, df)
+    entries = t.files()
+    assert len(entries) >= 17
+    assert sum(e.rows for e in entries) == 200
+    assert all(e.stats.get("turn_idx") for e in entries if e.rows)
+
+
+def test_diff_integrity_guard(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("a", 0, 5)).coalesce(1))
+    # hand-forge a manifest claiming a different length for the same path
+    m = t.manifest()
+    m["files"][0]["length"] += 1
+    m["snapshot_id"], m["parent_id"] = 2, 1
+    with open(t._manifest_path(2), "w") as f:
+        json.dump(m, f)
+    from fscrawler_spark.plans.snapshot_table import SnapshotIntegrityError
+
+    with pytest.raises(SnapshotIntegrityError):
+        t.diff(1, 2)
