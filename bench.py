@@ -448,12 +448,15 @@ def capture_scaling(input_path: str, low_cpus: int, max_attempts: int) -> dict:
 
 
 def bench_tick(spark_cpus: int, input_path: str) -> dict:
-    """Steady-state incremental tick, parquet vs bucketed layout: wall
-    time AND diff shuffle-write bytes (Spark UI stage totals). Shuffle
-    bytes is the scale-predictive number — the parquet diff shuffles
-    O(corpus) bytes per tick while the co-located diff shuffles O(delta);
-    at fixture scale wall-clock barely separates them, at 10^12 turns the
-    shuffle IS the tick."""
+    """Steady-state incremental tick, parquet vs bucketed layout vs the
+    snapshot manifest-diff: wall time AND diff shuffle-write bytes
+    (Spark UI stage totals). Shuffle bytes is the scale-predictive
+    number — the parquet diff shuffles O(corpus) bytes per tick, the
+    co-located diff shuffles O(delta) but still SCANS the corpus, and
+    the manifest diff neither scans nor shuffles it (files_read is its
+    second scale signal: O(changed files) vs all); at fixture scale
+    wall-clock barely separates the layouts, at 10^12 turns the scan +
+    shuffle ARE the tick."""
     import shutil
     import tempfile
     import urllib.request
@@ -551,6 +554,83 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
                     f"tick {label} shuffle bytes varied >5% across trials: {sorted(seen)}"
                 )
 
+        # snapshot-table legs: the manifest-diff tick (snap: input with a
+        # recorded base) vs the full-diff fallback over the SAME delta.
+        # Scenario is the realistic steady state the manifest diff exists
+        # for — data arrives as files: one of ~32 conv-clustered files
+        # rewritten copy-on-write (~1% of its turns edited, one conv
+        # dropped), one new file appended. The scale signals: files_read
+        # (O(delta), vs the fallback's full corpus) and diff shuffle
+        # bytes (delta-sized join vs corpus-sized anti-join).
+        from fscrawler_spark.plans.checkpoint import CheckpointManifest
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        stbl = SnapshotTable(os.path.join(scratch, "snaptbl"))
+        stbl.overwrite(spark, base.repartitionByRange(32, "conv_id", "turn_idx"))
+        snap_pristine = os.path.join(scratch, "out_snap_pristine")
+        run_extraction_job(spark, f"snap:{stbl.root}", snap_pristine, settings)
+        files_total = len(stbl.files())
+        victim_entry = stbl.files()[0]
+        old_file = stbl.read_entries(spark, [victim_entry])
+        drop_conv = old_file.select("conv_id").orderBy("conv_id").first()["conv_id"]
+        edited_file = old_file.filter(F.col("conv_id") != drop_conv).withColumn(
+            "text",
+            F.when(
+                F.col("turn_idx") % 97 == 3,
+                F.concat(F.col("text"), F.lit(" snap-changed")),
+            ).otherwise(F.col("text")),
+        )
+        stbl.replace(spark, [victim_entry.path], edited_file.coalesce(1))
+        stbl.append(
+            spark,
+            spark.createDataFrame(
+                [("snap-new", i, "user", f"new turn {i}", None, None) for i in range(5)],
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp",
+            ).coalesce(1),
+        )
+        snapdiff_sec, fulldiff_sec = [], []
+        snapdiff_shuffle, fulldiff_shuffle = [], []
+        res_s = None
+        for k in range(trials):
+            out_s = os.path.join(scratch, f"out_snapdiff_{k}")
+            shutil.copytree(snap_pristine, out_s)
+            sb0 = shuffle_bytes()
+            t0 = time.perf_counter()
+            res_s = run_incremental_update(spark, f"snap:{stbl.root}", out_s, settings)
+            snapdiff_sec.append(time.perf_counter() - t0)
+            snapdiff_shuffle.append(shuffle_bytes() - sb0)
+            assert res_s["layout"] == "snapshot-diff", res_s
+
+            # fallback leg: same input, same delta, base cleared -> the
+            # tick must full-diff the corpus (what every tick would cost
+            # without the manifest diff)
+            out_f = os.path.join(scratch, f"out_fulldiff_{k}")
+            shutil.copytree(snap_pristine, out_f)
+            CheckpointManifest.load_or_create(
+                os.path.join(out_f, "_checkpoint.json")
+            ).set_input_snapshot(None)
+            sb0 = shuffle_bytes()
+            t0 = time.perf_counter()
+            res_f = run_incremental_update(
+                spark, f"snap:{stbl.root}", out_f, settings, layout="parquet"
+            )
+            fulldiff_sec.append(time.perf_counter() - t0)
+            fulldiff_shuffle.append(shuffle_bytes() - sb0)
+            assert res_f["changed"] == res_s["changed"], (res_f, res_s)
+            assert res_f["deleted"] == res_s["deleted"], (res_f, res_s)
+
+        snapshot_legs = {
+            "files_total": files_total,
+            "files_read": res_s["input_files_read"],
+            "changed": res_s["changed"],
+            "deleted": res_s["deleted"],
+            "snapdiff_sec": round(min(snapdiff_sec), 3),
+            "fulldiff_sec": round(min(fulldiff_sec), 3),
+            "snapdiff_shuffle_bytes": min(snapdiff_shuffle),
+            "fulldiff_shuffle_bytes": min(fulldiff_shuffle),
+        }
+
         # assembly-store legs on the already-ticked first output:
         # bootstrap (assemble every conversation), no-op (fingerprint
         # pass only), then a delta tick with ~1% of CONVERSATIONS edited
@@ -594,6 +674,7 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
             "bucketed_sec": round(min(bucketed_sec), 3),
             "parquet_shuffle_bytes": min(parquet_shuffle),
             "bucketed_shuffle_bytes": min(bucketed_shuffle),
+            "snapshot": snapshot_legs,
         }
     finally:
         spark.sql("DROP TABLE IF EXISTS bench_tick_v2")
@@ -697,7 +778,12 @@ def main() -> None:
             f"| {ceiling['efficiency']:.3f} | {low['turns']} turns, "
             f"attempts {attempts_note}; tick pq {tick['parquet_sec']:.1f}s/"
             f"{tick['parquet_shuffle_bytes'] // 1024}KiB vs bucketed "
-            f"{tick['bucketed_sec']:.1f}s/{tick['bucketed_shuffle_bytes'] // 1024}KiB |\n"
+            f"{tick['bucketed_sec']:.1f}s/{tick['bucketed_shuffle_bytes'] // 1024}KiB; "
+            f"snapdiff {tick['snapshot']['snapdiff_sec']:.1f}s/"
+            f"{tick['snapshot']['snapdiff_shuffle_bytes'] // 1024}KiB/"
+            f"{tick['snapshot']['files_read']}of{tick['snapshot']['files_total']}f "
+            f"vs fulldiff {tick['snapshot']['fulldiff_sec']:.1f}s/"
+            f"{tick['snapshot']['fulldiff_shuffle_bytes'] // 1024}KiB |\n"
         )
 
     print(
