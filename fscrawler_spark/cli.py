@@ -98,6 +98,22 @@ def build_parser() -> argparse.ArgumentParser:
         "(POST /_crawler/resume analog)",
     )
     p.add_argument(
+        "--table-history",
+        action="store_true",
+        help="treat --output as a SNAPSHOT TABLE root (plans/snapshot_table.py) "
+        "and print its commit log as JSON, then exit (no SparkSession; "
+        "Iceberg table.history() analog)",
+    )
+    p.add_argument(
+        "--table-expire",
+        type=int,
+        default=None,
+        metavar="KEEP",
+        help="with --table-history: first expire all but the newest KEEP "
+        "snapshots of the --output table and GC data files no retained "
+        "snapshot references (Iceberg expireSnapshots analog)",
+    )
+    p.add_argument(
         "--compact",
         action="store_true",
         help="treat --input as a STREAMING file-sink directory and compact "
@@ -681,6 +697,33 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.resume_paused:
         clear_pause(args.output)
         print(json.dumps({"pause_requested": False}))
+        return 0
+    if args.table_expire is not None and not args.table_history:
+        print("error: --table-expire requires --table-history", file=sys.stderr)
+        return 2
+    if args.table_history:
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        t = SnapshotTable(args.output)
+        if not t.exists():
+            print(f"error: no snapshot table at {args.output}", file=sys.stderr)
+            return 2
+        expired: list[str] = []
+        if args.table_expire is not None:
+            if args.table_expire < 1:
+                print("error: --table-expire must keep >= 1 snapshot", file=sys.stderr)
+                return 2
+            expired = t.expire_unreferenced(keep_snapshots=args.table_expire)
+        print(
+            json.dumps(
+                {
+                    "root": args.output,
+                    "current": t.current_id(),
+                    "history": t.history(),
+                    "expired_files": expired,
+                }
+            )
+        )
         return 0
     if (args.near_dup or args.assemble_store) and (
         args.doctor or args.compact or args.dry_run

@@ -499,6 +499,8 @@ class SnapshotTable:
         """GC: drop manifests older than the newest ``keep_snapshots`` and
         delete data files no retained snapshot references (Iceberg
         ``expireSnapshots`` analog). Returns deleted file paths."""
+        if keep_snapshots < 1:
+            raise ValueError("expire_unreferenced must keep >= 1 snapshot")
         ids = self.snapshot_ids()
         if len(ids) <= keep_snapshots:
             return []

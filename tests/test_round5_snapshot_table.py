@@ -189,6 +189,37 @@ def test_distributed_stats_collection(spark, tmp_path):
     assert all(e.stats.get("turn_idx") for e in entries if e.rows)
 
 
+def test_expire_refuses_keep_zero(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("a", 0, 3)))
+    with pytest.raises(ValueError, match="keep >= 1"):
+        t.expire_unreferenced(keep_snapshots=0)
+
+
+def test_cli_table_history_and_expire(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark, _df(spark, _rows("a", 0, 5)).coalesce(1))
+    victim = [e.path for e in t.files()]
+    t.replace(spark, victim, _df(spark, _rows("b", 0, 4)).coalesce(1))
+
+    assert main(["--output", t.root, "--table-history"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["current"] == 2 and len(out["history"]) == 2
+    assert out["history"][-1]["operation"] == "replace"
+
+    assert main(["--output", t.root, "--table-history", "--table-expire", "1"]) == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["expired_files"] == victim
+    assert [h["snapshot_id"] for h in out["history"]] == [2]
+
+    # contract: bad args exit 2 with a message, never a traceback
+    assert main(["--output", t.root, "--table-expire", "1"]) == 2
+    assert main(["--output", t.root, "--table-history", "--table-expire", "0"]) == 2
+    assert main(["--output", str(tmp_path / "nope"), "--table-history"]) == 2
+
+
 def test_diff_integrity_guard(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.overwrite(spark, _df(spark, _rows("a", 0, 5)).coalesce(1))
