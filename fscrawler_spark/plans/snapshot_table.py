@@ -495,6 +495,46 @@ class SnapshotTable:
             spark, kept + added, "replace", parent, self.manifest(parent)["schema"]
         )
 
+    def compact(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+        stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+    ) -> dict:
+        """Copy-on-write small-file compaction (Iceberg rewriteDataFiles
+        analog): bin-pack every data file smaller than half the target
+        into ~target-sized files via one replace() commit. Rows are
+        byte-equal, only the file layout changes — so a manifest-diff
+        tick across a compaction classifies every moved row as unchanged
+        (snapshot_file_delta's moved-row case) and does zero work. Old
+        files stay readable for time travel until expire_unreferenced.
+
+        Returns {"rewritten": n_files, "new_files": m, "snapshot_id": id}
+        — a no-op ({"rewritten": 0, ...}) when fewer than two files are
+        below the threshold (rewriting one file alone shrinks nothing).
+        """
+        entries = self.files()
+        small = [e for e in entries if e.length < target_file_bytes // 2]
+        if len(small) < 2:
+            return {
+                "rewritten": 0,
+                "new_files": 0,
+                "snapshot_id": self.current_id(),
+            }
+        total = sum(e.length for e in small)
+        n_out = max(1, -(-total // target_file_bytes))  # ceil
+        df = self.read_entries(spark, small)
+        sid = self.replace(
+            spark, [e.path for e in small], df.repartition(n_out), stat_cols=stat_cols
+        )
+        before = {e.path for e in entries}
+        after = {e.path for e in self.files(sid)}
+        return {
+            "rewritten": len(small),
+            "new_files": len(after - before),
+            "snapshot_id": sid,
+        }
+
     def expire_unreferenced(self, keep_snapshots: int = 1) -> list[str]:
         """GC: drop manifests older than the newest ``keep_snapshots`` and
         delete data files no retained snapshot references (Iceberg

@@ -208,6 +208,35 @@ def test_remove_deleted_false_skips_deletions(spark, tmp_path):
     assert any(r.conv_id.startswith("g0-") for r in got)  # vanished rows stay
 
 
+def test_compaction_tick_is_a_noop(spark, tmp_path):
+    """Compacting the input table rewrites every small file — but moves
+    rows byte-identically, so the manifest-diff tick must classify the
+    whole rewrite as unchanged and mutate nothing."""
+    t = _build_table(spark, str(tmp_path / "tbl"))
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, f"snap:{t.root}", out, SETTINGS)
+    before_files = len(t.files())
+    res_c = t.compact(spark, target_file_bytes=1024 * 1024)
+    assert res_c["rewritten"] == before_files  # all fixture files are small
+    assert len(t.files()) < before_files
+    assert t.read(spark).count() == 4 * 3 * 10  # rows preserved
+
+    before_docs = _docs_sorted(spark, out)
+    res = run_incremental_update(spark, f"snap:{t.root}", out, SETTINGS)
+    assert res["layout"] == "snapshot-diff"
+    assert res["changed"] == 0 and res["deleted"] == 0
+    assert res["touched_buckets"] == []
+    assert _docs_sorted(spark, out) == before_docs
+    assert _manifest(out).input_snapshot == t.current_id()
+
+
+def test_compact_noop_below_two_small_files(spark, tmp_path):
+    t = _build_table(spark, str(tmp_path / "tbl"), groups=1)
+    t.compact(spark, target_file_bytes=1024 * 1024)  # collapse to one file
+    res = t.compact(spark, target_file_bytes=1024 * 1024)
+    assert res["rewritten"] == 0 and res["snapshot_id"] == t.current_id()
+
+
 def test_snapshot_file_delta_classification(spark):
     old = _df(
         spark,
