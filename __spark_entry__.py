@@ -1243,17 +1243,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         q_preference_pairs=q_preference_pairs,
     )
 
-    # --- multimodal plumbing (rows-only check; no SQL oracle) -----------------------
+    # --- multimodal: REAL container decode, full value oracle -----------------------
+    # (round 5: upgraded from the rows-ish byte_len smoke — the fixture
+    # authors genuine PNG/WAV bytes per doc_id, probe_media_headers
+    # parses them back with the stdlib header parsers, and every probed
+    # field is closed-form in doc_id so the oracle checks true decode.)
 
     def q_media_features(spark, sf):
         from fscrawler_spark.functions.multimodal import (
-            extract_media_features,
-            media_table_from_documents,
+            media_probe_fixture,
+            probe_media_headers,
         )
 
-        return extract_media_features(
-            media_table_from_documents(_docs(spark, sf)), fake=True
-        ).select("media_id", "kind", "byte_len")
+        return probe_media_headers(media_probe_fixture(_docs(spark, sf))).select(
+            "media_id", "kind", "mime", "width", "height", "channels",
+            "bit_depth", "sample_rate", "duration_ms", "decode_error",
+        )
 
     q.update(q_media_features=q_media_features)
     return q
@@ -1820,13 +1825,22 @@ def oracle_sql() -> dict[str, str]:
     SELECT query_id, rnk::BIGINT AS rank, neighbor_id FROM r WHERE rnk <= 5
     """
 
-    # multimodal smoke: media_id/kind/byte_len are all deterministic
-    # functions of the documents fixture (media_table_from_documents);
-    # the feature vector itself stays rows-only (fake decoder internals)
+    # multimodal REAL decode: the fixture (media_probe_fixture) authors a
+    # spec-valid PNG sized (id%64+1, id%37+1) for image rows and a
+    # stdlib-wave PCM file ((id%10+1)*80 frames @ 8 kHz, id%2+1 channels)
+    # for audio rows; probe_media_headers parses the bytes back, so every
+    # probed field below value-checks a genuine container header parse.
     sql["q_media_features"] = """
     SELECT doc_id::VARCHAR AS media_id,
            CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-           strlen(text)::INT AS byte_len
+           CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN (doc_id % 64 + 1)::INT END AS width,
+           CASE WHEN doc_id % 3 = 0 THEN (doc_id % 37 + 1)::INT END AS height,
+           CASE doc_id % 3 WHEN 0 THEN 3 WHEN 1 THEN (doc_id % 2 + 1)::INT END::INT AS channels,
+           CASE doc_id % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 END::INT AS bit_depth,
+           CASE WHEN doc_id % 3 = 1 THEN 8000 END::INT AS sample_rate,
+           CASE WHEN doc_id % 3 = 1 THEN ((doc_id % 10 + 1) * 10)::INT END AS duration_ms,
+           CASE WHEN doc_id % 3 = 2 THEN 'unrecognized_container' END AS decode_error
     FROM documents
     """
 

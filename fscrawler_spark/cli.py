@@ -114,6 +114,15 @@ def build_parser() -> argparse.ArgumentParser:
         "snapshot references (Iceberg expireSnapshots analog)",
     )
     p.add_argument(
+        "--table-rollback",
+        type=int,
+        default=None,
+        metavar="SNAPSHOT",
+        help="roll the --output snapshot table back to SNAPSHOT's exact "
+        "contents as a NEW commit (Iceberg rollback_to_snapshot analog; "
+        "O(metadata), no SparkSession), print the new snapshot id, exit",
+    )
+    p.add_argument(
         "--compact",
         action="store_true",
         help="treat --input as a STREAMING file-sink directory and compact "
@@ -701,6 +710,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.table_expire is not None and not args.table_history:
         print("error: --table-expire requires --table-history", file=sys.stderr)
         return 2
+    if args.table_rollback is not None:
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        t = SnapshotTable(args.output)
+        if not t.exists():
+            print(f"error: no snapshot table at {args.output}", file=sys.stderr)
+            return 2
+        try:
+            # metadata-only commit: rollback never touches data files or
+            # Spark — the spark handle is unused by the commit path
+            sid = t.rollback(None, args.table_rollback)
+        except FileNotFoundError as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps({
+            "root": args.output,
+            "rolled_back_to": args.table_rollback,
+            "new_snapshot": sid,
+        }))
+        return 0
     if args.table_history:
         from fscrawler_spark.plans.snapshot_table import SnapshotTable
 

@@ -406,6 +406,7 @@ class SnapshotTable:
         operation: str,
         parent_id: int | None,
         schema_json: str,
+        extra: dict | None = None,
     ) -> int:
         next_id = (parent_id or 0) + 1
         manifest = {
@@ -416,6 +417,8 @@ class SnapshotTable:
             "schema": schema_json,
             "files": [e.to_dict() for e in files],
         }
+        if extra:
+            manifest.update(extra)
         os.makedirs(self.snap_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.snap_dir, prefix=".tmp-")
         try:
@@ -441,6 +444,45 @@ class SnapshotTable:
     def _schema_json(self, df: DataFrame) -> str:
         return json.dumps(df.schema.jsonValue())
 
+    def _evolve_schema(self, stored_json: str, df: DataFrame, operation: str) -> str:
+        """Additive schema evolution (Iceberg add-column semantics, by
+        NAME since this format has no field ids):
+
+        - a column in both MUST keep its exact type — type promotion is
+          not supported and raising beats silently corrupting reads;
+        - a NET-NEW df column extends the table schema (appended after
+          the existing fields, nullable); old data files simply lack the
+          parquet column, and because every read applies the stored
+          schema explicitly, Spark fills it with NULL — no rewrite;
+        - a df that OMITS existing nullable columns is fine the same way
+          (its new files read back NULL there); omitting a non-nullable
+          column is refused.
+        """
+        stored = T.StructType.fromJson(json.loads(stored_json))
+        by_name = {f.name: f for f in stored.fields}
+        for f in df.schema.fields:
+            have = by_name.get(f.name)
+            if have is not None and have.dataType != f.dataType:
+                raise ValueError(
+                    f"{operation}: column {f.name!r} is {f.dataType.simpleString()} "
+                    f"but the table stores {have.dataType.simpleString()} — type "
+                    "changes need an explicit overwrite(), not schema evolution"
+                )
+        df_names = {f.name for f in df.schema.fields}
+        for f in stored.fields:
+            if f.name not in df_names and not f.nullable:
+                raise ValueError(
+                    f"{operation}: df omits non-nullable table column {f.name!r}"
+                )
+        new_fields = [f for f in df.schema.fields if f.name not in by_name]
+        if not new_fields:
+            return stored_json
+        evolved = T.StructType(
+            stored.fields
+            + [T.StructField(f.name, f.dataType, True) for f in new_fields]
+        )
+        return json.dumps(evolved.jsonValue())
+
     def overwrite(
         self, spark: SparkSession, df: DataFrame, stat_cols: Sequence[str] = DEFAULT_STAT_COLS
     ) -> int:
@@ -453,19 +495,38 @@ class SnapshotTable:
         return self._commit(spark, entries, "overwrite", parent, self._schema_json(df))
 
     def append(
-        self, spark: SparkSession, df: DataFrame, stat_cols: Sequence[str] = DEFAULT_STAT_COLS
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+        extra: dict | None = None,
     ) -> int:
-        """Add df's rows as new data files; existing files carry over."""
+        """Add df's rows as new data files; existing files carry over.
+        Additive schema evolution by name (see _evolve_schema): new df
+        columns extend the table schema, old files read NULL there."""
         cu = uuid.uuid4().hex[:12]
         rels = self._stage_data_files(df, cu)
         entries = _collect_entries(spark, self.root, rels, stat_cols)
-        if self.snapshot_ids():
-            parent = self.current_id()
-            base = self.files(parent)
-            schema_json = self.manifest(parent)["schema"]
-        else:
-            parent, base, schema_json = None, [], self._schema_json(df)
-        return self._commit(spark, base + entries, "append", parent, schema_json)
+        # optimistic commit loop (Iceberg's retry): append commutes with
+        # any concurrent commit, so on conflict re-read current, rebase
+        # the file list, and re-commit — data files are staged once.
+        last: CommitConflictError | None = None
+        for _ in range(5):
+            if self.snapshot_ids():
+                parent = self.current_id()
+                base = self.files(parent)
+                schema_json = self._evolve_schema(
+                    self.manifest(parent)["schema"], df, "append"
+                )
+            else:
+                parent, base, schema_json = None, [], self._schema_json(df)
+            try:
+                return self._commit(
+                    spark, base + entries, "append", parent, schema_json, extra
+                )
+            except CommitConflictError as e:
+                last = e
+        raise last
 
     def replace(
         self,
@@ -491,8 +552,29 @@ class SnapshotTable:
             cu = uuid.uuid4().hex[:12]
             rels = self._stage_data_files(add_df, cu)
             added = _collect_entries(spark, self.root, rels, stat_cols)
+        schema_json = self.manifest(parent)["schema"]
+        if add_df is not None:
+            schema_json = self._evolve_schema(schema_json, add_df, "replace")
+        return self._commit(spark, kept + added, "replace", parent, schema_json)
+
+    def rollback(self, spark: SparkSession, to_snapshot_id: int) -> int:
+        """Roll the table back to an earlier snapshot's exact contents —
+        committed as a NEW snapshot (Iceberg ``rollback_to_snapshot``):
+        history stays linear and append-only, "current = highest" keeps
+        holding, and the bad snapshots remain readable for forensics
+        until expire_unreferenced. Data files are shared, not copied —
+        the commit is O(metadata)."""
+        m = self.manifest(to_snapshot_id)  # raises if it never existed/expired
+        parent = self.current_id()
+        if to_snapshot_id == parent:
+            return parent  # no-op: already current
         return self._commit(
-            spark, kept + added, "replace", parent, self.manifest(parent)["schema"]
+            spark,
+            [FileEntry.from_dict(d) for d in m["files"]],
+            "rollback",
+            parent,
+            m["schema"],
+            {"rolled_back_to": to_snapshot_id},
         )
 
     def compact(
