@@ -497,5 +497,138 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                 )
             )
 
+    # --- snapshot table (when --output IS a table root) --------------------
+    findings.extend(check_snapshot_table(output_dir))
+
     ok = not any(f["severity"] == "ERROR" for f in findings)
     return {"ok": ok, "findings": findings}
+
+
+def check_snapshot_table(root: str) -> list[dict]:
+    """Consistency checks for a snapshot-manifest table at ``root``
+    (plans/snapshot_table.py) — pure metadata walk, no SparkSession:
+    manifest chain linkage, schema parseability, referenced-file
+    existence + recorded-length integrity (the immutability contract),
+    orphaned data files (crash leaks — bytes, not corruption), torn
+    manifest temps. No-op (empty list) when root has no _snap/ dir."""
+    import pyspark.sql.types as T
+
+    from fscrawler_spark.plans.snapshot_table import SNAP_DIR, SnapshotTable
+
+    snap_dir = os.path.join(root, SNAP_DIR)
+    if not os.path.isdir(snap_dir):
+        return []
+    findings: list[dict] = []
+    t = SnapshotTable(root)
+    ids = t.snapshot_ids()
+    if not ids:
+        findings.append(
+            _finding(
+                "ERROR",
+                "table_no_snapshots",
+                f"{snap_dir} exists but holds no complete manifest — the "
+                "table was never committed or every manifest is torn",
+            )
+        )
+        return findings
+    referenced: dict[str, int] = {}
+    for sid in ids:
+        try:
+            m = t.manifest(sid)
+        except (OSError, ValueError) as e:
+            findings.append(
+                _finding("ERROR", "table_manifest_unreadable", f"snapshot {sid}: {e}")
+            )
+            continue
+        if m.get("snapshot_id") != sid:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "table_manifest_id_drift",
+                    f"manifest v{sid:08d} records snapshot_id="
+                    f"{m.get('snapshot_id')} — file was renamed or forged",
+                )
+            )
+        parent = m.get("parent_id")
+        if parent is not None and parent >= sid:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "table_parent_not_older",
+                    f"snapshot {sid} claims parent {parent} (>= itself): "
+                    "the commit chain is not append-only",
+                )
+            )
+        if parent is not None and parent not in ids:
+            findings.append(
+                _finding(
+                    "WARN",
+                    "table_parent_expired",
+                    f"snapshot {sid}'s parent {parent} is expired (normal "
+                    "after expire_unreferenced; diffs from it will fall back)",
+                )
+            )
+        try:
+            T.StructType.fromJson(json.loads(m["schema"]))
+        except Exception as e:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "table_schema_unparseable",
+                    f"snapshot {sid}: stored schema does not parse ({e})",
+                )
+            )
+        for f in m.get("files", []):
+            referenced[f["path"]] = f["length"]
+    for rel, length in sorted(referenced.items()):
+        ap = os.path.join(root, rel)
+        if not os.path.exists(ap):
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "table_file_missing",
+                    f"data file {rel} is referenced by a retained snapshot "
+                    "but missing on disk — reads of that snapshot will fail; "
+                    "restore the file or expire the snapshots referencing it",
+                )
+            )
+        elif os.path.getsize(ap) != length:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "table_file_length_drift",
+                    f"data file {rel} is {os.path.getsize(ap)} bytes but the "
+                    f"manifest recorded {length} — a data file was rewritten "
+                    "in place; data files are immutable (mutate via "
+                    "replace/upsert/overwrite)",
+                )
+            )
+    data_dir = os.path.join(root, "data")
+    if os.path.isdir(data_dir):
+        orphans = [
+            n
+            for n in sorted(os.listdir(data_dir))
+            if n.endswith(".parquet") and os.path.join("data", n) not in referenced
+        ]
+        if orphans:
+            findings.append(
+                _finding(
+                    "WARN",
+                    "table_orphan_data_files",
+                    f"{len(orphans)} data file(s) referenced by no retained "
+                    f"snapshot (e.g. {orphans[0]}) — leaked bytes from a "
+                    "crashed stage or expired history, safe to delete",
+                )
+            )
+    temps = [n for n in os.listdir(snap_dir) if n.startswith(".tmp-")]
+    if temps:
+        findings.append(
+            _finding(
+                "WARN",
+                "table_torn_manifest_temp",
+                f"{len(temps)} torn manifest temp file(s) in _snap/ — a "
+                "committer crashed mid-publish; unreachable garbage, safe "
+                "to delete",
+            )
+        )
+    return findings

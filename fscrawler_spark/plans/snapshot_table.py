@@ -617,6 +617,137 @@ class SnapshotTable:
             "snapshot_id": sid,
         }
 
+    def _touched_files(
+        self, keys_df: DataFrame, keys: Sequence[str]
+    ) -> list[FileEntry]:
+        """Stats-pruned candidate set for a keyed mutation: the data
+        files whose per-column min/max COULD contain any key in
+        ``keys_df``. Shape at scale: the manifest is metadata (one
+        bounds row per file), so it broadcasts INTO the distinct-keys
+        frame; the range join's output is at most O(files) rows and
+        only file paths ever come back to the driver — the corpus is
+        never scanned. Files without stats on the first key are
+        conservatively touched."""
+        from pyspark.sql import functions as F
+
+        entries = self.files()
+        lead = keys[0]
+        # bounds must compare in the key's NATIVE type — a string compare
+        # on numeric bounds mis-orders ("10" < "9"); unsupported lead
+        # types degrade to conservative (rewrite-everything), never wrong
+        dt = keys_df.schema[lead].dataType
+        if isinstance(dt, (T.StringType,)):
+            sql_t, conv = "string", str
+        elif isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            sql_t, conv = "long", int
+        elif isinstance(dt, (T.FloatType, T.DoubleType)):
+            sql_t, conv = "double", float
+        else:
+            return entries
+        bounded, unbounded = [], []
+        for e in entries:
+            s = e.stats.get(lead) or {}
+            if s.get("min") is None or s.get("max") is None:
+                unbounded.append(e)
+            else:
+                bounded.append(e)
+        if not bounded:
+            return entries
+        spark = keys_df.sparkSession
+        bounds = spark.createDataFrame(
+            [
+                (e.path, conv(e.stats[lead]["min"]), conv(e.stats[lead]["max"]))
+                for e in bounded
+            ],
+            f"path string, lo {sql_t}, hi {sql_t}",
+        )
+        dk = keys_df.select(F.col(lead).cast(sql_t).alias("k")).distinct()
+        touched_paths = {
+            r.path
+            for r in dk.join(
+                F.broadcast(bounds),
+                (F.col("k") >= F.col("lo")) & (F.col("k") <= F.col("hi")),
+            )
+            .select("path")
+            .distinct()
+            .collect()
+        }
+        return unbounded + [e for e in bounded if e.path in touched_paths]
+
+    def upsert(
+        self,
+        spark: SparkSession,
+        delta_df: DataFrame,
+        keys: Sequence[str] = ("conv_id", "turn_idx"),
+        stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+    ) -> dict:
+        """Copy-on-write MERGE (Iceberg ``MERGE INTO`` shape): rows in
+        ``delta_df`` replace same-key rows, new keys insert — in ONE
+        atomic commit that rewrites ONLY the data files whose stats
+        ranges can contain a delta key (everything else carries over by
+        reference). Work is O(touched files + delta), never O(corpus):
+        kept rows come from an anti-join of just the touched files
+        against the (broadcastable) delta keys. Duplicate keys WITHIN
+        delta_df are the caller's bug and refuse loudly — which rows
+        win would be nondeterministic. Schema evolution composes (the
+        delta may add columns, per _evolve_schema)."""
+        from pyspark.sql import functions as F
+
+        for k in keys:
+            if k not in delta_df.columns:
+                raise ValueError(f"upsert: delta is missing key column {k!r}")
+        dup = delta_df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError("upsert: delta_df has duplicate keys — dedupe it first")
+        touched = self._touched_files(delta_df, keys)
+        kept = None
+        if touched:
+            current = self.read_entries(spark, touched)
+            kept = current.join(
+                delta_df.select(*keys).distinct(), on=list(keys), how="left_anti"
+            )
+        new_rows = (
+            delta_df if kept is None
+            else kept.unionByName(delta_df, allowMissingColumns=True)
+        )
+        sid = self.replace(
+            spark, [e.path for e in touched], new_rows, stat_cols=stat_cols
+        )
+        return {
+            "snapshot_id": sid,
+            "files_rewritten": len(touched),
+            "files_total": len(self.files(sid)),
+        }
+
+    def delete_rows(
+        self,
+        spark: SparkSession,
+        keys_df: DataFrame,
+        keys: Sequence[str] = ("conv_id", "turn_idx"),
+        stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+    ) -> dict:
+        """Copy-on-write keyed DELETE: drop every row matching a key in
+        ``keys_df``, rewriting only the stats-touched files (same
+        pruning as upsert). A key that matches nothing is a no-op row,
+        not an error — deletes are declarative."""
+        touched = self._touched_files(keys_df, keys)
+        if not touched:
+            return {
+                "snapshot_id": self.current_id(),
+                "files_rewritten": 0,
+                "files_total": len(self.files()),
+            }
+        current = self.read_entries(spark, touched)
+        kept = current.join(
+            keys_df.select(*keys).distinct(), on=list(keys), how="left_anti"
+        )
+        sid = self.replace(spark, [e.path for e in touched], kept, stat_cols=stat_cols)
+        return {
+            "snapshot_id": sid,
+            "files_rewritten": len(touched),
+            "files_total": len(self.files(sid)),
+        }
+
     def expire_unreferenced(self, keep_snapshots: int = 1) -> list[str]:
         """GC: drop manifests older than the newest ``keep_snapshots`` and
         delete data files no retained snapshot references (Iceberg

@@ -256,3 +256,200 @@ def test_cli_table_rollback(spark, tmp_path, capsys):
     # contract: bad args exit 2 with a message, never a traceback
     assert main(["--output", t.root, "--table-rollback", "42"]) == 2
     assert main(["--output", str(tmp_path / "nope"), "--table-rollback", "1"]) == 2
+
+
+# --- stats-pruned upsert / delete (MERGE INTO shape) ----------------------
+
+
+def _mk_sharded_table(spark, tmp_path, n_convs=8):
+    """One data file per conv (repartition by range on conv_id) so the
+    stats pruning has distinct per-file key ranges to work with."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for c in range(n_convs):
+        t_rows = _rows(f"conv{c:02d}", 0, 5)
+        t.append(spark, _df(spark, t_rows).coalesce(1))
+    return t
+
+
+def test_upsert_rewrites_only_touched_files(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk_sharded_table(spark, tmp_path)
+    before_files = {e.path for e in t.files()}
+    assert len(before_files) == 8
+    # change one turn of conv03, insert a brand-new conv
+    delta = _df(spark, [
+        ("conv03", 2, "user", "EDITED", None, dt.datetime(2026, 2, 1)),
+        ("convZZ", 0, "user", "fresh", None, dt.datetime(2026, 2, 1)),
+    ])
+    res = t.upsert(spark, delta)
+    # pruning: only conv03's file could match ("convZZ" is outside every
+    # range except possibly none) — never all 8
+    assert res["files_rewritten"] <= 2
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
+    assert got[("conv03", 2)] == "EDITED"
+    assert got[("convZZ", 0)] == "fresh"
+    assert got[("conv03", 1)] == "text conv03 1"  # sibling rows kept
+    assert len(got) == 8 * 5 + 1
+    # untouched files carried over by REFERENCE (same path in both snaps)
+    after_files = {e.path for e in t.files()}
+    assert len(before_files & after_files) >= 6
+
+
+def test_upsert_equals_full_recompute(spark, tmp_path):
+    """Parity twin: upsert == rebuild-from-scratch with the same rows."""
+    t = _mk_sharded_table(spark, tmp_path, n_convs=4)
+    delta = _df(spark, [
+        ("conv00", 0, "assistant", "redone", "toolx", dt.datetime(2026, 3, 1)),
+        ("conv02", 4, "user", "also redone", None, dt.datetime(2026, 3, 1)),
+        ("convNEW", 7, "user", "inserted", None, dt.datetime(2026, 3, 1)),
+    ])
+    t.upsert(spark, delta)
+    got = sorted(tuple(r) for r in t.read(spark).collect())
+
+    base = {(r[0], r[1]): r for c in range(4) for r in _rows(f"conv{c:02d}", 0, 5)}
+    for r in delta.collect():
+        base[(r.conv_id, r.turn_idx)] = tuple(r)
+    want = sorted(tuple(v) for v in base.values())
+    assert got == want
+
+
+def test_upsert_refuses_duplicate_delta_keys(spark, tmp_path):
+    t = _mk_sharded_table(spark, tmp_path, n_convs=2)
+    dup = _df(spark, _rows("conv00", 0, 1) + _rows("conv00", 0, 1))
+    with pytest.raises(ValueError, match="duplicate"):
+        t.upsert(spark, dup)
+    with pytest.raises(ValueError, match="missing key"):
+        t.upsert(spark, _df(spark, _rows("conv00", 0, 1)).drop("turn_idx"))
+
+
+def test_upsert_with_schema_evolution(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    t = _mk_sharded_table(spark, tmp_path, n_convs=3)
+    delta = _df(spark, _rows("conv01", 0, 1)).withColumn("score", F.lit(0.9))
+    t.upsert(spark, delta)
+    got = {(r.conv_id, r.turn_idx): r.score for r in t.read(spark).collect()}
+    assert got[("conv01", 0)] == 0.9
+    assert got[("conv00", 0)] is None
+
+
+def test_delete_rows_prunes_and_deletes(spark, tmp_path):
+    t = _mk_sharded_table(spark, tmp_path)
+    keys = spark.createDataFrame(
+        [("conv05", 1), ("conv05", 3), ("convNOPE", 0)],
+        "conv_id string, turn_idx int",
+    )
+    res = t.delete_rows(spark, keys)
+    assert res["files_rewritten"] <= 2  # only conv05's file (+ maybe edge)
+    got = {(r.conv_id, r.turn_idx) for r in t.read(spark).collect()}
+    assert ("conv05", 1) not in got and ("conv05", 3) not in got
+    assert ("conv05", 2) in got
+    assert len(got) == 8 * 5 - 2
+    # a delete matching nothing touches nothing
+    res2 = t.delete_rows(
+        spark,
+        spark.createDataFrame([("convXX", 9)], "conv_id string, turn_idx int"),
+    )
+    assert res2["files_rewritten"] == 0
+    assert t.current_id() == res["snapshot_id"]
+
+
+def test_upsert_numeric_lead_key_prunes_in_native_order(spark, tmp_path):
+    """String-compare on numeric bounds would think 10 < 9; native-type
+    bounds must prune file k=9..9 for a delta key of 10."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    for k in (9, 10, 100):
+        t.append(
+            spark,
+            spark.createDataFrame([(k, f"v{k}")], "k long, v string").coalesce(1),
+            stat_cols=("k",),
+        )
+    res = t.upsert(
+        spark,
+        spark.createDataFrame([(10, "edited")], "k long, v string"),
+        keys=("k",),
+        stat_cols=("k",),
+    )
+    assert res["files_rewritten"] == 1
+    got = dict((r.k, r.v) for r in t.read(spark).collect())
+    assert got == {9: "v9", 10: "edited", 100: "v100"}
+
+
+# --- doctor checks for snapshot tables ------------------------------------
+
+
+def test_doctor_snapshot_table_checks(spark, tmp_path):
+    from fscrawler_spark.plans.doctor import check_snapshot_table
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark, _df(spark, _rows("a", 0, 4)).coalesce(1))
+    t.append(spark, _df(spark, _rows("b", 0, 4)).coalesce(1))
+    assert check_snapshot_table(t.root) == []  # healthy: silent
+    assert check_snapshot_table(str(tmp_path / "not_a_table")) == []
+
+    # in-place rewrite of a referenced data file -> length-drift ERROR
+    victim = os.path.join(t.root, t.files()[0].path)
+    with open(victim, "ab") as f:
+        f.write(b"junk")
+    codes = {f["code"] for f in check_snapshot_table(t.root)}
+    assert "table_file_length_drift" in codes
+
+    # missing referenced file -> ERROR
+    os.remove(victim)
+    codes = {f["code"] for f in check_snapshot_table(t.root)}
+    assert "table_file_missing" in codes
+
+    # orphan data file + torn manifest temp -> WARNs
+    open(os.path.join(t.root, "data", "zzz-orphan.parquet"), "wb").close()
+    open(os.path.join(t.root, "_snap", ".tmp-torn"), "wb").close()
+    fnd = check_snapshot_table(t.root)
+    codes = {f["code"] for f in fnd}
+    assert "table_orphan_data_files" in codes
+    assert "table_torn_manifest_temp" in codes
+    sev = {f["code"]: f["severity"] for f in fnd}
+    assert sev["table_orphan_data_files"] == "WARN"
+    assert sev["table_file_missing"] == "ERROR"
+
+
+def test_doctor_snapshot_table_chain_findings(spark, tmp_path):
+    from fscrawler_spark.plans.doctor import check_snapshot_table
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark, _df(spark, _rows("a", 0, 2)).coalesce(1))
+    t.append(spark, _df(spark, _rows("b", 0, 2)).coalesce(1))
+    t.append(spark, _df(spark, _rows("c", 0, 2)).coalesce(1))
+    # expire v1 -> v2's parent is gone: a benign WARN, not an ERROR
+    t.expire_unreferenced(keep_snapshots=2)
+    fnd = check_snapshot_table(t.root)
+    assert {f["code"] for f in fnd} == {"table_parent_expired"}
+    assert all(f["severity"] == "WARN" for f in fnd)
+
+    # forged manifest id -> ERROR
+    p = os.path.join(t.root, "_snap", "v00000003.json")
+    m = json.load(open(p))
+    m["snapshot_id"] = 99
+    json.dump(m, open(p, "w"))
+    codes = {f["code"] for f in check_snapshot_table(t.root)}
+    assert "table_manifest_id_drift" in codes
+
+    # empty _snap dir -> ERROR
+    t2root = str(tmp_path / "t2")
+    os.makedirs(os.path.join(t2root, "_snap"))
+    codes = {f["code"] for f in check_snapshot_table(t2root)}
+    assert codes == {"table_no_snapshots"}
+
+
+def test_doctor_cli_covers_table_root(spark, tmp_path, capsys):
+    """--doctor over a snapshot-table root surfaces table findings."""
+    from fscrawler_spark.cli import main
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark, _df(spark, _rows("a", 0, 3)).coalesce(1))
+    victim = os.path.join(t.root, t.files()[0].path)
+    with open(victim, "ab") as f:
+        f.write(b"x")
+    rc = main(["--output", t.root, "--doctor"])
+    out = capsys.readouterr().out
+    assert rc == 3  # ERROR findings exit 3
+    assert "table_file_length_drift" in out
