@@ -114,6 +114,29 @@ def build_parser() -> argparse.ArgumentParser:
         "snapshot references (Iceberg expireSnapshots analog)",
     )
     p.add_argument(
+        "--table-upsert",
+        metavar="DELTA",
+        default=None,
+        help="MERGE a parquet table of rows into the --output snapshot "
+        "table by --table-keys: same-key rows replace, new keys insert, "
+        "rewriting only the data files whose stats ranges can hold a "
+        "delta key (snapshot_table.upsert)",
+    )
+    p.add_argument(
+        "--table-delete",
+        metavar="KEYS",
+        default=None,
+        help="delete rows of the --output snapshot table matching the "
+        "keys in a parquet table (columns = --table-keys); same stats "
+        "pruning as --table-upsert",
+    )
+    p.add_argument(
+        "--table-keys",
+        default="conv_id,turn_idx",
+        help="comma-separated key columns for --table-upsert/--table-delete "
+        "(default conv_id,turn_idx)",
+    )
+    p.add_argument(
         "--table-rollback",
         type=int,
         default=None,
@@ -765,9 +788,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if not args.input and not args.doctor and not args.near_dup and not args.assemble_store:
-        # --doctor needs only --output (like the control verbs, but it
-        # reads parquet so it does need a session)
+    if (
+        not args.input
+        and not args.doctor
+        and not args.near_dup
+        and not args.assemble_store
+        and args.table_upsert is None
+        and args.table_delete is None
+    ):
+        # --doctor/--table-upsert/--table-delete need only --output (like
+        # the control verbs, but they read parquet so they do need a
+        # session)
         print("error: --input is required to run a crawl", file=sys.stderr)
         return 2
     if args.restart and args.incremental:
@@ -1218,6 +1249,28 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             res = check_output(spark, args.output)
             print(json.dumps(res))
             return 0 if res["ok"] else 3
+        if args.table_upsert is not None or args.table_delete is not None:
+            from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+            t = SnapshotTable(args.output)
+            if not t.exists():
+                print(f"error: no snapshot table at {args.output}", file=sys.stderr)
+                return 2
+            keys = tuple(k.strip() for k in args.table_keys.split(",") if k.strip())
+            try:
+                if args.table_upsert is not None:
+                    res = t.upsert(spark, spark.read.parquet(args.table_upsert), keys=keys)
+                    res["operation"] = "upsert"
+                else:
+                    res = t.delete_rows(
+                        spark, spark.read.parquet(args.table_delete), keys=keys
+                    )
+                    res["operation"] = "delete"
+            except (ValueError, FileNotFoundError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps(res))
+            return 0
         if curation_verbs:
             docs, err = _read_docs_table(spark, args.input)
             if err:

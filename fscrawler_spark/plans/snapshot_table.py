@@ -458,11 +458,23 @@ class SnapshotTable:
           (its new files read back NULL there); omitting a non-nullable
           column is refused.
         """
+        def compatible(a, b) -> bool:
+            if a == b:
+                return True
+            # the two timestamp flavors are interchangeable HERE: data
+            # files store int64 micros either way (TIMESTAMP_MICROS is
+            # forced at staging) and every read applies the STORED
+            # schema, so mixing ltz/ntz writers cannot corrupt — and
+            # Spark 4 sessions routinely produce one flavor in memory
+            # and the other from parquet read-back
+            ts = (T.TimestampType(), T.TimestampNTZType())
+            return a in ts and b in ts
+
         stored = T.StructType.fromJson(json.loads(stored_json))
         by_name = {f.name: f for f in stored.fields}
         for f in df.schema.fields:
             have = by_name.get(f.name)
-            if have is not None and have.dataType != f.dataType:
+            if have is not None and not compatible(have.dataType, f.dataType):
                 raise ValueError(
                     f"{operation}: column {f.name!r} is {f.dataType.simpleString()} "
                     f"but the table stores {have.dataType.simpleString()} — type "
@@ -483,11 +495,33 @@ class SnapshotTable:
         )
         return json.dumps(evolved.jsonValue())
 
+    @staticmethod
+    def _clustered(df: DataFrame, cluster_by: Sequence[str] | None) -> DataFrame:
+        """Iceberg write-ordering analog: range-partition + sort the rows
+        by the named columns before staging, so each data file covers a
+        NARROW key range and the footer min/max stats prune sharply —
+        the difference between a keyed upsert rewriting one file and
+        rewriting all of them. One Exchange, caller's choice; never
+        implicit (a pre-partitioned pipeline must not be re-shuffled)."""
+        if not cluster_by:
+            return df
+        missing = [c for c in cluster_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"cluster_by: {missing} not in df columns")
+        return df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+
     def overwrite(
-        self, spark: SparkSession, df: DataFrame, stat_cols: Sequence[str] = DEFAULT_STAT_COLS
+        self,
+        spark: SparkSession,
+        df: DataFrame,
+        stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+        cluster_by: Sequence[str] | None = None,
     ) -> int:
         """Replace the whole table contents in one atomic snapshot. Old
-        snapshots stay readable (their files are not deleted)."""
+        snapshots stay readable (their files are not deleted).
+        ``cluster_by`` range-clusters the rows so file stats prune
+        sharply (see _clustered)."""
+        df = self._clustered(df, cluster_by)
         cu = uuid.uuid4().hex[:12]
         rels = self._stage_data_files(df, cu)
         entries = _collect_entries(spark, self.root, rels, stat_cols)
@@ -500,10 +534,13 @@ class SnapshotTable:
         df: DataFrame,
         stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
         extra: dict | None = None,
+        cluster_by: Sequence[str] | None = None,
     ) -> int:
         """Add df's rows as new data files; existing files carry over.
         Additive schema evolution by name (see _evolve_schema): new df
-        columns extend the table schema, old files read NULL there."""
+        columns extend the table schema, old files read NULL there.
+        ``cluster_by`` range-clusters the new files (see _clustered)."""
+        df = self._clustered(df, cluster_by)
         cu = uuid.uuid4().hex[:12]
         rels = self._stage_data_files(df, cu)
         entries = _collect_entries(spark, self.root, rels, stat_cols)

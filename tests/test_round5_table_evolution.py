@@ -449,7 +449,58 @@ def test_doctor_cli_covers_table_root(spark, tmp_path, capsys):
     victim = os.path.join(t.root, t.files()[0].path)
     with open(victim, "ab") as f:
         f.write(b"x")
-    rc = main(["--output", t.root, "--doctor"])
+    rc = main(["--output", t.root, "--doctor"], spark=spark)
     out = capsys.readouterr().out
     assert rc == 3  # ERROR findings exit 3
     assert "table_file_length_drift" in out
+
+
+def test_cluster_by_sharpens_pruning(spark, tmp_path):
+    """Unclustered writes leave every file spanning the whole key range
+    (every upsert rewrites everything); cluster_by yields narrow per-file
+    ranges so the same upsert touches a strict subset."""
+    rows = [r for c in range(16) for r in _rows(f"conv{c:02d}", 0, 4)]
+    delta = _df(spark, [("conv07", 1, "user", "X", None, dt.datetime(2026, 4, 1))])
+
+    t_un = SnapshotTable(str(tmp_path / "un"))
+    t_un.overwrite(spark, _df(spark, rows).repartition(8))  # round-robin: wide ranges
+    r_un = t_un.upsert(spark, delta)
+
+    t_cl = SnapshotTable(str(tmp_path / "cl"))
+    t_cl.overwrite(spark, _df(spark, rows).repartition(8), cluster_by=("conv_id",))
+    r_cl = t_cl.upsert(spark, delta)
+
+    assert r_cl["files_rewritten"] < r_un["files_rewritten"]
+    assert r_cl["files_rewritten"] >= 1
+    # contents identical either way
+    assert _texts(t_cl.read(spark)) == _texts(t_un.read(spark))
+    with pytest.raises(ValueError, match="cluster_by"):
+        t_cl.append(spark, _df(spark, rows[:1]), cluster_by=("nope",))
+
+
+def test_cli_table_upsert_and_delete(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _df(spark, _rows("a", 0, 6)), cluster_by=("conv_id",))
+    _df(spark, [("a", 2, "user", "EDIT", None, dt.datetime(2026, 5, 1))]) \
+        .write.parquet(str(tmp_path / "delta"))
+    assert main(["--output", t.root, "--table-upsert", str(tmp_path / "delta")], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "upsert" and out["files_rewritten"] >= 1
+    got = {(r.conv_id, r.turn_idx): r.text for r in t.read(spark).collect()}
+    assert got[("a", 2)] == "EDIT" and len(got) == 6
+
+    spark.createDataFrame([("a", 0)], "conv_id string, turn_idx int") \
+        .write.parquet(str(tmp_path / "dkeys"))
+    assert main(["--output", t.root, "--table-delete", str(tmp_path / "dkeys")], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "delete"
+    assert t.read(spark).count() == 5
+
+    # contract: bad args exit 2 with a message, never a traceback
+    assert main(["--output", str(tmp_path / "nope"), "--table-upsert",
+                 str(tmp_path / "delta")], spark=spark) == 2
+    dup = str(tmp_path / "dup")
+    _df(spark, _rows("a", 0, 1) + _rows("a", 0, 1)).write.parquet(dup)
+    assert main(["--output", t.root, "--table-upsert", dup], spark=spark) == 2
