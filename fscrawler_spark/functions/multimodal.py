@@ -314,28 +314,60 @@ PROBE_SCHEMA = T.StructType(
 )
 
 
-def probe_media_headers(df: DataFrame) -> DataFrame:
+def probe_media_headers(
+    df: DataFrame, header_prefix_bytes: int | None = 65536
+) -> DataFrame:
     """REAL (no library, any environment) media metadata extraction:
     mapInPandas over binary payloads parsing container headers only —
     PNG/JPEG/GIF/BMP/WEBP/TIFF dimensions + channels + bit depth, WAV
     channel/rate/duration. Unrecognized payloads get
     decode_error='unrecognized_container' and NULL metadata, never a
     job failure. Stateless per batch: partitioning free-form, scales
-    embarrassingly parallel, O(header) per item regardless of payload
-    size (the Arrow transfer of the payload column dominates — project
-    payloads to their first KB upstream when probing petabyte media)."""
+    embarrassingly parallel, O(header) per item.
+
+    ``header_prefix_bytes`` (default 64 KiB) slices each payload
+    JVM-side BEFORE the Arrow boundary — the probe never needs pixel/
+    sample data, so gigabyte media items must not ride the Python
+    transfer (byte_len still reports the FULL length, computed in the
+    same codegen projection). 64 KiB clears every fixed-offset header
+    plus JPEG marker walks past typical EXIF/thumbnail APP segments;
+    raise it for JPEGs with pathological metadata prefixes, or pass
+    None to ship whole payloads (fixture-scale only). All chunk-walk
+    parsers (JPEG/WAV/TIFF) are truncation-total: a header beyond the
+    prefix degrades to 'unrecognized_container', never a wrong value
+    — WAV's duration in particular needs only the data-chunk HEADER
+    (its recorded length), not the samples."""
+
+    cols = [F.col("media_id"), F.col("kind")]
+    if header_prefix_bytes is not None:
+        if header_prefix_bytes < 32:
+            raise ValueError(
+                f"header_prefix_bytes must be >= 32 (the largest fixed "
+                f"header region), got {header_prefix_bytes}"
+            )
+        src = df.select(
+            *cols,
+            F.length(F.col("payload")).alias("_full_len"),
+            F.substring(F.col("payload"), 1, header_prefix_bytes).alias("payload"),
+        )
+    else:
+        src = df.select(
+            *cols, F.length(F.col("payload")).alias("_full_len"), F.col("payload")
+        )
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
             rows = {k.name: [] for k in PROBE_SCHEMA.fields}
-            for mid, kind, p in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+            for mid, kind, flen, p in zip(
+                pdf["media_id"], pdf["kind"], pdf["_full_len"], pdf["payload"]
+            ):
                 b = bytes(p) if p is not None else b""
                 info = probe_media_header(b)
                 rows["media_id"].append(mid)
                 rows["kind"].append(kind)
-                rows["byte_len"].append(len(b))
+                rows["byte_len"].append(0 if pd.isna(flen) else int(flen))
                 rows["mime"].append(info["mime"] if info else None)
                 for f in ("width", "height", "channels", "bit_depth",
                           "sample_rate", "duration_ms"):
@@ -345,7 +377,7 @@ def probe_media_headers(df: DataFrame) -> DataFrame:
                 )
             yield pd.DataFrame(rows)
 
-    return df.mapInPandas(gen, PROBE_SCHEMA)
+    return src.mapInPandas(gen, PROBE_SCHEMA)
 
 
 def _pil_features(Image, payload: bytes) -> list[float]:

@@ -247,3 +247,36 @@ def test_probe_schema_stable_on_empty_input(spark):
         "media_id", "kind", "byte_len", "mime", "width", "height",
         "channels", "bit_depth", "sample_rate", "duration_ms", "decode_error",
     ]
+
+
+def test_header_prefix_slices_before_python_but_reports_full_len(spark):
+    # a real PNG header followed by megabytes of trailing payload: the
+    # probe must still decode it from the 64 KiB prefix AND report the
+    # full byte length (computed JVM-side, not from the sliced bytes)
+    big = make_png(31, 17) + b"\x00" * (2 * 1024 * 1024)
+    df = spark.createDataFrame(
+        [("big", "image", big), ("wav", "audio", make_wav())],
+        "media_id string, kind string, payload binary",
+    )
+    out = {r["media_id"]: r.asDict() for r in probe_media_headers(df).collect()}
+    assert out["big"]["width"] == 31 and out["big"]["height"] == 17
+    assert out["big"]["byte_len"] == len(big)
+    assert out["wav"]["duration_ms"] == 500  # data-chunk HEADER suffices
+
+    # tiny prefix: a header past it degrades to unrecognized, never wrong
+    tiny = {r["media_id"]: r.asDict()
+            for r in probe_media_headers(df, header_prefix_bytes=32).collect()}
+    assert tiny["big"]["width"] == 31  # PNG IHDR fits in 32 bytes
+    assert tiny["big"]["byte_len"] == len(big)
+
+    with pytest.raises(ValueError, match=">= 32"):
+        probe_media_headers(df, header_prefix_bytes=8)
+
+
+def test_header_prefix_none_ships_whole_payload(spark):
+    df = spark.createDataFrame(
+        [("x", "image", make_png(5, 5))],
+        "media_id string, kind string, payload binary",
+    )
+    out = probe_media_headers(df, header_prefix_bytes=None).collect()[0]
+    assert out["width"] == 5 and out["byte_len"] == len(make_png(5, 5))
