@@ -69,6 +69,16 @@ def build_parser() -> argparse.ArgumentParser:
         "checkpoint manifest, else 'bucketed' when a valid snapshot index "
         "exists on disk, else 'parquet'",
     )
+    p.add_argument(
+        "--publish-table",
+        default=None,
+        metavar="ROOT",
+        help="also publish the run's output to the snapshot table at ROOT "
+        "(plans/snapshot_table.py): full runs bootstrap a clustered "
+        "overwrite; --incremental ticks apply ONLY the tick's delta as "
+        "one atomic stats-pruned MERGE+DELETE commit while the recorded "
+        "correspondence holds (Iceberg write-back, north_star)",
+    )
     p.add_argument("--skew-salt", type=int, default=8)
     p.add_argument("--lang-detect", action="store_true")
     p.add_argument("--store-source", action="store_true")
@@ -2121,7 +2131,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
                 try:
                     res = run_incremental_update(
-                        spark, args.input, args.output, settings, layout=args.layout
+                        spark, args.input, args.output, settings, layout=args.layout,
+                        publish_table=args.publish_table,
                     )
                 except (FileNotFoundError, RuntimeError, ValueError) as e:
                     # ValueError covers SettingsMismatchError (drifted
@@ -2130,7 +2141,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     return 2
             else:
                 try:
-                    res = run_extraction_job(spark, args.input, args.output, settings)
+                    res = run_extraction_job(
+                        spark, args.input, args.output, settings,
+                        publish_table=args.publish_table,
+                    )
                 except (FileNotFoundError, RuntimeError, ValueError) as e:
                     # ValueError covers SettingsMismatchError: a resume
                     # with drifted settings gets the same clean exit-2

@@ -87,6 +87,14 @@ class CheckpointManifest:
     # whenever that correspondence can't be proven (non-snapshot inputs,
     # resumed/partial full runs): the tick then full-diffs and re-records.
     input_snapshot: int | None = None
+    # where (and as which snapshot id) this output was last PUBLISHED to
+    # a snapshot table: {"root": str, "snapshot_id": int}. The delta-
+    # publish precondition — a tick may apply_delta onto the table ONLY
+    # while table.current_id() still equals the recorded id AND the
+    # output has not mutated unpublished since (any mutating tick that
+    # skips publishing clears this). None ⇒ the next publish bootstraps
+    # a full overwrite.
+    published: dict | None = None
     # True while an explicit set_next_check is pending its save — save()
     # then skips the on-disk pull-forward merge (the overwrite path)
     _next_check_dirty: bool = field(default=False, repr=False, compare=False)
@@ -134,6 +142,7 @@ class CheckpointManifest:
                 next_check=d.get("next_check"),
                 tick_layout=d.get("tick_layout"),
                 input_snapshot=d.get("input_snapshot"),
+                published=d.get("published"),
             )
             # refuse to mix incompatible runs; a legacy manifest without a
             # recorded fingerprint adopts the caller's (cannot verify)
@@ -263,6 +272,14 @@ class CheckpointManifest:
             self.input_snapshot = snapshot_id
             self.save()
 
+    def set_published(self, root: str | None, snapshot_id: int | None = None) -> None:
+        """Record (or clear, with root=None) the snapshot table + id this
+        output's contents were last published to; see the field doc."""
+        new = None if root is None else {"root": root, "snapshot_id": snapshot_id}
+        if self.published != new:
+            self.published = new
+            self.save()
+
     def finish(self) -> None:
         self.state = "COMPLETED"
         self.save()
@@ -283,6 +300,7 @@ class CheckpointManifest:
             "next_check": self.next_check,
             "tick_layout": self.tick_layout,
             "input_snapshot": self.input_snapshot,
+            "published": self.published,
         }
 
     def save(self) -> None:
@@ -325,6 +343,7 @@ class CheckpointManifest:
             "next_check": self.next_check,
             "tick_layout": self.tick_layout,
             "input_snapshot": self.input_snapshot,
+            "published": self.published,
         }
         dir_ = os.path.dirname(self.path) or "."
         os.makedirs(dir_, exist_ok=True)

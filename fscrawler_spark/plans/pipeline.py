@@ -236,6 +236,86 @@ def request_pause(output_dir: str) -> None:
     CheckpointManifest(os.path.join(output_dir, "_checkpoint.json")).request_pause()
 
 
+def _publish_to_table(
+    spark: SparkSession,
+    out_data: str,
+    manifest: "CheckpointManifest",
+    table_root: str,
+    run_id: str,
+    upsert_df=None,
+    delete_df=None,
+    counters: dict | None = None,
+    mutated: bool = True,
+) -> dict:
+    """Publish the extraction output to a snapshot table
+    (plans/snapshot_table.py) — the north_star's "write results back to a
+    partitioned Iceberg table": every publish is ONE atomic table commit
+    whose manifest carries the run's counters (snapshot-summary analog),
+    so the extraction history is time-travelable/rollback-able like any
+    other table.
+
+    Two modes, picked by the recorded correspondence
+    (CheckpointManifest.published):
+
+    * **delta** — the table provably equals the PRE-tick output (recorded
+      root+snapshot_id still match ``table.current_id()``): apply exactly
+      this tick's delta via apply_delta (MERGE + DELETE in one commit,
+      stats-pruned to the touched data files) — O(delta + touched files),
+      the corpus never rides the publish.
+    * **bootstrap** — no recorded correspondence (first publish, an
+      unpublished mutation cleared it, an external writer advanced the
+      table, or a different table root): full overwrite of the output
+      contents, range-clustered by (conv_id, turn_idx) so later delta
+      publishes prune sharply. O(corpus), once.
+
+    A crash between the table commit and the manifest record leaves the
+    recorded id stale ⇒ the next publish detects the mismatch and
+    re-bootstraps — never a silent half-applied table.
+    """
+    from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+    root = os.path.abspath(table_root)
+    tbl = SnapshotTable(root)
+    pub = manifest.published
+    in_sync = (
+        bool(pub)
+        and pub.get("root") == root
+        and tbl.exists()
+        and tbl.current_id() == pub.get("snapshot_id")
+    )
+    extra = {"published_by": run_id, **(counters or {})}
+    if in_sync and not mutated:
+        # no-op tick over an in-sync table: nothing to commit
+        return {
+            "root": root,
+            "snapshot_id": pub["snapshot_id"],
+            "mode": "noop",
+            "files_rewritten": 0,
+        }
+    if in_sync:
+        res = tbl.apply_delta(spark, upsert_df, delete_df, extra=extra)
+        manifest.set_published(root, res["snapshot_id"])
+        return {
+            "root": root,
+            "snapshot_id": res["snapshot_id"],
+            "mode": "delta",
+            "files_rewritten": res["files_rewritten"],
+        }
+    if not _has_parquet_files(spark, out_data):
+        raise ValueError(
+            f"publish: {out_data} holds no data files — nothing to bootstrap "
+            "the table from (run the extraction first)"
+        )
+    sid = tbl.overwrite(
+        spark,
+        spark.read.parquet(out_data),
+        cluster_by=("conv_id", "turn_idx"),
+        extra=extra,
+    )
+    manifest.set_published(root, sid)
+    return {"root": root, "snapshot_id": sid, "mode": "bootstrap", "files_rewritten": None}
+
+
 def run_incremental_update(
     spark: SparkSession,
     input_path: str,
@@ -243,6 +323,7 @@ def run_incremental_update(
     settings: ExtractSettings | None = None,
     dry_run: bool = False,
     layout: str | None = None,
+    publish_table: str | None = None,
 ) -> dict:
     """Public tick entry: real ticks hold the per-output job lock (ONE
     mutator per table, like the reference's one-thread-per-job model —
@@ -250,11 +331,11 @@ def run_incremental_update(
     stay lock-free and read-only. Full semantics on the impl below."""
     if dry_run:
         return _run_incremental_update_impl(
-            spark, input_path, output_dir, settings, dry_run, layout
+            spark, input_path, output_dir, settings, dry_run, layout, publish_table
         )
     with _JobLock(output_dir, "incremental-tick"):
         return _run_incremental_update_impl(
-            spark, input_path, output_dir, settings, dry_run, layout
+            spark, input_path, output_dir, settings, dry_run, layout, publish_table
         )
 
 
@@ -265,6 +346,7 @@ def _run_incremental_update_impl(
     settings: ExtractSettings | None = None,
     dry_run: bool = False,
     layout: str | None = None,
+    publish_table: str | None = None,
 ) -> dict:
     """Steady-state incremental tick — the reference's recurring-scan
     loop body (FsParser.run() per update_rate, FsParser.java:488-556)
@@ -745,12 +827,39 @@ def _run_incremental_update_impl(
         # a non-snapshot tick re-synced the output to some other input:
         # the recorded correspondence no longer holds
         manifest.set_input_snapshot(None)
+    # publish: mirror this tick's delta onto the snapshot table (or
+    # bootstrap it) — see _publish_to_table. Rows to MERGE are exactly
+    # the fresh extractions; rows to DELETE are the vanished keys (gone)
+    # plus the PURGED keys (changed but filtered out of the output —
+    # in changed_keys yet absent from fresh). A mutating tick that skips
+    # publishing breaks the table==output correspondence: clear it so
+    # the next publish bootstraps instead of silently missing this delta.
+    mutated = bool(targets)
+    published = None
+    if publish_table is not None:
+        purged = changed_keys.select("conv_id", "turn_idx").join(
+            fresh.select("conv_id", "turn_idx"), ["conv_id", "turn_idx"], "left_anti"
+        )
+        published = _publish_to_table(
+            spark,
+            out_data,
+            manifest,
+            publish_table,
+            run_id,
+            upsert_df=fresh,
+            delete_df=gone.unionByName(purged).distinct(),
+            counters={"changed": changed, "deleted": deleted},
+            mutated=mutated,
+        )
+    elif mutated and manifest.published is not None:
+        manifest.set_published(None)
     return {
         "run_id": run_id,
         "changed": changed,
         "deleted": deleted,
         "touched_buckets": targets,
         "layout": "snapshot-diff" if use_snapdiff else layout,
+        "published": published,
         **(
             {
                 "input_snapshot": snap_to,
@@ -1071,12 +1180,14 @@ def run_extraction_job(
     resume: bool = True,
     fail_after_buckets: int | None = None,
     wave_hook: Callable[[int, list[int]], None] | None = None,
+    publish_table: str | None = None,
 ) -> dict:
     """Public full-run entry: holds the per-output job lock for the whole
     run (single mutator per table; see _JobLock). Full semantics below."""
     with _JobLock(output_dir, "extraction-job"):
         return _run_extraction_job_impl(
-            spark, input_path, output_dir, settings, resume, fail_after_buckets, wave_hook
+            spark, input_path, output_dir, settings, resume, fail_after_buckets,
+            wave_hook, publish_table,
         )
 
 
@@ -1088,6 +1199,7 @@ def _run_extraction_job_impl(
     resume: bool = True,
     fail_after_buckets: int | None = None,
     wave_hook: Callable[[int, list[int]], None] | None = None,
+    publish_table: str | None = None,
 ) -> dict:
     """One crawl "run": extract all pending buckets, write output
     partitioned by part_bucket, append lineage metrics, maintain the
@@ -1149,12 +1261,20 @@ def _run_extraction_job_impl(
                     "(--restart or an incremental tick), or set "
                     "continue_on_error=True"
                 )
+        published = None
+        if publish_table is not None:
+            # nothing mutated: noop if the table is already in sync,
+            # bootstrap otherwise (first publish of an existing output)
+            published = _publish_to_table(
+                spark, out_data, manifest, publish_table, run_id, mutated=False
+            )
         manifest.finish()
         return {
             "run_id": run_id,
             "status": "completed",
             "written_buckets": [],
             "skipped_buckets": sorted(manifest.completed),
+            "published": published,
         }
 
     # snapshot-table input: pin the WHOLE run (every wave in this call)
@@ -1204,6 +1324,12 @@ def _run_extraction_job_impl(
 
             invalidate_snapshot(output_dir)
             clear_count_cache()  # cached plan counts are stale once we write
+            # the published-table correspondence (if any) refers to the
+            # PRE-run output: broken by this write. Cleared BEFORE the
+            # write (persisted immediately) so a crash mid-run can never
+            # leave a later delta-publish skipping this run's mutations.
+            if manifest.published is not None:
+                manifest.set_published(None)
         attempt = 0
         while True:
             try:
@@ -1285,6 +1411,14 @@ def _run_extraction_job_impl(
         # data): the correspondence is broken — clear, the next tick
         # full-diffs and re-records
         manifest.set_input_snapshot(None)
+    published = None
+    if publish_table is not None:
+        # a full run has no tracked delta — the first-write clear above
+        # guarantees the helper bootstraps (full clustered overwrite)
+        published = _publish_to_table(
+            spark, out_data, manifest, publish_table, run_id,
+            mutated=bool(written),
+        )
     manifest.finish()
     return {
         "run_id": run_id,
@@ -1293,4 +1427,5 @@ def _run_extraction_job_impl(
         "skipped_buckets": sorted(set(manifest.completed) - set(written)),
         "output": out_data,
         "metrics": out_metrics,
+        "published": published,
     }

@@ -291,19 +291,24 @@ class SnapshotTable:
         return entries
 
     def history(self) -> list[dict]:
-        """Commit log (Iceberg ``table.history()`` analog)."""
+        """Commit log (Iceberg ``table.history()`` analog). Non-core
+        manifest keys (the ``extra`` summary a committer attached, e.g. a
+        publish's run_id/counters) ride along under ``summary``."""
+        core = {"format_version", "snapshot_id", "parent_id", "operation", "schema", "files"}
         out = []
         for sid in self.snapshot_ids():
             m = self.manifest(sid)
-            out.append(
-                {
-                    "snapshot_id": m["snapshot_id"],
-                    "parent_id": m["parent_id"],
-                    "operation": m["operation"],
-                    "files": len(m["files"]),
-                    "rows": sum(f["rows"] for f in m["files"]),
-                }
-            )
+            row = {
+                "snapshot_id": m["snapshot_id"],
+                "parent_id": m["parent_id"],
+                "operation": m["operation"],
+                "files": len(m["files"]),
+                "rows": sum(f["rows"] for f in m["files"]),
+            }
+            summary = {k: v for k, v in m.items() if k not in core}
+            if summary:
+                row["summary"] = summary
+            out.append(row)
         return out
 
     def schema(self) -> T.StructType:
@@ -516,17 +521,21 @@ class SnapshotTable:
         df: DataFrame,
         stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
         cluster_by: Sequence[str] | None = None,
+        extra: dict | None = None,
     ) -> int:
         """Replace the whole table contents in one atomic snapshot. Old
         snapshots stay readable (their files are not deleted).
         ``cluster_by`` range-clusters the rows so file stats prune
-        sharply (see _clustered)."""
+        sharply (see _clustered). ``extra`` lands in the manifest
+        (Iceberg snapshot-summary analog)."""
         df = self._clustered(df, cluster_by)
         cu = uuid.uuid4().hex[:12]
         rels = self._stage_data_files(df, cu)
         entries = _collect_entries(spark, self.root, rels, stat_cols)
         parent = self.snapshot_ids()[-1] if self.snapshot_ids() else None
-        return self._commit(spark, entries, "overwrite", parent, self._schema_json(df))
+        return self._commit(
+            spark, entries, "overwrite", parent, self._schema_json(df), extra
+        )
 
     def append(
         self,
@@ -571,11 +580,13 @@ class SnapshotTable:
         remove_paths: Sequence[str],
         add_df: DataFrame | None,
         stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+        extra: dict | None = None,
     ) -> int:
         """Copy-on-write mutation: drop the named files (RELATIVE paths)
         from the snapshot and add add_df's rows as new files — the
         MERGE/rewrite primitive every upsert/compaction reduces to.
-        Old files stay on disk for time travel."""
+        Old files stay on disk for time travel. ``extra`` lands in the
+        manifest (Iceberg snapshot-summary analog)."""
         parent = self.current_id()
         base = {e.path: e for e in self.files(parent)}
         missing = [p for p in remove_paths if p not in base]
@@ -592,7 +603,7 @@ class SnapshotTable:
         schema_json = self.manifest(parent)["schema"]
         if add_df is not None:
             schema_json = self._evolve_schema(schema_json, add_df, "replace")
-        return self._commit(spark, kept + added, "replace", parent, schema_json)
+        return self._commit(spark, kept + added, "replace", parent, schema_json, extra)
 
     def rollback(self, spark: SparkSession, to_snapshot_id: int) -> int:
         """Roll the table back to an earlier snapshot's exact contents —
@@ -779,6 +790,85 @@ class SnapshotTable:
             keys_df.select(*keys).distinct(), on=list(keys), how="left_anti"
         )
         sid = self.replace(spark, [e.path for e in touched], kept, stat_cols=stat_cols)
+        return {
+            "snapshot_id": sid,
+            "files_rewritten": len(touched),
+            "files_total": len(self.files(sid)),
+        }
+
+    def apply_delta(
+        self,
+        spark: SparkSession,
+        upsert_df: DataFrame | None,
+        delete_keys_df: DataFrame | None,
+        keys: Sequence[str] = ("conv_id", "turn_idx"),
+        stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+        extra: dict | None = None,
+    ) -> dict:
+        """MERGE + DELETE in ONE atomic commit: rows in ``upsert_df``
+        replace same-key rows / insert, keys in ``delete_keys_df`` drop —
+        the combined copy-on-write shape an incremental extraction tick
+        publishes with (a separate upsert then delete would leave a
+        window where a crash strands the table between the two). Same
+        stats pruning as upsert/delete_rows: only files whose footer
+        ranges can contain an affected key are rewritten; everything
+        else carries over by reference. ``extra`` lands in the snapshot
+        manifest (Iceberg snapshot-summary analog) so the tick's
+        run_id/counters ride the table's own history."""
+        from pyspark.sql import functions as F
+
+        empty_keys = None
+        if upsert_df is None and delete_keys_df is None:
+            raise ValueError("apply_delta: nothing to do — both inputs are None")
+        if upsert_df is not None:
+            for k in keys:
+                if k not in upsert_df.columns:
+                    raise ValueError(f"apply_delta: upsert is missing key column {k!r}")
+            dup = (
+                upsert_df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+            )
+            if dup:
+                raise ValueError(
+                    "apply_delta: upsert_df has duplicate keys — dedupe it first"
+                )
+            empty_keys = upsert_df.select(*keys).limit(0)
+        if delete_keys_df is not None:
+            for k in keys:
+                if k not in delete_keys_df.columns:
+                    raise ValueError(f"apply_delta: delete is missing key column {k!r}")
+            if empty_keys is None:
+                empty_keys = delete_keys_df.select(*keys).limit(0)
+        up_keys = upsert_df.select(*keys) if upsert_df is not None else empty_keys
+        del_keys = (
+            delete_keys_df.select(*keys) if delete_keys_df is not None else empty_keys
+        )
+        all_keys = up_keys.unionByName(del_keys).distinct()
+        touched = self._touched_files(all_keys, keys)
+        kept = None
+        if touched:
+            kept = self.read_entries(spark, touched).join(
+                all_keys, on=list(keys), how="left_anti"
+            )
+        if upsert_df is not None and kept is not None:
+            new_rows = kept.unionByName(upsert_df, allowMissingColumns=True)
+        elif upsert_df is not None:
+            new_rows = upsert_df
+        else:
+            new_rows = kept  # pure delete (None when nothing touched)
+        if not touched and upsert_df is None:
+            # declarative no-op: every delete key missed the table
+            return {
+                "snapshot_id": self.current_id(),
+                "files_rewritten": 0,
+                "files_total": len(self.files()),
+            }
+        sid = self.replace(
+            spark,
+            [e.path for e in touched],
+            new_rows,
+            stat_cols=stat_cols,
+            extra=extra,
+        )
         return {
             "snapshot_id": sid,
             "files_rewritten": len(touched),
