@@ -569,6 +569,18 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
         stbl.overwrite(spark, base.repartitionByRange(32, "conv_id", "turn_idx"))
         snap_pristine = os.path.join(scratch, "out_snap_pristine")
         run_extraction_job(spark, f"snap:{stbl.root}", snap_pristine, settings)
+        # publish bootstrap leg: first write-back of the whole output to a
+        # results snapshot table (O(corpus), paid once) — measured BEFORE
+        # the input mutates so the later tick can publish delta-mode. The
+        # copies the trial loop makes inherit the recorded correspondence;
+        # only out_pub below keeps publishing.
+        pub_root = os.path.join(scratch, "pubtbl")
+        t0 = time.perf_counter()
+        r_boot = run_incremental_update(
+            spark, f"snap:{stbl.root}", snap_pristine, settings, publish_table=pub_root
+        )
+        pub_boot_sec = time.perf_counter() - t0
+        assert r_boot["published"]["mode"] == "bootstrap", r_boot
         files_total = len(stbl.files())
         victim_entry = stbl.files()[0]
         old_file = stbl.read_entries(spark, [victim_entry])
@@ -620,6 +632,21 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
             assert res_f["changed"] == res_s["changed"], (res_f, res_s)
             assert res_f["deleted"] == res_s["deleted"], (res_f, res_s)
 
+        # publish delta leg: the same snapdiff tick, now ALSO mirroring its
+        # delta onto the results table as one stats-pruned MERGE+DELETE
+        # commit. Scale signals: out_files_rewritten (stats pruning on the
+        # conv-clustered table, vs rewriting all out_files_total) and the
+        # wall delta vs the publish-free snapdiff leg.
+        out_pub = os.path.join(scratch, "out_pub")
+        shutil.copytree(snap_pristine, out_pub)
+        t0 = time.perf_counter()
+        r_pub = run_incremental_update(
+            spark, f"snap:{stbl.root}", out_pub, settings, publish_table=pub_root
+        )
+        pub_tick_sec = time.perf_counter() - t0
+        assert r_pub["published"]["mode"] == "delta", r_pub
+        assert r_pub["changed"] == res_s["changed"], (r_pub, res_s)
+        pub_tbl = SnapshotTable(pub_root)
         snapshot_legs = {
             "files_total": files_total,
             "files_read": res_s["input_files_read"],
@@ -629,6 +656,12 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
             "fulldiff_sec": round(min(fulldiff_sec), 3),
             "snapdiff_shuffle_bytes": min(snapdiff_shuffle),
             "fulldiff_shuffle_bytes": min(fulldiff_shuffle),
+            "publish": {
+                "bootstrap_sec": round(pub_boot_sec, 3),
+                "tick_with_delta_publish_sec": round(pub_tick_sec, 3),
+                "out_files_rewritten": r_pub["published"]["files_rewritten"],
+                "out_files_total": len(pub_tbl.files()),
+            },
         }
 
         # assembly-store legs on the already-ticked first output:
@@ -783,7 +816,11 @@ def main() -> None:
             f"{tick['snapshot']['snapdiff_shuffle_bytes'] // 1024}KiB/"
             f"{tick['snapshot']['files_read']}of{tick['snapshot']['files_total']}f "
             f"vs fulldiff {tick['snapshot']['fulldiff_sec']:.1f}s/"
-            f"{tick['snapshot']['fulldiff_shuffle_bytes'] // 1024}KiB |\n"
+            f"{tick['snapshot']['fulldiff_shuffle_bytes'] // 1024}KiB; "
+            f"publish boot {tick['snapshot']['publish']['bootstrap_sec']:.1f}s, "
+            f"tick+delta-publish {tick['snapshot']['publish']['tick_with_delta_publish_sec']:.1f}s "
+            f"({tick['snapshot']['publish']['out_files_rewritten']}of"
+            f"{tick['snapshot']['publish']['out_files_total']}f rewritten) |\n"
         )
 
     print(
