@@ -156,6 +156,18 @@ def build_parser() -> argparse.ArgumentParser:
         "O(metadata), no SparkSession), print the new snapshot id, exit",
     )
     p.add_argument(
+        "--table-compact",
+        type=int,
+        nargs="?",
+        const=128,
+        default=None,
+        metavar="TARGET_MB",
+        help="bin-pack the --output snapshot table's small data files into "
+        "~TARGET_MB files (default 128) as one copy-on-write commit "
+        "(Iceberg rewriteDataFiles analog; rows byte-equal, a manifest-"
+        "diff tick across it does zero work), print the rewrite stats, exit",
+    )
+    p.add_argument(
         "--compact",
         action="store_true",
         help="treat --input as a STREAMING file-sink directory and compact "
@@ -805,10 +817,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         and not args.assemble_store
         and args.table_upsert is None
         and args.table_delete is None
+        and args.table_compact is None
     ):
-        # --doctor/--table-upsert/--table-delete need only --output (like
-        # the control verbs, but they read parquet so they do need a
-        # session)
+        # --doctor/--table-upsert/--table-delete/--table-compact need only
+        # --output (like the control verbs, but they read parquet so they
+        # do need a session)
         print("error: --input is required to run a crawl", file=sys.stderr)
         return 2
     if args.restart and args.incremental:
@@ -1259,6 +1272,20 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             res = check_output(spark, args.output)
             print(json.dumps(res))
             return 0 if res["ok"] else 3
+        if args.table_compact is not None:
+            from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+            t = SnapshotTable(args.output)
+            if not t.exists():
+                print(f"error: no snapshot table at {args.output}", file=sys.stderr)
+                return 2
+            if args.table_compact < 1:
+                print("error: --table-compact target must be >= 1 MB", file=sys.stderr)
+                return 2
+            res = t.compact(spark, target_file_bytes=args.table_compact * 1024 * 1024)
+            res["operation"] = "compact"
+            print(json.dumps(res))
+            return 0
         if args.table_upsert is not None or args.table_delete is not None:
             from fscrawler_spark.plans.snapshot_table import SnapshotTable
 

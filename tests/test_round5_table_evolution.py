@@ -504,3 +504,28 @@ def test_cli_table_upsert_and_delete(spark, tmp_path, capsys):
     dup = str(tmp_path / "dup")
     _df(spark, _rows("a", 0, 1) + _rows("a", 0, 1)).write.parquet(dup)
     assert main(["--output", t.root, "--table-upsert", dup], spark=spark) == 2
+
+
+def test_cli_table_compact(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    for c in range(4):
+        t.append(spark, _df(spark, _rows(f"c{c}", 0, 3)).coalesce(1))
+    before = _texts(t.read(spark))
+    assert len(t.files()) == 4
+
+    assert main(["--output", t.root, "--table-compact"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["operation"] == "compact" and out["rewritten"] == 4
+    assert len(t.files()) < 4
+    assert _texts(t.read(spark)) == before  # rows byte-equal, layout only
+
+    # already packed: declarative no-op
+    assert main(["--output", t.root, "--table-compact"], spark=spark) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rewritten"] == 0
+
+    # contract: bad args exit 2 with a message, never a traceback
+    assert main(["--output", str(tmp_path / "nope"), "--table-compact"], spark=spark) == 2
+    assert main(["--output", t.root, "--table-compact", "0"], spark=spark) == 2
