@@ -272,8 +272,19 @@ def sft_examples(
     )
     if context_turns is None:
         nprev = F.count(F.lit(1)).over(w)
-        prompt = F.when(nprev <= max_unbounded_context, prompt).otherwise(
-            F.raise_error(
+        # the raise must fire ONLY for rows that become examples: the
+        # target-role filter sits above this projection and Catalyst is
+        # not guaranteed to push it below the Window, so an unguarded
+        # raise would fail the job on a NON-target turn whose prefix is
+        # long (e.g. the user turn after 10k assistant turns) even though
+        # every emitted example is within the bound — exactly what the
+        # docstring promises cannot happen. Non-target overflow rows get
+        # an empty prompt (dropped by the filter either way).
+        prompt = (
+            F.when(nprev <= max_unbounded_context, prompt)
+            .when(F.col("_role") != target_role, F.lit(""))
+            .otherwise(
+                F.raise_error(
                 F.concat(
                     F.lit(
                         "sft_examples(context_turns=None): prefix of "
@@ -283,6 +294,7 @@ def sft_examples(
                         f" turns exceeds max_unbounded_context={max_unbounded_context}"
                         " — bound context_turns or raise the limit deliberately"
                     ),
+                    )
                 )
             )
         )

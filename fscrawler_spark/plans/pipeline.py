@@ -246,6 +246,7 @@ def _publish_to_table(
     delete_df=None,
     counters: dict | None = None,
     mutated: bool = True,
+    pub: dict | None | str = "FROM_MANIFEST",
 ) -> dict:
     """Publish the extraction output to a snapshot table
     (plans/snapshot_table.py) — the north_star's "write results back to a
@@ -271,12 +272,20 @@ def _publish_to_table(
     A crash between the table commit and the manifest record leaves the
     recorded id stale ⇒ the next publish detects the mismatch and
     re-bootstraps — never a silent half-applied table.
+
+    ``pub`` is the correspondence record to validate against — by default
+    the manifest's current one. The mutating tick path passes the record
+    it captured BEFORE durably clearing the field (see
+    run_incremental_update's mutations-begin block): the clear protects
+    against a crash landing between the output mutation and this call,
+    while the captured record lets the surviving path keep delta mode.
     """
     from fscrawler_spark.plans.snapshot_table import SnapshotTable
 
     root = os.path.abspath(table_root)
     tbl = SnapshotTable(root)
-    pub = manifest.published
+    if pub == "FROM_MANIFEST":
+        pub = manifest.published
     in_sync = (
         bool(pub)
         and pub.get("root") == root
@@ -285,7 +294,12 @@ def _publish_to_table(
     )
     extra = {"published_by": run_id, **(counters or {})}
     if in_sync and not mutated:
-        # no-op tick over an in-sync table: nothing to commit
+        # no-op tick over an in-sync table: nothing to commit. If the
+        # caller's pre-mutation clear fired but nothing actually mutated
+        # (e.g. vanished keys that hit no stored rows), restore the still-
+        # valid record so the next tick keeps delta mode.
+        if manifest.published != pub:
+            manifest.set_published(root, pub["snapshot_id"])
         return {
             "root": root,
             "snapshot_id": pub["snapshot_id"],
@@ -745,8 +759,34 @@ def _run_incremental_update_impl(
     # trusted until the post-swap refresh re-commits its marker. A no-op
     # tick keeps the marker (nothing below mutates). Applies to BOTH
     # layouts — a parquet-layout tick also stales any existing index.
+    #
+    # The published-table correspondence is cleared HERE, durably, for the
+    # same crash-consistency reason the full run clears it before its
+    # first write (see run_extraction_job): once the output mutates, a
+    # crash before _publish_to_table would otherwise leave a stale record
+    # whose snapshot id still matches the table — the re-run tick then
+    # computes an EMPTY delta vs the already-mutated output and the
+    # crashed tick's rows never reach the table. The pre-mutation record
+    # is captured first so THIS tick's publish can still run delta mode
+    # (the delta below is exactly pre-tick-output → post-tick-output, and
+    # the table is validated against the captured id at publish time);
+    # only a crash in between pays the bootstrap.
+    pub_before = manifest.published
+    # capture BEFORE invalidating: a valid index must be refreshed after
+    # the mutation (partition-scoped) no matter which layout produced the
+    # diff — a snapdiff or parquet tick that only invalidates would leave
+    # a bootstrapped index permanently stale, and the next bucketed
+    # (fallback) tick would pay an O(corpus) rebuild instead of the
+    # O(touched-buckets) refresh this path exists to provide. Never
+    # True when no index was ever bootstrapped (refresh would otherwise
+    # mint a partial index with a valid marker).
+    refresh_index = use_bucketed or snap.snapshot_is_valid(
+        spark, output_dir, settings.num_buckets, fp
+    )
     if touched or (settings.remove_deleted and not gone.isEmpty()):
         snap.invalidate_snapshot(output_dir)
+        if pub_before is not None:
+            manifest.set_published(None)
         # ANN bits-sizing counts cached per (session, plan) are stale the
         # moment the table mutates — same lifecycle as the snapshot marker
         from fscrawler_spark.functions.embeddings import clear_count_cache
@@ -795,10 +835,12 @@ def _run_incremental_update_impl(
     targets = sorted(set(touched) | set(del_res["buckets"]))
     _write_lineage(spark, out_data, out_metrics, run_id, targets)
 
-    # 5. bucketed layout: bring the snapshot index back in sync —
-    # partition-scoped (O(touched buckets)), marker re-committed LAST so
-    # a crash anywhere above forces a rebuild instead of a stale diff
-    if use_bucketed:
+    # 5. bring the snapshot index back in sync — partition-scoped
+    # (O(touched buckets)), marker re-committed LAST so a crash anywhere
+    # above forces a rebuild instead of a stale diff. Runs for ANY diff
+    # layout while an index exists (see refresh_index above): the index
+    # is table state, not bucketed-tick state.
+    if refresh_index:
         snap.refresh_snapshot_buckets(
             spark,
             output_dir,
@@ -850,9 +892,15 @@ def _run_incremental_update_impl(
             delete_df=gone.unionByName(purged).distinct(),
             counters={"changed": changed, "deleted": deleted},
             mutated=mutated,
+            pub=pub_before,
         )
     elif mutated and manifest.published is not None:
         manifest.set_published(None)
+    elif not mutated and pub_before is not None and manifest.published is None:
+        # the pre-mutation clear fired but nothing actually mutated (e.g.
+        # vanished keys that hit no stored rows): the correspondence still
+        # holds — restore it so the next publish keeps delta mode
+        manifest.set_published(pub_before["root"], pub_before["snapshot_id"])
     return {
         "run_id": run_id,
         "changed": changed,

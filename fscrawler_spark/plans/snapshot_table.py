@@ -424,6 +424,24 @@ class SnapshotTable:
         }
         if extra:
             manifest.update(extra)
+        # per-stream committed-epoch high-water marks carry forward through
+        # EVERY commit (Iceberg keeps its streaming watermarks in snapshot
+        # summary properties the same way): the CURRENT manifest therefore
+        # always holds them, so expire_unreferenced() dropping an old
+        # streaming append can never erase its exactly-once dedup record —
+        # a replayed epoch is skipped off this map, not off a scan of
+        # (possibly expired) historical manifests.
+        streams: dict = {}
+        if parent_id is not None:
+            try:
+                streams.update(self.manifest(parent_id).get("streams") or {})
+            except FileNotFoundError:
+                pass  # parent expired mid-commit-loop: rebase will retry
+        if extra and extra.get("stream_id") is not None and extra.get("epoch_id") is not None:
+            sid = str(extra["stream_id"])
+            streams[sid] = max(int(extra["epoch_id"]), int(streams.get(sid, -1)))
+        if streams:
+            manifest["streams"] = streams
         os.makedirs(self.snap_dir, exist_ok=True)
         fd, tmp = tempfile.mkstemp(dir=self.snap_dir, prefix=".tmp-")
         try:
@@ -630,6 +648,7 @@ class SnapshotTable:
         spark: SparkSession,
         target_file_bytes: int = 128 * 1024 * 1024,
         stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
+        cluster_by: Sequence[str] | None = None,
     ) -> dict:
         """Copy-on-write small-file compaction (Iceberg rewriteDataFiles
         analog): bin-pack every data file smaller than half the target
@@ -654,9 +673,18 @@ class SnapshotTable:
         total = sum(e.length for e in small)
         n_out = max(1, -(-total // target_file_bytes))  # ceil
         df = self.read_entries(spark, small)
-        sid = self.replace(
-            spark, [e.path for e in small], df.repartition(n_out), stat_cols=stat_cols
-        )
+        # re-CLUSTER, never round-robin: repartition(n) would spray each
+        # output file across the full key range, so every later keyed
+        # upsert/delete's stats pruning (_touched_files) would match ALL
+        # compacted files and rewrite them — the exact failure _clustered's
+        # doc warns about. Default to the stat columns (they ARE the
+        # pruning keys); a table without them degrades to round-robin.
+        keys = [c for c in (cluster_by or stat_cols) if c in df.columns]
+        if keys:
+            packed = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
+        else:
+            packed = df.repartition(n_out)
+        sid = self.replace(spark, [e.path for e in small], packed, stat_cols=stat_cols)
         before = {e.path for e in entries}
         after = {e.path for e in self.files(sid)}
         return {

@@ -262,21 +262,42 @@ def run_streaming_extraction_to_table(
     table = SnapshotTable(table_root)
     stream_id = hashlib.sha256(checkpoint_dir.encode()).hexdigest()[:16]
 
-    def _committed_epochs(t: SnapshotTable) -> set[int]:
-        done = set()
-        for sid in t.snapshot_ids():
-            m = t.manifest(sid)
-            if m.get("stream_id") == stream_id and m.get("epoch_id") is not None:
-                done.add(m["epoch_id"])
-        return done
+    def _committed_watermark(t: SnapshotTable) -> int:
+        """Highest epoch this stream has committed to the table. Primary
+        source: the CURRENT manifest's ``streams`` map — carried forward
+        through every commit (snapshot_table._commit), so it survives
+        expire_unreferenced() dropping the historical append manifests
+        (otherwise a replayed epoch whose manifest was expired would
+        double-append). Legacy fallback: scan whatever per-snapshot
+        (stream_id, epoch_id) records still exist (pre-``streams``
+        tables). Epochs are strictly increasing per checkpoint, so a
+        single max is a complete dedup record."""
+        if not t.exists():
+            return -1
+        wm = int((t.manifest().get("streams") or {}).get(stream_id, -1))
+        if wm < 0:
+            for sid in t.snapshot_ids():
+                m = t.manifest(sid)
+                if m.get("stream_id") == stream_id and m.get("epoch_id") is not None:
+                    wm = max(wm, int(m["epoch_id"]))
+        return wm
+
+    # read the table-side watermark ONCE per drain (not per batch — the
+    # old per-batch scan re-parsed every historical manifest, O(epochs^2)
+    # across a long drain); only this process commits this stream's
+    # epochs, so the in-memory advance below stays authoritative
+    state = {"wm": None}
 
     def handle(batch_df, epoch_id: int) -> None:
-        if table.exists() and epoch_id in _committed_epochs(table):
+        if state["wm"] is None:
+            state["wm"] = _committed_watermark(table)
+        if epoch_id <= state["wm"]:
             return  # replayed epoch after a crash: already committed
         docs = batch_df.sortWithinPartitions("conv_id", "turn_idx")
         table.append(
             spark, docs, extra={"stream_id": stream_id, "epoch_id": epoch_id}
         )
+        state["wm"] = max(state["wm"], epoch_id)
 
     stream = (
         spark.readStream.schema(TRANSCRIPT_SCHEMA)

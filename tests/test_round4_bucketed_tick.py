@@ -158,15 +158,27 @@ def test_bucketed_tick_respects_remove_deleted_false(spark, bucketed_out, tmp_pa
 
 
 def test_stale_marker_forces_rebuild_not_stale_diff(spark, bucketed_out, tmp_path):
-    """Crash simulation: marker gone after docs mutated out-of-band (a
-    parquet-layout tick). The next bucketed tick must rebuild the index
-    from the docs parquet — a stale index would diff against pre-crash
-    state and miss the parquet tick's changes."""
+    """Crash simulation: marker gone after docs mutated out-of-band. The
+    next bucketed tick must rebuild the index from the docs parquet — a
+    stale index would diff against pre-crash state and miss the
+    out-of-band changes.
+
+    Since the round-5 hardening a HEALTHY parquet-layout tick refreshes a
+    bootstrapped index partition-scoped and re-commits the marker (see
+    tests/test_round5_review_fixes.py::test_parquet_tick_refreshes_bootstrapped_index),
+    so the crash is simulated by invalidating the marker AFTER the tick —
+    exactly the on-disk state a crash between the bucket swaps and the
+    index refresh leaves behind."""
     inp, out = bucketed_out
     inp_v2 = str(tmp_path / "v2.parquet")
     _mutate_input(spark, inp, inp_v2)
-    # mutate via the PARQUET layout: must invalidate the marker
+    # healthy parquet tick: refreshes the bootstrapped index in place
     run_incremental_update(spark, inp_v2, out, SETTINGS, layout="parquet")
+    assert snap.snapshot_is_valid(
+        spark, out, SETTINGS.num_buckets, SETTINGS.fingerprint()
+    )
+    # crash simulation: marker lost after the mutation
+    snap.invalidate_snapshot(out)
     assert not snap.snapshot_is_valid(
         spark, out, SETTINGS.num_buckets, SETTINGS.fingerprint()
     )

@@ -163,6 +163,72 @@ def test_unpublished_mutating_tick_clears_then_rebootstraps(spark, base, tmp_pat
     assert got == _docs_rows(spark, out)
 
 
+def test_crash_between_tick_mutation_and_publish_rebootstraps(spark, base, tmp_path, monkeypatch):
+    """Crash-consistency: the tick clears the published record DURABLY
+    before its first mutation (mirroring the full run's first-write
+    clear). A crash landing between the bucket swaps and
+    _publish_to_table must leave published=None on disk so the re-run
+    bootstraps — NOT a stale record whose id still matches the table,
+    which would make the re-run compute an empty delta vs the already-
+    mutated output and silently drop the crashed tick's rows forever."""
+    import fscrawler_spark.plans.pipeline as pl
+
+    inp, out, tbl, _ = base
+    t = SnapshotTable(tbl)
+    id_before = t.current_id()
+    inp_v2 = str(tmp_path / "v2.parquet")
+    _mutate_input(spark, inp, inp_v2)
+
+    real = pl._publish_to_table
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated crash before publish")
+
+    monkeypatch.setattr(pl, "_publish_to_table", boom)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        run_incremental_update(spark, inp_v2, out, SETTINGS, publish_table=tbl)
+    # the output HAS mutated, the table has not — and the durable clear
+    # already fired, so no stale correspondence survives the crash
+    assert t.current_id() == id_before
+    assert _published(out) is None
+
+    # recovery: the same tick re-runs; with the record gone the publish
+    # bootstraps and the table converges to the post-tick output exactly
+    monkeypatch.setattr(pl, "_publish_to_table", real)
+    res = run_incremental_update(spark, inp_v2, out, SETTINGS, publish_table=tbl)
+    assert res["published"]["mode"] == "bootstrap"
+    cols = [c for c in spark.read.parquet(os.path.join(out, "docs")).columns if c not in ("spans", "meta")]
+    got = t.read(spark).select(*cols).orderBy("conv_id", "turn_idx").collect()
+    assert got == _docs_rows(spark, out)
+    assert _published(out)["snapshot_id"] == t.current_id()
+
+
+def test_mutating_tick_publish_keeps_delta_mode(spark, base, tmp_path):
+    """The pre-mutation clear must NOT demote the surviving path to
+    bootstrap: a normal mutating tick still publishes mode='delta'
+    (validated against the captured pre-mutation record)."""
+    inp, out, tbl, _ = base
+    inp_v2 = str(tmp_path / "v2.parquet")
+    _mutate_input(spark, inp, inp_v2)
+    res = run_incremental_update(spark, inp_v2, out, SETTINGS, publish_table=tbl)
+    assert res["published"]["mode"] == "delta"
+    # and a second mutating tick (fresh delta) also stays delta
+    inp_v3 = str(tmp_path / "v3.parquet")
+    src = spark.read.parquet(inp_v2)
+    src.withColumn(
+        "text",
+        F.when(F.col("turn_idx") % 23 == 5, F.concat(F.col("text"), F.lit(" V3"))).otherwise(
+            F.col("text")
+        ),
+    ).write.mode("overwrite").parquet(inp_v3)
+    res3 = run_incremental_update(spark, inp_v3, out, SETTINGS, publish_table=tbl)
+    assert res3["published"]["mode"] == "delta"
+    t = SnapshotTable(tbl)
+    cols = [c for c in spark.read.parquet(os.path.join(out, "docs")).columns if c not in ("spans", "meta")]
+    got = t.read(spark).select(*cols).orderBy("conv_id", "turn_idx").collect()
+    assert got == _docs_rows(spark, out)
+
+
 def test_externally_advanced_table_forces_bootstrap(spark, base, tmp_path):
     inp, out, tbl, _ = base
     t = SnapshotTable(tbl)
