@@ -279,10 +279,13 @@ def sft_examples(
         # long (e.g. the user turn after 10k assistant turns) even though
         # every emitted example is within the bound — exactly what the
         # docstring promises cannot happen. Non-target overflow rows get
-        # an empty prompt (dropped by the filter either way).
+        # an empty prompt (dropped by the filter either way). eqNullSafe:
+        # role is nullable, and a plain != is NULL (not true) for a
+        # NULL-role turn — it would fall through to the raise even though
+        # the downstream target-role filter drops that row too.
         prompt = (
             F.when(nprev <= max_unbounded_context, prompt)
-            .when(F.col("_role") != target_role, F.lit(""))
+            .when(~F.col("_role").eqNullSafe(F.lit(target_role)), F.lit(""))
             .otherwise(
                 F.raise_error(
                 F.concat(

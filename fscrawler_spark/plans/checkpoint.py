@@ -81,12 +81,17 @@ class CheckpointManifest:
     # scale-correct bucketed diff must not hide behind a flag the operator
     # has to remember (round-5 close of the r4 "opt-in layout" finding).
     tick_layout: str | None = None
-    # snapshot id of the ``snap:`` input table this output is known to
+    # the ``snap:`` input table (and snapshot id) this output is known to
     # equal the extraction of — the basis of the tick's O(changed-files)
-    # manifest-diff delta (plans/pipeline.run_incremental_update). None
-    # whenever that correspondence can't be proven (non-snapshot inputs,
+    # manifest-diff delta (plans/pipeline.run_incremental_update):
+    # {"root": str, "snapshot_id": int}. The root is part of the record
+    # because snapshot ids are only unique WITHIN a table (they always
+    # start at 1): a bare id would let a tick pointed at a different
+    # snap: root — or the same root after a drop-and-recreate — diff the
+    # wrong table's manifests and silently corrupt the output. None
+    # whenever the correspondence can't be proven (non-snapshot inputs,
     # resumed/partial full runs): the tick then full-diffs and re-records.
-    input_snapshot: int | None = None
+    input_snapshot: dict | None = None
     # where (and as which snapshot id) this output was last PUBLISHED to
     # a snapshot table: {"root": str, "snapshot_id": int}. The delta-
     # publish precondition — a tick may apply_delta onto the table ONLY
@@ -141,7 +146,14 @@ class CheckpointManifest:
                 last_error=d.get("last_error"),
                 next_check=d.get("next_check"),
                 tick_layout=d.get("tick_layout"),
-                input_snapshot=d.get("input_snapshot"),
+                # legacy bare-int records carry no table identity — the
+                # exact ambiguity the dict form exists to close — so they
+                # are discarded: one full diff re-records the dict form
+                input_snapshot=(
+                    d["input_snapshot"]
+                    if isinstance(d.get("input_snapshot"), dict)
+                    else None
+                ),
                 published=d.get("published"),
             )
             # refuse to mix incompatible runs; a legacy manifest without a
@@ -264,12 +276,14 @@ class CheckpointManifest:
         self.tick_layout = layout
         self.save()
 
-    def set_input_snapshot(self, snapshot_id: int | None) -> None:
-        """Record (or clear) the input-table snapshot this output now
-        corresponds to; see the field doc. Cleared by any mutation that
-        breaks the output == extraction(snapshot) correspondence."""
-        if self.input_snapshot != snapshot_id:
-            self.input_snapshot = snapshot_id
+    def set_input_snapshot(self, root: str | None, snapshot_id: int | None = None) -> None:
+        """Record (or clear, with root=None) the input table + snapshot
+        this output now corresponds to; see the field doc. Cleared by any
+        mutation that breaks the output == extraction(snapshot)
+        correspondence."""
+        new = None if root is None else {"root": root, "snapshot_id": snapshot_id}
+        if self.input_snapshot != new:
+            self.input_snapshot = new
             self.save()
 
     def set_published(self, root: str | None, snapshot_id: int | None = None) -> None:

@@ -316,6 +316,25 @@ def _publish_to_table(
             "files_rewritten": res["files_rewritten"],
         }
     if not _has_parquet_files(spark, out_data):
+        # a legitimately EMPTIED output (a tick's deletions removed the
+        # last rows — documented no-op state in apply_deletes) must still
+        # be mirrorable: when the table already exists, the correct
+        # bootstrap is an empty overwrite in the table's own schema.
+        # Otherwise publishing would wedge (every tick exits on this
+        # error AFTER mutating the output) and the table would strand its
+        # stale rows forever. Refuse only when there is ALSO no table —
+        # then there is genuinely no schema to bootstrap from.
+        if tbl.exists():
+            sid = tbl.overwrite(
+                spark, spark.createDataFrame([], tbl.schema()), extra=extra
+            )
+            manifest.set_published(root, sid)
+            return {
+                "root": root,
+                "snapshot_id": sid,
+                "mode": "bootstrap",
+                "files_rewritten": None,
+            }
         raise ValueError(
             f"publish: {out_data} holds no data files — nothing to bootstrap "
             "the table from (run the extraction first)"
@@ -509,7 +528,23 @@ def _run_incremental_update_impl(
         snap_tbl = SnapshotTable(snap_root)
         snap_to = _sid if _sid is not None else snap_tbl.current_id()
         input_path = f"{SNAP_INPUT_PREFIX}{snap_root}@{snap_to}"
-        snap_from = manifest.input_snapshot
+        # the recorded base counts ONLY for this exact table: snapshot ids
+        # are table-local (every table numbers from 1), so a base recorded
+        # against a different snap: root — or this root after a
+        # drop-and-recreate — would happily diff the WRONG manifests and
+        # silently corrupt the output. Root mismatch ⇒ full diff, and the
+        # correspondence re-records below against the new root.
+        _rec = manifest.input_snapshot
+        if isinstance(_rec, dict) and _rec.get("root") == os.path.abspath(snap_root):
+            snap_from = _rec["snapshot_id"]
+        else:
+            snap_from = None
+            if _rec is not None:
+                logging.getLogger(__name__).warning(
+                    "recorded diff base %s belongs to a different table than "
+                    "%s; full-diffing this tick and re-recording",
+                    _rec, os.path.abspath(snap_root),
+                )
     src = read_transcripts(spark, input_path)
     if _has_parquet_files(spark, out_data):
         prev = spark.read.parquet(out_data)
@@ -864,7 +899,7 @@ def _run_incremental_update_impl(
         # (the delta applied on top of the recorded base) or by full diff
         # (output forced to match src == snapshot snap_to): either way the
         # NEXT tick may manifest-diff from here
-        manifest.set_input_snapshot(snap_to)
+        manifest.set_input_snapshot(os.path.abspath(snap_root), snap_to)
     elif manifest.input_snapshot is not None:
         # a non-snapshot tick re-synced the output to some other input:
         # the recorded correspondence no longer holds
@@ -1451,7 +1486,7 @@ def _run_extraction_job_impl(
         # a from-scratch full run over snapshot S completed every bucket:
         # the output IS extraction(S) — record it so the first tick can
         # manifest-diff instead of full-diffing
-        manifest.set_input_snapshot(snap_to)
+        manifest.set_input_snapshot(os.path.abspath(root), snap_to)
     elif manifest.input_snapshot is not None:
         # a non-virgin full run (resume over an existing table, or a
         # non-snapshot input) may leave rows the recorded snapshot never

@@ -42,6 +42,7 @@ scales with row count.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -111,7 +112,22 @@ def _json_scalar(v):
             return v.decode("utf-8")
         except UnicodeDecodeError:
             return None  # undecodable byte stats: drop (conservative keep)
-    # datetime.datetime / date: ISO-8601 strings sort chronologically
+    # datetime.datetime: NAIVE-UTC, FIXED-precision ISO-8601. Two
+    # normalizations, both load-bearing for lexical==chronological:
+    # - bare isoformat() omits ".000000" on whole-second values, so a
+    #   mixed-precision pair compares wrong (a "...T00:00:00.000000"
+    #   literal sorts above a stored "...T00:00:00" equal instant);
+    # - pyarrow returns tz-AWARE stats (parquet TIMESTAMP_MICROS is
+    #   UTC-adjusted) while caller literals are usually naive — a
+    #   trailing "+00:00" breaks the comparison the same way. Predicate
+    #   literals run through this same function (file_may_match), so
+    #   both sides land in the one canonical form; naive caller
+    #   datetimes are interpreted as UTC.
+    if isinstance(v, datetime.datetime):
+        if v.tzinfo is not None:
+            v = v.astimezone(datetime.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="microseconds")
+    # datetime.date / time: ISO-8601 strings sort chronologically
     iso = getattr(v, "isoformat", None)
     return iso() if iso else str(v)
 
@@ -213,11 +229,21 @@ def file_may_match(entry: FileEntry, predicates: Iterable[tuple]) -> bool:
     file's stats PROVE no row can match. Predicates are
     ``(col, op, value)`` with op in {'=','<','<=','>','>=','between'}
     ('between' takes a (lo, hi) value). Unknown column / missing stats /
-    type mismatch -> keep the file."""
+    type mismatch -> keep the file.
+
+    Timestamp predicates: pass datetime objects (normalized here to the
+    same fixed-precision ISO form the stats are stored in) or ISO strings
+    WITH microseconds ("...T00:00:00.000000") — a bare-seconds string
+    compares lexically below the stored fixed-precision equal instant and
+    could prune a file that matches."""
     for col, op, val in predicates:
         s = _stat_cmp_value(entry.stats, col)
         if s is None:
             continue
+        if op == "between":
+            val = tuple(_json_scalar(v) for v in val)
+        else:
+            val = _json_scalar(val)
         lo, hi = s["min"], s["max"]
         try:
             if op == "=" and (val < lo or val > hi):
@@ -326,12 +352,19 @@ class SnapshotTable:
         explicit file list — snapshot isolation by construction: commits
         after this call cannot change what the plan reads. The stored
         schema is applied so an empty (fully pruned) read keeps the
-        table's exact shape."""
-        m = self.manifest(snapshot_id)
+        table's exact shape.
+
+        The snapshot id is resolved ONCE: passing snapshot_id=None down
+        to read_entries would re-resolve "current" there, and a commit
+        racing in between (e.g. an overwrite() changing a column type)
+        would bind THIS snapshot's files to the NEWER snapshot's schema —
+        exactly the torn read this method promises cannot happen."""
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        m = self.manifest(sid)
         entries = [FileEntry.from_dict(d) for d in m["files"]]
         if predicates:
             entries = [e for e in entries if file_may_match(e, predicates)]
-        return self.read_entries(spark, entries, snapshot_id=snapshot_id)
+        return self.read_entries(spark, entries, snapshot_id=sid)
 
     def read_entries(
         self,

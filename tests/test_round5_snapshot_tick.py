@@ -53,6 +53,13 @@ def _manifest(out):
     return CheckpointManifest.load_or_create(os.path.join(out, "_checkpoint.json"))
 
 
+def _base_id(out):
+    """Recorded diff base's snapshot id (the record is {root, snapshot_id}
+    since the table-identity fix — a bare id could collide across tables)."""
+    rec = _manifest(out).input_snapshot
+    return rec["snapshot_id"] if rec else None
+
+
 def _build_table(spark, root, groups=4, convs_per_group=3, turns=10):
     """One append per group -> each group lives in its own data file(s),
     so a replace() of one group's file leaves the others untouched."""
@@ -70,7 +77,7 @@ def test_virgin_full_run_records_input_snapshot(spark, tmp_path):
     out = str(tmp_path / "out")
     res = run_extraction_job(spark, f"snap:{t.root}", out, SETTINGS)
     assert res["status"] == "completed"
-    assert _manifest(out).input_snapshot == t.current_id()
+    assert _base_id(out) == t.current_id()
 
 
 def test_snapdiff_tick_equals_full_recompute(spark, tmp_path):
@@ -101,7 +108,7 @@ def test_snapdiff_tick_equals_full_recompute(spark, tmp_path):
     # moved-but-identical rows are NOT re-extracted
     assert res["changed"] == 10 + 4
     assert res["deleted"] == 10
-    assert _manifest(out).input_snapshot == t.current_id()
+    assert _base_id(out) == t.current_id()
 
     # ground truth: full recompute of the current snapshot from scratch
     full = str(tmp_path / "full")
@@ -134,7 +141,7 @@ def test_tick_without_base_falls_back_then_records(spark, tmp_path):
     res = run_incremental_update(spark, f"snap:{t.root}", out, SETTINGS)
     assert res["layout"] in ("parquet", "bucketed")  # fallback full diff
     assert res["input_snapshot"] == t.current_id()
-    assert _manifest(out).input_snapshot == t.current_id()
+    assert _base_id(out) == t.current_id()
 
     # second tick fast-paths
     res2 = run_incremental_update(spark, f"snap:{t.root}", out, SETTINGS)
@@ -145,7 +152,7 @@ def test_non_snapshot_tick_clears_base(spark, tmp_path):
     t = _build_table(spark, str(tmp_path / "tbl"), groups=2)
     out = str(tmp_path / "out")
     run_extraction_job(spark, f"snap:{t.root}", out, SETTINGS)
-    assert _manifest(out).input_snapshot == t.current_id()
+    assert _base_id(out) == t.current_id()
     plain = str(tmp_path / "plain.parquet")
     t.read(spark).write.parquet(plain)
     run_incremental_update(spark, plain, out, SETTINGS)
@@ -156,7 +163,7 @@ def test_non_virgin_full_run_clears_base(spark, tmp_path):
     t = _build_table(spark, str(tmp_path / "tbl"), groups=2)
     out = str(tmp_path / "out")
     run_extraction_job(spark, f"snap:{t.root}", out, SETTINGS)
-    assert _manifest(out).input_snapshot == t.current_id()
+    assert _base_id(out) == t.current_id()
     # resume=False over the EXISTING table: dynamic overwrite can keep
     # buckets the new data misses -> correspondence no longer provable
     run_extraction_job(spark, f"snap:{t.root}", out, SETTINGS, resume=False)
@@ -173,7 +180,7 @@ def test_expired_base_falls_back(spark, tmp_path):
 
     res = run_incremental_update(spark, f"snap:{t.root}", out, SETTINGS)
     assert res["layout"] in ("parquet", "bucketed")  # graceful fallback
-    assert _manifest(out).input_snapshot == t.current_id()
+    assert _base_id(out) == t.current_id()
     full = str(tmp_path / "full")
     run_extraction_job(spark, f"snap:{t.root}", full, SETTINGS)
     assert _docs_sorted(spark, out) == _docs_sorted(spark, full)
@@ -189,7 +196,7 @@ def test_dry_run_previews_without_recording(spark, tmp_path):
 
     preview = run_incremental_update(spark, f"snap:{t.root}", out, SETTINGS, dry_run=True)
     assert preview["dry_run"] and preview["layout"] == "snapshot-diff"
-    assert _manifest(out).input_snapshot == base  # NOT advanced
+    assert _base_id(out) == base  # NOT advanced
     real = run_incremental_update(spark, f"snap:{t.root}", out, SETTINGS)
     assert (preview["changed"], preview["deleted"]) == (real["changed"], real["deleted"])
     assert sorted(preview["touched_buckets"]) == sorted(real["touched_buckets"])
@@ -227,7 +234,7 @@ def test_compaction_tick_is_a_noop(spark, tmp_path):
     assert res["changed"] == 0 and res["deleted"] == 0
     assert res["touched_buckets"] == []
     assert _docs_sorted(spark, out) == before_docs
-    assert _manifest(out).input_snapshot == t.current_id()
+    assert _base_id(out) == t.current_id()
 
 
 def test_compact_noop_below_two_small_files(spark, tmp_path):
