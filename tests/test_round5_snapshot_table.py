@@ -86,6 +86,36 @@ def test_commit_conflict_is_exclusive(spark, tmp_path):
         t._commit(spark, files, "replace", parent_id=1, schema_json=schema_json)
 
 
+def test_append_rebases_after_concurrent_commit(spark, tmp_path, monkeypatch):
+    """Append's optimistic-commit loop (Iceberg retry): a concurrent
+    commit landing between append's current-read and its commit must not
+    lose EITHER update — the loop re-reads current, rebases the file
+    list, and re-commits without re-staging the data files."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.overwrite(spark, _df(spark, _rows("a", 0, 5)))
+    other = SnapshotTable(root)
+    real = SnapshotTable._commit
+    state = {"raced": False}
+
+    def racing(self, sp, files, op, parent_id, schema_json, extra=None):
+        if not state["raced"] and op == "append":
+            state["raced"] = True
+            # another writer lands a same-parent commit FIRST (a replace
+            # keeping the same files): the append's first attempt now
+            # EEXISTs and must rebase
+            real(other, sp, other.files(), "replace", parent_id, schema_json)
+        return real(self, sp, files, op, parent_id, schema_json, extra)
+
+    monkeypatch.setattr(SnapshotTable, "_commit", racing)
+    t.append(spark, _df(spark, _rows("b", 0, 4)))
+    assert state["raced"]
+    assert t.current_id() == 3  # v2 = racer, v3 = rebased append
+    got = _collected(t.read(spark))
+    assert len(got) == 9  # neither update lost
+    assert {c for c, _, _ in got} == {"a", "b"}
+
+
 def test_torn_manifest_is_unreachable(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.overwrite(spark, _df(spark, _rows("a", 0, 3)))
