@@ -46,6 +46,11 @@ def migrate_manifest_dict(d: dict) -> dict:
     if "completed_buckets" in d and "completed" not in d:
         d["completed"] = d.pop("completed_buckets")
         d.setdefault("state", "RUNNING")
+    # legacy bare-int diff base: carries no table identity — the exact
+    # ambiguity the {root, snapshot_id} form closes (snapshot ids are
+    # table-local) — so it is discarded; one full diff re-records
+    if not isinstance(d.get("input_snapshot"), (dict, type(None))):
+        d["input_snapshot"] = None
     return d
 
 
@@ -146,14 +151,9 @@ class CheckpointManifest:
                 last_error=d.get("last_error"),
                 next_check=d.get("next_check"),
                 tick_layout=d.get("tick_layout"),
-                # legacy bare-int records carry no table identity — the
-                # exact ambiguity the dict form exists to close — so they
-                # are discarded: one full diff re-records the dict form
-                input_snapshot=(
-                    d["input_snapshot"]
-                    if isinstance(d.get("input_snapshot"), dict)
-                    else None
-                ),
+                # legacy bare-int records are discarded by
+                # migrate_manifest_dict above (shared with the doctor)
+                input_snapshot=d.get("input_snapshot"),
                 published=d.get("published"),
             )
             # refuse to mix incompatible runs; a legacy manifest without a

@@ -216,6 +216,36 @@ def check_output(spark: SparkSession, output_dir: str) -> dict:
                     "(emptied by deletions is a valid state)",
                 )
             )
+        # recorded manifest-diff base: {root, snapshot_id} pointing at the
+        # snap: input table this output equals. A vanished root or expired
+        # snapshot is self-healing (the tick warns, full-diffs, re-records)
+        # but worth surfacing — at scale the fallback is a corpus-sized
+        # diff the operator probably wants to know is coming.
+        base = manifest.get("input_snapshot")
+        if isinstance(base, dict) and base.get("root"):
+            from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+            _t = SnapshotTable(base["root"])
+            if not _t.exists():
+                findings.append(
+                    _finding(
+                        "WARN",
+                        "diff_base_table_missing",
+                        f"recorded diff base table {base['root']} no longer "
+                        "exists — the next snap: tick full-diffs (corpus-"
+                        "sized) and re-records",
+                    )
+                )
+            elif not os.path.exists(_t._manifest_path(base["snapshot_id"])):
+                findings.append(
+                    _finding(
+                        "WARN",
+                        "diff_base_snapshot_expired",
+                        f"recorded diff base snapshot {base['snapshot_id']} "
+                        f"of {base['root']} has been expired — the next "
+                        "snap: tick full-diffs and re-records",
+                    )
+                )
 
     # --- metrics reconcile ----------------------------------------------
     # a run killed between its wave writes and the lineage append is a

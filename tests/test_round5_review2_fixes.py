@@ -128,6 +128,37 @@ def test_legacy_bare_int_base_is_discarded(spark, tmp_path):
     }
 
 
+def test_doctor_warns_on_vanished_or_expired_diff_base(spark, tmp_path):
+    """--doctor surfaces a recorded diff base whose table is gone or whose
+    snapshot was expired: self-healing (the tick full-diffs and
+    re-records) but the operator should know a corpus-sized diff is
+    coming."""
+    import shutil
+
+    from fscrawler_spark.plans.doctor import check_output
+
+    t = SnapshotTable(str(tmp_path / "tbl"))
+    t.append(spark, _df(spark, _rows("c0", 6)).coalesce(1))
+    out = str(tmp_path / "out")
+    run_extraction_job(spark, f"snap:{t.root}", out, SETTINGS)
+    assert not [
+        f for f in check_output(spark, out)["findings"] if f["code"].startswith("diff_base")
+    ]
+
+    # expired snapshot (table still exists, base manifest gone)
+    t.append(spark, _df(spark, _rows("c1", 3)).coalesce(1))
+    t.expire_unreferenced(keep_snapshots=1)
+    res = check_output(spark, out)
+    assert "diff_base_snapshot_expired" in [f["code"] for f in res["findings"]]
+    assert res["ok"]  # WARN, not ERROR
+
+    # vanished table
+    shutil.rmtree(t.root)
+    res = check_output(spark, out)
+    assert "diff_base_table_missing" in [f["code"] for f in res["findings"]]
+    assert res["ok"]
+
+
 # ---------------------------------------------------------------- 2 ----
 
 
