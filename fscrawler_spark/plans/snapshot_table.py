@@ -632,29 +632,60 @@ class SnapshotTable:
         add_df: DataFrame | None,
         stat_cols: Sequence[str] = DEFAULT_STAT_COLS,
         extra: dict | None = None,
+        retry_on_conflict: bool = False,
     ) -> int:
         """Copy-on-write mutation: drop the named files (RELATIVE paths)
         from the snapshot and add add_df's rows as new files — the
         MERGE/rewrite primitive every upsert/compaction reduces to.
         Old files stay on disk for time travel. ``extra`` lands in the
-        manifest (Iceberg snapshot-summary analog)."""
-        parent = self.current_id()
-        base = {e.path: e for e in self.files(parent)}
-        missing = [p for p in remove_paths if p not in base]
-        if missing:
-            raise ValueError(
-                f"replace: {missing} not in snapshot {parent} at {self.root}"
-            )
-        kept = [e for p, e in sorted(base.items()) if p not in set(remove_paths)]
+        manifest (Iceberg snapshot-summary analog).
+
+        Concurrency (Iceberg commit-validation analog): by default a
+        concurrent commit raises CommitConflictError — correct for KEYED
+        mutations (upsert/delete), whose touched-file set was computed
+        against the old current: a concurrent append could hold matching
+        keys, so silently rebasing would mint duplicate/ghost rows; the
+        caller must re-run the whole op. ``retry_on_conflict=True`` opts
+        a ROW-PRESERVING rewrite (compaction) into an optimistic rebase
+        loop: it commutes with any commit that leaves our remove set
+        intact (e.g. a live streaming sink appending between our read
+        and commit), so re-read current, re-verify every remove_path is
+        still present (one vanished ⇒ real conflict ⇒ raise), carry the
+        NEW current's other files, and re-commit — data files are staged
+        once."""
         added: list[FileEntry] = []
-        if add_df is not None:
-            cu = uuid.uuid4().hex[:12]
-            rels = self._stage_data_files(add_df, cu)
-            added = _collect_entries(spark, self.root, rels, stat_cols)
-        schema_json = self.manifest(parent)["schema"]
-        if add_df is not None:
-            schema_json = self._evolve_schema(schema_json, add_df, "replace")
-        return self._commit(spark, kept + added, "replace", parent, schema_json, extra)
+        staged = False
+        last: CommitConflictError | None = None
+        for _ in range(5 if retry_on_conflict else 1):
+            parent = self.current_id()
+            base = {e.path: e for e in self.files(parent)}
+            missing = [p for p in remove_paths if p not in base]
+            if missing:
+                if staged:
+                    raise CommitConflictError(
+                        f"replace: {missing} were removed by a concurrent "
+                        f"commit at {self.root}; re-read current and retry "
+                        "the whole operation"
+                    )
+                raise ValueError(
+                    f"replace: {missing} not in snapshot {parent} at {self.root}"
+                )
+            kept = [e for p, e in sorted(base.items()) if p not in set(remove_paths)]
+            if add_df is not None and not staged:
+                cu = uuid.uuid4().hex[:12]
+                rels = self._stage_data_files(add_df, cu)
+                added = _collect_entries(spark, self.root, rels, stat_cols)
+            staged = True
+            schema_json = self.manifest(parent)["schema"]
+            if add_df is not None:
+                schema_json = self._evolve_schema(schema_json, add_df, "replace")
+            try:
+                return self._commit(
+                    spark, kept + added, "replace", parent, schema_json, extra
+                )
+            except CommitConflictError as e:
+                last = e
+        raise last
 
     def rollback(self, spark: SparkSession, to_snapshot_id: int) -> int:
         """Roll the table back to an earlier snapshot's exact contents —
@@ -717,7 +748,16 @@ class SnapshotTable:
             packed = df.repartitionByRange(n_out, *keys).sortWithinPartitions(*keys)
         else:
             packed = df.repartition(n_out)
-        sid = self.replace(spark, [e.path for e in small], packed, stat_cols=stat_cols)
+        # retry_on_conflict: compaction is row-preserving, so it commutes
+        # with a live streaming sink's appends — only a concurrent removal
+        # of one of OUR small files is a real conflict
+        sid = self.replace(
+            spark,
+            [e.path for e in small],
+            packed,
+            stat_cols=stat_cols,
+            retry_on_conflict=True,
+        )
         before = {e.path for e in entries}
         after = {e.path for e in self.files(sid)}
         return {

@@ -116,6 +116,68 @@ def test_append_rebases_after_concurrent_commit(spark, tmp_path, monkeypatch):
     assert {c for c, _, _ in got} == {"a", "b"}
 
 
+def test_compact_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
+    """Compaction under a live stream: a row-preserving rewrite commutes
+    with an append landing between its current-read and its commit — the
+    rebase must keep BOTH the compacted files and the appended file."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.append(spark, _df(spark, _rows("a", 0, 4)).coalesce(1))
+    t.append(spark, _df(spark, _rows("b", 0, 4)).coalesce(1))
+    other = SnapshotTable(root)
+    real = SnapshotTable._commit
+    state = {"raced": False}
+
+    def racing(self, sp, files, op, parent_id, schema_json, extra=None):
+        if not state["raced"] and op == "replace":
+            state["raced"] = True
+            sid = real(
+                other,
+                sp,
+                other.files() + _late_entries(sp, other),
+                "append",
+                parent_id,
+                schema_json,
+            )
+        return real(self, sp, files, op, parent_id, schema_json, extra)
+
+    def _late_entries(sp, tb):
+        from fscrawler_spark.plans.snapshot_table import _collect_entries
+
+        rels = tb._stage_data_files(_df(sp, _rows("late", 0, 3)).coalesce(1), "late0")
+        return _collect_entries(sp, tb.root, rels, ("conv_id", "turn_idx"))
+
+    monkeypatch.setattr(SnapshotTable, "_commit", racing)
+    res = t.compact(spark, target_file_bytes=1024 * 1024)
+    assert state["raced"] and res["rewritten"] == 2
+    got = _collected(t.read(spark))
+    assert len(got) == 11  # 4 + 4 compacted + 3 appended mid-compaction
+    assert {c for c, _, _ in got} == {"a", "b", "late"}
+
+
+def test_keyed_mutation_fail_fasts_on_conflict(spark, tmp_path, monkeypatch):
+    """upsert must NOT silently rebase: its touched-file set was computed
+    against the old current, so a concurrent commit raises and the caller
+    re-runs the whole operation."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.append(spark, _df(spark, _rows("a", 0, 4)).coalesce(1))
+    other = SnapshotTable(root)
+    real = SnapshotTable._commit
+    state = {"raced": False}
+
+    def racing(self, sp, files, op, parent_id, schema_json, extra=None):
+        if not state["raced"] and op == "replace":
+            state["raced"] = True
+            real(other, sp, other.files(), "append", parent_id, schema_json)
+        return real(self, sp, files, op, parent_id, schema_json, extra)
+
+    monkeypatch.setattr(SnapshotTable, "_commit", racing)
+    delta = _df(spark, [("a", 0, "user", "EDITED", None, dt.datetime(2026, 1, 1))])
+    with pytest.raises(CommitConflictError):
+        t.upsert(spark, delta)
+
+
 def test_torn_manifest_is_unreachable(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.overwrite(spark, _df(spark, _rows("a", 0, 3)))
