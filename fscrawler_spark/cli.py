@@ -124,6 +124,20 @@ def build_parser() -> argparse.ArgumentParser:
         "snapshot references (Iceberg expireSnapshots analog)",
     )
     p.add_argument(
+        "--table-vacuum",
+        type=float,
+        nargs="?",
+        const=3600.0,
+        default=None,
+        metavar="AGE_S",
+        help="delete the --output snapshot table's ORPHAN data files — "
+        "files no snapshot references (crash leftovers a staging rename "
+        "left behind; Iceberg remove_orphan_files analog) — plus stale "
+        "_stage-* scratch dirs, keeping anything younger than AGE_S "
+        "seconds (default 3600, the in-flight-commit safety fence); "
+        "print the removed paths, exit (no SparkSession)",
+    )
+    p.add_argument(
         "--table-upsert",
         metavar="DELTA",
         default=None,
@@ -755,6 +769,19 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.table_expire is not None and not args.table_history:
         print("error: --table-expire requires --table-history", file=sys.stderr)
         return 2
+    if args.table_vacuum is not None:
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        t = SnapshotTable(args.output)
+        if not t.exists():
+            print(f"error: no snapshot table at {args.output}", file=sys.stderr)
+            return 2
+        if args.table_vacuum < 0:
+            print("error: --table-vacuum AGE_S must be >= 0", file=sys.stderr)
+            return 2
+        removed = t.remove_orphans(older_than_s=args.table_vacuum)
+        print(json.dumps({"root": args.output, "removed_orphans": removed}))
+        return 0
     if args.table_rollback is not None:
         from fscrawler_spark.plans.snapshot_table import SnapshotTable
 

@@ -647,7 +647,8 @@ def check_snapshot_table(root: str) -> list[dict]:
                     "table_orphan_data_files",
                     f"{len(orphans)} data file(s) referenced by no retained "
                     f"snapshot (e.g. {orphans[0]}) — leaked bytes from a "
-                    "crashed stage or expired history, safe to delete",
+                    "crashed stage or expired history; reclaim with "
+                    "--table-vacuum (remove_orphans)",
                 )
             )
     temps = [n for n in os.listdir(snap_dir) if n.startswith(".tmp-")]

@@ -976,6 +976,58 @@ class SnapshotTable:
             "files_total": len(self.files(sid)),
         }
 
+    def remove_orphans(self, older_than_s: float = 3600.0) -> list[str]:
+        """GC for files NO snapshot references (Iceberg
+        ``remove_orphan_files`` analog) — the leak class
+        ``expire_unreferenced`` cannot see: a crash between
+        ``_stage_data_files``'s renames and the manifest commit leaves
+        data files (and ``_stage-*`` scratch dirs) that never entered any
+        manifest. Deletes them plus stale stage dirs, returns the removed
+        relative paths.
+
+        ``older_than_s`` is the safety fence (Iceberg's default is 3
+        DAYS for the same reason): a LIVE committer has already renamed
+        its files into data/ but not yet linked its manifest — sweeping
+        young files would yank them out from under the in-flight commit.
+        Only files older than the fence are candidates; at one commit a
+        minute and an hourly fence, nothing in flight is ever eligible.
+        """
+        import time
+
+        if older_than_s < 0:
+            raise ValueError("older_than_s must be >= 0")
+        referenced: set[str] = set()
+        for sid in self.snapshot_ids():
+            referenced.update(e.path for e in self.files(sid))
+        now = time.time()
+        removed: list[str] = []
+        if os.path.isdir(self.data_dir):
+            for name in sorted(os.listdir(self.data_dir)):
+                rel = os.path.join(DATA_DIR, name)
+                if rel in referenced:
+                    continue
+                ap = os.path.join(self.root, rel)
+                try:
+                    if now - os.stat(ap).st_mtime < older_than_s:
+                        continue
+                    os.remove(ap)
+                except OSError:
+                    continue  # vanished/unstattable: someone else swept it
+                removed.append(rel)
+        # crashed staging scratch dirs (never renamed into data/)
+        for name in sorted(os.listdir(self.root)):
+            if not name.startswith("_stage-"):
+                continue
+            ap = os.path.join(self.root, name)
+            try:
+                if now - os.stat(ap).st_mtime < older_than_s:
+                    continue
+                shutil.rmtree(ap, ignore_errors=True)
+            except OSError:
+                continue
+            removed.append(name)
+        return removed
+
     def expire_unreferenced(self, keep_snapshots: int = 1) -> list[str]:
         """GC: drop manifests older than the newest ``keep_snapshots`` and
         delete data files no retained snapshot references (Iceberg

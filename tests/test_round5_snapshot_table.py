@@ -281,6 +281,48 @@ def test_distributed_stats_collection(spark, tmp_path):
     assert all(e.stats.get("turn_idx") for e in entries if e.rows)
 
 
+def test_remove_orphans(spark, tmp_path):
+    """Crash-leaked files (no manifest references them) are swept past the
+    age fence; referenced files and YOUNG unreferenced files survive."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.append(spark, _df(spark, _rows("a", 0, 4)).coalesce(1))
+    # simulate a crash between staging renames and the commit
+    leaked = os.path.join(t.data_dir, "deadbeef-0.parquet")
+    with open(leaked, "wb") as f:
+        f.write(b"PAR1junk")
+    stage = os.path.join(root, "_stage-deadbeef")
+    os.makedirs(stage)
+    # young files are fenced off (an in-flight commit's staging)
+    assert t.remove_orphans(older_than_s=3600) == []
+    assert os.path.exists(leaked) and os.path.isdir(stage)
+    # past the fence they are swept; referenced files survive
+    removed = t.remove_orphans(older_than_s=0)
+    assert removed == [os.path.join("data", "deadbeef-0.parquet"), "_stage-deadbeef"]
+    assert not os.path.exists(leaked) and not os.path.isdir(stage)
+    assert _collected(t.read(spark)) and t.read(spark).count() == 4
+    # idempotent
+    assert t.remove_orphans(older_than_s=0) == []
+
+
+def test_cli_table_vacuum(spark, tmp_path, capsys):
+    import json as _json
+
+    from fscrawler_spark.cli import main as cli_main
+
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.append(spark, _df(spark, _rows("a", 0, 3)).coalesce(1))
+    with open(os.path.join(t.data_dir, "leak-0.parquet"), "wb") as f:
+        f.write(b"PAR1x")
+    assert cli_main(["--output", root, "--table-vacuum", "0"]) == 0
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["removed_orphans"] == [os.path.join("data", "leak-0.parquet")]
+    assert t.read(spark).count() == 3
+    # negative fence refuses cleanly
+    assert cli_main(["--output", root, "--table-vacuum", "-1"]) == 2
+
+
 def test_expire_refuses_keep_zero(spark, tmp_path):
     t = SnapshotTable(str(tmp_path / "t"))
     t.overwrite(spark, _df(spark, _rows("a", 0, 3)))
