@@ -996,6 +996,8 @@ class SnapshotTable:
 
         if older_than_s < 0:
             raise ValueError("older_than_s must be >= 0")
+        if not os.path.isdir(self.root):
+            return []
         referenced: set[str] = set()
         for sid in self.snapshot_ids():
             referenced.update(e.path for e in self.files(sid))
