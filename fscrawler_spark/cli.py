@@ -682,9 +682,35 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _read_docs_table(spark, input_path: str):
-    """Load the docs table behind a curation verb's --input (an
-    extraction output root or its docs/ dir directly). Returns
-    (DataFrame, None) or (None, error-message)."""
+    """Load the docs table behind a curation verb's --input: an
+    extraction output root, its docs/ dir directly, or a SNAPSHOT TABLE
+    — `snap:ROOT[@N]` or a bare root holding `_snap/` (e.g. a
+    --publish-table target), read with snapshot isolation so a curation
+    pass over a table live ticks keep publishing to sees ONE consistent
+    snapshot; `@N` time-travels. Returns (DataFrame, None) or
+    (None, error-message)."""
+    from fscrawler_spark.plans.snapshot_table import SNAP_DIR, SnapshotTable
+    from fscrawler_spark.sources.transcripts import parse_snap_input
+
+    snap_root = sid = None
+    if input_path.startswith("snap:"):
+        snap_root, sid = parse_snap_input(input_path)
+    elif os.path.isdir(os.path.join(input_path, SNAP_DIR)):
+        snap_root = input_path
+    if snap_root is not None:
+        t = SnapshotTable(snap_root)
+        if not t.exists():
+            return None, f"no snapshot table at {snap_root}"
+        try:
+            docs = t.read(spark, snapshot_id=sid)
+        except FileNotFoundError as e:
+            return None, str(e)
+        if "doc_id" not in docs.columns or "extracted" not in docs.columns:
+            return None, (
+                f"snapshot table {snap_root} is not an extraction docs table "
+                f"(needs doc_id + extracted; has {docs.columns})"
+            )
+        return docs, None
     docs_path = input_path
     sub = os.path.join(input_path, "docs")
     if os.path.isdir(sub):

@@ -377,3 +377,56 @@ def test_cli_publish_table_verb(spark, transcripts_dir, tmp_path):
         spark=spark,
     )
     assert rc == 0
+
+
+def test_curation_verb_reads_published_table(spark, base, tmp_path, capsys):
+    """The publish→curate loop: --clean-text consumes the published
+    snapshot table directly (bare root with _snap/, or snap:ROOT[@N]
+    with time travel), reading ONE consistent snapshot."""
+    from fscrawler_spark.cli import main as cli_main
+
+    inp, out, tbl, _ = base
+    t = SnapshotTable(tbl)
+    base_id = t.current_id()
+    n_base = t.read(spark).count()
+
+    # bare table root
+    cur1 = str(tmp_path / "cur1")
+    assert cli_main(["--input", tbl, "--output", cur1, "--clean-text"], spark=spark) == 0
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs"] == n_base
+    assert spark.read.parquet(cur1).count() == n_base
+
+    # advance the table with a tick, then time-travel back to the base
+    inp_v2 = str(tmp_path / "v2.parquet")
+    _mutate_input(spark, inp, inp_v2)
+    run_incremental_update(spark, inp_v2, out, SETTINGS, publish_table=tbl)
+    assert t.current_id() > base_id
+    cur2 = str(tmp_path / "cur2")
+    assert (
+        cli_main(
+            ["--input", f"snap:{tbl}@{base_id}", "--output", cur2, "--clean-text"],
+            spark=spark,
+        )
+        == 0
+    )
+    stats2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats2["docs"] == n_base  # pre-tick snapshot, not current
+
+    # errors stay exit-2-with-message: missing table / expired snapshot
+    assert (
+        cli_main(
+            ["--input", f"snap:{tmp_path}/nope", "--output", str(tmp_path / "x"), "--clean-text"],
+            spark=spark,
+        )
+        == 2
+    )
+    assert "no snapshot table" in capsys.readouterr().err
+    assert (
+        cli_main(
+            ["--input", f"snap:{tbl}@99", "--output", str(tmp_path / "y"), "--clean-text"],
+            spark=spark,
+        )
+        == 2
+    )
+    assert "99" in capsys.readouterr().err
