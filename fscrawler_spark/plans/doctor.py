@@ -658,8 +658,8 @@ def check_snapshot_table(root: str) -> list[dict]:
                 "WARN",
                 "table_torn_manifest_temp",
                 f"{len(temps)} torn manifest temp file(s) in _snap/ — a "
-                "committer crashed mid-publish; unreachable garbage, safe "
-                "to delete",
+                "committer crashed mid-publish; unreachable garbage, "
+                "reclaim with --table-vacuum (remove_orphans)",
             )
         )
     return findings

@@ -982,8 +982,10 @@ class SnapshotTable:
         ``expire_unreferenced`` cannot see: a crash between
         ``_stage_data_files``'s renames and the manifest commit leaves
         data files (and ``_stage-*`` scratch dirs) that never entered any
-        manifest. Deletes them plus stale stage dirs, returns the removed
-        relative paths.
+        manifest; a crash inside ``_commit`` before its cleanup leaves a
+        torn ``.tmp-*`` manifest in ``_snap/`` (unreachable — readers only
+        resolve ``v*.json``). Deletes all three classes behind the age
+        fence, returns the removed relative paths.
 
         ``older_than_s`` is the safety fence (Iceberg's default is 3
         DAYS for the same reason): a LIVE committer has already renamed
@@ -1028,6 +1030,21 @@ class SnapshotTable:
             except OSError:
                 continue
             removed.append(name)
+        # torn manifest temps from a committer that crashed mid-publish
+        # (mkstemp'd, possibly fsync'd, never linked): same fence — a LIVE
+        # commit's temp is younger than any sane older_than_s
+        if os.path.isdir(self.snap_dir):
+            for name in sorted(os.listdir(self.snap_dir)):
+                if not name.startswith(".tmp-"):
+                    continue
+                ap = os.path.join(self.snap_dir, name)
+                try:
+                    if now - os.stat(ap).st_mtime < older_than_s:
+                        continue
+                    os.remove(ap)
+                except OSError:
+                    continue
+                removed.append(os.path.join(SNAP_DIR, name))
         return removed
 
     def expire_unreferenced(self, keep_snapshots: int = 1) -> list[str]:

@@ -305,6 +305,29 @@ def test_remove_orphans(spark, tmp_path):
     assert t.remove_orphans(older_than_s=0) == []
 
 
+def test_remove_orphans_sweeps_torn_manifest_temps(spark, tmp_path):
+    """A committer that crashed inside _commit (mkstemp'd, never linked)
+    leaves a .tmp-* manifest in _snap/ — unreachable to readers, flagged
+    by doctor, and reclaimed by the same vacuum behind the same fence."""
+    root = str(tmp_path / "t")
+    t = SnapshotTable(root)
+    t.append(spark, _df(spark, _rows("a", 0, 4)).coalesce(1))
+    torn = os.path.join(t.snap_dir, ".tmp-crashed")
+    with open(torn, "w") as f:
+        f.write("{}")
+    # readers never resolve it
+    assert t.current_id() == 1 and t.read(spark).count() == 4
+    # young temp is fenced (a live commit's in-flight mkstemp)
+    assert t.remove_orphans(older_than_s=3600) == []
+    assert os.path.exists(torn)
+    removed = t.remove_orphans(older_than_s=0)
+    assert removed == [os.path.join("_snap", ".tmp-crashed")]
+    assert not os.path.exists(torn)
+    # the table itself is untouched and still committable
+    t.append(spark, _df(spark, _rows("b", 0, 2)).coalesce(1))
+    assert t.read(spark).count() == 6
+
+
 def test_cli_table_vacuum(spark, tmp_path, capsys):
     import json as _json
 
