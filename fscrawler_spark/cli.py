@@ -1347,6 +1347,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"error: no snapshot table at {args.output}", file=sys.stderr)
                 return 2
             keys = tuple(k.strip() for k in args.table_keys.split(",") if k.strip())
+            if not keys:
+                print(
+                    "error: --table-keys must name at least one column "
+                    f"(got {args.table_keys!r})",
+                    file=sys.stderr,
+                )
+                return 2
             try:
                 if args.table_upsert is not None:
                     res = t.upsert(spark, spark.read.parquet(args.table_upsert), keys=keys)

@@ -276,20 +276,39 @@ class CheckpointManifest:
         self.tick_layout = layout
         self.save()
 
-    def set_input_snapshot(self, root: str | None, snapshot_id: int | None = None) -> None:
+    def set_input_snapshot(
+        self,
+        root: str | None,
+        snapshot_id: int | None = None,
+        table_uuid: str | None = None,
+    ) -> None:
         """Record (or clear, with root=None) the input table + snapshot
         this output now corresponds to; see the field doc. Cleared by any
         mutation that breaks the output == extraction(snapshot)
-        correspondence."""
+        correspondence. ``table_uuid`` pins the record to the table's
+        LINEAGE, not just its root path — snapshot ids restart at 1 on a
+        drop-and-recreate, so a root-only record could diff the wrong
+        manifests (None for legacy tables that predate the field)."""
         new = None if root is None else {"root": root, "snapshot_id": snapshot_id}
+        if new is not None and table_uuid is not None:
+            new["table_uuid"] = table_uuid
         if self.input_snapshot != new:
             self.input_snapshot = new
             self.save()
 
-    def set_published(self, root: str | None, snapshot_id: int | None = None) -> None:
+    def set_published(
+        self,
+        root: str | None,
+        snapshot_id: int | None = None,
+        table_uuid: str | None = None,
+    ) -> None:
         """Record (or clear, with root=None) the snapshot table + id this
-        output's contents were last published to; see the field doc."""
+        output's contents were last published to; see the field doc.
+        ``table_uuid`` has the same recreate-detection role as in
+        set_input_snapshot."""
         new = None if root is None else {"root": root, "snapshot_id": snapshot_id}
+        if new is not None and table_uuid is not None:
+            new["table_uuid"] = table_uuid
         if self.published != new:
             self.published = new
             self.save()

@@ -286,11 +286,22 @@ def _publish_to_table(
     tbl = SnapshotTable(root)
     if pub == "FROM_MANIFEST":
         pub = manifest.published
+    tbl_uuid = tbl.table_uuid() if tbl.exists() else None
     in_sync = (
         bool(pub)
         and pub.get("root") == root
         and tbl.exists()
         and tbl.current_id() == pub.get("snapshot_id")
+        # lineage identity: snapshot ids are table-local and restart at 1,
+        # so a drop-and-recreate at the same root can reach a current_id
+        # that coincidentally matches the record — the uuid catches it and
+        # forces a bootstrap. Either side None (legacy record/table) keeps
+        # the root+id check alone, as before.
+        and (
+            pub.get("table_uuid") is None
+            or tbl_uuid is None
+            or pub.get("table_uuid") == tbl_uuid
+        )
     )
     extra = {"published_by": run_id, **(counters or {})}
     if in_sync and not mutated:
@@ -299,7 +310,7 @@ def _publish_to_table(
         # (e.g. vanished keys that hit no stored rows), restore the still-
         # valid record so the next tick keeps delta mode.
         if manifest.published != pub:
-            manifest.set_published(root, pub["snapshot_id"])
+            manifest.set_published(root, pub["snapshot_id"], pub.get("table_uuid"))
         return {
             "root": root,
             "snapshot_id": pub["snapshot_id"],
@@ -308,7 +319,7 @@ def _publish_to_table(
         }
     if in_sync:
         res = tbl.apply_delta(spark, upsert_df, delete_df, extra=extra)
-        manifest.set_published(root, res["snapshot_id"])
+        manifest.set_published(root, res["snapshot_id"], tbl.table_uuid())
         return {
             "root": root,
             "snapshot_id": res["snapshot_id"],
@@ -328,7 +339,7 @@ def _publish_to_table(
             sid = tbl.overwrite(
                 spark, spark.createDataFrame([], tbl.schema()), extra=extra
             )
-            manifest.set_published(root, sid)
+            manifest.set_published(root, sid, tbl.table_uuid())
             return {
                 "root": root,
                 "snapshot_id": sid,
@@ -345,8 +356,24 @@ def _publish_to_table(
         cluster_by=("conv_id", "turn_idx"),
         extra=extra,
     )
-    manifest.set_published(root, sid)
+    manifest.set_published(root, sid, tbl.table_uuid())
     return {"root": root, "snapshot_id": sid, "mode": "bootstrap", "files_rewritten": None}
+
+
+def _snap_result_fields(snap_tbl, snap_to, file_delta, use_snapdiff) -> dict:
+    """The snapshot-input fields a tick result carries — shared between
+    the dry-run preview and the real tick so the two reports cannot
+    drift. Empty for non-``snap:`` inputs."""
+    if snap_tbl is None:
+        return {}
+    return {
+        "input_snapshot": snap_to,
+        "input_files_read": (
+            len(file_delta["added"]) + len(file_delta["removed"])
+            if use_snapdiff
+            else None
+        ),
+    }
 
 
 def run_incremental_update(
@@ -528,21 +555,33 @@ def _run_incremental_update_impl(
         snap_tbl = SnapshotTable(snap_root)
         snap_to = _sid if _sid is not None else snap_tbl.current_id()
         input_path = f"{SNAP_INPUT_PREFIX}{snap_root}@{snap_to}"
-        # the recorded base counts ONLY for this exact table: snapshot ids
-        # are table-local (every table numbers from 1), so a base recorded
-        # against a different snap: root — or this root after a
-        # drop-and-recreate — would happily diff the WRONG manifests and
-        # silently corrupt the output. Root mismatch ⇒ full diff, and the
-        # correspondence re-records below against the new root.
+        # the recorded base counts ONLY for this exact table LINEAGE:
+        # snapshot ids are table-local (every table numbers from 1), so a
+        # base recorded against a different snap: root — or this root
+        # after a drop-and-recreate, which the table_uuid detects — would
+        # happily diff the WRONG manifests and silently corrupt the
+        # output. Mismatch ⇒ full diff, and the correspondence re-records
+        # below against the new root/lineage. A record or table without a
+        # uuid (legacy) keeps the root-only check.
         _rec = manifest.input_snapshot
-        if isinstance(_rec, dict) and _rec.get("root") == os.path.abspath(snap_root):
+        _cur_uuid = snap_tbl.table_uuid()
+        if (
+            isinstance(_rec, dict)
+            and _rec.get("root") == os.path.abspath(snap_root)
+            and (
+                _rec.get("table_uuid") is None
+                or _cur_uuid is None
+                or _rec.get("table_uuid") == _cur_uuid
+            )
+        ):
             snap_from = _rec["snapshot_id"]
         else:
             snap_from = None
             if _rec is not None:
                 logging.getLogger(__name__).warning(
-                    "recorded diff base %s belongs to a different table than "
-                    "%s; full-diffing this tick and re-recording",
+                    "recorded diff base %s belongs to a different table "
+                    "(or lineage) than %s; full-diffing this tick and "
+                    "re-recording",
                     _rec, os.path.abspath(snap_root),
                 )
     src = read_transcripts(spark, input_path)
@@ -777,17 +816,7 @@ def _run_incremental_update_impl(
             "layout": "snapshot-diff"
             if use_snapdiff
             else ("bucketed" if use_bucketed else "parquet"),
-            **(
-                {
-                    "input_snapshot": snap_to,
-                    "input_files_read": len(file_delta["added"])
-                    + len(file_delta["removed"])
-                    if use_snapdiff
-                    else None,
-                }
-                if snap_tbl is not None
-                else {}
-            ),
+            **_snap_result_fields(snap_tbl, snap_to, file_delta, use_snapdiff),
         }
 
     # mutations begin: the snapshot index (if any) can no longer be
@@ -899,7 +928,9 @@ def _run_incremental_update_impl(
         # (the delta applied on top of the recorded base) or by full diff
         # (output forced to match src == snapshot snap_to): either way the
         # NEXT tick may manifest-diff from here
-        manifest.set_input_snapshot(os.path.abspath(snap_root), snap_to)
+        manifest.set_input_snapshot(
+            os.path.abspath(snap_root), snap_to, snap_tbl.table_uuid()
+        )
     elif manifest.input_snapshot is not None:
         # a non-snapshot tick re-synced the output to some other input:
         # the recorded correspondence no longer holds
@@ -929,13 +960,17 @@ def _run_incremental_update_impl(
             mutated=mutated,
             pub=pub_before,
         )
-    elif mutated and manifest.published is not None:
-        manifest.set_published(None)
+    # (no publish_table + mutated needs no clear here: mutated implies the
+    # pre-mutation block above already durably cleared the record)
     elif not mutated and pub_before is not None and manifest.published is None:
         # the pre-mutation clear fired but nothing actually mutated (e.g.
         # vanished keys that hit no stored rows): the correspondence still
         # holds — restore it so the next publish keeps delta mode
-        manifest.set_published(pub_before["root"], pub_before["snapshot_id"])
+        manifest.set_published(
+            pub_before["root"],
+            pub_before["snapshot_id"],
+            pub_before.get("table_uuid"),
+        )
     return {
         "run_id": run_id,
         "changed": changed,
@@ -943,17 +978,7 @@ def _run_incremental_update_impl(
         "touched_buckets": targets,
         "layout": "snapshot-diff" if use_snapdiff else layout,
         "published": published,
-        **(
-            {
-                "input_snapshot": snap_to,
-                "input_files_read": len(file_delta["added"])
-                + len(file_delta["removed"])
-                if use_snapdiff
-                else None,
-            }
-            if snap_tbl is not None
-            else {}
-        ),
+        **_snap_result_fields(snap_tbl, snap_to, file_delta, use_snapdiff),
     }
 
 
@@ -1486,7 +1511,11 @@ def _run_extraction_job_impl(
         # a from-scratch full run over snapshot S completed every bucket:
         # the output IS extraction(S) — record it so the first tick can
         # manifest-diff instead of full-diffing
-        manifest.set_input_snapshot(os.path.abspath(root), snap_to)
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        manifest.set_input_snapshot(
+            os.path.abspath(root), snap_to, SnapshotTable(root).table_uuid()
+        )
     elif manifest.input_snapshot is not None:
         # a non-virgin full run (resume over an existing table, or a
         # non-snapshot input) may leave rows the recorded snapshot never

@@ -340,6 +340,14 @@ class SnapshotTable:
     def schema(self) -> T.StructType:
         return T.StructType.fromJson(json.loads(self.manifest()["schema"]))
 
+    def table_uuid(self) -> str | None:
+        """This table's lineage identity: minted at the first commit and
+        carried forward through every snapshot, so two tables that happen
+        to share a root path over time (drop-and-recreate) are
+        distinguishable. ``None`` only for a legacy current manifest that
+        predates the field (its next commit mints one)."""
+        return self.manifest().get("table_uuid")
+
     # -- reads ------------------------------------------------------------
 
     def read(
@@ -437,6 +445,21 @@ class SnapshotTable:
         shutil.rmtree(stage, ignore_errors=True)
         return rels
 
+    # manifest keys the format owns — an ``extra`` that collides would
+    # silently clobber the file list / schema and corrupt every later read
+    _RESERVED_KEYS = frozenset(
+        {
+            "format_version",
+            "snapshot_id",
+            "parent_id",
+            "operation",
+            "schema",
+            "files",
+            "streams",
+            "table_uuid",
+        }
+    )
+
     def _commit(
         self,
         spark: SparkSession,
@@ -445,8 +468,21 @@ class SnapshotTable:
         parent_id: int | None,
         schema_json: str,
         extra: dict | None = None,
+        parent_manifest: dict | None = None,
     ) -> int:
+        """``parent_manifest``: the already-parsed manifest of
+        ``parent_id`` when the caller holds it — at the module's stated
+        scale a manifest is hundreds of MB of JSON, so committers that
+        just read the parent for its file list / schema must not force a
+        second parse here."""
         next_id = (parent_id or 0) + 1
+        if extra:
+            bad = self._RESERVED_KEYS & extra.keys()
+            if bad:
+                raise ValueError(
+                    f"extra contains reserved manifest key(s) {sorted(bad)} — "
+                    "summary fields must not collide with the table format"
+                )
         manifest = {
             "format_version": 1,
             "snapshot_id": next_id,
@@ -457,6 +493,21 @@ class SnapshotTable:
         }
         if extra:
             manifest.update(extra)
+        # table identity survives every commit: minted at the FIRST commit
+        # (or on first contact with a legacy lineage that predates the
+        # field) and carried forward verbatim — the tick's diff base and
+        # the publish correspondence pin to it, so a drop-and-recreate at
+        # the same root can never be mistaken for the table it replaced
+        # (snapshot ids are table-local and restart at 1).
+        parent_m: dict | None = parent_manifest
+        if parent_id is not None and parent_m is None:
+            try:
+                parent_m = self.manifest(parent_id)
+            except FileNotFoundError:
+                parent_m = None  # parent expired mid-commit-loop: rebase will retry
+        manifest["table_uuid"] = (
+            (parent_m or {}).get("table_uuid") or uuid.uuid4().hex
+        )
         # per-stream committed-epoch high-water marks carry forward through
         # EVERY commit (Iceberg keeps its streaming watermarks in snapshot
         # summary properties the same way): the CURRENT manifest therefore
@@ -465,11 +516,8 @@ class SnapshotTable:
         # a replayed epoch is skipped off this map, not off a scan of
         # (possibly expired) historical manifests.
         streams: dict = {}
-        if parent_id is not None:
-            try:
-                streams.update(self.manifest(parent_id).get("streams") or {})
-            except FileNotFoundError:
-                pass  # parent expired mid-commit-loop: rebase will retry
+        if parent_m is not None:
+            streams.update(parent_m.get("streams") or {})
         if extra and extra.get("stream_id") is not None and extra.get("epoch_id") is not None:
             sid = str(extra["stream_id"])
             streams[sid] = max(int(extra["epoch_id"]), int(streams.get(sid, -1)))
@@ -609,17 +657,25 @@ class SnapshotTable:
         # the file list, and re-commit — data files are staged once.
         last: CommitConflictError | None = None
         for _ in range(5):
+            parent_m: dict | None = None
             if self.snapshot_ids():
                 parent = self.current_id()
-                base = self.files(parent)
-                schema_json = self._evolve_schema(
-                    self.manifest(parent)["schema"], df, "append"
-                )
+                # ONE parse per attempt: file list, schema, and _commit's
+                # streams/table_uuid carry-forward all come off this dict
+                parent_m = self.manifest(parent)
+                base = [FileEntry.from_dict(d) for d in parent_m["files"]]
+                schema_json = self._evolve_schema(parent_m["schema"], df, "append")
             else:
                 parent, base, schema_json = None, [], self._schema_json(df)
             try:
                 return self._commit(
-                    spark, base + entries, "append", parent, schema_json, extra
+                    spark,
+                    base + entries,
+                    "append",
+                    parent,
+                    schema_json,
+                    extra,
+                    parent_manifest=parent_m,
                 )
             except CommitConflictError as e:
                 last = e
@@ -656,9 +712,14 @@ class SnapshotTable:
         added: list[FileEntry] = []
         staged = False
         last: CommitConflictError | None = None
+        rm = set(remove_paths)
         for _ in range(5 if retry_on_conflict else 1):
             parent = self.current_id()
-            base = {e.path: e for e in self.files(parent)}
+            # ONE parse per attempt (see _commit's parent_manifest doc)
+            parent_m = self.manifest(parent)
+            base = {
+                e.path: e for e in (FileEntry.from_dict(d) for d in parent_m["files"])
+            }
             missing = [p for p in remove_paths if p not in base]
             if missing:
                 if staged:
@@ -670,18 +731,24 @@ class SnapshotTable:
                 raise ValueError(
                     f"replace: {missing} not in snapshot {parent} at {self.root}"
                 )
-            kept = [e for p, e in sorted(base.items()) if p not in set(remove_paths)]
+            kept = [e for p, e in sorted(base.items()) if p not in rm]
             if add_df is not None and not staged:
                 cu = uuid.uuid4().hex[:12]
                 rels = self._stage_data_files(add_df, cu)
                 added = _collect_entries(spark, self.root, rels, stat_cols)
             staged = True
-            schema_json = self.manifest(parent)["schema"]
+            schema_json = parent_m["schema"]
             if add_df is not None:
                 schema_json = self._evolve_schema(schema_json, add_df, "replace")
             try:
                 return self._commit(
-                    spark, kept + added, "replace", parent, schema_json, extra
+                    spark,
+                    kept + added,
+                    "replace",
+                    parent,
+                    schema_json,
+                    extra,
+                    parent_manifest=parent_m,
                 )
             except CommitConflictError as e:
                 last = e
@@ -836,37 +903,13 @@ class SnapshotTable:
         ranges can contain a delta key (everything else carries over by
         reference). Work is O(touched files + delta), never O(corpus):
         kept rows come from an anti-join of just the touched files
-        against the (broadcastable) delta keys. Duplicate keys WITHIN
-        delta_df are the caller's bug and refuse loudly — which rows
-        win would be nondeterministic. Schema evolution composes (the
-        delta may add columns, per _evolve_schema)."""
-        from pyspark.sql import functions as F
-
-        for k in keys:
-            if k not in delta_df.columns:
-                raise ValueError(f"upsert: delta is missing key column {k!r}")
-        dup = delta_df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
-        if dup:
-            raise ValueError("upsert: delta_df has duplicate keys — dedupe it first")
-        touched = self._touched_files(delta_df, keys)
-        kept = None
-        if touched:
-            current = self.read_entries(spark, touched)
-            kept = current.join(
-                delta_df.select(*keys).distinct(), on=list(keys), how="left_anti"
-            )
-        new_rows = (
-            delta_df if kept is None
-            else kept.unionByName(delta_df, allowMissingColumns=True)
-        )
-        sid = self.replace(
-            spark, [e.path for e in touched], new_rows, stat_cols=stat_cols
-        )
-        return {
-            "snapshot_id": sid,
-            "files_rewritten": len(touched),
-            "files_total": len(self.files(sid)),
-        }
+        against the (broadcastable) delta keys. Duplicate or NULL keys
+        WITHIN delta_df are the caller's bug and refuse loudly — which
+        rows win would be nondeterministic / NULL keys never join.
+        Schema evolution composes (the delta may add columns, per
+        _evolve_schema). Thin wrapper over apply_delta — ONE
+        implementation of the MERGE core."""
+        return self.apply_delta(spark, delta_df, None, keys=keys, stat_cols=stat_cols)
 
     def delete_rows(
         self,
@@ -878,24 +921,58 @@ class SnapshotTable:
         """Copy-on-write keyed DELETE: drop every row matching a key in
         ``keys_df``, rewriting only the stats-touched files (same
         pruning as upsert). A key that matches nothing is a no-op row,
-        not an error — deletes are declarative."""
-        touched = self._touched_files(keys_df, keys)
-        if not touched:
-            return {
-                "snapshot_id": self.current_id(),
-                "files_rewritten": 0,
-                "files_total": len(self.files()),
-            }
-        current = self.read_entries(spark, touched)
-        kept = current.join(
-            keys_df.select(*keys).distinct(), on=list(keys), how="left_anti"
+        not an error — deletes are declarative. NULL keys refuse loudly
+        (an anti-join can never match them, so the delete would be a
+        silent no-op). Thin wrapper over apply_delta."""
+        return self.apply_delta(spark, None, keys_df, keys=keys, stat_cols=stat_cols)
+
+    @staticmethod
+    def _validate_mutation_keys(
+        df: DataFrame, keys: Sequence[str], what: str, check_dups: bool
+    ) -> None:
+        """Shared key validation for every keyed mutation: missing key
+        columns, NULL keys (a range join / anti-join can never match
+        NULL — the mutation would silently duplicate on upsert and no-op
+        on delete, forever), and (upserts only) duplicate keys, whose
+        winner would be nondeterministic. ONE bounded job: the dup/null
+        probes union into a single limit-1 scan of the delta."""
+        from pyspark.sql import functions as F
+
+        if not keys:
+            raise ValueError("keyed mutation needs at least one key column")
+        for k in keys:
+            if k not in df.columns:
+                raise ValueError(f"{what} is missing key column {k!r}")
+        import functools
+
+        null_pred = functools.reduce(
+            lambda a, b: a | b, (F.col(k).isNull() for k in keys)
         )
-        sid = self.replace(spark, [e.path for e in touched], kept, stat_cols=stat_cols)
-        return {
-            "snapshot_id": sid,
-            "files_rewritten": len(touched),
-            "files_total": len(self.files(sid)),
-        }
+        nulls = df.select(*keys).filter(null_pred).limit(1)
+        if check_dups:
+            dups = (
+                df.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .select(*keys)
+                .limit(1)
+            )
+            bad = nulls.unionByName(dups).limit(1).count()
+            if bad:
+                # one more bounded probe only on the failure path, to say
+                # WHICH contract broke
+                if nulls.count():
+                    raise ValueError(
+                        f"{what}_df has NULL in key column(s) {list(keys)} — "
+                        "keyed mutations cannot match NULL keys; filter or "
+                        "fill them first"
+                    )
+                raise ValueError(f"{what}_df has duplicate keys — dedupe it first")
+        elif nulls.count():
+            raise ValueError(
+                f"{what}_df has NULL in key column(s) {list(keys)} — keyed "
+                "mutations cannot match NULL keys; filter or fill them first"
+            )
 
     def apply_delta(
         self,
@@ -916,27 +993,14 @@ class SnapshotTable:
         else carries over by reference. ``extra`` lands in the snapshot
         manifest (Iceberg snapshot-summary analog) so the tick's
         run_id/counters ride the table's own history."""
-        from pyspark.sql import functions as F
-
         empty_keys = None
         if upsert_df is None and delete_keys_df is None:
             raise ValueError("apply_delta: nothing to do — both inputs are None")
         if upsert_df is not None:
-            for k in keys:
-                if k not in upsert_df.columns:
-                    raise ValueError(f"apply_delta: upsert is missing key column {k!r}")
-            dup = (
-                upsert_df.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
-            )
-            if dup:
-                raise ValueError(
-                    "apply_delta: upsert_df has duplicate keys — dedupe it first"
-                )
+            self._validate_mutation_keys(upsert_df, keys, "upsert", check_dups=True)
             empty_keys = upsert_df.select(*keys).limit(0)
         if delete_keys_df is not None:
-            for k in keys:
-                if k not in delete_keys_df.columns:
-                    raise ValueError(f"apply_delta: delete is missing key column {k!r}")
+            self._validate_mutation_keys(delete_keys_df, keys, "delete", check_dups=False)
             if empty_keys is None:
                 empty_keys = delete_keys_df.select(*keys).limit(0)
         up_keys = upsert_df.select(*keys) if upsert_df is not None else empty_keys
@@ -1002,7 +1066,10 @@ class SnapshotTable:
             return []
         referenced: set[str] = set()
         for sid in self.snapshot_ids():
-            referenced.update(e.path for e in self.files(sid))
+            try:
+                referenced.update(e.path for e in self.files(sid))
+            except FileNotFoundError:
+                continue  # expired by a concurrent expire_unreferenced
         now = time.time()
         removed: list[str] = []
         if os.path.isdir(self.data_dir):
@@ -1059,14 +1126,30 @@ class SnapshotTable:
         keep_ids = ids[-keep_snapshots:]
         referenced = set()
         for sid in keep_ids:
-            referenced.update(e.path for e in self.files(sid))
+            try:
+                referenced.update(e.path for e in self.files(sid))
+            except FileNotFoundError:
+                # a concurrent expire with a smaller keep window already
+                # dropped this retained-by-US snapshot; its files were only
+                # deletable if no survivor references them, so skipping is
+                # exactly what that expire decided
+                continue
         deleted = []
         for sid in ids[: -keep_snapshots or None]:
-            for e in self.files(sid):
+            try:
+                entries = self.files(sid)
+            except FileNotFoundError:
+                continue  # concurrently expired: nothing left to do for it
+            for e in entries:
                 if e.path not in referenced:
                     ap = os.path.join(self.root, e.path)
-                    if os.path.exists(ap):
+                    try:
                         os.remove(ap)
+                    except FileNotFoundError:
+                        pass  # already swept (TOCTOU with a concurrent GC)
                     deleted.append(e.path)
-            os.remove(self._manifest_path(sid))
+            try:
+                os.remove(self._manifest_path(sid))
+            except FileNotFoundError:
+                pass
         return sorted(set(deleted))

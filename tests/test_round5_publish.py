@@ -78,7 +78,11 @@ def test_full_run_publish_bootstraps(spark, base):
     assert res["published"]["mode"] == "bootstrap"
     t = SnapshotTable(tbl)
     assert t.current_id() == res["published"]["snapshot_id"]
-    assert _published(out) == {"root": os.path.abspath(tbl), "snapshot_id": t.current_id()}
+    assert _published(out) == {
+        "root": os.path.abspath(tbl),
+        "snapshot_id": t.current_id(),
+        "table_uuid": t.table_uuid(),
+    }
     docs = _docs_rows(spark, out)
     cols = [c for c in spark.read.parquet(os.path.join(out, "docs")).columns if c not in ("spans", "meta")]
     got = t.read(spark).select(*cols).orderBy("conv_id", "turn_idx").collect()

@@ -89,7 +89,11 @@ def test_base_from_other_table_full_diffs_not_snapdiffs(spark, tmp_path):
     out = str(tmp_path / "out")
     run_extraction_job(spark, f"snap:{a.root}", out, SETTINGS)
     rec = _manifest(out).input_snapshot
-    assert rec == {"root": os.path.abspath(a.root), "snapshot_id": a.current_id()}
+    assert rec == {
+        "root": os.path.abspath(a.root),
+        "snapshot_id": a.current_id(),
+        "table_uuid": a.table_uuid(),
+    }
 
     # same id, DIFFERENT table: a bare-int base would diff B's manifest 1
     # against itself -> empty delta -> output keeps A's rows (corrupt)
@@ -100,6 +104,7 @@ def test_base_from_other_table_full_diffs_not_snapdiffs(spark, tmp_path):
     assert _manifest(out).input_snapshot == {
         "root": os.path.abspath(b.root),
         "snapshot_id": b.current_id(),
+        "table_uuid": b.table_uuid(),
     }
     # and the re-recorded base snapdiffs on the next tick
     res2 = run_incremental_update(spark, f"snap:{b.root}", out, SETTINGS)
@@ -125,6 +130,7 @@ def test_legacy_bare_int_base_is_discarded(spark, tmp_path):
     assert _manifest(out).input_snapshot == {
         "root": os.path.abspath(t.root),
         "snapshot_id": t.current_id(),
+        "table_uuid": t.table_uuid(),
     }
 
 

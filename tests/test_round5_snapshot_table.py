@@ -98,14 +98,14 @@ def test_append_rebases_after_concurrent_commit(spark, tmp_path, monkeypatch):
     real = SnapshotTable._commit
     state = {"raced": False}
 
-    def racing(self, sp, files, op, parent_id, schema_json, extra=None):
+    def racing(self, sp, files, op, parent_id, schema_json, extra=None, parent_manifest=None):
         if not state["raced"] and op == "append":
             state["raced"] = True
             # another writer lands a same-parent commit FIRST (a replace
             # keeping the same files): the append's first attempt now
             # EEXISTs and must rebase
             real(other, sp, other.files(), "replace", parent_id, schema_json)
-        return real(self, sp, files, op, parent_id, schema_json, extra)
+        return real(self, sp, files, op, parent_id, schema_json, extra, parent_manifest=parent_manifest)
 
     monkeypatch.setattr(SnapshotTable, "_commit", racing)
     t.append(spark, _df(spark, _rows("b", 0, 4)))
@@ -128,7 +128,7 @@ def test_compact_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
     real = SnapshotTable._commit
     state = {"raced": False}
 
-    def racing(self, sp, files, op, parent_id, schema_json, extra=None):
+    def racing(self, sp, files, op, parent_id, schema_json, extra=None, parent_manifest=None):
         if not state["raced"] and op == "replace":
             state["raced"] = True
             sid = real(
@@ -139,7 +139,7 @@ def test_compact_rebases_over_concurrent_append(spark, tmp_path, monkeypatch):
                 parent_id,
                 schema_json,
             )
-        return real(self, sp, files, op, parent_id, schema_json, extra)
+        return real(self, sp, files, op, parent_id, schema_json, extra, parent_manifest=parent_manifest)
 
     def _late_entries(sp, tb):
         from fscrawler_spark.plans.snapshot_table import _collect_entries
@@ -166,11 +166,11 @@ def test_keyed_mutation_fail_fasts_on_conflict(spark, tmp_path, monkeypatch):
     real = SnapshotTable._commit
     state = {"raced": False}
 
-    def racing(self, sp, files, op, parent_id, schema_json, extra=None):
+    def racing(self, sp, files, op, parent_id, schema_json, extra=None, parent_manifest=None):
         if not state["raced"] and op == "replace":
             state["raced"] = True
             real(other, sp, other.files(), "append", parent_id, schema_json)
-        return real(self, sp, files, op, parent_id, schema_json, extra)
+        return real(self, sp, files, op, parent_id, schema_json, extra, parent_manifest=parent_manifest)
 
     monkeypatch.setattr(SnapshotTable, "_commit", racing)
     delta = _df(spark, [("a", 0, "user", "EDITED", None, dt.datetime(2026, 1, 1))])
