@@ -157,8 +157,28 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "--table-keys",
         default="conv_id,turn_idx",
-        help="comma-separated key columns for --table-upsert/--table-delete "
-        "(default conv_id,turn_idx)",
+        help="comma-separated key columns for --table-upsert/--table-delete/"
+        "--table-changes (default conv_id,turn_idx; --table-changes also "
+        "accepts 'none' for the raw file-level stream)",
+    )
+    p.add_argument(
+        "--table-changes",
+        metavar="FROM[:TO]",
+        default=None,
+        help="read the --output snapshot table's row-level changelog "
+        "between two snapshots (Iceberg incremental read / Delta CDF "
+        "analog: _change_type in insert/delete/update_preimage/"
+        "update_postimage, bystander rows of copy-on-write rewrites "
+        "cancelled by --table-keys); TO defaults to current; print "
+        "per-type counts as JSON, optionally writing rows to "
+        "--changes-out",
+    )
+    p.add_argument(
+        "--changes-out",
+        metavar="DIR",
+        default=None,
+        help="with --table-changes: write the changelog rows as parquet "
+        "here (sorted by key within partitions for stable listings)",
     )
     p.add_argument(
         "--table-rollback",
@@ -871,10 +891,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         and args.table_upsert is None
         and args.table_delete is None
         and args.table_compact is None
+        and args.table_changes is None
     ):
-        # --doctor/--table-upsert/--table-delete/--table-compact need only
-        # --output (like the control verbs, but they read parquet so they
-        # do need a session)
+        # --doctor/--table-upsert/--table-delete/--table-compact/
+        # --table-changes need only --output (like the control verbs, but
+        # they read parquet so they do need a session)
         print("error: --input is required to run a crawl", file=sys.stderr)
         return 2
     if args.restart and args.incremental:
@@ -1338,6 +1359,63 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             res = t.compact(spark, target_file_bytes=args.table_compact * 1024 * 1024)
             res["operation"] = "compact"
             print(json.dumps(res))
+            return 0
+        if args.table_changes is not None:
+            from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+            t = SnapshotTable(args.output)
+            if not t.exists():
+                print(f"error: no snapshot table at {args.output}", file=sys.stderr)
+                return 2
+            spec = args.table_changes.split(":")
+            try:
+                from_id = int(spec[0])
+                to_id = int(spec[1]) if len(spec) > 1 and spec[1] else None
+                if len(spec) > 2:
+                    raise ValueError
+            except ValueError:
+                print(
+                    f"error: --table-changes wants FROM[:TO] snapshot ids, "
+                    f"got {args.table_changes!r}",
+                    file=sys.stderr,
+                )
+                return 2
+            raw_keys = args.table_keys.strip().lower()
+            keys = (
+                None
+                if raw_keys in ("", "none")
+                else tuple(k.strip() for k in args.table_keys.split(",") if k.strip())
+            )
+            try:
+                # resolve "current" ONCE so the printed bound is the one read
+                if to_id is None:
+                    to_id = t.current_id()
+                ch = t.read_changes(spark, from_id, to_id, keys=keys)
+                if args.changes_out is not None:
+                    order = list(keys) if keys else ["_change_type"]
+                    ch.sortWithinPartitions(*order).write.mode(
+                        "overwrite"
+                    ).parquet(args.changes_out)
+                    ch = spark.read.parquet(args.changes_out)
+                counts = {
+                    r["_change_type"]: r["count"]
+                    for r in ch.groupBy("_change_type").count().collect()
+                }
+            except (ValueError, FileNotFoundError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(
+                json.dumps(
+                    {
+                        "operation": "changes",
+                        "from_snapshot": from_id,
+                        "to_snapshot": to_id,
+                        "counts": counts,
+                        "rows": sum(counts.values()),
+                        "out": args.changes_out,
+                    }
+                )
+            )
             return 0
         if args.table_upsert is not None or args.table_delete is not None:
             from fscrawler_spark.plans.snapshot_table import SnapshotTable

@@ -265,6 +265,107 @@ def file_may_match(entry: FileEntry, predicates: Iterable[tuple]) -> bool:
     return True
 
 
+# metadata columns read_changes() appends to the table schema
+CHANGE_COLS = ("_change_type", "_from_snapshot", "_to_snapshot")
+
+
+def _strip_null_flags(dt: T.DataType) -> T.DataType:
+    """The type with every nested nullability flag forced permissive —
+    the shape two types must share to be the SAME type for schema
+    evolution (nullability evolves by widening, it is not a type
+    change)."""
+    if isinstance(dt, T.MapType):
+        return T.MapType(
+            _strip_null_flags(dt.keyType), _strip_null_flags(dt.valueType), True
+        )
+    if isinstance(dt, T.ArrayType):
+        return T.ArrayType(_strip_null_flags(dt.elementType), True)
+    if isinstance(dt, T.StructType):
+        return T.StructType(
+            [
+                T.StructField(f.name, _strip_null_flags(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    return dt
+
+
+def _widen_null_flags(a: T.DataType, b: T.DataType) -> T.DataType:
+    """``a`` with every nested nullability flag OR'd with ``b``'s —
+    callers guarantee the two strip to the same type. Widening only:
+    a table column never becomes less nullable."""
+    if isinstance(a, T.MapType):
+        return T.MapType(
+            _widen_null_flags(a.keyType, b.keyType),
+            _widen_null_flags(a.valueType, b.valueType),
+            a.valueContainsNull or b.valueContainsNull,
+        )
+    if isinstance(a, T.ArrayType):
+        return T.ArrayType(
+            _widen_null_flags(a.elementType, b.elementType),
+            a.containsNull or b.containsNull,
+        )
+    if isinstance(a, T.StructType):
+        bf = {f.name: f for f in b.fields}
+        return T.StructType(
+            [
+                T.StructField(
+                    f.name,
+                    _widen_null_flags(f.dataType, bf[f.name].dataType),
+                    f.nullable or bf[f.name].nullable,
+                )
+                for f in a.fields
+            ]
+        )
+    return a
+
+
+def _needs_canon(dt: T.DataType) -> bool:
+    """True when a value of this type can be logically equal but
+    binary-unequal — i.e. it contains a map anywhere (Spark maps carry
+    insertion order, and parquet round-trips it, so the same logical map
+    can surface with entries in different orders)."""
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _needs_canon(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_needs_canon(f.dataType) for f in dt.fields)
+    return False
+
+
+def _canon_expr(col, dt: T.DataType):
+    """Order-canonical comparison form of ``col``: every map at any
+    nesting depth becomes its ``array_sort(map_entries(...))`` — a
+    comparable type (Spark refuses equality on MapType outright) with a
+    deterministic entry order. Non-map-bearing subtrees pass through
+    untouched, so the expression stays a pure codegen projection and a
+    no-op for map-free columns."""
+    from pyspark.sql import functions as F
+
+    if isinstance(dt, T.MapType):
+        entries = F.map_entries(col)
+        if _needs_canon(dt.keyType) or _needs_canon(dt.valueType):
+            entries = F.transform(
+                entries,
+                lambda e: F.struct(
+                    _canon_expr(e["key"], dt.keyType).alias("key"),
+                    _canon_expr(e["value"], dt.valueType).alias("value"),
+                ),
+            )
+        return F.array_sort(entries)
+    if isinstance(dt, T.ArrayType) and _needs_canon(dt.elementType):
+        return F.transform(col, lambda x: _canon_expr(x, dt.elementType))
+    if isinstance(dt, T.StructType) and _needs_canon(dt):
+        rebuilt = F.struct(
+            *[_canon_expr(col[f.name], f.dataType).alias(f.name) for f in dt.fields]
+        )
+        # F.struct over a NULL struct yields a struct of NULLs, not NULL —
+        # keep the distinction (NULL file-struct != struct of NULL fields)
+        return F.when(col.isNull(), F.lit(None)).otherwise(rebuilt)
+    return col
+
+
 class SnapshotTable:
     """A parquet table governed by snapshot manifests (module doc)."""
 
@@ -407,6 +508,179 @@ class SnapshotTable:
             "added": [b[p] for p in sorted(b.keys() - a.keys())],
             "removed": [a[p] for p in sorted(a.keys() - b.keys())],
         }
+
+    def read_changes(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        keys: Sequence[str] | None = ("conv_id", "turn_idx"),
+    ) -> DataFrame:
+        """Row-level changelog between two snapshots (Iceberg incremental
+        read / Delta CDF analog): the table's columns plus
+        ``_change_type`` in {'insert', 'delete', 'update_preimage',
+        'update_postimage'} and the ``_from_snapshot``/``_to_snapshot``
+        bounds. This is the delta-sized input for "re-curate only what
+        changed": a downstream job consumes the changelog instead of
+        re-reading the corpus.
+
+        Scale shape: only the manifest-diffed files are ever read —
+        O(files touched between the snapshots), never O(corpus) — and
+        the one shuffle is the keyed full-outer join of those two file
+        sets. Copy-on-write rewrites carry bystander rows into new
+        files; the keyed join cancels them (a key present on both sides
+        with equal non-key values emits nothing), so a compaction-only
+        range yields an EMPTY changelog. Map-typed fields compare by
+        canonical sorted-entry form (_canon_expr), not binary layout.
+
+        Net semantics over multi-commit ranges fall out of diffing the
+        ENDPOINT manifests: a row inserted then deleted inside the range
+        is absent; inserted then updated is one 'insert' at its final
+        value; updated twice is one preimage (from-value) + one
+        postimage (to-value).
+
+        ``keys`` must uniquely identify live rows on each side (the
+        table's mutation contract already requires this); NULL or
+        duplicate keys in the diffed files refuse loudly. ``keys=None``
+        degrades to the file-level raw stream — every row of a removed
+        file as 'delete', every added-file row as 'insert', WITHOUT
+        bystander cancellation (exact, but noisy under copy-on-write).
+        """
+        from pyspark.sql import functions as F
+
+        to_id = self.current_id() if to_snapshot_id is None else to_snapshot_id
+        if from_snapshot_id > to_id:
+            raise ValueError(
+                f"from_snapshot_id {from_snapshot_id} is newer than "
+                f"to_snapshot_id {to_id} — a changelog reads forward"
+            )
+        schema = T.StructType.fromJson(json.loads(self.manifest(to_id)["schema"]))
+        cols = [f.name for f in schema.fields]
+        clash = [c for c in CHANGE_COLS if c in cols]
+        if clash:
+            raise ValueError(
+                f"table schema already has changelog column(s) {clash} — "
+                "rename them or read snapshots directly"
+            )
+        out_fields = list(schema.fields) + [
+            T.StructField("_change_type", T.StringType(), False),
+            T.StructField("_from_snapshot", T.IntegerType(), False),
+            T.StructField("_to_snapshot", T.IntegerType(), False),
+        ]
+        out_schema = T.StructType(out_fields)
+        tail = [
+            F.lit(from_snapshot_id).cast("int").alias("_from_snapshot"),
+            F.lit(to_id).cast("int").alias("_to_snapshot"),
+        ]
+        if from_snapshot_id == to_id:
+            return spark.createDataFrame([], out_schema)
+        d = self.diff(from_snapshot_id, to_id)
+        # both sides read under the TO schema: evolution is additive-only,
+        # so older files simply NULL-fill net-new columns (same rule as
+        # read()); a from-side column absent at to_id cannot exist
+        old = self.read_entries(spark, d["removed"], snapshot_id=to_id)
+        new = self.read_entries(spark, d["added"], snapshot_id=to_id)
+        if keys is None:
+            return (
+                old.select(*cols, F.lit("delete").alias("_change_type"), *tail)
+                .unionByName(
+                    new.select(*cols, F.lit("insert").alias("_change_type"), *tail)
+                )
+            )
+        keys = list(keys)
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(f"key column(s) {missing} not in table schema {cols}")
+        by_name = {f.name: f.dataType for f in schema.fields}
+        unjoinable = [k for k in keys if _needs_canon(by_name[k])]
+        if unjoinable:
+            raise ValueError(
+                f"key column(s) {unjoinable} contain map types — not "
+                "joinable; pick scalar keys or keys=None"
+            )
+        self._validate_changelog_keys(old, new, keys)
+        nonkeys = [c for c in cols if c not in keys]
+
+        def prep(df: DataFrame, side: str) -> DataFrame:
+            sel = [F.col(k) for k in keys] + [F.lit(True).alias(f"_{side}_present")]
+            if nonkeys:
+                sel.append(
+                    F.struct(*[F.col(c).alias(c) for c in nonkeys]).alias(f"_{side}_row")
+                )
+                sel.append(
+                    F.struct(
+                        *[
+                            _canon_expr(F.col(c), by_name[c]).alias(c)
+                            for c in nonkeys
+                        ]
+                    ).alias(f"_{side}_cmp")
+                )
+            return df.select(*sel)
+
+        j = prep(old, "old").join(prep(new, "new"), on=keys, how="full_outer")
+        unchanged = (
+            F.col("_old_cmp").eqNullSafe(F.col("_new_cmp"))
+            if nonkeys
+            else F.lit(True)  # key-only table: a key on both sides is a no-op
+        )
+        kinds = (
+            F.when(F.col("_old_present").isNull(), F.array(F.lit("insert")))
+            .when(F.col("_new_present").isNull(), F.array(F.lit("delete")))
+            .when(unchanged, F.array().cast("array<string>"))
+            .otherwise(
+                F.array(F.lit("update_preimage"), F.lit("update_postimage"))
+            )
+        )
+        # explode drops the empty (unchanged) arrays with the row
+        carry = ["_old_row", "_new_row"] if nonkeys else []
+        j = j.select(*keys, *carry, F.explode(kinds).alias("_change_type"))
+        if nonkeys:
+            pick_new = F.col("_change_type").isin("insert", "update_postimage")
+            value = F.when(pick_new, F.col("_new_row")).otherwise(F.col("_old_row"))
+            j = j.select(*keys, value.alias("_v"), "_change_type")
+        # table column order, keys read directly, non-keys out of the struct
+        body = [
+            F.col(c) if c in keys else F.col("_v")[c].alias(c) for c in cols
+        ]
+        return j.select(*body, F.col("_change_type"), *tail)
+
+    @staticmethod
+    def _validate_changelog_keys(
+        old: DataFrame, new: DataFrame, keys: Sequence[str]
+    ) -> None:
+        """NULL or duplicate keys inside the diffed files make keyed
+        classification ambiguous — refuse with which side/why. ONE
+        bounded job over the (delta-sized) file sets."""
+        import functools
+
+        from pyspark.sql import functions as F
+
+        probes = []
+        null_pred = functools.reduce(
+            lambda a, b: a | b, (F.col(k).isNull() for k in keys)
+        )
+        for df, side in ((old, "removed"), (new, "added")):
+            probes.append(
+                df.filter(null_pred)
+                .limit(1)
+                .select(F.lit(side).alias("side"), F.lit("NULL").alias("why"))
+            )
+            probes.append(
+                df.groupBy(*keys)
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .select(F.lit(side).alias("side"), F.lit("duplicate").alias("why"))
+            )
+        bad = (
+            functools.reduce(lambda a, b: a.unionByName(b), probes).limit(1).collect()
+        )
+        if bad:
+            raise ValueError(
+                f"{bad[0]['why']} key value(s) {list(keys)} in the range's "
+                f"{bad[0]['side']} files — keyed changelog needs unique "
+                "non-NULL keys; use keys=None for the raw file-level stream"
+            )
 
     # -- writes -----------------------------------------------------------
 
@@ -563,7 +837,12 @@ class SnapshotTable:
           column is refused.
         """
         def compatible(a, b) -> bool:
-            if a == b:
+            if _strip_null_flags(a) == _strip_null_flags(b):
+                # nullability is NOT a type change: flag-only mismatches
+                # appear spontaneously (unionByName widens a map's
+                # valueContainsNull; parquet read-back differs from the
+                # in-memory frame) and cannot corrupt reads — the stored
+                # schema is WIDENED below instead, never narrowed
                 return True
             # the two timestamp flavors are interchangeable HERE: data
             # files store int64 micros either way (TIMESTAMP_MICROS is
@@ -576,14 +855,27 @@ class SnapshotTable:
 
         stored = T.StructType.fromJson(json.loads(stored_json))
         by_name = {f.name: f for f in stored.fields}
+        widened = False
         for f in df.schema.fields:
             have = by_name.get(f.name)
-            if have is not None and not compatible(have.dataType, f.dataType):
+            if have is None:
+                continue
+            if not compatible(have.dataType, f.dataType):
                 raise ValueError(
                     f"{operation}: column {f.name!r} is {f.dataType.simpleString()} "
                     f"but the table stores {have.dataType.simpleString()} — type "
                     "changes need an explicit overwrite(), not schema evolution"
                 )
+            # widen stored nullability where the incoming data is more
+            # nullable: the new files may genuinely hold NULLs there, and
+            # every read applies the STORED schema
+            if _strip_null_flags(have.dataType) == _strip_null_flags(f.dataType):
+                wide = _widen_null_flags(have.dataType, f.dataType)
+                if wide != have.dataType or (f.nullable and not have.nullable):
+                    by_name[f.name] = T.StructField(
+                        have.name, wide, have.nullable or f.nullable
+                    )
+                    widened = True
         df_names = {f.name for f in df.schema.fields}
         for f in stored.fields:
             if f.name not in df_names and not f.nullable:
@@ -591,10 +883,10 @@ class SnapshotTable:
                     f"{operation}: df omits non-nullable table column {f.name!r}"
                 )
         new_fields = [f for f in df.schema.fields if f.name not in by_name]
-        if not new_fields:
+        if not new_fields and not widened:
             return stored_json
         evolved = T.StructType(
-            stored.fields
+            [by_name[f.name] for f in stored.fields]
             + [T.StructField(f.name, f.dataType, True) for f in new_fields]
         )
         return json.dumps(evolved.jsonValue())
