@@ -647,6 +647,23 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
         assert r_pub["published"]["mode"] == "delta", r_pub
         assert r_pub["changed"] == res_s["changed"], (r_pub, res_s)
         pub_tbl = SnapshotTable(pub_root)
+        # changelog leg: row-level changes across the delta publish (the
+        # "re-curate only what changed" input) vs what a consumer without
+        # it must do — re-read the whole table. Scale signal: the
+        # changelog touches only the rewritten files.
+        t0 = time.perf_counter()
+        chg = pub_tbl.read_changes(spark, 1, pub_tbl.current_id())
+        chg_counts = {
+            r["_change_type"]: r["count"]
+            for r in chg.groupBy("_change_type").count().collect()
+        }
+        chg_sec = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        full_rows = pub_tbl.read(spark).count()
+        full_read_sec = time.perf_counter() - t0
+        assert chg_counts.get("update_postimage", 0) + chg_counts.get(
+            "insert", 0
+        ) >= r_pub["changed"] or r_pub["changed"] == 0, (chg_counts, r_pub)
         snapshot_legs = {
             "files_total": files_total,
             "files_read": res_s["input_files_read"],
@@ -661,6 +678,13 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
                 "tick_with_delta_publish_sec": round(pub_tick_sec, 3),
                 "out_files_rewritten": r_pub["published"]["files_rewritten"],
                 "out_files_total": len(pub_tbl.files()),
+            },
+            "changelog": {
+                "sec": round(chg_sec, 3),
+                "rows": int(sum(chg_counts.values())),
+                "counts": {k: int(v) for k, v in sorted(chg_counts.items())},
+                "full_read_sec": round(full_read_sec, 3),
+                "full_read_rows": int(full_rows),
             },
         }
 
@@ -820,7 +844,11 @@ def main() -> None:
             f"publish boot {tick['snapshot']['publish']['bootstrap_sec']:.1f}s, "
             f"tick+delta-publish {tick['snapshot']['publish']['tick_with_delta_publish_sec']:.1f}s "
             f"({tick['snapshot']['publish']['out_files_rewritten']}of"
-            f"{tick['snapshot']['publish']['out_files_total']}f rewritten) |\n"
+            f"{tick['snapshot']['publish']['out_files_total']}f rewritten); "
+            f"changelog {tick['snapshot']['changelog']['sec']:.1f}s/"
+            f"{tick['snapshot']['changelog']['rows']}rows vs full read "
+            f"{tick['snapshot']['changelog']['full_read_sec']:.1f}s/"
+            f"{tick['snapshot']['changelog']['full_read_rows']}rows |\n"
         )
 
     print(

@@ -588,6 +588,11 @@ class SnapshotTable:
                 )
             )
         keys = list(keys)
+        if not keys:
+            raise ValueError(
+                "keys must name at least one column — pass keys=None for "
+                "the raw file-level stream"
+            )
         missing = [k for k in keys if k not in cols]
         if missing:
             raise ValueError(f"key column(s) {missing} not in table schema {cols}")

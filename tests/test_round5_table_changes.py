@@ -179,6 +179,8 @@ def test_error_paths(spark, tmp_path):
         t.read_changes(spark, 2, 1)
     with pytest.raises(ValueError, match="not in table schema"):
         t.read_changes(spark, 1, 2, keys=("nope",))
+    with pytest.raises(ValueError, match="at least one column"):
+        t.read_changes(spark, 1, 2, keys=())
     with pytest.raises(FileNotFoundError):
         t.read_changes(spark, 1, 99)
     # duplicate keys inside the diffed files refuse loudly
