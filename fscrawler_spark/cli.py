@@ -1401,7 +1401,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     r["_change_type"]: r["count"]
                     for r in ch.groupBy("_change_type").count().collect()
                 }
-            except (ValueError, FileNotFoundError) as e:
+            # RuntimeError covers SnapshotIntegrityError from diff() —
+            # same exit-2 contract as the other table verbs
+            except (ValueError, FileNotFoundError, RuntimeError) as e:
                 print(f"error: {e}", file=sys.stderr)
                 return 2
             print(

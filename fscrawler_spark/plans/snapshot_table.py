@@ -546,6 +546,8 @@ class SnapshotTable:
         file as 'delete', every added-file row as 'insert', WITHOUT
         bystander cancellation (exact, but noisy under copy-on-write).
         """
+        import functools
+
         from pyspark.sql import functions as F
 
         to_id = self.current_id() if to_snapshot_id is None else to_snapshot_id
@@ -562,6 +564,56 @@ class SnapshotTable:
                 f"table schema already has changelog column(s) {clash} — "
                 "rename them or read snapshots directly"
             )
+        # both sides are read under the TO schema: ADDITIVE evolution makes
+        # that safe (older files NULL-fill net-new columns, same rule as
+        # read()), but an overwrite() may rewrite the schema wholesale —
+        # refuse a range whose from-side files could not parse under the
+        # to-side schema, rather than crash mid-job or drop preimages
+        from_schema = T.StructType.fromJson(
+            json.loads(self.manifest(from_snapshot_id)["schema"])
+        )
+        to_types = {f.name: f.dataType for f in schema.fields}
+        ts_pair = {T.TimestampType(), T.TimestampNTZType()}
+        for f in from_schema.fields:
+            have = to_types.get(f.name)
+            bad = have is None or (
+                _strip_null_flags(have) != _strip_null_flags(f.dataType)
+                and not (have in ts_pair and f.dataType in ts_pair)
+            )
+            if bad:
+                raise ValueError(
+                    f"snapshot {from_snapshot_id}'s column {f.name!r} "
+                    f"({f.dataType.simpleString()}) "
+                    + (
+                        "was dropped"
+                        if have is None
+                        else f"changed type to {have.simpleString()}"
+                    )
+                    + f" by snapshot {to_id} — the range crosses a "
+                    "schema-rewriting overwrite(); read the two snapshots "
+                    "separately"
+                )
+        # key-spec validation BEFORE the empty-range early return, so a
+        # probe of an idle table still surfaces a bad key spec
+        by_name = to_types
+        if keys is not None:
+            keys = list(keys)
+            if not keys:
+                raise ValueError(
+                    "keys must name at least one column — pass keys=None for "
+                    "the raw file-level stream"
+                )
+            missing = [k for k in keys if k not in cols]
+            if missing:
+                raise ValueError(
+                    f"key column(s) {missing} not in table schema {cols}"
+                )
+            unjoinable = [k for k in keys if _needs_canon(by_name[k])]
+            if unjoinable:
+                raise ValueError(
+                    f"key column(s) {unjoinable} contain map types — not "
+                    "joinable; pick scalar keys or keys=None"
+                )
         out_fields = list(schema.fields) + [
             T.StructField("_change_type", T.StringType(), False),
             T.StructField("_from_snapshot", T.IntegerType(), False),
@@ -575,9 +627,6 @@ class SnapshotTable:
         if from_snapshot_id == to_id:
             return spark.createDataFrame([], out_schema)
         d = self.diff(from_snapshot_id, to_id)
-        # both sides read under the TO schema: evolution is additive-only,
-        # so older files simply NULL-fill net-new columns (same rule as
-        # read()); a from-side column absent at to_id cannot exist
         old = self.read_entries(spark, d["removed"], snapshot_id=to_id)
         new = self.read_entries(spark, d["added"], snapshot_id=to_id)
         if keys is None:
@@ -587,24 +636,14 @@ class SnapshotTable:
                     new.select(*cols, F.lit("insert").alias("_change_type"), *tail)
                 )
             )
-        keys = list(keys)
-        if not keys:
-            raise ValueError(
-                "keys must name at least one column — pass keys=None for "
-                "the raw file-level stream"
-            )
-        missing = [k for k in keys if k not in cols]
-        if missing:
-            raise ValueError(f"key column(s) {missing} not in table schema {cols}")
-        by_name = {f.name: f.dataType for f in schema.fields}
-        unjoinable = [k for k in keys if _needs_canon(by_name[k])]
-        if unjoinable:
-            raise ValueError(
-                f"key column(s) {unjoinable} contain map types — not "
-                "joinable; pick scalar keys or keys=None"
-            )
         self._validate_changelog_keys(old, new, keys)
         nonkeys = [c for c in cols if c not in keys]
+        # only map-bearing columns need the canonical twin; everything else
+        # compares directly off _row post-join — shipping a byte-identical
+        # _cmp copy of plain columns through the join would double the
+        # shuffle for nothing
+        canon_cols = [c for c in nonkeys if _needs_canon(by_name[c])]
+        plain_cols = [c for c in nonkeys if c not in canon_cols]
 
         def prep(df: DataFrame, side: str) -> DataFrame:
             sel = [F.col(k) for k in keys] + [F.lit(True).alias(f"_{side}_present")]
@@ -612,20 +651,30 @@ class SnapshotTable:
                 sel.append(
                     F.struct(*[F.col(c).alias(c) for c in nonkeys]).alias(f"_{side}_row")
                 )
+            if canon_cols:
                 sel.append(
                     F.struct(
                         *[
                             _canon_expr(F.col(c), by_name[c]).alias(c)
-                            for c in nonkeys
+                            for c in canon_cols
                         ]
                     ).alias(f"_{side}_cmp")
                 )
             return df.select(*sel)
 
         j = prep(old, "old").join(prep(new, "new"), on=keys, how="full_outer")
+        eqs = []
+        if plain_cols:
+            eqs.append(
+                F.struct(*[F.col("_old_row")[c] for c in plain_cols]).eqNullSafe(
+                    F.struct(*[F.col("_new_row")[c] for c in plain_cols])
+                )
+            )
+        if canon_cols:
+            eqs.append(F.col("_old_cmp").eqNullSafe(F.col("_new_cmp")))
         unchanged = (
-            F.col("_old_cmp").eqNullSafe(F.col("_new_cmp"))
-            if nonkeys
+            functools.reduce(lambda a, b: a & b, eqs)
+            if eqs
             else F.lit(True)  # key-only table: a key on both sides is a no-op
         )
         kinds = (
@@ -881,6 +930,12 @@ class SnapshotTable:
                         have.name, wide, have.nullable or f.nullable
                     )
                     widened = True
+            elif f.nullable and not have.nullable:
+                # the ts-flavor compatibility path: the stored flavor is
+                # kept, but the top-level nullable flag must still widen —
+                # the new files can hold NULLs
+                by_name[f.name] = T.StructField(have.name, have.dataType, True)
+                widened = True
         df_names = {f.name for f in df.schema.fields}
         for f in stored.fields:
             if f.name not in df_names and not f.nullable:

@@ -376,3 +376,82 @@ def test_cli_table_changes_errors(spark, tmp_path, capsys):
         == 2
     )
     assert "no snapshot table" in capsys.readouterr().err
+
+
+def test_schema_rewriting_overwrite_refused(spark, tmp_path):
+    """A range crossing an overwrite() that changed a column type (or
+    dropped a column) cannot read the from-side files under the TO
+    schema — refuse cleanly up front instead of crashing mid-job."""
+    t = _table(spark, tmp_path)
+    t.overwrite(
+        spark, _base(spark).withColumn("turn_idx", F.col("turn_idx").cast("string"))
+    )  # 2: type rewrite
+    with pytest.raises(ValueError, match="schema-rewriting overwrite"):
+        t.read_changes(spark, 1, 2)
+    with pytest.raises(ValueError, match="changed type to string"):
+        t.read_changes(spark, 1, 2, keys=None)  # raw stream refuses too
+    t.overwrite(
+        spark,
+        _base(spark)
+        .withColumn("turn_idx", F.col("turn_idx").cast("string"))
+        .drop("text"),
+    )  # 3: column drop
+    with pytest.raises(ValueError, match="was dropped"):
+        t.read_changes(spark, 2, 3)
+    # within one schema era the changelog still works
+    assert t.read_changes(spark, 2, 2).count() == 0
+
+
+def test_bad_keys_surface_on_empty_range(spark, tmp_path):
+    """from==to short-circuits the diff, but a bad key spec must still
+    raise — a caller probing an idle table learns immediately."""
+    t = _table(spark, tmp_path)
+    cur = t.current_id()
+    with pytest.raises(ValueError, match="not in table schema"):
+        t.read_changes(spark, cur, cur, keys=("typo_col",))
+    with pytest.raises(ValueError, match="at least one column"):
+        t.read_changes(spark, cur, cur, keys=())
+
+
+def test_map_free_schema_sheds_cmp_structs(spark, tmp_path):
+    """With no map-bearing columns, the comparison runs off _row alone:
+    no byte-identical _cmp twin may ride the full-outer join shuffle."""
+    t = _table(spark, tmp_path)
+    t.upsert(spark, _df(spark, [("c0", 0, "X")]), keys=("conv_id", "turn_idx"))
+    ch = t.read_changes(spark, 1, 2)
+    plan = ch._jdf.queryExecution().optimizedPlan().toString()
+    assert "_old_cmp" not in plan and "_new_cmp" not in plan
+    assert _counts(ch) == {"update_preimage": 1, "update_postimage": 1}
+
+
+def test_map_bearing_columns_still_compare_canonically(spark, tmp_path):
+    """Map columns keep the canonical _cmp twin (and only they ride it);
+    the plain columns still compare off _row."""
+    t = SnapshotTable(str(tmp_path / "mm"))
+    mk = F.create_map(F.lit("a"), F.lit("1"))
+    t.overwrite(spark, _base(spark).select("*", mk.alias("raw")))
+    t.upsert(
+        spark,
+        _df(spark, [("c0", 0, "PLAIN-CHANGE")]).select("*", mk.alias("raw")),
+        keys=("conv_id", "turn_idx"),
+    )
+    ch = t.read_changes(spark, 1, 2)
+    plan = ch._jdf.queryExecution().optimizedPlan().toString()
+    assert "_old_cmp" in plan  # the map column's canonical twin survives
+    assert _counts(ch) == {"update_preimage": 1, "update_postimage": 1}
+
+
+def test_cli_table_changes_integrity_error(spark, tmp_path, capsys):
+    """A SnapshotIntegrityError out of diff() honors the CLI's exit-2
+    error contract (it is a RuntimeError, not a ValueError)."""
+    from fscrawler_spark.cli import main
+
+    t = _table(spark, tmp_path)
+    m = t.manifest()
+    m["files"][0]["length"] += 1
+    m["snapshot_id"], m["parent_id"] = 2, 1
+    with open(t._manifest_path(2), "w") as f:
+        json.dump(m, f)
+    rc = main(["--output", t.root, "--table-changes", "1:2"], spark=spark)
+    assert rc == 2
+    assert "changed length" in capsys.readouterr().err

@@ -529,3 +529,24 @@ def test_cli_table_compact(spark, tmp_path, capsys):
     # contract: bad args exit 2 with a message, never a traceback
     assert main(["--output", str(tmp_path / "nope"), "--table-compact"], spark=spark) == 2
     assert main(["--output", t.root, "--table-compact", "0"], spark=spark) == 2
+
+
+def test_ts_flavor_upsert_still_widens_nullability(spark, tmp_path):
+    """The ts/ntz compatibility path keeps the stored flavor, but a more
+    nullable incoming column must still widen the stored nullable flag —
+    the new data files genuinely hold NULLs."""
+    from pyspark.sql import functions as F
+
+    t = SnapshotTable(str(tmp_path / "tsn"))
+    base = spark.createDataFrame(
+        [("c0", 0, dt.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, ts timestamp not null",
+    )
+    t.overwrite(spark, base)
+    assert t.schema()["ts"].nullable is False
+    delta = spark.createDataFrame(
+        [("c1", 1, None)], "conv_id string, turn_idx int, ts timestamp_ntz"
+    )
+    t.upsert(spark, delta, keys=("conv_id", "turn_idx"))
+    assert t.schema()["ts"].nullable is True  # widened across the flavor gap
+    assert t.read(spark).filter(F.col("ts").isNull()).count() == 1
