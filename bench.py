@@ -688,6 +688,42 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
             },
         }
 
+        # derived-view sync leg: a filtered materialized view maintained
+        # off the published table's changelog (plans/derived). Bootstrap
+        # is the one corpus pass; after a ~0.5%-of-keys upstream edit the
+        # delta sync must be delta-sized (wall << bootstrap, view files
+        # rewritten << total).
+        from fscrawler_spark.plans.derived import sync_derived_table
+
+        def _view(df):
+            return df.filter(F.col("error").isNull()).select(
+                "conv_id", "turn_idx", F.length("extracted").alias("n_chars")
+            )
+
+        view_root = os.path.join(scratch, "view")
+        t0 = time.perf_counter()
+        sync_derived_table(spark, pub_tbl, view_root, _view)
+        view_boot_sec = time.perf_counter() - t0
+        vcols = pub_tbl.read(spark).columns
+        vdelta = (
+            pub_tbl.read(spark)
+            .filter((F.abs(F.xxhash64("conv_id", "turn_idx")) % 200) == 0)
+            .withColumn("extracted", F.concat(F.col("extracted"), F.lit(" v3")))
+            .select(*vcols)
+        )
+        pub_tbl.upsert(spark, vdelta, keys=("conv_id", "turn_idx"))
+        t0 = time.perf_counter()
+        r_vs = sync_derived_table(spark, pub_tbl, view_root, _view)
+        view_sync_sec = time.perf_counter() - t0
+        assert r_vs["mode"] == "delta", r_vs
+        snapshot_legs["derived_view"] = {
+            "bootstrap_sec": round(view_boot_sec, 3),
+            "delta_sync_sec": round(view_sync_sec, 3),
+            "rows_upserted": int(r_vs["rows_upserted"]),
+            "view_files_rewritten": int(r_vs["files_rewritten"]),
+            "view_files_total": len(SnapshotTable(view_root).files()),
+        }
+
         # assembly-store legs on the already-ticked first output:
         # bootstrap (assemble every conversation), no-op (fingerprint
         # pass only), then a delta tick with ~1% of CONVERSATIONS edited
@@ -848,7 +884,11 @@ def main() -> None:
             f"changelog {tick['snapshot']['changelog']['sec']:.1f}s/"
             f"{tick['snapshot']['changelog']['rows']}rows vs full read "
             f"{tick['snapshot']['changelog']['full_read_sec']:.1f}s/"
-            f"{tick['snapshot']['changelog']['full_read_rows']}rows |\n"
+            f"{tick['snapshot']['changelog']['full_read_rows']}rows; "
+            f"view boot {tick['snapshot']['derived_view']['bootstrap_sec']:.1f}s "
+            f"vs sync {tick['snapshot']['derived_view']['delta_sync_sec']:.1f}s "
+            f"({tick['snapshot']['derived_view']['view_files_rewritten']}of"
+            f"{tick['snapshot']['derived_view']['view_files_total']}f) |\n"
         )
 
     print(

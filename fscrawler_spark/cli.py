@@ -181,6 +181,24 @@ def build_parser() -> argparse.ArgumentParser:
         "here (sorted by key within partitions for stable listings)",
     )
     p.add_argument(
+        "--sync-derived",
+        metavar="UPSTREAM_ROOT",
+        default=None,
+        help="keep the --output snapshot table in sync with the UPSTREAM "
+        "snapshot table as an identity mirror (materialized-view "
+        "maintenance over the changelog: first run bootstraps, later "
+        "runs consume read_changes O(delta) and apply ONE atomic "
+        "MERGE+DELETE; the cursor rides the derived table's own commit "
+        "summary); keyed by --table-keys; print the sync result as JSON "
+        "(library callers pass a transform for non-identity views)",
+    )
+    p.add_argument(
+        "--force-bootstrap",
+        action="store_true",
+        help="with --sync-derived: rebuild the derived table from "
+        "upstream even if it exists without (or with a drifted) cursor",
+    )
+    p.add_argument(
         "--table-rollback",
         type=int,
         default=None,
@@ -892,10 +910,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         and args.table_delete is None
         and args.table_compact is None
         and args.table_changes is None
+        and args.sync_derived is None
     ):
         # --doctor/--table-upsert/--table-delete/--table-compact/
-        # --table-changes need only --output (like the control verbs, but
-        # they read parquet so they do need a session)
+        # --table-changes/--sync-derived need only --output (like the
+        # control verbs, but they read parquet so they do need a session)
         print("error: --input is required to run a crawl", file=sys.stderr)
         return 2
     if args.restart and args.incremental:
@@ -1049,6 +1068,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             f"error: --decon-max-benchmark must be >= 1, got {args.decon_max_benchmark}",
             file=sys.stderr,
         )
+        return 2
+    if args.force_bootstrap and args.sync_derived is None:
+        print("error: --force-bootstrap requires --sync-derived", file=sys.stderr)
         return 2
     if args.ppl_filter is None and (
         args.ppl_target is not None or args.ppl_cuts is not None
@@ -1418,6 +1440,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     }
                 )
             )
+            return 0
+        if args.sync_derived is not None:
+            from fscrawler_spark.plans.derived import sync_derived_table
+
+            keys = tuple(k.strip() for k in args.table_keys.split(",") if k.strip())
+            if not keys:
+                print(
+                    "error: --table-keys must name at least one column "
+                    f"(got {args.table_keys!r})",
+                    file=sys.stderr,
+                )
+                return 2
+            try:
+                res = sync_derived_table(
+                    spark,
+                    args.sync_derived,
+                    args.output,
+                    keys=keys,
+                    force_bootstrap=args.force_bootstrap,
+                )
+            except (ValueError, FileNotFoundError, RuntimeError) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            res["operation"] = "sync-derived"
+            print(json.dumps(res))
             return 0
         if args.table_upsert is not None or args.table_delete is not None:
             from fscrawler_spark.plans.snapshot_table import SnapshotTable

@@ -1,0 +1,290 @@
+"""Derived-table sync (plans/derived.sync_derived_table): incremental
+materialized-view maintenance over the snapshot-table changelog. The
+pinned invariant throughout: after any sequence of upstream mutations
+and syncs, derived.read() == transform(upstream.read()) recomputed
+from scratch — while each sync does only O(delta) work and the cursor
+rides the derived table's own commit summary (atomic exactly-once)."""
+
+from __future__ import annotations
+
+import json
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.plans.derived import sync_derived_table
+from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+SCHEMA = "conv_id string, turn_idx int, text string"
+KEYS = ("conv_id", "turn_idx")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _base(spark, n=40):
+    return spark.range(0, n).select(
+        F.concat(F.lit("c"), (F.col("id") % 8).cast("string")).alias("conv_id"),
+        (F.col("id") / 8).cast("int").alias("turn_idx"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def _transform(df):
+    """Row-wise map + FILTER: uppercase the text, keep only conv c0-c3.
+    The filter makes update-transitions interesting (a row updated out
+    of the filter must vanish downstream)."""
+    return df.filter(F.col("conv_id") < "c4").select(
+        "conv_id", "turn_idx", F.upper(F.col("text")).alias("up")
+    )
+
+
+def _equiv(spark, up: SnapshotTable, dv: SnapshotTable, fn=_transform):
+    got = sorted(map(tuple, dv.read(spark).select("conv_id", "turn_idx", "up").collect()))
+    want = sorted(map(tuple, fn(up.read(spark)).select("conv_id", "turn_idx", "up").collect()))
+    assert got == want
+
+
+def _tables(spark, tmp_path):
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    dv = SnapshotTable(str(tmp_path / "dv"))
+    return up, dv
+
+
+def test_bootstrap_then_delta_equivalence(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "bootstrap" and r["upstream_snapshot"] == 1
+    _equiv(spark, up, dv)
+    # upstream mutates: update inside filter, insert inside + outside,
+    # delete inside
+    up.upsert(
+        spark,
+        _df(spark, [("c0", 0, "edited"), ("c2", 9, "born"), ("c7", 9, "outside")]),
+        keys=KEYS,
+    )
+    up.delete_rows(spark, _df(spark, [("c1", 0, None)]).select(*KEYS), keys=KEYS)
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "delta"
+    assert r["upstream_from"] == 1 and r["upstream_snapshot"] == 3
+    assert r["rows_upserted"] == 2  # c0+c2; c7 is outside the filter
+    # deletes = the upstream delete (c1,0) + the filter-excluded insert
+    # (c7,9) — the latter misses the derived table harmlessly
+    assert r["keys_deleted"] == 2
+    assert r["files_rewritten"] < len(dv.files())  # stats-pruned, not a rewrite
+    _equiv(spark, up, dv)
+    row = {r2["conv_id"]: r2["up"] for r2 in dv.read(spark).collect()}
+    assert row["c0"] == "EDITED"
+
+
+def test_filter_transition_deletes_stale_row(spark, tmp_path):
+    """A row UPDATED out of the transform's filter must disappear from
+    the derived table (postimage key absent from transform output)."""
+    up, dv = _tables(spark, tmp_path)
+
+    def fn(df):
+        return df.filter(~F.col("text").startswith("drop")).select(
+            "conv_id", "turn_idx", F.upper(F.col("text")).alias("up")
+        )
+
+    sync_derived_table(spark, up, dv, fn, keys=KEYS)
+    assert dv.read(spark).count() == 40
+    up.upsert(spark, _df(spark, [("c0", 0, "drop me")]), keys=KEYS)
+    r = sync_derived_table(spark, up, dv, fn, keys=KEYS)
+    assert r["mode"] == "delta" and r["keys_deleted"] == 1
+    assert dv.read(spark).count() == 39
+    _equiv(spark, up, dv, fn)
+    # ...and updated BACK into the filter it reappears
+    up.upsert(spark, _df(spark, [("c0", 0, "kept again")]), keys=KEYS)
+    sync_derived_table(spark, up, dv, fn, keys=KEYS)
+    assert dv.read(spark).count() == 40
+    _equiv(spark, up, dv, fn)
+
+
+def test_noop_and_cursor_advance(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "noop"
+    assert dv.current_id() == 1  # no empty commits
+    # compaction-only upstream range: nothing to apply, but the cursor
+    # must advance (O(metadata) commit) so the range is never re-diffed
+    up.append(spark, _df(spark, [("c9", 0, "x")]))  # outside filter
+    up.compact(spark, target_file_bytes=1 << 30)
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "cursor-advance"
+    assert r["files_rewritten"] == 0
+    assert dv.manifest()["derived_from_snapshot"] == up.current_id()
+    assert sync_derived_table(spark, up, dv, _transform, keys=KEYS)["mode"] == "noop"
+    _equiv(spark, up, dv)
+
+
+def test_cursor_rides_commit_summary(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    up.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    last = dv.history()[-1]["summary"]
+    assert last["derived_from_snapshot"] == up.current_id()
+    assert last["derived_of_uuid"] == up.table_uuid()
+    assert last["derived_of_root"] == up.root
+
+
+def test_external_commit_breaks_correspondence(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    # an external writer commits to the derived table: its CURRENT
+    # manifest no longer carries the cursor -> refuse, force rebuilds
+    dv.append(spark, _transform(_df(spark, [("c0", 5, "rogue")])))
+    up.upsert(spark, _df(spark, [("c1", 1, "v2")]), keys=KEYS)
+    with pytest.raises(ValueError, match="no sync cursor"):
+        sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS, force_bootstrap=True)
+    assert r["mode"] == "bootstrap" and r["bootstrap_reason"] == "forced"
+    _equiv(spark, up, dv)  # the rogue row is gone
+
+
+def test_upstream_identity_change_refuses(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    # a DIFFERENT table appears at the same upstream root
+    shutil.rmtree(up.root)
+    up2 = SnapshotTable(up.root)
+    up2.overwrite(spark, _base(spark, 16), cluster_by=KEYS)
+    with pytest.raises(ValueError, match="different table"):
+        sync_derived_table(spark, up2, dv, _transform, keys=KEYS)
+    r = sync_derived_table(spark, up2, dv, _transform, keys=KEYS, force_bootstrap=True)
+    assert r["mode"] == "bootstrap"
+    _equiv(spark, up2, dv)
+
+
+def test_expired_cursor_rebootstraps(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    up.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    up.upsert(spark, _df(spark, [("c0", 1, "v3")]), keys=KEYS)
+    up.expire_unreferenced(keep_snapshots=1)  # snapshot 1 (the cursor) gone
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "bootstrap"
+    assert r["bootstrap_reason"] == "cursor-expired"
+    _equiv(spark, up, dv)
+
+
+def test_upstream_schema_rewrite_rebootstraps(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+
+    def fn(df):  # transform agnostic to the rewritten column's type
+        return df.select("conv_id", "turn_idx", F.upper(F.col("text")).alias("up"))
+
+    sync_derived_table(spark, up, dv, fn, keys=KEYS)
+    up.overwrite(
+        spark, _base(spark).withColumn("text", F.struct(F.col("text").alias("v")))
+    )  # wholesale type rewrite -> range cannot be diffed
+    up2 = SnapshotTable(up.root)
+
+    def fn2(df):
+        return df.select("conv_id", "turn_idx", F.upper(F.col("text.v")).alias("up"))
+
+    r = sync_derived_table(spark, up2, dv, fn2, keys=KEYS)
+    assert r["mode"] == "bootstrap"
+    assert r["bootstrap_reason"] == "upstream-schema-rewrite"
+    _equiv(spark, up2, dv, fn2)
+
+
+def test_transform_must_keep_keys(spark, tmp_path):
+    up, dv = _tables(spark, tmp_path)
+    with pytest.raises(ValueError, match="missing key column"):
+        sync_derived_table(
+            spark, up, dv, lambda df: df.select("text"), keys=KEYS
+        )
+    assert not dv.exists()  # refused before any commit
+
+
+def test_identity_mirror_and_pure_delete_miss(spark, tmp_path):
+    """transform=None mirrors the table; a delete whose key the filter
+    already excluded downstream nets to a cursor-advance, not a crash."""
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    mirror = SnapshotTable(str(tmp_path / "mirror"))
+    sync_derived_table(spark, up, mirror, keys=KEYS)
+    assert sorted(map(tuple, mirror.read(spark).collect())) == sorted(
+        map(tuple, up.read(spark).collect())
+    )
+    # filtered view: c7 rows never reach the derived table
+    dv = SnapshotTable(str(tmp_path / "dv"))
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    up.delete_rows(spark, _df(spark, [("c7", 0, None)]).select(*KEYS), keys=KEYS)
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "cursor-advance"  # the delete missed: no commit needed
+    _equiv(spark, up, dv)
+
+
+def test_chained_derived_tables(spark, tmp_path):
+    """A derived table is itself a snapshot table: a second-level view
+    syncs off the first level's changelog."""
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    lvl2 = SnapshotTable(str(tmp_path / "lvl2"))
+
+    def fn2(df):
+        return df.select("conv_id", "turn_idx", F.length("up").alias("n"))
+
+    sync_derived_table(spark, dv, lvl2, fn2, keys=KEYS)
+    up.upsert(spark, _df(spark, [("c0", 0, "longer text here")]), keys=KEYS)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    r = sync_derived_table(spark, dv, lvl2, fn2, keys=KEYS)
+    assert r["mode"] == "delta"
+    got = sorted(map(tuple, lvl2.read(spark).collect()))
+    want = sorted(map(tuple, fn2(_transform(up.read(spark))).collect()))
+    assert got == want
+
+
+def test_cli_sync_derived(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    dv_root = str(tmp_path / "dv")
+    rc = main(["--output", dv_root, "--sync-derived", up.root], spark=spark)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and line["mode"] == "bootstrap"
+    up.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    rc = main(["--output", dv_root, "--sync-derived", up.root], spark=spark)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and line["mode"] == "delta" and line["rows_upserted"] == 1
+    assert sorted(map(tuple, SnapshotTable(dv_root).read(spark).collect())) == sorted(
+        map(tuple, up.read(spark).collect())
+    )
+
+
+def test_cli_sync_derived_errors(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    dv_root = str(tmp_path / "dv")
+    # missing upstream
+    rc = main(
+        ["--output", dv_root, "--sync-derived", str(tmp_path / "no")], spark=spark
+    )
+    assert rc == 2 and "no upstream snapshot table" in capsys.readouterr().err
+    # orphan --force-bootstrap
+    rc = main(["--input", "x", "--output", dv_root, "--force-bootstrap"], spark=spark)
+    assert rc == 2 and "requires --sync-derived" in capsys.readouterr().err
+    # drifted derived table refuses with exit 2
+    rc = main(["--output", dv_root, "--sync-derived", up.root], spark=spark)
+    assert rc == 0
+    capsys.readouterr()
+    SnapshotTable(dv_root).append(spark, _df(spark, [("zz", 0, "rogue")]))
+    up.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    rc = main(["--output", dv_root, "--sync-derived", up.root], spark=spark)
+    assert rc == 2 and "no sync cursor" in capsys.readouterr().err
+    rc = main(
+        ["--output", dv_root, "--sync-derived", up.root, "--force-bootstrap"],
+        spark=spark,
+    )
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and line["mode"] == "bootstrap"
