@@ -199,6 +199,25 @@ def build_parser() -> argparse.ArgumentParser:
         "upstream even if it exists without (or with a drifted) cursor",
     )
     p.add_argument(
+        "--view-filter",
+        metavar="SQL_EXPR",
+        default=None,
+        help="with --sync-derived: maintain a FILTERED view — only "
+        "upstream rows where this SQL boolean expression holds (e.g. "
+        "\"error IS NULL\"); rows updated out of the filter are deleted "
+        "downstream, never left stale",
+    )
+    p.add_argument(
+        "--view-select",
+        metavar="SQL_EXPR",
+        action="append",
+        default=None,
+        help="with --sync-derived: project the view's columns — "
+        "repeatable, one SQL expression per use (alias with AS, e.g. "
+        "\"length(extracted) AS n_chars\"); the key columns "
+        "(--table-keys) are always retained",
+    )
+    p.add_argument(
         "--table-rollback",
         type=int,
         default=None,
@@ -1072,6 +1091,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.force_bootstrap and args.sync_derived is None:
         print("error: --force-bootstrap requires --sync-derived", file=sys.stderr)
         return 2
+    if args.sync_derived is None and (
+        args.view_filter is not None or args.view_select is not None
+    ):
+        print(
+            "error: --view-filter/--view-select require --sync-derived",
+            file=sys.stderr,
+        )
+        return 2
     if args.ppl_filter is None and (
         args.ppl_target is not None or args.ppl_cuts is not None
     ):
@@ -1442,6 +1469,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
             return 0
         if args.sync_derived is not None:
+            import time as _time
+
+            from pyspark.errors import AnalysisException
+
             from fscrawler_spark.plans.derived import sync_derived_table
 
             keys = tuple(k.strip() for k in args.table_keys.split(",") if k.strip())
@@ -1452,19 +1483,50 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            try:
-                res = sync_derived_table(
-                    spark,
-                    args.sync_derived,
-                    args.output,
-                    keys=keys,
-                    force_bootstrap=args.force_bootstrap,
-                )
-            except (ValueError, FileNotFoundError, RuntimeError) as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 2
-            res["operation"] = "sync-derived"
-            print(json.dumps(res))
+            transform = None
+            if args.view_filter is not None or args.view_select is not None:
+                # a non-identity view straight from the CLI: filter rows
+                # with a SQL predicate, project with SQL expressions; the
+                # keys are always retained (the sync's key-grain contract)
+                vf, vs = args.view_filter, args.view_select
+
+                def transform(df, _vf=vf, _vs=vs, _keys=keys):
+                    from pyspark.sql import functions as F
+
+                    if _vf:
+                        df = df.filter(F.expr(_vf))
+                    if _vs:
+                        user = [e for e in _vs if e.strip() not in _keys]
+                        df = df.selectExpr(*_keys, *user)
+                    return df
+
+            # --loop N --update-rate T = continuous materialized-view
+            # maintenance (the crawl loop's analog for the derived tier):
+            # one JSON line per sync; --force-bootstrap applies to the
+            # FIRST sync only (rebuild once, then deltas)
+            for i in range(args.loop):
+                try:
+                    res = sync_derived_table(
+                        spark,
+                        args.sync_derived,
+                        args.output,
+                        transform=transform,
+                        keys=keys,
+                        force_bootstrap=args.force_bootstrap and i == 0,
+                    )
+                except (
+                    ValueError,
+                    FileNotFoundError,
+                    RuntimeError,
+                    AnalysisException,
+                ) as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+                res["operation"] = "sync-derived"
+                res["loop"] = i + 1
+                print(json.dumps(res))
+                if sleep_s and i + 1 < args.loop:
+                    _time.sleep(sleep_s)
             return 0
         if args.table_upsert is not None or args.table_delete is not None:
             from fscrawler_spark.plans.snapshot_table import SnapshotTable

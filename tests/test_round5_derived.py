@@ -288,3 +288,86 @@ def test_cli_sync_derived_errors(spark, tmp_path, capsys):
     )
     line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rc == 0 and line["mode"] == "bootstrap"
+
+def test_cli_view_filter_select(spark, tmp_path, capsys):
+    """--view-filter/--view-select make non-identity views CLI-reachable:
+    bootstrap, then a delta where an update crosses the filter boundary
+    (the stale derived row must be deleted), derived == recomputed."""
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    dv_root = str(tmp_path / "dv")
+    argv = [
+        "--output", dv_root, "--sync-derived", up.root,
+        "--view-filter", "text NOT LIKE 'drop%'",
+        "--view-select", "upper(text) AS up",
+        "--view-select", "conv_id",  # bare key repeated: deduped, not duplicated
+    ]
+    rc = main(argv, spark=spark)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and line["mode"] == "bootstrap"
+    dv = SnapshotTable(dv_root)
+    assert sorted(dv.read(spark).columns) == ["conv_id", "turn_idx", "up"]
+    assert dv.read(spark).count() == 40
+
+    def fn(df):
+        return df.filter("text NOT LIKE 'drop%'").selectExpr(
+            "conv_id", "turn_idx", "upper(text) AS up"
+        )
+
+    _equiv(spark, up, dv, fn)
+    # one update crosses OUT of the filter (stale row must be deleted),
+    # one stays inside it
+    up.upsert(
+        spark, _df(spark, [("c0", 0, "drop me"), ("c1", 0, "v2")]), keys=KEYS
+    )
+    rc = main(argv, spark=spark)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and line["mode"] == "delta"
+    assert line["rows_upserted"] == 1 and line["keys_deleted"] == 1
+    assert dv.read(spark).count() == 39
+    _equiv(spark, up, dv, fn)
+
+
+def test_cli_view_loop_and_errors(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    dv_root = str(tmp_path / "dv")
+    # --loop 2: first sync bootstraps, second is a noop; one JSON line each
+    rc = main(
+        ["--output", dv_root, "--sync-derived", up.root, "--loop", "2"],
+        spark=spark,
+    )
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0
+    assert [x["mode"] for x in lines] == ["bootstrap", "noop"]
+    assert [x["loop"] for x in lines] == [1, 2]
+    # view flags without --sync-derived
+    rc = main(
+        ["--input", "x", "--output", dv_root, "--view-filter", "1=1"], spark=spark
+    )
+    assert rc == 2 and "require --sync-derived" in capsys.readouterr().err
+    # bad SQL in the view: exit 2 with a message, never a traceback
+    rc = main(
+        ["--output", str(tmp_path / "dv2"), "--sync-derived", up.root,
+         "--view-filter", "no_such_column IS NULL"],
+        spark=spark,
+    )
+    assert rc == 2 and "error:" in capsys.readouterr().err
+    rc = main(
+        ["--output", str(tmp_path / "dv3"), "--sync-derived", up.root,
+         "--view-select", "((("],
+        spark=spark,
+    )
+    assert rc == 2 and "error:" in capsys.readouterr().err
+    # a projection that drops the keys keeps the library's key-grain error
+    rc = main(
+        ["--output", str(tmp_path / "dv4"), "--sync-derived", up.root,
+         "--table-keys", "conv_id,turn_idx,missing_key",
+         "--view-select", "text"],
+        spark=spark,
+    )
+    assert rc == 2 and "error:" in capsys.readouterr().err
