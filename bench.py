@@ -705,17 +705,25 @@ def bench_tick(spark_cpus: int, input_path: str) -> dict:
         sync_derived_table(spark, pub_tbl, view_root, _view)
         view_boot_sec = time.perf_counter() - t0
         vcols = pub_tbl.read(spark).columns
+        # extracted IS NOT NULL: concat(NULL, ' v3') stays NULL, which
+        # would net to an unchanged row in the changelog — keep only
+        # edits that actually change bytes so the delta-sync leg is real
         vdelta = (
             pub_tbl.read(spark)
             .filter((F.abs(F.xxhash64("conv_id", "turn_idx")) % 200) == 0)
+            .filter(F.col("extracted").isNotNull())
             .withColumn("extracted", F.concat(F.col("extracted"), F.lit(" v3")))
             .select(*vcols)
         )
+        n_vdelta = vdelta.count()
         pub_tbl.upsert(spark, vdelta, keys=("conv_id", "turn_idx"))
         t0 = time.perf_counter()
         r_vs = sync_derived_table(spark, pub_tbl, view_root, _view)
         view_sync_sec = time.perf_counter() - t0
-        assert r_vs["mode"] == "delta", r_vs
+        # corpus-dependent: an empty selection legitimately nets to a
+        # cursor-advance — record it rather than aborting the whole bench
+        if n_vdelta:
+            assert r_vs["mode"] == "delta", r_vs
         snapshot_legs["derived_view"] = {
             "bootstrap_sec": round(view_boot_sec, 3),
             "delta_sync_sec": round(view_sync_sec, 3),

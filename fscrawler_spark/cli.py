@@ -849,6 +849,50 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         clear_pause(args.output)
         print(json.dumps({"pause_requested": False}))
         return 0
+    if args.sync_derived is not None:
+        # same contract as --doctor and the curation verbs: a combination
+        # that would silently skip one of the verbs is an error, not a
+        # half-done exit 0 — and it must be checked BEFORE any verb
+        # dispatches (--loop/--update-rate ARE the sync's own knobs;
+        # curation-verb conflicts are caught by their exclusivity check)
+        sync_conflicts = [
+            name
+            for name, on in (
+                ("--input", args.input is not None),
+                ("--incremental", args.incremental),
+                ("--restart", args.restart),
+                ("--dry-run", args.dry_run),
+                ("--compact", args.compact),
+                ("--doctor", args.doctor),
+                ("--near-dup", args.near_dup),
+                ("--assemble-store", args.assemble_store),
+                ("--semantic-dedup", args.semantic_dedup is not None),
+                ("--table-history", args.table_history),
+                ("--table-expire", args.table_expire is not None),
+                ("--table-rollback", args.table_rollback is not None),
+                ("--table-vacuum", args.table_vacuum is not None),
+                ("--table-upsert", args.table_upsert is not None),
+                ("--table-delete", args.table_delete is not None),
+                ("--table-compact", args.table_compact is not None),
+                ("--table-changes", args.table_changes is not None),
+            )
+            if on
+        ]
+        if sync_conflicts:
+            print(
+                f"error: --sync-derived cannot combine with "
+                f"{'/'.join(sync_conflicts)} — one verb per invocation",
+                file=sys.stderr,
+            )
+            return 2
+        if args.table_keys.strip().lower() == "none":
+            print(
+                "error: --table-keys none is the raw file-level stream "
+                "sentinel for --table-changes; a derived-table sync is "
+                "keyed — name real key columns (default conv_id,turn_idx)",
+                file=sys.stderr,
+            )
+            return 2
     if args.table_expire is not None and not args.table_history:
         print("error: --table-expire requires --table-history", file=sys.stderr)
         return 2
@@ -1042,14 +1086,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         and (
             args.incremental or args.restart or args.dry_run or args.compact
             or args.doctor or args.near_dup or args.assemble_store
-            or args.loop != 1
+            or args.loop != 1 or args.sync_derived is not None
         )
     ):
         print(
             f"error: {'/'.join(curation_verbs)} is a one-shot curation pass "
             "and cannot combine with another curation verb or "
             "--incremental/--restart/--dry-run/--compact/--doctor/"
-            "--near-dup/--assemble-store/--loop",
+            "--near-dup/--assemble-store/--sync-derived/--loop",
             file=sys.stderr,
         )
         return 2

@@ -62,15 +62,21 @@ from typing import Callable, Sequence
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import os
+
 from fscrawler_spark.plans.snapshot_table import (
     CHANGE_COLS,
+    DERIVED_CURSOR_KEYS,
     FileEntry,
+    SchemaRewriteError,
     SnapshotTable,
 )
 
 # summary keys the sync stamps on every derived commit (cursor +
-# provenance); live in the manifest top level like publish's run_id
-CURSOR_KEYS = ("derived_of_root", "derived_of_uuid", "derived_from_snapshot")
+# provenance); live in the manifest top level like publish's run_id.
+# Defined in snapshot_table so row-preserving maintenance commits
+# (compact, rollback) carry them forward without a circular import.
+CURSOR_KEYS = DERIVED_CURSOR_KEYS
 
 
 def _cursor_extra(upstream: SnapshotTable, snapshot_id: int) -> dict:
@@ -113,6 +119,20 @@ def sync_derived_table(
         raise ValueError("keys must name at least one column")
     if not up.exists():
         raise FileNotFoundError(f"no upstream snapshot table at {up.root}")
+    # a table cannot derive from itself: every sync would commit a new
+    # cursor snapshot that advances its own "upstream", so it never
+    # reaches noop — unbounded snapshot growth under --loop. Catch both
+    # the same path and an aliased path to the same table (uuid match).
+    if os.path.realpath(up.root) == os.path.realpath(dv.root) or (
+        dv.exists()
+        and up.table_uuid() is not None
+        and dv.table_uuid() == up.table_uuid()
+    ):
+        raise ValueError(
+            f"derived table {dv.root} IS the upstream table — a table "
+            "cannot be synced onto itself (each sync would commit a new "
+            "snapshot forever); point --output at a separate view root"
+        )
     cur = up.current_id()  # resolve ONCE; the whole sync binds to it
 
     def bootstrap(reason: str | None) -> dict:
@@ -162,25 +182,37 @@ def sync_derived_table(
             "derived_snapshot": dv.current_id(),
         }
     try:
-        ch = up.read_changes(spark, base, cur, keys=keys)
+        # localCheckpoint: the changelog's keyed full-outer join (and the
+        # caller's transform below) feed FOUR+ downstream actions (two
+        # counts, apply_delta's key probes + touched-file collect + the
+        # staging write) — materialize each delta-sized frame ONCE
+        # instead of re-reading the diffed files and re-shuffling per
+        # action. Delta-sized by construction, so the executor-local
+        # storage is bounded; a lost executor fails the sync, which is
+        # idempotently re-runnable.
+        ch = up.read_changes(spark, base, cur, keys=keys).localCheckpoint()
     except FileNotFoundError:
         # the cursor snapshot expired upstream — the range cannot be
         # diffed anymore; the view must be rebuilt
         return bootstrap("cursor-expired")
-    except ValueError as e:
-        if "schema-rewriting overwrite" not in str(e):
-            raise
+    except SchemaRewriteError:
         return bootstrap("upstream-schema-rewrite")
     drop = list(CHANGE_COLS)
     post = ch.filter(
         F.col("_change_type").isin("insert", "update_postimage")
     ).drop(*drop)
     out = fn(post)
-    _validate_transform_output(out, keys)
-    # a filtering transform: postimage keys the transform dropped must
-    # be DELETED downstream, or an update that now fails the filter
-    # leaves its old derived row stale forever
-    filtered_out = post.select(*keys).join(
+    _validate_transform_output(out, keys)  # column check BEFORE any job
+    out = out.localCheckpoint()
+    # a filtering transform: UPDATE-postimage keys the transform dropped
+    # must be DELETED downstream, or an update that now fails the filter
+    # leaves its old derived row stale forever. Filtered-out INSERTs are
+    # excluded: an inserted key was absent at the cursor snapshot, so it
+    # cannot exist downstream — including it would only drive pointless
+    # stats-pruned file rewrites on views that filter most of a busy
+    # upstream.
+    upd_post = ch.filter(F.col("_change_type") == "update_postimage").drop(*drop)
+    filtered_out = upd_post.select(*keys).join(
         out.select(*keys), on=keys, how="left_anti"
     )
     deletes = (

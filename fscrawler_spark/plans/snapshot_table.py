@@ -70,6 +70,20 @@ class CommitConflictError(RuntimeError):
     concurrency): re-read current and retry the commit."""
 
 
+class SchemaRewriteError(ValueError):
+    """A changelog range crosses a schema-rewriting overwrite() (type
+    change / dropped column) — the from-side files cannot be read under
+    the to-side schema, so the range cannot be diffed; read the two
+    snapshots separately (derived-table syncs re-bootstrap on this)."""
+
+
+# summary keys the derived-table sync (plans/derived) stamps on every
+# view commit; defined HERE so row-preserving maintenance commits
+# (compact, rollback) can carry them forward without importing the
+# derived module (which imports this one)
+DERIVED_CURSOR_KEYS = ("derived_of_root", "derived_of_uuid", "derived_from_snapshot")
+
+
 class SnapshotIntegrityError(RuntimeError):
     """A manifest references a data file whose on-disk length changed —
     the immutability contract was violated out-of-band."""
@@ -581,7 +595,7 @@ class SnapshotTable:
                 and not (have in ts_pair and f.dataType in ts_pair)
             )
             if bad:
-                raise ValueError(
+                raise SchemaRewriteError(
                     f"snapshot {from_snapshot_id}'s column {f.name!r} "
                     f"({f.dataType.simpleString()}) "
                     + (
@@ -1117,13 +1131,18 @@ class SnapshotTable:
         parent = self.current_id()
         if to_snapshot_id == parent:
             return parent  # no-op: already current
+        # a derived table rolls its sync cursor back WITH its contents:
+        # the target snapshot's cursor (if any) matches the reverted data,
+        # so later syncs replay from there instead of refusing
+        extra = {"rolled_back_to": to_snapshot_id}
+        extra.update({k: m[k] for k in DERIVED_CURSOR_KEYS if k in m})
         return self._commit(
             spark,
             [FileEntry.from_dict(d) for d in m["files"]],
             "rollback",
             parent,
             m["schema"],
-            {"rolled_back_to": to_snapshot_id},
+            extra,
         )
 
     def compact(
@@ -1144,7 +1163,16 @@ class SnapshotTable:
         Returns {"rewritten": n_files, "new_files": m, "snapshot_id": id}
         — a no-op ({"rewritten": 0, ...}) when fewer than two files are
         below the threshold (rewriting one file alone shrinks nothing).
+
+        A derived table's sync cursor (DERIVED_CURSOR_KEYS) is carried
+        forward: compaction is row-preserving, so routine maintenance
+        must not evict the cursor and force a corpus-scale re-bootstrap.
+        (If a sync commits concurrently, the carried cursor can be one
+        sync STALE — harmless: replaying an already-applied changelog
+        range is idempotent by keyed-upsert construction.)
         """
+        cur_m = self.manifest() if self.exists() else {}
+        carry = {k: cur_m[k] for k in DERIVED_CURSOR_KEYS if k in cur_m}
         entries = self.files()
         small = [e for e in entries if e.length < target_file_bytes // 2]
         if len(small) < 2:
@@ -1175,6 +1203,7 @@ class SnapshotTable:
             [e.path for e in small],
             packed,
             stat_cols=stat_cols,
+            extra=carry or None,
             retry_on_conflict=True,
         )
         before = {e.path for e in entries}

@@ -71,9 +71,10 @@ def test_bootstrap_then_delta_equivalence(spark, tmp_path):
     assert r["mode"] == "delta"
     assert r["upstream_from"] == 1 and r["upstream_snapshot"] == 3
     assert r["rows_upserted"] == 2  # c0+c2; c7 is outside the filter
-    # deletes = the upstream delete (c1,0) + the filter-excluded insert
-    # (c7,9) — the latter misses the derived table harmlessly
-    assert r["keys_deleted"] == 2
+    # deletes = the upstream delete (c1,0) ONLY: the filter-excluded
+    # INSERT (c7,9) was absent at the cursor snapshot, so it cannot be
+    # stale downstream and must not drive a pointless file rewrite
+    assert r["keys_deleted"] == 1
     assert r["files_rewritten"] < len(dv.files())  # stats-pruned, not a rewrite
     _equiv(spark, up, dv)
     row = {r2["conv_id"]: r2["up"] for r2 in dv.read(spark).collect()}
@@ -371,3 +372,110 @@ def test_cli_view_loop_and_errors(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 2 and "error:" in capsys.readouterr().err
+
+
+def test_self_sync_refused(spark, tmp_path, capsys):
+    """A table synced onto itself would commit a cursor snapshot every
+    sync forever (its own commit advances its 'upstream'); refuse both
+    the same-path and the aliased-path (uuid) forms."""
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    with pytest.raises(ValueError, match="cannot be synced onto itself"):
+        sync_derived_table(spark, up, up.root, keys=KEYS)
+    with pytest.raises(ValueError, match="cannot be synced onto itself"):
+        sync_derived_table(spark, up, up, keys=KEYS, force_bootstrap=True)
+    # aliased path to the same table directory
+    alias = str(tmp_path / "alias")
+    import os
+
+    os.symlink(up.root, alias)
+    with pytest.raises(ValueError, match="cannot be synced onto itself"):
+        sync_derived_table(spark, up, alias, keys=KEYS)
+    rc = main(["--output", up.root, "--sync-derived", up.root], spark=spark)
+    assert rc == 2 and "onto itself" in capsys.readouterr().err
+    assert up.current_id() == 1  # nothing committed by any refusal
+
+
+def test_compact_preserves_sync_cursor(spark, tmp_path):
+    """Routine maintenance of the VIEW (compaction) is row-preserving
+    and must not evict the sync cursor — the steady-state loop is
+    sync, sync, ..., compact, sync, not sync -> 'no sync cursor'."""
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    # fragment the view with a few delta syncs
+    for i in range(3):
+        up.upsert(spark, _df(spark, [("c0", i, f"v{i}")]), keys=KEYS)
+        sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    r = dv.compact(spark, target_file_bytes=1 << 30, stat_cols=KEYS)
+    assert r["rewritten"] > 0
+    assert dv.manifest()["derived_from_snapshot"] == up.current_id()
+    # the next sync is a normal delta, NOT a refusal or re-bootstrap
+    up.upsert(spark, _df(spark, [("c1", 0, "after-compact")]), keys=KEYS)
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "delta"
+    _equiv(spark, up, dv)
+
+
+def test_rollback_carries_cursor_with_contents(spark, tmp_path):
+    """Rolling the view back to an earlier snapshot reverts the cursor
+    WITH the data: later syncs replay from there (idempotent keyed
+    upserts) instead of refusing."""
+    up, dv = _tables(spark, tmp_path)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    first_view_sid = dv.current_id()
+    up.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    dv.rollback(None, first_view_sid)
+    assert dv.manifest()["derived_from_snapshot"] == 1  # reverted cursor
+    r = sync_derived_table(spark, up, dv, _transform, keys=KEYS)
+    assert r["mode"] == "delta"  # replays 1 -> current
+    _equiv(spark, up, dv)
+
+
+def test_schema_rewrite_is_typed_error(spark, tmp_path):
+    """read_changes raises SchemaRewriteError (not message-matched
+    prose) when the range crosses a schema-rewriting overwrite."""
+    from fscrawler_spark.plans.snapshot_table import SchemaRewriteError
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    up.overwrite(
+        spark, _base(spark).withColumn("text", F.struct(F.col("text").alias("v")))
+    )
+    with pytest.raises(SchemaRewriteError):
+        up.read_changes(spark, 1, 2, keys=KEYS)
+    assert issubclass(SchemaRewriteError, ValueError)  # callers' except stays valid
+
+
+def test_cli_sync_derived_conflicts(spark, tmp_path, capsys):
+    """--sync-derived refuses to combine with any other verb instead of
+    silently running only whichever branch dispatches first."""
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    dv = str(tmp_path / "dv")
+    for argv in (
+        ["--output", dv, "--sync-derived", up.root, "--table-changes", "1"],
+        ["--input", "docs", "--output", dv, "--sync-derived", up.root],
+        ["--output", dv, "--sync-derived", up.root, "--incremental"],
+        ["--output", dv, "--sync-derived", up.root, "--doctor"],
+        ["--output", dv, "--sync-derived", up.root, "--table-history"],
+        ["--output", dv, "--sync-derived", up.root, "--clean-text"],
+    ):
+        rc = main(argv, spark=spark)
+        err = capsys.readouterr().err
+        assert rc == 2 and "cannot combine" in err, (argv, err)
+    # --table-keys none is a --table-changes sentinel, not a key spec
+    rc = main(
+        ["--output", dv, "--sync-derived", up.root, "--table-keys", "none"],
+        spark=spark,
+    )
+    assert rc == 2 and "raw file-level stream" in capsys.readouterr().err
+    # the sync's own knobs still compose
+    rc = main(
+        ["--output", dv, "--sync-derived", up.root, "--loop", "2"], spark=spark
+    )
+    assert rc == 0
