@@ -218,6 +218,28 @@ def build_parser() -> argparse.ArgumentParser:
         "(--table-keys) are always retained",
     )
     p.add_argument(
+        "--table-tag",
+        metavar="NAME[@N]",
+        default=None,
+        help="pin a named tag on the --output snapshot table (Iceberg tag "
+        "analog): NAME pins the current snapshot, NAME@N pins snapshot N; "
+        "tagged snapshots survive --table-expire until the tag is dropped "
+        "(retention follows the refs); refuses to move an existing tag "
+        "unless --tag-force; read back with snap:ROOT@NAME at --input",
+    )
+    p.add_argument(
+        "--tag-force",
+        action="store_true",
+        help="with --table-tag: move the tag if it already exists",
+    )
+    p.add_argument(
+        "--table-drop-tag",
+        metavar="NAME",
+        default=None,
+        help="drop a tag from the --output snapshot table (its snapshot "
+        "becomes expirable again)",
+    )
+    p.add_argument(
         "--table-rollback",
         type=int,
         default=None,
@@ -741,17 +763,34 @@ def build_parser() -> argparse.ArgumentParser:
 def _read_docs_table(spark, input_path: str):
     """Load the docs table behind a curation verb's --input: an
     extraction output root, its docs/ dir directly, or a SNAPSHOT TABLE
-    — `snap:ROOT[@N]` or a bare root holding `_snap/` (e.g. a
+    — `snap:ROOT[@N|@TAG]` or a bare root holding `_snap/` (e.g. a
     --publish-table target), read with snapshot isolation so a curation
     pass over a table live ticks keep publishing to sees ONE consistent
-    snapshot; `@N` time-travels. Returns (DataFrame, None) or
-    (None, error-message)."""
-    from fscrawler_spark.plans.snapshot_table import SNAP_DIR, SnapshotTable
+    snapshot; `@N` time-travels, `@TAG` resolves a named tag (a TAG
+    suffix is only honored when ROOT is a snapshot table carrying that
+    tag, so roots containing '@' stay addressable). Returns
+    (DataFrame, None) or (None, error-message)."""
+    from fscrawler_spark.plans.snapshot_table import SNAP_DIR, _TAG_RE, SnapshotTable
     from fscrawler_spark.sources.transcripts import parse_snap_input
 
     snap_root = sid = None
     if input_path.startswith("snap:"):
         snap_root, sid = parse_snap_input(input_path)
+        if sid is None:
+            root, sep, suffix = snap_root.rpartition("@")
+            # a literal directory named ROOT@x always wins over the tag
+            # grammar, keeping '@'-bearing roots addressable
+            if (
+                sep
+                and _TAG_RE.match(suffix)
+                and SnapshotTable(root).exists()
+                and not os.path.isdir(os.path.join(snap_root, SNAP_DIR))
+            ):
+                t0 = SnapshotTable(root)
+                try:
+                    snap_root, sid = root, t0.resolve_tag(suffix)
+                except FileNotFoundError as e:
+                    return None, str(e)
     elif os.path.isdir(os.path.join(input_path, SNAP_DIR)):
         snap_root = input_path
     if snap_root is not None:
@@ -875,6 +914,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 ("--table-delete", args.table_delete is not None),
                 ("--table-compact", args.table_compact is not None),
                 ("--table-changes", args.table_changes is not None),
+                ("--table-tag", args.table_tag is not None),
+                ("--table-drop-tag", args.table_drop_tag is not None),
             )
             if on
         ]
@@ -908,6 +949,39 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             return 2
         removed = t.remove_orphans(older_than_s=args.table_vacuum)
         print(json.dumps({"root": args.output, "removed_orphans": removed}))
+        return 0
+    if args.tag_force and args.table_tag is None:
+        print("error: --tag-force requires --table-tag", file=sys.stderr)
+        return 2
+    if args.table_tag is not None or args.table_drop_tag is not None:
+        from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+        t = SnapshotTable(args.output)
+        if not t.exists():
+            print(f"error: no snapshot table at {args.output}", file=sys.stderr)
+            return 2
+        try:
+            if args.table_drop_tag is not None:
+                sid = t.drop_tag(args.table_drop_tag)
+                print(json.dumps({
+                    "root": args.output,
+                    "dropped_tag": args.table_drop_tag,
+                    "was_snapshot": sid,
+                }))
+                return 0
+            name, sep, suffix = args.table_tag.rpartition("@")
+            if sep and suffix.isdigit():
+                sid = t.tag(name, int(suffix), force=args.tag_force)
+            else:
+                sid = t.tag(args.table_tag, force=args.tag_force)
+        except (ValueError, FileNotFoundError) as e:
+            print(f"error: {e}", file=sys.stderr)
+            return 2
+        print(json.dumps({
+            "root": args.output,
+            "tag": name if sep and suffix.isdigit() else args.table_tag,
+            "snapshot_id": sid,
+        }))
         return 0
     if args.table_rollback is not None:
         from fscrawler_spark.plans.snapshot_table import SnapshotTable
@@ -947,6 +1021,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 {
                     "root": args.output,
                     "current": t.current_id(),
+                    "tags": t.tags(),
                     "history": t.history(),
                     "expired_files": expired,
                 }

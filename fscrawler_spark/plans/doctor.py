@@ -610,6 +610,19 @@ def check_snapshot_table(root: str) -> list[dict]:
             )
         for f in m.get("files", []):
             referenced[f["path"]] = f["length"]
+    for name, sid in sorted(t.tags().items()):
+        if sid not in ids:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "table_tag_dangling",
+                    f"tag {name!r} points at snapshot {sid}, which no "
+                    "longer exists (expired out-of-band or forged) — "
+                    "reads by this tag fail; drop the tag or restore the "
+                    "manifest. expire_unreferenced itself never expires "
+                    "a tagged snapshot",
+                )
+            )
     for rel, length in sorted(referenced.items()):
         ap = os.path.join(root, rel)
         if not os.path.exists(ap):

@@ -58,6 +58,9 @@ from pyspark.sql import types as T
 SNAP_DIR = "_snap"
 DATA_DIR = "data"
 _V_RE = re.compile(r"^v(\d{8})\.json$")
+# tag names start with a letter so snap:ROOT@SUFFIX stays unambiguous
+# (an all-digit suffix is a snapshot id, never a tag)
+_TAG_RE = re.compile(r"^[A-Za-z][A-Za-z0-9._-]{0,63}$")
 
 # columns whose footer min/max ride the manifest by default — the three
 # the engine prunes on (key ranges for bucket routing, ts for watermark
@@ -409,6 +412,95 @@ class SnapshotTable:
             raise FileNotFoundError(f"no snapshots at {self.root}")
         return ids[-1]
 
+    # -- tags (named snapshot refs; Iceberg tag analog) -------------------
+    #
+    # A tag pins a snapshot under a stable name ("the dataset v3 trained
+    # on"): read(tag=...) time-travels to it forever, and
+    # expire_unreferenced keeps tagged snapshots (and their files) alive
+    # regardless of the keep window — retention follows the refs, like
+    # Iceberg's. One file per tag (_snap/tag-<name>.json): creation is
+    # atomic create-new (hard link, refuses an existing tag without
+    # force), move/drop are single renames/unlinks — no read-modify-write
+    # races, no shared refs file to corrupt. Names start with a letter so
+    # a tag can never collide with snap:ROOT@N's all-digit snapshot
+    # suffix.
+
+    def _tag_path(self, name: str) -> str:
+        return os.path.join(self.snap_dir, f"tag-{name}.json")
+
+    @staticmethod
+    def _validate_tag_name(name: str) -> None:
+        if not _TAG_RE.match(name or ""):
+            raise ValueError(
+                f"invalid tag name {name!r}: must start with a letter and "
+                "contain only letters, digits, '.', '_', '-' (max 64 chars)"
+            )
+
+    def tag(self, name: str, snapshot_id: int | None = None, force: bool = False) -> int:
+        """Pin ``snapshot_id`` (default: current) under ``name``. Refuses
+        to move an existing tag unless ``force`` (tags are meant to be
+        immutable dataset versions). Returns the pinned snapshot id."""
+        self._validate_tag_name(name)
+        sid = self.current_id() if snapshot_id is None else snapshot_id
+        self.manifest(sid)  # raises if it never existed / was expired
+        path = self._tag_path(name)
+        fd, tmp = tempfile.mkstemp(prefix=".tmp-tag-", dir=self.snap_dir)
+        try:
+            with os.fdopen(fd, "w") as f:
+                json.dump({"name": name, "snapshot_id": sid}, f)
+            if force:
+                os.replace(tmp, path)  # atomic move-or-create
+            else:
+                try:
+                    os.link(tmp, path)  # atomic create-NEW: EEXIST if tagged
+                except FileExistsError:
+                    raise ValueError(
+                        f"tag {name!r} already exists at {self.root} "
+                        f"(-> snapshot {self.resolve_tag(name)}); pass "
+                        "force=True to move it"
+                    ) from None
+        finally:
+            if os.path.exists(tmp):
+                os.remove(tmp)
+        return sid
+
+    def tags(self) -> dict[str, int]:
+        """{name: snapshot_id} for every tag on the table."""
+        if not os.path.isdir(self.snap_dir):
+            return {}
+        out: dict[str, int] = {}
+        for fname in sorted(os.listdir(self.snap_dir)):
+            if not (fname.startswith("tag-") and fname.endswith(".json")):
+                continue
+            try:
+                with open(os.path.join(self.snap_dir, fname)) as f:
+                    d = json.load(f)
+                out[d["name"]] = int(d["snapshot_id"])
+            except (OSError, ValueError, KeyError, TypeError):
+                continue  # torn/concurrently-dropped tag: skip, doctor reports
+        return out
+
+    def resolve_tag(self, name: str) -> int:
+        self._validate_tag_name(name)
+        try:
+            with open(self._tag_path(name)) as f:
+                return int(json.load(f)["snapshot_id"])
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"no tag {name!r} at {self.root} (tags: "
+                f"{sorted(self.tags()) or 'none'})"
+            ) from None
+
+    def drop_tag(self, name: str) -> int:
+        """Remove the tag (the snapshot becomes expirable again).
+        Returns the snapshot id it pointed to."""
+        sid = self.resolve_tag(name)
+        try:
+            os.remove(self._tag_path(name))
+        except FileNotFoundError:
+            pass  # concurrent drop: outcome identical
+        return sid
+
     def _manifest_path(self, sid: int) -> str:
         return os.path.join(self.snap_dir, f"v{sid:08d}.json")
 
@@ -470,6 +562,7 @@ class SnapshotTable:
         spark: SparkSession,
         snapshot_id: int | None = None,
         predicates: Iterable[tuple] | None = None,
+        tag: str | None = None,
     ) -> DataFrame:
         """Bind a DataFrame to ONE snapshot's (optionally stats-pruned)
         explicit file list — snapshot isolation by construction: commits
@@ -482,6 +575,10 @@ class SnapshotTable:
         racing in between (e.g. an overwrite() changing a column type)
         would bind THIS snapshot's files to the NEWER snapshot's schema —
         exactly the torn read this method promises cannot happen."""
+        if tag is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR tag, not both")
+            snapshot_id = self.resolve_tag(tag)
         sid = self.current_id() if snapshot_id is None else snapshot_id
         m = self.manifest(sid)
         entries = [FileEntry.from_dict(d) for d in m["files"]]
@@ -1498,13 +1595,18 @@ class SnapshotTable:
     def expire_unreferenced(self, keep_snapshots: int = 1) -> list[str]:
         """GC: drop manifests older than the newest ``keep_snapshots`` and
         delete data files no retained snapshot references (Iceberg
-        ``expireSnapshots`` analog). Returns deleted file paths."""
+        ``expireSnapshots`` analog). TAGGED snapshots are retained
+        regardless of the keep window — retention follows the refs, so a
+        pinned dataset version (and every data file it references) stays
+        readable until its tag is dropped. Returns deleted file paths."""
         if keep_snapshots < 1:
             raise ValueError("expire_unreferenced must keep >= 1 snapshot")
         ids = self.snapshot_ids()
         if len(ids) <= keep_snapshots:
             return []
-        keep_ids = ids[-keep_snapshots:]
+        tagged = set(self.tags().values())
+        keep_ids = sorted(set(ids[-keep_snapshots:]) | (tagged & set(ids)))
+        keep_set = set(keep_ids)
         referenced = set()
         for sid in keep_ids:
             try:
@@ -1516,7 +1618,9 @@ class SnapshotTable:
                 # exactly what that expire decided
                 continue
         deleted = []
-        for sid in ids[: -keep_snapshots or None]:
+        for sid in ids:
+            if sid in keep_set:
+                continue
             try:
                 entries = self.files(sid)
             except FileNotFoundError:

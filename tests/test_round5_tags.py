@@ -1,0 +1,193 @@
+"""Named snapshot tags (Iceberg tag/ref analog): pin a snapshot under a
+stable name, read it forever, and have retention FOLLOW the refs —
+expire_unreferenced keeps tagged snapshots and their data files alive
+regardless of the keep window, until the tag is dropped. The point at
+100 TB: "the exact dataset v3 trained on" is a name, not a snapshot id
+someone wrote down, and routine retention can't silently delete it."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+SCHEMA = "conv_id string, turn_idx int, text string"
+KEYS = ("conv_id", "turn_idx")
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _base(spark, n=24):
+    return spark.range(0, n).select(
+        F.concat(F.lit("c"), (F.col("id") % 6).cast("string")).alias("conv_id"),
+        (F.col("id") / 6).cast("int").alias("turn_idx"),
+        F.concat(F.lit("t"), F.col("id").cast("string")).alias("text"),
+    )
+
+
+def _table(spark, tmp_path):
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.overwrite(spark, _base(spark), cluster_by=KEYS)
+    return t
+
+
+def test_tag_pins_across_later_commits(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    assert t.tag("v1") == 1
+    v1 = sorted(map(tuple, t.read(spark, tag="v1").collect()))
+    t.upsert(spark, _df(spark, [("c0", 0, "edited")]), keys=KEYS)
+    t.upsert(spark, _df(spark, [("c9", 0, "born")]), keys=KEYS)
+    # the tag still reads the snapshot it pinned, not current
+    assert sorted(map(tuple, t.read(spark, tag="v1").collect())) == v1
+    assert t.read(spark).count() == 25
+    assert t.read(spark, tag="v1").count() == 24
+    # explicit pin of an older snapshot by id
+    assert t.tag("mid", 2) == 2
+    assert t.tags() == {"mid": 2, "v1": 1}
+    assert t.resolve_tag("mid") == 2
+
+
+def test_tag_validation_and_immutability(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    for bad in ("", "1digitfirst", "has space", "a" * 65, "semi;colon"):
+        with pytest.raises(ValueError, match="invalid tag name"):
+            t.tag(bad)
+    with pytest.raises(FileNotFoundError):  # snapshot must exist
+        t.tag("v9", 99)
+    t.tag("v1")
+    with pytest.raises(ValueError, match="already exists"):
+        t.tag("v1", 1)
+    t.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    assert t.tag("v1", force=True) == 2  # force moves it
+    assert t.drop_tag("v1") == 2
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        t.resolve_tag("v1")
+    with pytest.raises(FileNotFoundError, match="no tag"):
+        t.drop_tag("v1")
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, snapshot_id=1, tag="x")
+
+
+def test_expire_keeps_tagged_snapshots(spark, tmp_path):
+    """Retention follows the refs: a tagged snapshot (and its files)
+    survives any keep window; dropping the tag releases it."""
+    t = _table(spark, tmp_path)
+    t.tag("pinned")
+    v1_files = {e.path for e in t.files(1)}
+    for i in range(4):
+        t.upsert(spark, _df(spark, [("c0", i, f"v{i}")]), keys=KEYS)
+    t.expire_unreferenced(keep_snapshots=1)
+    # snapshot 1 is retained by the tag: manifest + files + reads intact
+    assert 1 in t.snapshot_ids()
+    assert t.read(spark, tag="pinned").count() == 24
+    for p in v1_files:
+        assert os.path.exists(os.path.join(t.root, p)), p
+    # intermediate untagged snapshots are gone
+    assert set(t.snapshot_ids()) == {1, t.current_id()}
+    # dropping the tag makes it expirable again
+    t.drop_tag("pinned")
+    t.expire_unreferenced(keep_snapshots=1)
+    assert t.snapshot_ids() == [t.current_id()]
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, snapshot_id=1).count()
+
+
+def test_dangling_tag_reads_fail_and_doctor_reports(spark, tmp_path):
+    t = _table(spark, tmp_path)
+    t.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    t.tag("old", 1)
+    # expire the tagged snapshot OUT-OF-BAND (simulates a forged ref /
+    # an external tool's expire that ignores tags)
+    os.remove(t._manifest_path(1))
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, tag="old").count()
+    from fscrawler_spark.plans.doctor import check_snapshot_table
+
+    findings = check_snapshot_table(t.root)
+    assert any(f["code"] == "table_tag_dangling" for f in findings)
+
+
+def test_cli_tag_verbs(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    t = _table(spark, tmp_path)
+    t.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    # tag current
+    rc = main(["--output", t.root, "--table-tag", "release"], spark=spark)
+    line = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and line["tag"] == "release" and line["snapshot_id"] == 2
+    # tag an explicit snapshot with NAME@N
+    rc = main(["--output", t.root, "--table-tag", "genesis@1"], spark=spark)
+    line = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and line["tag"] == "genesis" and line["snapshot_id"] == 1
+    # duplicate refuses without --tag-force
+    rc = main(["--output", t.root, "--table-tag", "release"], spark=spark)
+    assert rc == 2 and "already exists" in capsys.readouterr().err
+    rc = main(
+        ["--output", t.root, "--table-tag", "release@1", "--tag-force"], spark=spark
+    )
+    assert rc == 0 and json.loads(capsys.readouterr().out.strip())["snapshot_id"] == 1
+    # history lists tags
+    rc = main(["--output", t.root, "--table-history"], spark=spark)
+    hist = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and hist["tags"] == {"genesis": 1, "release": 1}
+    # drop
+    rc = main(["--output", t.root, "--table-drop-tag", "release"], spark=spark)
+    line = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and line["dropped_tag"] == "release" and line["was_snapshot"] == 1
+    # orphan --tag-force; drop of a missing tag; tag on a non-table
+    rc = main(["--output", t.root, "--tag-force"], spark=spark)
+    assert rc == 2 and "requires --table-tag" in capsys.readouterr().err
+    rc = main(["--output", t.root, "--table-drop-tag", "release"], spark=spark)
+    assert rc == 2 and "no tag" in capsys.readouterr().err
+    rc = main(
+        ["--output", str(tmp_path / "no"), "--table-tag", "x"], spark=spark
+    )
+    assert rc == 2 and "no snapshot table" in capsys.readouterr().err
+    # conflicts with --sync-derived
+    rc = main(
+        ["--output", t.root, "--sync-derived", "up", "--table-tag", "x"], spark=spark
+    )
+    assert rc == 2 and "cannot combine" in capsys.readouterr().err
+
+
+def test_curation_input_by_tag(spark, tmp_path, capsys):
+    """snap:ROOT@TAG resolves a tag at --input: a curation pass binds to
+    the pinned dataset version even after later ticks."""
+    from fscrawler_spark.cli import main
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    docs = spark.range(0, 30).select(
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        F.concat(F.lit("text  body "), F.col("id").cast("string")).alias("extracted"),
+    )
+    t.overwrite(spark, docs, cluster_by=("doc_id",))
+    t.tag("train-v3")
+    # the table moves on: 10 more docs
+    t.upsert(
+        spark,
+        spark.range(30, 40).select(
+            F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+            F.lit("later doc").alias("extracted"),
+        ),
+        keys=("doc_id",),
+    )
+    out = str(tmp_path / "cur")
+    rc = main(
+        ["--input", f"snap:{t.root}@train-v3", "--output", out, "--clean-text"],
+        spark=spark,
+    )
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and stats["docs"] == 30  # pinned version, not the 40-doc current
+    # a missing tag errors with the tag list, not a confusing root error
+    rc = main(
+        ["--input", f"snap:{t.root}@nope", "--output", out, "--clean-text"],
+        spark=spark,
+    )
+    assert rc == 2 and "no tag" in capsys.readouterr().err
