@@ -169,9 +169,10 @@ def build_parser() -> argparse.ArgumentParser:
         "between two snapshots (Iceberg incremental read / Delta CDF "
         "analog: _change_type in insert/delete/update_preimage/"
         "update_postimage, bystander rows of copy-on-write rewrites "
-        "cancelled by --table-keys); TO defaults to current; print "
-        "per-type counts as JSON, optionally writing rows to "
-        "--changes-out",
+        "cancelled by --table-keys); FROM/TO are snapshot ids or TAG "
+        "names (what changed between train-v2 and train-v3); TO "
+        "defaults to current; print per-type counts as JSON, optionally "
+        "writing rows to --changes-out",
     )
     p.add_argument(
         "--changes-out",
@@ -1536,17 +1537,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"error: no snapshot table at {args.output}", file=sys.stderr)
                 return 2
             spec = args.table_changes.split(":")
+
+            def bound(s):
+                # a bound is a snapshot id or a TAG name ("what changed
+                # between train-v2 and train-v3"); tags start with a
+                # letter so the grammar is unambiguous
+                return int(s) if s.isdigit() else t.resolve_tag(s)
+
             try:
-                from_id = int(spec[0])
-                to_id = int(spec[1]) if len(spec) > 1 and spec[1] else None
+                from_id = bound(spec[0])
+                to_id = bound(spec[1]) if len(spec) > 1 and spec[1] else None
                 if len(spec) > 2:
                     raise ValueError
             except ValueError:
                 print(
-                    f"error: --table-changes wants FROM[:TO] snapshot ids, "
-                    f"got {args.table_changes!r}",
+                    f"error: --table-changes wants FROM[:TO] snapshot ids "
+                    f"or tag names, got {args.table_changes!r}",
                     file=sys.stderr,
                 )
+                return 2
+            except FileNotFoundError as e:
+                print(f"error: {e}", file=sys.stderr)
                 return 2
             raw_keys = args.table_keys.strip().lower()
             keys = (

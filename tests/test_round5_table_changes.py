@@ -367,7 +367,12 @@ def test_cli_table_changes_errors(spark, tmp_path, capsys):
     from fscrawler_spark.cli import main
 
     t = _table(spark, tmp_path)
+    # a non-digit bound is a TAG lookup now (round-5 tags): missing tag
+    # gets the pointed ref error, a syntactically invalid spec keeps the
+    # FROM[:TO] grammar error
     assert main(["--output", t.root, "--table-changes", "x"], spark=spark) == 2
+    assert "no tag" in capsys.readouterr().err
+    assert main(["--output", t.root, "--table-changes", "1:2:3"], spark=spark) == 2
     assert "FROM[:TO]" in capsys.readouterr().err
     assert main(["--output", t.root, "--table-changes", "2:1"], spark=spark) == 2
     assert "reads forward" in capsys.readouterr().err

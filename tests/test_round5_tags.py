@@ -191,3 +191,33 @@ def test_curation_input_by_tag(spark, tmp_path, capsys):
         spark=spark,
     )
     assert rc == 2 and "no tag" in capsys.readouterr().err
+
+
+def test_changelog_between_tags(spark, tmp_path, capsys):
+    """--table-changes accepts tag names as range bounds: 'what changed
+    between train-v2 and train-v3' without anyone writing ids down."""
+    from fscrawler_spark.cli import main
+
+    t = _table(spark, tmp_path)
+    t.tag("train-v2")
+    t.upsert(spark, _df(spark, [("c0", 0, "edited"), ("c9", 0, "born")]), keys=KEYS)
+    t.tag("train-v3")
+    t.upsert(spark, _df(spark, [("c1", 0, "later")]), keys=KEYS)
+    rc = main(
+        ["--output", t.root, "--table-changes", "train-v2:train-v3"], spark=spark
+    )
+    line = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0
+    assert line["from_snapshot"] == 1 and line["to_snapshot"] == 2
+    assert line["counts"] == {
+        "insert": 1, "update_preimage": 1, "update_postimage": 1
+    }
+    # mixed bound: tag to current-by-default
+    rc = main(["--output", t.root, "--table-changes", "train-v3"], spark=spark)
+    line = json.loads(capsys.readouterr().out.strip())
+    assert rc == 0 and line["from_snapshot"] == 2 and line["to_snapshot"] == 3
+    # missing tag and invalid name both keep the exit-2 contract
+    rc = main(["--output", t.root, "--table-changes", "nope:train-v3"], spark=spark)
+    assert rc == 2 and "no tag" in capsys.readouterr().err
+    rc = main(["--output", t.root, "--table-changes", "1:2:3"], spark=spark)
+    assert rc == 2 and "FROM[:TO]" in capsys.readouterr().err
