@@ -780,18 +780,21 @@ def _read_docs_table(spark, input_path: str):
         if sid is None:
             root, sep, suffix = snap_root.rpartition("@")
             # a literal directory named ROOT@x always wins over the tag
-            # grammar, keeping '@'-bearing roots addressable
+            # grammar, keeping '@'-bearing roots addressable; cheap isdir
+            # short-circuits before the table's _snap listing
             if (
                 sep
                 and _TAG_RE.match(suffix)
-                and SnapshotTable(root).exists()
                 and not os.path.isdir(os.path.join(snap_root, SNAP_DIR))
             ):
                 t0 = SnapshotTable(root)
-                try:
-                    snap_root, sid = root, t0.resolve_tag(suffix)
-                except FileNotFoundError as e:
-                    return None, str(e)
+                if t0.exists():
+                    try:
+                        snap_root, sid = root, t0.resolve_tag(suffix)
+                    except (FileNotFoundError, ValueError) as e:
+                        # missing tag OR a torn tag file: clean message,
+                        # the curation verbs' exit-2 contract
+                        return None, str(e)
     elif os.path.isdir(os.path.join(input_path, SNAP_DIR)):
         snap_root = input_path
     if snap_root is not None:
@@ -955,6 +958,37 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         print("error: --tag-force requires --table-tag", file=sys.stderr)
         return 2
     if args.table_tag is not None or args.table_drop_tag is not None:
+        # one verb per invocation (the repo-wide contract): a combination
+        # would silently run only the tag verb and skip the rest
+        tag_conflicts = [
+            name
+            for name, on in (
+                ("--table-drop-tag with --table-tag",
+                 args.table_tag is not None and args.table_drop_tag is not None),
+                ("--input", args.input is not None),
+                ("--incremental", args.incremental),
+                ("--restart", args.restart),
+                ("--dry-run", args.dry_run),
+                ("--compact", args.compact),
+                ("--doctor", args.doctor),
+                ("--table-history", args.table_history),
+                ("--table-expire", args.table_expire is not None),
+                ("--table-rollback", args.table_rollback is not None),
+                ("--table-vacuum", args.table_vacuum is not None),
+                ("--table-upsert", args.table_upsert is not None),
+                ("--table-delete", args.table_delete is not None),
+                ("--table-compact", args.table_compact is not None),
+                ("--table-changes", args.table_changes is not None),
+            )
+            if on
+        ]
+        if tag_conflicts:
+            print(
+                f"error: --table-tag/--table-drop-tag cannot combine with "
+                f"{'/'.join(tag_conflicts)} — one verb per invocation",
+                file=sys.stderr,
+            )
+            return 2
         from fscrawler_spark.plans.snapshot_table import SnapshotTable
 
         t = SnapshotTable(args.output)
@@ -1537,6 +1571,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 print(f"error: no snapshot table at {args.output}", file=sys.stderr)
                 return 2
             spec = args.table_changes.split(":")
+            if len(spec) > 2:
+                # arity BEFORE tag resolution, so '1:2:3' (or 'v2:x:3')
+                # gets the grammar error, not a misleading tag lookup
+                print(
+                    f"error: --table-changes wants FROM[:TO] snapshot ids "
+                    f"or tag names, got {args.table_changes!r}",
+                    file=sys.stderr,
+                )
+                return 2
 
             def bound(s):
                 # a bound is a snapshot id or a TAG name ("what changed
@@ -1547,14 +1590,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             try:
                 from_id = bound(spec[0])
                 to_id = bound(spec[1]) if len(spec) > 1 and spec[1] else None
-                if len(spec) > 2:
-                    raise ValueError
-            except ValueError:
-                print(
-                    f"error: --table-changes wants FROM[:TO] snapshot ids "
-                    f"or tag names, got {args.table_changes!r}",
-                    file=sys.stderr,
-                )
+            except ValueError as e:
+                # invalid tag name / torn tag file — clean message, exit 2
+                if "torn" in str(e):
+                    print(f"error: {e}", file=sys.stderr)
+                else:
+                    print(
+                        f"error: --table-changes wants FROM[:TO] snapshot "
+                        f"ids or tag names, got {args.table_changes!r}",
+                        file=sys.stderr,
+                    )
                 return 2
             except FileNotFoundError as e:
                 print(f"error: {e}", file=sys.stderr)

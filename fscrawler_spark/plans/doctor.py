@@ -610,7 +610,28 @@ def check_snapshot_table(root: str) -> list[dict]:
             )
         for f in m.get("files", []):
             referenced[f["path"]] = f["length"]
-    for name, sid in sorted(t.tags().items()):
+    # iterate the tag FILES, not tags() (which silently skips torn refs
+    # — the exact state this check exists to surface: a torn tag is not
+    # protecting its snapshot from expiration)
+    for fname in sorted(os.listdir(snap_dir)):
+        if not (fname.startswith("tag-") and fname.endswith(".json")):
+            continue
+        name = fname[4:-5]
+        try:
+            with open(os.path.join(snap_dir, fname)) as fh:
+                sid = int(json.load(fh)["snapshot_id"])
+        except (OSError, ValueError, KeyError, TypeError) as e:
+            findings.append(
+                _finding(
+                    "ERROR",
+                    "table_tag_torn",
+                    f"tag file {fname} is torn/unreadable ({e}) — this "
+                    "pin is NOT protecting any snapshot (expire will GC "
+                    "it as unreferenced) and reads by the tag fail; drop "
+                    "and re-create the tag",
+                )
+            )
+            continue
         if sid not in ids:
             findings.append(
                 _finding(

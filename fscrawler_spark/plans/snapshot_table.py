@@ -448,6 +448,12 @@ class SnapshotTable:
         try:
             with os.fdopen(fd, "w") as f:
                 json.dump({"name": name, "snapshot_id": sid}, f)
+                # same durability contract as _commit: the ref must be on
+                # disk before we report success — a torn/empty tag file
+                # would silently release the pin (expire could then GC
+                # the "pinned" snapshot)
+                f.flush()
+                os.fsync(f.fileno())
             if force:
                 os.replace(tmp, path)  # atomic move-or-create
             else:
@@ -462,10 +468,28 @@ class SnapshotTable:
         finally:
             if os.path.exists(tmp):
                 os.remove(tmp)
+        # narrow the tag-vs-expire race: a concurrent expire_unreferenced
+        # that snapshotted the refs BEFORE this tag existed may be
+        # deleting sid right now — re-verify and fail LOUDLY rather than
+        # return a dangling pin (expire re-reads refs before deleting,
+        # so both sides must lose for a pin to dangle silently)
+        if not os.path.exists(self._manifest_path(sid)):
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            raise FileNotFoundError(
+                f"snapshot {sid} was expired while tagging it — the tag "
+                "was not created; re-run against a retained snapshot"
+            )
         return sid
 
     def tags(self) -> dict[str, int]:
-        """{name: snapshot_id} for every tag on the table."""
+        """{name: snapshot_id} for every readable tag on the table. The
+        NAME IS THE FILENAME (tag-<name>.json) — the address
+        resolve_tag/drop_tag use — never the JSON body, so a copied or
+        forged file can't list a name that doesn't resolve. Torn files
+        are skipped here (doctor reports them as table_tag_torn)."""
         if not os.path.isdir(self.snap_dir):
             return {}
         out: dict[str, int] = {}
@@ -474,10 +498,9 @@ class SnapshotTable:
                 continue
             try:
                 with open(os.path.join(self.snap_dir, fname)) as f:
-                    d = json.load(f)
-                out[d["name"]] = int(d["snapshot_id"])
+                    out[fname[4:-5]] = int(json.load(f)["snapshot_id"])
             except (OSError, ValueError, KeyError, TypeError):
-                continue  # torn/concurrently-dropped tag: skip, doctor reports
+                continue  # torn/concurrently-dropped tag: doctor reports
         return out
 
     def resolve_tag(self, name: str) -> int:
@@ -489,6 +512,13 @@ class SnapshotTable:
             raise FileNotFoundError(
                 f"no tag {name!r} at {self.root} (tags: "
                 f"{sorted(self.tags()) or 'none'})"
+            ) from None
+        except (ValueError, KeyError, TypeError) as e:
+            # incl. JSONDecodeError: a torn ref must surface as the
+            # standard clean-message error class, not a JSON traceback
+            raise ValueError(
+                f"tag {name!r} at {self.root} is torn/unreadable ({e}) — "
+                "its pin is NOT protecting any snapshot; drop and re-tag"
             ) from None
 
     def drop_tag(self, name: str) -> int:
@@ -1616,6 +1646,18 @@ class SnapshotTable:
                 # dropped this retained-by-US snapshot; its files were only
                 # deletable if no survivor references them, so skipping is
                 # exactly what that expire decided
+                continue
+        # RE-READ the refs just before deleting: a tag() that raced in
+        # after the first read re-verifies its manifest post-link, so as
+        # long as one side sees the other, no pin dangles silently —
+        # this read is the expire half of that handshake
+        for sid in set(self.tags().values()) - keep_set:
+            if sid not in ids:
+                continue
+            keep_set.add(sid)
+            try:
+                referenced.update(e.path for e in self.files(sid))
+            except FileNotFoundError:
                 continue
         deleted = []
         for sid in ids:

@@ -221,3 +221,94 @@ def test_changelog_between_tags(spark, tmp_path, capsys):
     assert rc == 2 and "no tag" in capsys.readouterr().err
     rc = main(["--output", t.root, "--table-changes", "1:2:3"], spark=spark)
     assert rc == 2 and "FROM[:TO]" in capsys.readouterr().err
+
+
+def test_torn_tag_surfaces_everywhere(spark, tmp_path, capsys):
+    """A torn/empty tag file is NOT silently ignored: doctor reports it,
+    resolve_tag raises the clean error class, and both CLI surfaces keep
+    the exit-2-with-message contract (never a JSON traceback)."""
+    from fscrawler_spark.cli import main
+    from fscrawler_spark.plans.doctor import check_snapshot_table
+
+    t = _table(spark, tmp_path)
+    t.tag("ok")
+    with open(t._tag_path("torn"), "w") as f:
+        f.write("")  # torn: crashed writer / lost page cache
+    assert t.tags() == {"ok": 1}  # listing skips it...
+    findings = check_snapshot_table(t.root)
+    assert any(f["code"] == "table_tag_torn" for f in findings)  # ...doctor doesn't
+    with pytest.raises(ValueError, match="torn"):
+        t.resolve_tag("torn")
+    rc = main(["--output", t.root, "--table-changes", "torn"], spark=spark)
+    assert rc == 2 and "torn" in capsys.readouterr().err
+    # curation input via the torn tag: clean exit 2
+    rc = main(
+        ["--input", f"snap:{t.root}@torn", "--output", str(tmp_path / "c"),
+         "--clean-text"],
+        spark=spark,
+    )
+    assert rc == 2 and "torn" in capsys.readouterr().err
+
+
+def test_tags_keyed_by_filename(spark, tmp_path):
+    """The tag's NAME is its filename (the address resolve/drop use), so
+    a copied tag file lists — and resolves — under its new name."""
+    import shutil as _sh
+
+    t = _table(spark, tmp_path)
+    t.tag("a")
+    _sh.copy(t._tag_path("a"), t._tag_path("b"))
+    assert t.tags() == {"a": 1, "b": 1}
+    assert t.resolve_tag("b") == 1
+    assert t.drop_tag("b") == 1
+    assert t.tags() == {"a": 1}
+
+
+def test_tag_verb_exclusivity(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    t = _table(spark, tmp_path)
+    for argv in (
+        ["--output", t.root, "--table-tag", "x", "--table-drop-tag", "y"],
+        ["--output", t.root, "--table-tag", "x", "--table-rollback", "1"],
+        ["--output", t.root, "--table-drop-tag", "y", "--table-history"],
+        ["--input", "docs", "--output", t.root, "--table-tag", "x"],
+        ["--output", t.root, "--table-tag", "x", "--table-changes", "1"],
+    ):
+        rc = main(argv, spark=spark)
+        err = capsys.readouterr().err
+        assert rc == 2 and "cannot combine" in err, (argv, err)
+
+
+def test_changes_arity_before_tag_lookup(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    t = _table(spark, tmp_path)
+    t.tag("v2")
+    rc = main(["--output", t.root, "--table-changes", "v2:x:3"], spark=spark)
+    assert rc == 2 and "FROM[:TO]" in capsys.readouterr().err
+
+
+def test_tag_expire_handshake(spark, tmp_path):
+    """tag() re-verifies its snapshot after linking the ref: tagging a
+    snapshot an expire deleted mid-call fails LOUDLY and leaves no
+    dangling ref (simulated by deleting the manifest between the
+    pre-check and the post-link check via a monkeypatched link)."""
+    t = _table(spark, tmp_path)
+    t.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+
+    import os as _os
+
+    real_link = _os.link
+
+    def race_link(src, dst):
+        real_link(src, dst)
+        _os.remove(t._manifest_path(1))  # concurrent expire wins the race
+
+    _os.link = race_link
+    try:
+        with pytest.raises(FileNotFoundError, match="expired while tagging"):
+            t.tag("late", 1)
+    finally:
+        _os.link = real_link
+    assert "late" not in t.tags()  # no dangling ref left behind
