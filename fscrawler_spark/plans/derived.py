@@ -266,3 +266,91 @@ def sync_derived_table(
         "keys_deleted": 0,
         "files_rewritten": 0,
     }
+
+
+def sync_view_dag(
+    spark: SparkSession,
+    upstream: SnapshotTable | str,
+    views: Sequence[dict],
+    keys: Sequence[str] = ("conv_id", "turn_idx"),
+    force_bootstrap: bool = False,
+) -> dict:
+    """Maintain a DAG of derived views off one upstream table in a
+    single call — the packaged form of "views chain": each view syncs
+    off either the root upstream (``"upstream": None``, the default) or
+    another view in the list (``"upstream": "<view name>"``), in
+    topological order, so a delta entering the root flows through every
+    level in one pass, each edge doing O(that edge's delta) work.
+
+    ``views``: sequence of ``{"name": str, "root": str,
+    "transform": callable|None, "upstream": str|None,
+    "keys": Sequence[str]|None}`` — per-view keys default to the
+    call-level ``keys`` (a transform that coarsens the grain needs its
+    own). Validation refuses duplicate names, duplicate roots, unknown
+    or cyclic upstream references — a cycle would sync a view off a
+    descendant's STALE table and silently converge to nothing.
+
+    Returns ``{name: sync result}`` in execution order. A failing view
+    aborts the pass with its name attached; the already-synced prefix
+    is durable (each sync is an atomic commit), so re-running after a
+    fix just no-ops the prefix.
+
+    100 TB shape: identical to running sync_derived_table per edge —
+    this helper adds ordering + validation only, no extra jobs.
+    """
+    names = [v.get("name") for v in views]
+    if len(set(names)) != len(names) or None in names:
+        raise ValueError(f"view names must be unique and non-empty (got {names})")
+    roots = [os.path.realpath(str(v.get("root"))) for v in views]
+    if len(set(roots)) != len(roots):
+        raise ValueError("two views share a root — each view needs its own table")
+    by_name = {v["name"]: v for v in views}
+    for v in views:
+        parent = v.get("upstream")
+        if parent is not None and parent not in by_name:
+            raise ValueError(
+                f"view {v['name']!r} syncs off unknown upstream {parent!r} "
+                f"(known: {sorted(by_name)})"
+            )
+    # topological order (Kahn); anything left over is a cycle
+    order: list[str] = []
+    done: set[str] = set()
+    pending = list(views)
+    while pending:
+        progressed = False
+        for v in list(pending):
+            parent = v.get("upstream")
+            if parent is None or parent in done:
+                order.append(v["name"])
+                done.add(v["name"])
+                pending.remove(v)
+                progressed = True
+        if not progressed:
+            cyc = sorted(v["name"] for v in pending)
+            raise ValueError(
+                f"view DAG has a cycle through {cyc} — a cyclic sync would "
+                "read a descendant's stale table and never converge"
+            )
+    up_root = upstream if isinstance(upstream, SnapshotTable) else SnapshotTable(upstream)
+    results: dict[str, dict] = {}
+    for name in order:
+        v = by_name[name]
+        parent = v.get("upstream")
+        src = up_root if parent is None else SnapshotTable(by_name[parent]["root"])
+        try:
+            results[name] = sync_derived_table(
+                spark,
+                src,
+                v["root"],
+                transform=v.get("transform"),
+                keys=v.get("keys") or keys,
+                force_bootstrap=force_bootstrap,
+            )
+        except Exception as e:
+            msg = f"view {name!r} (root {v['root']}): {e}"
+            try:
+                wrapped = type(e)(msg)  # keep the class for callers' excepts
+            except Exception:
+                wrapped = RuntimeError(msg)  # exotic ctor signature
+            raise wrapped from e
+    return results

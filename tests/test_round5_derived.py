@@ -479,3 +479,76 @@ def test_cli_sync_derived_conflicts(spark, tmp_path, capsys):
         ["--output", dv, "--sync-derived", up.root, "--loop", "2"], spark=spark
     )
     assert rc == 0
+
+
+def test_sync_view_dag(spark, tmp_path):
+    """A two-level view DAG syncs in topological order regardless of
+    list order; one delta at the root flows through every level."""
+    from fscrawler_spark.plans.derived import sync_view_dag
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+
+    def lvl2(df):
+        return df.select("conv_id", "turn_idx", F.length("up").alias("n"))
+
+    views = [
+        # deliberately listed child-first: the helper must topo-sort
+        {"name": "lens", "root": str(tmp_path / "lens"),
+         "transform": lvl2, "upstream": "upper"},
+        {"name": "upper", "root": str(tmp_path / "upper"),
+         "transform": _transform, "upstream": None},
+    ]
+    r = sync_view_dag(spark, up, views, keys=KEYS)
+    assert [r[k]["mode"] for k in ("upper", "lens")] == ["bootstrap", "bootstrap"]
+    up.upsert(spark, _df(spark, [("c0", 0, "much longer text")]), keys=KEYS)
+    r = sync_view_dag(spark, up, views, keys=KEYS)
+    assert r["upper"]["mode"] == "delta" and r["lens"]["mode"] == "delta"
+    got = sorted(map(tuple, SnapshotTable(str(tmp_path / "lens")).read(spark).collect()))
+    want = sorted(map(tuple, lvl2(_transform(up.read(spark))).collect()))
+    assert got == want
+    # a third no-op pass: both levels noop
+    r = sync_view_dag(spark, up, views, keys=KEYS)
+    assert [r[k]["mode"] for k in r] == ["noop", "noop"]
+
+
+def test_sync_view_dag_validation(spark, tmp_path):
+    from fscrawler_spark.plans.derived import sync_view_dag
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    with pytest.raises(ValueError, match="unique"):
+        sync_view_dag(spark, up, [
+            {"name": "a", "root": str(tmp_path / "a")},
+            {"name": "a", "root": str(tmp_path / "b")},
+        ], keys=KEYS)
+    with pytest.raises(ValueError, match="share a root"):
+        sync_view_dag(spark, up, [
+            {"name": "a", "root": str(tmp_path / "x")},
+            {"name": "b", "root": str(tmp_path / "x")},
+        ], keys=KEYS)
+    with pytest.raises(ValueError, match="unknown upstream"):
+        sync_view_dag(spark, up, [
+            {"name": "a", "root": str(tmp_path / "a"), "upstream": "ghost"},
+        ], keys=KEYS)
+    with pytest.raises(ValueError, match="cycle"):
+        sync_view_dag(spark, up, [
+            {"name": "a", "root": str(tmp_path / "a"), "upstream": "b"},
+            {"name": "b", "root": str(tmp_path / "b"), "upstream": "a"},
+        ], keys=KEYS)
+    # a failing view aborts with its name attached; the synced prefix is
+    # durable, so a re-run after the fix no-ops it
+    def boom(df):
+        raise RuntimeError("kaput")
+
+    views = [
+        {"name": "ok", "root": str(tmp_path / "ok")},
+        {"name": "bad", "root": str(tmp_path / "bad"), "transform": boom,
+         "upstream": "ok"},
+    ]
+    with pytest.raises(RuntimeError, match="view 'bad'"):
+        sync_view_dag(spark, up, views, keys=KEYS)
+    assert SnapshotTable(str(tmp_path / "ok")).exists()  # prefix durable
+    views[1]["transform"] = None
+    r = sync_view_dag(spark, up, views, keys=KEYS)
+    assert r["ok"]["mode"] == "noop" and r["bad"]["mode"] == "bootstrap"
