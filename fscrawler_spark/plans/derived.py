@@ -299,11 +299,28 @@ def sync_view_dag(
     this helper adds ordering + validation only, no extra jobs.
     """
     names = [v.get("name") for v in views]
-    if len(set(names)) != len(names) or None in names:
+    if len(set(names)) != len(names) or not all(
+        isinstance(n, str) and n for n in names
+    ):
         raise ValueError(f"view names must be unique and non-empty (got {names})")
-    roots = [os.path.realpath(str(v.get("root"))) for v in views]
+    missing_root = [v["name"] for v in views if not v.get("root")]
+    if missing_root:
+        raise ValueError(f"view(s) {missing_root} have no 'root' — each view is a table")
+    up_obj = upstream if isinstance(upstream, SnapshotTable) else SnapshotTable(upstream)
+    roots = [os.path.realpath(str(v["root"])) for v in views]
     if len(set(roots)) != len(roots):
         raise ValueError("two views share a root — each view needs its own table")
+    # the upstream's own root must not appear ANYWHERE in the DAG: a view
+    # aliasing it via an intermediate parent would dodge the per-edge
+    # self-sync guard, and force_bootstrap would then OVERWRITE the
+    # published upstream table with view contents
+    up_real = os.path.realpath(up_obj.root)
+    clash = [v["name"] for v, r in zip(views, roots) if r == up_real]
+    if clash:
+        raise ValueError(
+            f"view(s) {clash} use the upstream table's root {up_obj.root} — "
+            "a view cannot overwrite its own source; give it its own root"
+        )
     by_name = {v["name"]: v for v in views}
     for v in views:
         parent = v.get("upstream")
@@ -331,26 +348,27 @@ def sync_view_dag(
                 f"view DAG has a cycle through {cyc} — a cyclic sync would "
                 "read a descendant's stale table and never converge"
             )
-    up_root = upstream if isinstance(upstream, SnapshotTable) else SnapshotTable(upstream)
     results: dict[str, dict] = {}
     for name in order:
         v = by_name[name]
         parent = v.get("upstream")
-        src = up_root if parent is None else SnapshotTable(by_name[parent]["root"])
+        src = up_obj if parent is None else SnapshotTable(by_name[parent]["root"])
+        # explicit None check, NOT truthiness: an explicitly-empty keys
+        # list must reach sync_derived_table's loud empty-keys guard,
+        # never silently fall back to the call-level default grain
+        view_keys = v["keys"] if v.get("keys") is not None else keys
         try:
             results[name] = sync_derived_table(
                 spark,
                 src,
                 v["root"],
                 transform=v.get("transform"),
-                keys=v.get("keys") or keys,
+                keys=view_keys,
                 force_bootstrap=force_bootstrap,
             )
-        except Exception as e:
-            msg = f"view {name!r} (root {v['root']}): {e}"
-            try:
-                wrapped = type(e)(msg)  # keep the class for callers' excepts
-            except Exception:
-                wrapped = RuntimeError(msg)  # exotic ctor signature
-            raise wrapped from e
+        except (ValueError, FileNotFoundError, RuntimeError) as e:
+            # wrap ONLY the message-carrying classes our stack raises —
+            # exotic exceptions (with semantic attributes a bare-string
+            # ctor would drop) propagate unmodified
+            raise type(e)(f"view {name!r} (root {v['root']}): {e}") from e
     return results

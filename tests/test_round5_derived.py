@@ -552,3 +552,32 @@ def test_sync_view_dag_validation(spark, tmp_path):
     views[1]["transform"] = None
     r = sync_view_dag(spark, up, views, keys=KEYS)
     assert r["ok"]["mode"] == "noop" and r["bad"]["mode"] == "bootstrap"
+
+
+def test_sync_view_dag_review_guards(spark, tmp_path):
+    """Second review pass: upstream-root collision (force_bootstrap must
+    never overwrite the source), missing/empty names and roots, empty
+    per-view keys reach the loud guard, RuntimeError in a transform
+    propagates with the view name but the transform's message intact."""
+    from fscrawler_spark.plans.derived import sync_view_dag
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    # a view aliasing the upstream root via an intermediate parent
+    with pytest.raises(ValueError, match="cannot overwrite its own source"):
+        sync_view_dag(spark, up, [
+            {"name": "a", "root": str(tmp_path / "a")},
+            {"name": "b", "root": up.root, "upstream": "a"},
+        ], keys=KEYS, force_bootstrap=True)
+    assert up.current_id() == 1  # the source table is untouched
+    with pytest.raises(ValueError, match="non-empty"):
+        sync_view_dag(spark, up, [{"name": "", "root": str(tmp_path / "v")}])
+    with pytest.raises(ValueError, match="no 'root'"):
+        sync_view_dag(spark, up, [{"name": "a"}])
+    with pytest.raises(ValueError, match="no 'root'"):
+        sync_view_dag(spark, up, [{"name": "a"}, {"name": "b"}])
+    # explicitly-empty keys hit sync_derived_table's guard, never the default
+    with pytest.raises(ValueError, match="at least one column"):
+        sync_view_dag(spark, up, [
+            {"name": "a", "root": str(tmp_path / "a"), "keys": []},
+        ], keys=KEYS)
