@@ -1539,7 +1539,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         if args.rest_port is not None:
             from fscrawler_spark.rest import StatusServer
 
-            rest_server = StatusServer(args.output, port=args.rest_port).start()
+            rest_server = StatusServer(
+                args.output,
+                port=args.rest_port,
+                # GET /table serves the publish target's metadata when one
+                # is configured, else the output dir itself (if a table)
+                table_root=args.publish_table,
+            ).start()
             print(json.dumps({"rest": f"http://{rest_server.host}:{rest_server.port}"}))
         if owns_session:
             spark = get_spark(app="fscrawler-spark-cli", master=args.master)

@@ -15,6 +15,10 @@ Routes (reference paths accepted as aliases):
     GET  /status     | /_crawler/status     -> job_status() JSON
     GET  /checkpoint | /_crawler/checkpoint -> raw manifest JSON (the
          reference also serves the checkpoint object, CrawlerApi.java:55-151)
+    GET  /table      | /_crawler/table      -> snapshot-table metadata
+         (current id, tags, history) for ``table_root`` (defaults to the
+         output dir when it IS a table, e.g. a --publish-table target) —
+         read-only, O(metadata), no Spark; 404 when no table exists
     POST /pause      | /_crawler/pause      -> request a between-waves pause
     POST /resume     | /_crawler/resume     -> clear the pause request
 """
@@ -33,7 +37,13 @@ class StatusServer:
     Binds 127.0.0.1 by default — widen ``host`` deliberately.
     """
 
-    def __init__(self, output_dir: str, port: int = 0, host: str = "127.0.0.1"):
+    def __init__(
+        self,
+        output_dir: str,
+        port: int = 0,
+        host: str = "127.0.0.1",
+        table_root: str | None = None,
+    ):
         from fscrawler_spark.plans import pipeline
 
         outer = self
@@ -65,6 +75,33 @@ class StatusServer:
                     except json.JSONDecodeError:
                         # a torn mid-write read is the caller's retry case
                         self._send(503, {"error": "checkpoint being rewritten"})
+                elif self.path in ("/table", "/_crawler/table"):
+                    # read-only snapshot-table metadata for the publish
+                    # target (or the output dir itself when it IS a
+                    # table) — all local JSON parses, no Spark, so safe
+                    # to serve while ticks keep committing
+                    from fscrawler_spark.plans.snapshot_table import SnapshotTable
+
+                    t = SnapshotTable(outer.table_root)
+                    if not t.exists():
+                        self._send(
+                            404, {"error": f"no snapshot table at {outer.table_root}"}
+                        )
+                        return
+                    try:
+                        self._send(
+                            200,
+                            {
+                                "root": outer.table_root,
+                                "current": t.current_id(),
+                                "tags": t.tags(),
+                                "history": t.history(),
+                            },
+                        )
+                    except (OSError, ValueError):
+                        # a commit's rename raced one of our parses:
+                        # same retry contract as the checkpoint route
+                        self._send(503, {"error": "table being committed"})
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 
@@ -82,6 +119,7 @@ class StatusServer:
                 pass
 
         self.output_dir = output_dir
+        self.table_root = table_root if table_root is not None else output_dir
         self._server = ThreadingHTTPServer((host, port), Handler)
         self.host = host
         self.port = int(self._server.server_address[1])

@@ -312,3 +312,32 @@ def test_tag_expire_handshake(spark, tmp_path):
     finally:
         _os.link = real_link
     assert "late" not in t.tags()  # no dangling ref left behind
+
+
+def test_rest_table_route(spark, tmp_path):
+    """GET /table serves the snapshot table's metadata (current, tags,
+    history) read-only — monitor a publish target over HTTP while ticks
+    keep committing."""
+    import urllib.request
+
+    from fscrawler_spark.rest import StatusServer
+
+    t = _table(spark, tmp_path)
+    t.tag("v1")
+    t.upsert(spark, _df(spark, [("c0", 0, "v2")]), keys=KEYS)
+    with StatusServer(str(tmp_path / "out"), table_root=t.root) as srv:
+        url = f"http://{srv.host}:{srv.port}"
+        d = json.loads(urllib.request.urlopen(f"{url}/table").read())
+        assert d["current"] == 2 and d["tags"] == {"v1": 1}
+        assert [h["snapshot_id"] for h in d["history"]] == [1, 2]
+        # reference-path alias
+        d2 = json.loads(urllib.request.urlopen(f"{url}/_crawler/table").read())
+        assert d2 == d
+    # no table at the root -> 404 with a message
+    with StatusServer(str(tmp_path / "not_a_table")) as srv:
+        try:
+            urllib.request.urlopen(f"http://{srv.host}:{srv.port}/table")
+            raise AssertionError("expected 404")
+        except urllib.error.HTTPError as e:
+            assert e.code == 404
+            assert "no snapshot table" in json.loads(e.read())["error"]
