@@ -200,6 +200,20 @@ def build_parser() -> argparse.ArgumentParser:
         "upstream even if it exists without (or with a drifted) cursor",
     )
     p.add_argument(
+        "--sync-dag",
+        metavar="SPEC_JSON",
+        default=None,
+        help="maintain a whole DAG of derived views in one pass (the "
+        "multi-view form of --sync-derived): SPEC_JSON is a file "
+        '{"upstream": ROOT, "views": [{"name", "root", '
+        '"upstream": view-name|null, "filter": SQL, '
+        '"select": [SQL, ...], "keys": [col, ...]}]} — filter/select '
+        "use the --view-filter/--view-select grammar (keys always "
+        "retained); views sync in topological order so one root delta "
+        "flows through every level; prints one JSON line with per-view "
+        "results; --force-bootstrap rebuilds every view",
+    )
+    p.add_argument(
         "--view-filter",
         metavar="SQL_EXPR",
         default=None,
@@ -892,7 +906,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         clear_pause(args.output)
         print(json.dumps({"pause_requested": False}))
         return 0
-    if args.sync_derived is not None:
+    if args.sync_derived is not None or args.sync_dag is not None:
         # same contract as --doctor and the curation verbs: a combination
         # that would silently skip one of the verbs is an error, not a
         # half-done exit 0 — and it must be checked BEFORE any verb
@@ -901,6 +915,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         sync_conflicts = [
             name
             for name, on in (
+                ("--sync-derived with --sync-dag",
+                 args.sync_derived is not None and args.sync_dag is not None),
                 ("--input", args.input is not None),
                 ("--incremental", args.incremental),
                 ("--restart", args.restart),
@@ -925,7 +941,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         ]
         if sync_conflicts:
             print(
-                f"error: --sync-derived cannot combine with "
+                f"error: --sync-derived/--sync-dag cannot combine with "
                 f"{'/'.join(sync_conflicts)} — one verb per invocation",
                 file=sys.stderr,
             )
@@ -1084,6 +1100,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         and args.table_compact is None
         and args.table_changes is None
         and args.sync_derived is None
+        and args.sync_dag is None
     ):
         # --doctor/--table-upsert/--table-delete/--table-compact/
         # --table-changes/--sync-derived need only --output (like the
@@ -1197,6 +1214,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             args.incremental or args.restart or args.dry_run or args.compact
             or args.doctor or args.near_dup or args.assemble_store
             or args.loop != 1 or args.sync_derived is not None
+            or args.sync_dag is not None
         )
     ):
         print(
@@ -1242,8 +1260,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             file=sys.stderr,
         )
         return 2
-    if args.force_bootstrap and args.sync_derived is None:
-        print("error: --force-bootstrap requires --sync-derived", file=sys.stderr)
+    if args.force_bootstrap and args.sync_derived is None and args.sync_dag is None:
+        print(
+            "error: --force-bootstrap requires --sync-derived or --sync-dag",
+            file=sys.stderr,
+        )
         return 2
     if args.sync_derived is None and (
         args.view_filter is not None or args.view_select is not None
@@ -1648,6 +1669,98 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     }
                 )
             )
+            return 0
+        if args.sync_dag is not None:
+            from pyspark.errors import AnalysisException
+
+            from fscrawler_spark.plans.derived import sync_view_dag
+
+            try:
+                with open(args.sync_dag) as f:
+                    spec = json.load(f)
+            except (OSError, json.JSONDecodeError) as e:
+                print(f"error: cannot read --sync-dag spec: {e}", file=sys.stderr)
+                return 2
+            up_spec = spec.get("upstream") if isinstance(spec, dict) else None
+            views_spec = spec.get("views") if isinstance(spec, dict) else None
+            if not isinstance(up_spec, str) or not isinstance(views_spec, list) \
+                    or not views_spec:
+                print(
+                    'error: --sync-dag spec must be {"upstream": ROOT, '
+                    '"views": [{...}, ...]}',
+                    file=sys.stderr,
+                )
+                return 2
+            default_keys = tuple(
+                k.strip() for k in args.table_keys.split(",") if k.strip()
+            )
+
+            def _rel(p: str) -> str:
+                # relative roots resolve against --output, so one spec
+                # file drives any deployment directory
+                return p if os.path.isabs(p) else os.path.join(args.output, p)
+
+            def _mk_transform(vf, vs, vkeys):
+                if vf is None and vs is None:
+                    return None
+
+                def transform(df, _vf=vf, _vs=vs, _keys=tuple(vkeys)):
+                    from pyspark.sql import functions as F
+
+                    if _vf:
+                        df = df.filter(F.expr(_vf))
+                    if _vs:
+                        user = [e for e in _vs if str(e).strip() not in _keys]
+                        df = df.selectExpr(*_keys, *user)
+                    return df
+
+                return transform
+
+            views = []
+            for v in views_spec:
+                if not isinstance(v, dict):
+                    print(
+                        f"error: --sync-dag views must be objects, got {v!r}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                vf, vs = v.get("filter"), v.get("select")
+                if vs is not None and (
+                    not isinstance(vs, list)
+                    or not all(isinstance(x, str) for x in vs)
+                ):
+                    print(
+                        f"error: view {v.get('name')!r}: 'select' must be a "
+                        "list of SQL expression strings",
+                        file=sys.stderr,
+                    )
+                    return 2
+                vkeys = v.get("keys") if v.get("keys") is not None else default_keys
+                entry = {
+                    "name": v.get("name"),
+                    "root": _rel(str(v["root"])) if v.get("root") else v.get("root"),
+                    "upstream": v.get("upstream"),
+                    "keys": vkeys,
+                    "transform": _mk_transform(vf, vs, vkeys),
+                }
+                views.append(entry)
+            try:
+                res = sync_view_dag(
+                    spark,
+                    _rel(up_spec),
+                    views,
+                    keys=default_keys,
+                    force_bootstrap=args.force_bootstrap,
+                )
+            except (
+                ValueError,
+                FileNotFoundError,
+                RuntimeError,
+                AnalysisException,
+            ) as e:
+                print(f"error: {e}", file=sys.stderr)
+                return 2
+            print(json.dumps({"operation": "sync-dag", "views": res}))
             return 0
         if args.sync_derived is not None:
             import time as _time

@@ -581,3 +581,95 @@ def test_sync_view_dag_review_guards(spark, tmp_path):
         sync_view_dag(spark, up, [
             {"name": "a", "root": str(tmp_path / "a"), "keys": []},
         ], keys=KEYS)
+
+
+def test_cli_sync_dag(spark, tmp_path, capsys):
+    """--sync-dag SPEC.json drives a whole view tree from the CLI:
+    relative roots resolve against --output, filter/select use the
+    --view-filter/--view-select grammar, one root delta flows through
+    both levels."""
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    spec = {
+        "upstream": up.root,
+        "views": [
+            {"name": "lens", "root": "lens", "upstream": "clean",
+             "select": ["length(up) AS n"]},
+            {"name": "clean", "root": "clean",
+             "filter": "text NOT LIKE 'drop%'",
+             "select": ["upper(text) AS up"]},
+        ],
+    }
+    spec_path = str(tmp_path / "spec.json")
+    with open(spec_path, "w") as f:
+        json.dump(spec, f)
+    out_base = str(tmp_path / "deploy")
+    argv = ["--output", out_base, "--sync-dag", spec_path]
+    rc = main(argv, spark=spark)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert {k: v["mode"] for k, v in line["views"].items()} == {
+        "clean": "bootstrap", "lens": "bootstrap"
+    }
+    lens = SnapshotTable(str(tmp_path / "deploy" / "lens"))
+    assert sorted(lens.read(spark).columns) == ["conv_id", "n", "turn_idx"]
+    assert lens.read(spark).count() == 40
+    # root delta (one row filtered OUT, one updated in-place) flows through
+    up.upsert(
+        spark, _df(spark, [("c0", 0, "drop me"), ("c1", 0, "v2")]), keys=KEYS
+    )
+    rc = main(argv, spark=spark)
+    line = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert {k: v["mode"] for k, v in line["views"].items()} == {
+        "clean": "delta", "lens": "delta"
+    }
+    assert lens.read(spark).count() == 39
+    want = (
+        up.read(spark).filter("text NOT LIKE 'drop%'")
+        .selectExpr("conv_id", "turn_idx", "length(upper(text)) AS n")
+    )
+    got = lens.read(spark)
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+
+def test_cli_sync_dag_errors(spark, tmp_path, capsys):
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    out = str(tmp_path / "deploy")
+    # unreadable / malformed / structurally wrong specs
+    rc = main(["--output", out, "--sync-dag", str(tmp_path / "no.json")], spark=spark)
+    assert rc == 2 and "cannot read" in capsys.readouterr().err
+    bad = str(tmp_path / "bad.json")
+    open(bad, "w").write("{nope")
+    rc = main(["--output", out, "--sync-dag", bad], spark=spark)
+    assert rc == 2 and "cannot read" in capsys.readouterr().err
+    open(bad, "w").write(json.dumps({"views": []}))
+    rc = main(["--output", out, "--sync-dag", bad], spark=spark)
+    assert rc == 2 and "spec must be" in capsys.readouterr().err
+    open(bad, "w").write(json.dumps(
+        {"upstream": up.root, "views": [{"name": "a", "root": "a", "select": "x"}]}
+    ))
+    rc = main(["--output", out, "--sync-dag", bad], spark=spark)
+    assert rc == 2 and "list of SQL expression strings" in capsys.readouterr().err
+    # library validation surfaces as exit 2 (cycle)
+    open(bad, "w").write(json.dumps({"upstream": up.root, "views": [
+        {"name": "a", "root": "a", "upstream": "b"},
+        {"name": "b", "root": "b", "upstream": "a"},
+    ]}))
+    rc = main(["--output", out, "--sync-dag", bad], spark=spark)
+    assert rc == 2 and "cycle" in capsys.readouterr().err
+    # verb exclusivity both ways
+    rc = main(
+        ["--output", out, "--sync-dag", bad, "--sync-derived", up.root], spark=spark
+    )
+    assert rc == 2 and "cannot combine" in capsys.readouterr().err
+    rc = main(["--output", out, "--sync-dag", bad, "--table-history"], spark=spark)
+    assert rc == 2 and "cannot combine" in capsys.readouterr().err
+    # orphan --force-bootstrap message names both verbs
+    rc = main(["--input", "x", "--output", out, "--force-bootstrap"], spark=spark)
+    assert rc == 2 and "--sync-derived or --sync-dag" in capsys.readouterr().err
