@@ -775,6 +775,29 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _view_transform(vf, vs, keys):
+    """The --view-filter/--view-select grammar as a sync transform —
+    ONE definition shared by --sync-derived and --sync-dag so the two
+    surfaces can never drift: optional SQL predicate, then a projection
+    of SQL expressions with the key columns always retained (bare keys
+    in the select list are deduped, not duplicated). None/None -> None
+    (identity sync)."""
+    if vf is None and vs is None:
+        return None
+
+    def transform(df, _vf=vf, _vs=vs, _keys=tuple(keys)):
+        from pyspark.sql import functions as F
+
+        if _vf:
+            df = df.filter(F.expr(_vf))
+        if _vs:
+            user = [e for e in _vs if str(e).strip() not in _keys]
+            df = df.selectExpr(*_keys, *user)
+        return df
+
+    return transform
+
+
 def _read_docs_table(spark, input_path: str):
     """Load the docs table behind a curation verb's --input: an
     extraction output root, its docs/ dir directly, or a SNAPSHOT TABLE
@@ -1221,7 +1244,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             f"error: {'/'.join(curation_verbs)} is a one-shot curation pass "
             "and cannot combine with another curation verb or "
             "--incremental/--restart/--dry-run/--compact/--doctor/"
-            "--near-dup/--assemble-store/--sync-derived/--loop",
+            "--near-dup/--assemble-store/--sync-derived/--sync-dag/--loop",
             file=sys.stderr,
         )
         return 2
@@ -1700,22 +1723,6 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 # file drives any deployment directory
                 return p if os.path.isabs(p) else os.path.join(args.output, p)
 
-            def _mk_transform(vf, vs, vkeys):
-                if vf is None and vs is None:
-                    return None
-
-                def transform(df, _vf=vf, _vs=vs, _keys=tuple(vkeys)):
-                    from pyspark.sql import functions as F
-
-                    if _vf:
-                        df = df.filter(F.expr(_vf))
-                    if _vs:
-                        user = [e for e in _vs if str(e).strip() not in _keys]
-                        df = df.selectExpr(*_keys, *user)
-                    return df
-
-                return transform
-
             views = []
             for v in views_spec:
                 if not isinstance(v, dict):
@@ -1725,6 +1732,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     )
                     return 2
                 vf, vs = v.get("filter"), v.get("select")
+                if vf is not None and not isinstance(vf, str):
+                    print(
+                        f"error: view {v.get('name')!r}: 'filter' must be a "
+                        f"SQL expression string, got {vf!r}",
+                        file=sys.stderr,
+                    )
+                    return 2
                 if vs is not None and (
                     not isinstance(vs, list)
                     or not all(isinstance(x, str) for x in vs)
@@ -1735,32 +1749,53 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                         file=sys.stderr,
                     )
                     return 2
-                vkeys = v.get("keys") if v.get("keys") is not None else default_keys
+                vk = v.get("keys")
+                if vk is not None and (
+                    not isinstance(vk, list)
+                    or not all(isinstance(x, str) for x in vk)
+                ):
+                    # a bare string would be iterated per-CHARACTER as
+                    # key columns — refuse with the actual type
+                    print(
+                        f"error: view {v.get('name')!r}: 'keys' must be a "
+                        f"list of column names, got {vk!r}",
+                        file=sys.stderr,
+                    )
+                    return 2
+                vkeys = vk if vk is not None else default_keys
                 entry = {
                     "name": v.get("name"),
                     "root": _rel(str(v["root"])) if v.get("root") else v.get("root"),
                     "upstream": v.get("upstream"),
                     "keys": vkeys,
-                    "transform": _mk_transform(vf, vs, vkeys),
+                    "transform": _view_transform(vf, vs, vkeys),
                 }
                 views.append(entry)
-            try:
-                res = sync_view_dag(
-                    spark,
-                    _rel(up_spec),
-                    views,
-                    keys=default_keys,
-                    force_bootstrap=args.force_bootstrap,
-                )
-            except (
-                ValueError,
-                FileNotFoundError,
-                RuntimeError,
-                AnalysisException,
-            ) as e:
-                print(f"error: {e}", file=sys.stderr)
-                return 2
-            print(json.dumps({"operation": "sync-dag", "views": res}))
+            # --loop/--update-rate are the sync's own knobs here exactly
+            # as on --sync-derived: continuous view-TREE maintenance,
+            # one JSON line per pass, --force-bootstrap first pass only
+            for i in range(args.loop):
+                try:
+                    res = sync_view_dag(
+                        spark,
+                        _rel(up_spec),
+                        views,
+                        keys=default_keys,
+                        force_bootstrap=args.force_bootstrap and i == 0,
+                    )
+                except (
+                    ValueError,
+                    FileNotFoundError,
+                    RuntimeError,
+                    AnalysisException,
+                ) as e:
+                    print(f"error: {e}", file=sys.stderr)
+                    return 2
+                print(json.dumps({"operation": "sync-dag", "loop": i + 1, "views": res}))
+                if sleep_s and i + 1 < args.loop:
+                    import time as _time
+
+                    _time.sleep(sleep_s)
             return 0
         if args.sync_derived is not None:
             import time as _time
@@ -1777,22 +1812,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                     file=sys.stderr,
                 )
                 return 2
-            transform = None
-            if args.view_filter is not None or args.view_select is not None:
-                # a non-identity view straight from the CLI: filter rows
-                # with a SQL predicate, project with SQL expressions; the
-                # keys are always retained (the sync's key-grain contract)
-                vf, vs = args.view_filter, args.view_select
-
-                def transform(df, _vf=vf, _vs=vs, _keys=keys):
-                    from pyspark.sql import functions as F
-
-                    if _vf:
-                        df = df.filter(F.expr(_vf))
-                    if _vs:
-                        user = [e for e in _vs if e.strip() not in _keys]
-                        df = df.selectExpr(*_keys, *user)
-                    return df
+            # a non-identity view straight from the CLI: the shared
+            # --view-filter/--view-select grammar (_view_transform)
+            transform = _view_transform(args.view_filter, args.view_select, keys)
 
             # --loop N --update-rate T = continuous materialized-view
             # maintenance (the crawl loop's analog for the derived tier):

@@ -88,20 +88,27 @@ class StatusServer:
                             404, {"error": f"no snapshot table at {outer.table_root}"}
                         )
                         return
+                    # build the WHOLE payload before sending: (a) current
+                    # derives from the same history read, so a commit
+                    # racing us can't produce current != history[-1];
+                    # (b) only the metadata reads sit in the try — a
+                    # client hanging up mid-write (BrokenPipeError is an
+                    # OSError) must not be mislabeled as a commit race
+                    # and answered again on a dead socket
                     try:
-                        self._send(
-                            200,
-                            {
-                                "root": outer.table_root,
-                                "current": t.current_id(),
-                                "tags": t.tags(),
-                                "history": t.history(),
-                            },
-                        )
-                    except (OSError, ValueError):
+                        hist = t.history()
+                        payload = {
+                            "root": outer.table_root,
+                            "current": hist[-1]["snapshot_id"],
+                            "tags": t.tags(),
+                            "history": hist,
+                        }
+                    except (OSError, ValueError, IndexError, KeyError):
                         # a commit's rename raced one of our parses:
                         # same retry contract as the checkpoint route
                         self._send(503, {"error": "table being committed"})
+                        return
+                    self._send(200, payload)
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
 

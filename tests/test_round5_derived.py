@@ -673,3 +673,33 @@ def test_cli_sync_dag_errors(spark, tmp_path, capsys):
     # orphan --force-bootstrap message names both verbs
     rc = main(["--input", "x", "--output", out, "--force-bootstrap"], spark=spark)
     assert rc == 2 and "--sync-derived or --sync-dag" in capsys.readouterr().err
+
+
+def test_cli_sync_dag_loop_and_spec_types(spark, tmp_path, capsys):
+    """Review fixes: --sync-dag honors --loop (one JSON line per pass,
+    bootstrap then noop); non-string 'filter' and non-list 'keys' refuse
+    with pointed exit-2 messages instead of tracebacks."""
+    from fscrawler_spark.cli import main
+
+    up = SnapshotTable(str(tmp_path / "up"))
+    up.overwrite(spark, _base(spark), cluster_by=KEYS)
+    spec = str(tmp_path / "spec.json")
+    with open(spec, "w") as f:
+        json.dump({"upstream": up.root, "views": [{"name": "m", "root": "m"}]}, f)
+    out = str(tmp_path / "deploy")
+    rc = main(["--output", out, "--sync-dag", spec, "--loop", "2"], spark=spark)
+    lines = [json.loads(x) for x in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0
+    assert [x["views"]["m"]["mode"] for x in lines] == ["bootstrap", "noop"]
+    assert [x["loop"] for x in lines] == [1, 2]
+    # bad field types
+    with open(spec, "w") as f:
+        json.dump({"upstream": up.root,
+                   "views": [{"name": "m", "root": "m", "filter": 123}]}, f)
+    rc = main(["--output", out, "--sync-dag", spec], spark=spark)
+    assert rc == 2 and "'filter' must be" in capsys.readouterr().err
+    with open(spec, "w") as f:
+        json.dump({"upstream": up.root,
+                   "views": [{"name": "m", "root": "m", "keys": "conv_id"}]}, f)
+    rc = main(["--output", out, "--sync-dag", spec], spark=spark)
+    assert rc == 2 and "'keys' must be a list" in capsys.readouterr().err
