@@ -713,32 +713,70 @@ def dedupe_doc_lines(text_col, sep: str = "\n") -> F.Column:
     ban). Returns struct(text, kept_lines, removed_lines); NULL text
     propagates NULL fields. Blank lines are structure and always kept.
 
-    Pure HOF column expression (split/transform/filter with index):
-    zero shuffle, zero Python — it rides the extraction scan like
-    c4_clean_lines. The first-occurrence test is array_position over the
-    trimmed-lines array, O(L²) worst case per document in line count L —
-    fine for real pages (L is hundreds); a pathological million-line doc
-    should go through the exploded strip_repeated_lines shape instead.
-    Comparison keys use the shared ws_trim class; output keeps the
-    ORIGINAL line bytes (first occurrence verbatim, padding included).
+    Pure HOF column expression (split/transform/aggregate): zero
+    shuffle, zero Python — it rides the extraction scan like
+    c4_clean_lines. The first-occurrence pass is ONE left fold carrying
+    (seen trimmed keys, kept original lines): each line is trimmed
+    exactly once (in a transform projection feeding the fold) and
+    checked against the seen-set — O(L · distinct) compares per doc.
+    The former shape filtered with ``array_position(transform(lines,
+    ws_trim), …)`` per element: HOF lambdas are interpreted and Catalyst
+    does not CSE the trimmed array across elements, so every line
+    re-trimmed the WHOLE document (O(L²) regexp evaluations — measured
+    ~5x this stage at sf1.0, where L includes the woven fixture lines).
+    Identical keep/drop semantics: first occurrence by trimmed key kept
+    verbatim, blank lines always kept, never added to the seen set.
+    Comparison keys use the shared ws_trim class.
     """
     col = text_col if hasattr(text_col, "cast") else F.col(text_col)
     lines = F.split(col, sep, -1)
-    trimmed = F.transform(lines, ws_trim)
+    # (raw, t) per line: ws_trim runs ONCE per line here; the fold below
+    # only extracts fields
+    pairs_arr = F.transform(
+        lines, lambda x: F.struct(x.alias("raw"), ws_trim(x).alias("t"))
+    )
+    acc0 = F.struct(
+        F.array().cast("array<string>").alias("seen"),
+        F.array().cast("array<string>").alias("kept"),
+    )
 
-    def _first_occurrence(_line, i):
-        key = F.element_at(trimmed, i + 1)
-        return (key == F.lit("")) | (
-            F.array_position(trimmed, key) == (i + 1).cast("long")
+    def _step(acc, e):
+        is_blank = e["t"] == F.lit("")
+        is_dup = F.exists(acc["seen"], lambda s: s == e["t"])
+        return F.when(
+            is_blank,
+            F.struct(
+                acc["seen"].alias("seen"),
+                F.concat(acc["kept"], F.array(e["raw"])).alias("kept"),
+            ),
+        ).otherwise(
+            F.when(is_dup, acc).otherwise(
+                F.struct(
+                    F.concat(acc["seen"], F.array(e["t"])).alias("seen"),
+                    F.concat(acc["kept"], F.array(e["raw"])).alias("kept"),
+                )
+            )
         )
 
-    kept = F.filter(lines, _first_occurrence)
-    n_all = F.size(lines)
-    n_kept = F.size(kept)
-    return F.struct(
-        F.array_join(kept, sep if len(sep) == 1 else "\n").alias("text"),
-        F.when(col.isNotNull(), n_kept).cast("long").alias("kept_lines"),
-        F.when(col.isNotNull(), n_all - n_kept).cast("long").alias("removed_lines"),
+    jsep = sep if len(sep) == 1 else "\n"
+    res = F.aggregate(
+        pairs_arr,
+        acc0,
+        _step,
+        lambda acc: F.struct(
+            F.array_join(acc["kept"], jsep).alias("text"),
+            F.size(acc["kept"]).cast("long").alias("kept_lines"),
+            (F.size(lines) - F.size(acc["kept"])).cast("long").alias("removed_lines"),
+        ),
+    )
+    # null text: the fold yields a NULL struct; callers read FIELDS of a
+    # non-null struct (the old contract), so rebuild it with null fields
+    return F.when(col.isNotNull(), res).otherwise(
+        F.struct(
+            F.lit(None).cast("string").alias("text"),
+            F.lit(None).cast("long").alias("kept_lines"),
+            F.lit(None).cast("long").alias("removed_lines"),
+        )
     )
 
 

@@ -469,35 +469,49 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
         .distinct()
     )
-    labels = (
-        edges.select(F.col("a").alias("id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("id"))
+    # Round 1 fused into the init: with labels == id, the neighbor min is
+    # just min(b) per a, so the first propagation needs no join at all —
+    # one aggregate over the materialized edges replaces the old
+    # init-distinct job PLUS the first loop round's two joins.
+    labels = _materialize(
+        edges.groupBy("a")
+        .agg(F.min("b").alias("_nb"))
+        .select(
+            F.col("a").alias("id"),
+            F.least(F.col("a"), F.col("_nb")).alias("cluster_id"),
+        )
     )
     converged = False
-    for _ in range(max_iters):
-        neighbor_min = (
+    if max_iters <= 1:
+        # no confirmation round will run: an edgeless graph is trivially
+        # converged, anything else legitimately warns below
+        converged = edges.head(1) is None
+    for _ in range(max(0, max_iters - 1)):
+        # One join + ONE aggregate per round: each id's new label is
+        # min(own label, labels of every neighbor), computed by unioning
+        # the own-label rows (marked) into the neighbor-label stream and
+        # taking min per id. The _own marker lets the same aggregate
+        # recover the previous label (exactly one own row per id), so
+        # convergence is an EXACT per-row min<old check — labels only
+        # ever decrease — carried on the materialized frame instead of
+        # the old separate labels-vs-labels change-check join (one extra
+        # corpus-of-ids shuffle per round, gone).
+        merged = (
             edges.join(labels, edges.b == labels.id)
-            .groupBy("a")
-            .agg(F.min("cluster_id").alias("nbr_min"))
+            .select(F.col("a").alias("id"), "cluster_id", F.lit(False).alias("_own"))
+            .unionByName(labels.select("id", "cluster_id", F.lit(True).alias("_own")))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.a, "left")
-            .select(
-                "id",
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
+        new_labels = _materialize(
+            merged.groupBy("id").agg(
+                F.min("cluster_id").alias("cluster_id"),
+                (
+                    F.min("cluster_id")
+                    < F.max(F.when(F.col("_own"), F.col("cluster_id")))
+                ).alias("_changed"),
             )
         )
-        new_labels = _materialize(new_labels)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .head(1)
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_changed")).head(1)
+        labels = new_labels.drop("_changed")
         if not changed:
             converged = True
             break

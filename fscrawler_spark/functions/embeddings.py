@@ -766,19 +766,28 @@ def semantic_pairs(
     threshold. Exposed standalone so the pair graph can feed other
     consumers (audits, custom keeper policies) without running CC.
 
-    Vectors are L2-normalized ONCE per row BEFORE the self-join:
-    cosine(a, b) inside the join would recompute both norms for every
-    PAIR — 3 interpreted array aggregates per pair instead of 1
-    (measured ~3x on the pair stage, which dominates the operator).
-    Zero-norm/NaN vectors normalize to NULL and are DROPPED before the
-    join (their sim would be NULL and fail any threshold anyway —
-    cosine()'s contract — but broken embeddings cluster into one cell,
-    so carrying m of them into the O(cell^2) join would burn
-    m*cell_size pair evaluations on rows that cannot match); dropping
-    them before the cap also keeps them from crowding out real vectors
-    under max_cell. Pair rows carry (ids, sim) only; the cap shares
-    the join's cell-keyed exchange."""
-    from fscrawler_spark.functions.dedup import cap_groups
+    Vectors are L2-normalized ONCE per row BEFORE the pair stage (in the
+    JVM, so Catalyst still pushes the _vn-not-null predicate below the
+    assignment UDF to the scan). Zero-norm/NaN vectors normalize to NULL
+    and are DROPPED before the exchange (their sim would be NULL and
+    fail any threshold anyway — cosine()'s contract); dropping them
+    before the cap also keeps them from crowding out real vectors under
+    max_cell.
+
+    The within-cell pairs themselves come from ONE numpy GEMM per cell
+    (grouped-map Arrow stage): the former cell-keyed self-join evaluated
+    an interpreted array-fold dot per PAIR — O(sum cell²) lambda
+    evaluations — where the GEMM hands the whole cell matrix to BLAS
+    (guide §4.2: batch work belongs in vectorized native code). Only
+    pairs >= threshold leave the Python worker, so the boundary carries
+    (ids, sim) rows, never the quadratic candidate set. The cell-keyed
+    grouped-map exchange is the SAME exchange the self-join shuffled on,
+    and the max_cell guard is the group-size check inside the stage
+    (identical drop semantics to the shared window cap — the count runs
+    over the same post-normalization rows). Sims differ from the
+    sequential JVM fold only by float64 summation order (~1e-16 —
+    Spark never guaranteed a summation order here either)."""
+    from pyspark.sql import types as T
 
     nrm = _norm(F.col("v"))
     normed = cells.select(
@@ -788,20 +797,56 @@ def semantic_pairs(
         .otherwise(F.lit(None))
         .alias("_vn"),
     ).filter(F.col("_vn").isNotNull())
-    capped = cap_groups(normed, ["cell"], max_cell)
-    return (
-        capped.alias("a")
-        .join(
-            capped.alias("b"),
-            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.nanvl(_dot(F.col("a._vn"), F.col("b._vn")), F.lit(None).cast("double")).alias("sim"),
-        )
-        .filter(F.col("sim") >= threshold)
+    id_type = normed.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id_a", id_type),
+            T.StructField("id_b", id_type),
+            T.StructField("sim", T.DoubleType()),
+        ]
     )
+    thr = float(threshold)
+    cap = None if max_cell is None else int(max_cell)
+
+    def _cell_pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        empty = pd.DataFrame(
+            {"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
+             "sim": pd.Series([], dtype="float64")}
+        )
+        if n < 2 or (cap is not None and n > cap):
+            return empty
+        # sort by id so positional i<j reproduces the join's id_a < id_b
+        pdf = pdf.sort_values("id", kind="stable")
+        ids = pdf["id"].to_numpy()
+        m = np.array(pdf["_vn"].to_list(), dtype=np.float64)
+        out_a, out_b, out_s = [], [], []
+        # row-block GEMM bounds peak memory for uncapped giant cells
+        block = 2048
+        for lo in range(0, n, block):
+            hi = min(lo + block, n)
+            sims = m[lo:hi] @ m.T  # (hi-lo, n)
+            bi, bj = np.nonzero(sims >= thr)
+            keep = (bi + lo < bj) & (ids[bi + lo] != ids[bj])
+            bi, bj = bi[keep], bj[keep]
+            if len(bi):
+                out_a.append(ids[bi + lo])
+                out_b.append(ids[bj])
+                out_s.append(sims[bi, bj])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "sim": np.concatenate(out_s).astype("float64"),
+            }
+        )
+
+    return normed.groupBy("cell").applyInPandas(_cell_pairs, out_schema)
 
 
 def semantic_dedup(

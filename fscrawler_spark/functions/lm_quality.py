@@ -161,21 +161,25 @@ class WordLM:
             return 0.0, 0
         words = norm.split(" ")
         lp = 0.0
+        # locals bound once: the loop body runs per word of the corpus,
+        # and attribute/global lookups are a measurable slice of it
+        counts, alpha, total, nmax = self.counts, self.alpha, self.total_tokens, self.n
+        hfn, log = _md5_int_py, math.log
         for i in range(len(words)):
-            m = min(self.n, i + 1)
+            m = min(nmax, i + 1)
             mult = 1.0
             s = None
             for k in range(m, 1, -1):
-                num = self.counts[k - 1].get(_md5_int_py(" ".join(words[i - k + 1 : i + 1])))
-                den = self.counts[k - 2].get(_md5_int_py(" ".join(words[i - k + 1 : i])))
+                num = counts[k - 1].get(hfn(" ".join(words[i - k + 1 : i + 1])))
+                den = counts[k - 2].get(hfn(" ".join(words[i - k + 1 : i])))
                 if num is not None and den is not None:
                     s = mult * num / den
                     break
-                mult *= self.alpha
+                mult *= alpha
             if s is None:
-                c1 = self.counts[0].get(_md5_int_py(words[i]))
-                s = mult * ((c1 if c1 is not None else 0.5) / self.total_tokens)
-            lp += math.log(s)
+                c1 = counts[0].get(hfn(words[i]))
+                s = mult * ((c1 if c1 is not None else 0.5) / total)
+            lp += log(s)
         return lp, len(words)
 
     def perplexity(self, text: str | None) -> float | None:
@@ -185,12 +189,29 @@ class WordLM:
         return math.exp(-lp / events)
 
 
+# Worker-resident gram-hash memo: scoring hashes the SAME grams over and
+# over (Zipf — the common unigrams/bigrams dominate every document), and
+# a hashlib round trip per lookup is the dominant scoring cost. Values
+# are pure functions of the key, so caching cannot change any score;
+# the cap bounds worker RSS (~50 MB at 500k short grams) and a clear()
+# on overflow keeps the hot head resident. Lives at module level so a
+# reused Python worker keeps it across tasks (guide §4.5 pattern).
+_MD5_MEMO: dict[str, int] = {}
+_MD5_MEMO_CAP = 500_000
+
+
 def _md5_int_py(s: str) -> int:
     """Python twin of dedup._md5_int (first 15 md5 hex chars as int64) —
     the scoring side must hash exactly like the training aggregate."""
     import hashlib
 
-    return int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+    h = _MD5_MEMO.get(s)
+    if h is None:
+        if len(_MD5_MEMO) >= _MD5_MEMO_CAP:
+            _MD5_MEMO.clear()
+        h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        _MD5_MEMO[s] = h
+    return h
 
 
 def train_word_lm(
@@ -220,28 +241,38 @@ def train_word_lm(
     words = F.split(t, " ")
     length = F.size(words)
 
-    def _order_grams(k: int) -> F.Column:
-        # closure factory, NOT a defaulted second lambda parameter:
-        # F.transform dispatches on lambda ARITY, so `lambda i, k=k`
-        # would receive the array index as k and silently slice garbage
-        idx = F.when(
-            # Spark's sequence DESCENDS when start > stop — the guard is
-            # not optional for docs shorter than k words
-            length >= k, F.sequence(F.lit(1), length - (k - 1))
-        ).otherwise(F.array().cast("array<int>"))
-        return F.transform(
-            idx,
-            lambda i: F.struct(
-                F.lit(k).alias("ord"),
-                _md5_int(F.array_join(F.slice(words, i, k), " ")).alias("h"),
-            ),
-        )
-
-    per_order = [_order_grams(k) for k in range(1, n + 1)]
-    counts = materialize(
+    # Explode start POSITIONS first and build every order's gram hash in
+    # a plain row projection: md5/conv/slice/array_join are codegen
+    # expressions there, whereas the former per-order ``transform``
+    # lambdas evaluated the same tree interpreted per element (the
+    # HOF-vs-explode reshape shared with MinHash shingles and
+    # _word_ngram_rows; this stage is the training pass's whole cost).
+    # Per position i (1-based) the order-k gram exists iff
+    # i <= len - k + 1; invalid orders project NULL and the inner
+    # explode of the (ord, h) struct array drops them via array filtering
+    # below — counts are identical to the per-order shape.
+    ex = (
         widen_slim(df, text_col)
         .filter(F.length(t) > 0)
-        .select(F.explode(F.flatten(F.array(*per_order))).alias("g"))
+        .select(words.alias("_w"), F.explode(F.sequence(F.lit(1), length)).alias("_i"))
+    )
+    nw = F.size(F.col("_w"))
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(k).alias("ord"),
+                F.when(
+                    F.col("_i") <= nw - (k - 1),
+                    _md5_int(F.array_join(F.slice(F.col("_w"), F.col("_i"), k), " ")),
+                ).alias("h"),
+            )
+            for k in range(1, n + 1)
+        ]
+    )
+    counts = materialize(
+        ex.select(
+            F.explode(F.filter(entries, lambda e: e["h"].isNotNull())).alias("g")
+        )
         .select(F.col("g.ord").alias("ord"), F.col("g.h").alias("h"))
         .groupBy("ord", "h")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -283,12 +314,15 @@ def train_char_lm(
     idx = F.when(
         length >= n, F.sequence(F.lit(1), length - (n - 1))
     ).otherwise(F.array().cast("array<int>"))
-    grams = F.transform(idx, lambda i: t.substr(i, F.lit(n)))
     # widen first: the explode multiplies per-row CPU ~len(text)×, same
-    # rationale as minhash_signatures_fast
+    # rationale as minhash_signatures_fast. Positions explode FIRST and
+    # the substr runs in a plain row projection (codegen) instead of
+    # inside a transform lambda (interpreted per element) — the same
+    # HOF-vs-explode reshape as train_word_lm / MinHash shingles.
     counts = materialize(
         widen_slim(df, text_col)
-        .select(F.explode(grams).alias("g"))
+        .select(t.alias("_t"), F.explode(idx).alias("_i"))
+        .select(F.col("_t").substr(F.col("_i"), F.lit(n)).alias("g"))
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -328,7 +362,17 @@ def add_perplexity(
 ) -> DataFrame:
     """Append a per-doc perplexity column. The model ships as ONE Spark
     broadcast (executor-wide, torrent-distributed) — never a per-task
-    closure copy; scoring is a vectorized Arrow-batched UDF."""
+    closure copy; scoring is a vectorized Arrow-batched UDF.
+
+    The input is WIDENED first (session.widen): per-row scoring cost is
+    amplified ~len(text)× by the Python LM loop, and a dense corpus
+    parquet arrives in byte-sized splits (sf1.0 is ONE split — the
+    scoring UDF ran on 1 of 32 cores). Partitioning-only: per-row
+    scores are unchanged. No-op at scale or on shuffle-derived inputs
+    (widen's contract)."""
+    from fscrawler_spark.session import widen
+
+    df = widen(df)
     bc = df.sparkSession.sparkContext.broadcast(lm)
 
     @F.pandas_udf("double")
