@@ -22,14 +22,17 @@ shape and one scoring interface (``log_prob``/``perplexity`` duck type):
 The SHAPE is what matters at 100 TB and both models preserve it
 exactly:
 
-- **Training is one distributed pass**: char n-grams are generated
-  JVM-side (transform over a sequence — whole-stage codegen), exploded,
-  and counted in a single hash aggregate; the only shuffle key is the
-  gram itself. Context totals are a second tiny aggregate over the
+- **Training is one distributed pass**: the JVM normalizes the text
+  (the one normalization expression), a per-task Arrow combiner counts
+  grams at C speed (Counter over zipped windows — guide §4.2; the
+  former per-position JVM substr was O(position) per call inside
+  UTF8String, quadratic per doc), and only distinct (gram, count)
+  partials cross back into one hash aggregate keyed on the gram.
+  Context totals are a second tiny aggregate over the
   ALREADY-AGGREGATED gram table (materialized once via
   session.materialize so the corpus is scanned exactly once), never
-  over the corpus. The driver collects at most ``max_ngrams`` rows —
-  a bounded model, not a corpus-sized collect.
+  over the corpus. The driver pulls at most ``max_ngrams`` rows via
+  Arrow — a bounded model, not a corpus-sized collect.
 - **Scoring is one Arrow-batched pandas UDF** with the model shipped
   as a Spark broadcast (one copy per executor, not per task). Linear,
   stateless, no shuffle: it rides whatever scan partitioning the
@@ -238,44 +241,66 @@ def train_word_lm(
     if max_ngrams < 1:
         raise ValueError(f"max_ngrams must be >= 1, got {max_ngrams}")
     t = normalized_text(F.col(text_col))
-    words = F.split(t, " ")
-    length = F.size(words)
 
-    # Explode start POSITIONS first and build every order's gram hash in
-    # a plain row projection: md5/conv/slice/array_join are codegen
-    # expressions there, whereas the former per-order ``transform``
-    # lambdas evaluated the same tree interpreted per element (the
-    # HOF-vs-explode reshape shared with MinHash shingles and
-    # _word_ngram_rows; this stage is the training pass's whole cost).
-    # Per position i (1-based) the order-k gram exists iff
-    # i <= len - k + 1; invalid orders project NULL and the inner
-    # explode of the (ord, h) struct array drops them via array filtering
-    # below — counts are identical to the per-order shape.
-    ex = (
-        widen_slim(df, text_col)
-        .filter(F.length(t) > 0)
-        .select(words.alias("_w"), F.explode(F.sequence(F.lit(1), length)).alias("_i"))
+    # Gram counting runs as per-task Counter PARTIALS in an Arrow stage
+    # (guide §4.2): the former JVM explode built every order's gram with
+    # array slice+join per POSITION — linear work, but 3 string builds +
+    # an md5 per occurrence; the Python combiner counts occurrences at
+    # C speed (Counter.update over zipped word windows) and only DISTINCT
+    # (order, gram, count) rows cross back, so the md5 runs once per
+    # distinct gram per task instead of once per occurrence (Zipf makes
+    # that ~3-10x fewer). Counts are IDENTICAL: summing by gram then
+    # hashing commutes with hashing then summing (md5 collisions merge
+    # the same groups either way). Normalization stays the ONE JVM
+    # expression upstream — Python only splits on the single spaces the
+    # normalizer guarantees, so the lockstep contract is untouched.
+    norm_rows = (
+        widen_slim(df, text_col).filter(F.length(t) > 0).select(t.alias("_t"))
     )
-    nw = F.size(F.col("_w"))
-    entries = F.array(
-        *[
-            F.struct(
-                F.lit(k).alias("ord"),
-                F.when(
-                    F.col("_i") <= nw - (k - 1),
-                    _md5_int(F.array_join(F.slice(F.col("_w"), F.col("_i"), k), " ")),
-                ).alias("h"),
-            )
-            for k in range(1, n + 1)
-        ]
-    )
+    n_orders = n
+
+    def _count_grams(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        cnts = [Counter() for _ in range(n_orders)]
+
+        def emit():
+            for k in range(1, n_orders + 1):
+                c = cnts[k - 1]
+                if not c:
+                    continue
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array([k] * len(c), type=pa.int32()),
+                        pa.array(list(c.keys()), type=pa.string()),
+                        pa.array(list(c.values()), type=pa.int64()),
+                    ],
+                    ["ord", "g", "c"],
+                )
+                c.clear()
+
+        for b in batches:
+            for s in b.column(0).to_pylist():
+                ws = s.split(" ")
+                cnts[0].update(ws)
+                for k in range(2, n_orders + 1):
+                    if len(ws) >= k:
+                        cnts[k - 1].update(
+                            map(" ".join, zip(*(ws[j:] for j in range(k))))
+                        )
+            # bound worker RSS on huge-vocab corpora; the groupBy below
+            # sums partials, so flushing never changes a count
+            if sum(map(len, cnts)) > 3_000_000:
+                yield from emit()
+        yield from emit()
+
     counts = materialize(
-        ex.select(
-            F.explode(F.filter(entries, lambda e: e["h"].isNotNull())).alias("g")
-        )
-        .select(F.col("g.ord").alias("ord"), F.col("g.h").alias("h"))
+        norm_rows.mapInArrow(_count_grams, "ord int, g string, c long")
+        .select("ord", _md5_int(F.col("g")).alias("h"), "c")
         .groupBy("ord", "h")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     total = (
         counts.filter(F.col("ord") == 1).agg(F.sum("c").alias("t")).collect()[0]["t"]
@@ -285,8 +310,11 @@ def train_word_lm(
         q = counts.filter(F.col("ord") == k)
         if k >= 2 and min_count > 1:
             q = q.filter(F.col("c") >= min_count)
-        rows = q.orderBy(F.desc("c"), F.asc("h")).limit(max_ngrams).collect()
-        dicts.append({r["h"]: int(r["c"]) for r in rows})
+        # toPandas (Arrow path) instead of collect(): the per-row Row
+        # materialization dominated the 200k-row model pulls (guide §6,
+        # Arrow for driver transfers); values are identical ints
+        pdf = q.orderBy(F.desc("c"), F.asc("h")).limit(max_ngrams).toPandas()
+        dicts.append(dict(zip(pdf["h"].astype(int), pdf["c"].astype(int))))
     return WordLM(
         n=n, alpha=alpha, total_tokens=max(int(total or 0), 1), counts=tuple(dicts)
     )
@@ -310,29 +338,57 @@ def train_char_lm(
     if max_ngrams < 1:
         raise ValueError(f"max_ngrams must be >= 1, got {max_ngrams}")
     t = normalized_text(F.col(text_col))
-    length = F.length(t)
-    idx = F.when(
-        length >= n, F.sequence(F.lit(1), length - (n - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    # widen first: the explode multiplies per-row CPU ~len(text)×, same
-    # rationale as minhash_signatures_fast. Positions explode FIRST and
-    # the substr runs in a plain row projection (codegen) instead of
-    # inside a transform lambda (interpreted per element) — the same
-    # HOF-vs-explode reshape as train_word_lm / MinHash shingles.
-    counts = materialize(
-        widen_slim(df, text_col)
-        .select(t.alias("_t"), F.explode(idx).alias("_i"))
-        .select(F.col("_t").substr(F.col("_i"), F.lit(n)).alias("g"))
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("c"))
+    # Gram counting as per-task Counter PARTIALS in an Arrow stage, the
+    # same reshape as train_word_lm: the former JVM explode called
+    # ``substr(text, pos, n)`` once per CHAR POSITION, and UTF8String
+    # locates a char offset by scanning from the string start — O(pos)
+    # per call, O(len²) bytes per doc (measured 6.7s of the 7.0s stage
+    # at 50k docs; the Python slice is O(1), the whole partial-count
+    # stage 0.9s). Python slicing and UTF8String.substr both index by
+    # code points, so the grams are byte-identical; normalization stays
+    # the one JVM expression upstream.
+    norm_rows = (
+        widen_slim(df, text_col).filter(F.length(t) >= n).select(t.alias("_t"))
     )
-    kept_rows = (
+    gram_n = n
+
+    def _count_char_grams(batches):
+        from collections import Counter
+
+        import pyarrow as pa
+
+        cnt: Counter = Counter()
+
+        def emit():
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(list(cnt.keys()), type=pa.string()),
+                    pa.array(list(cnt.values()), type=pa.int64()),
+                ],
+                ["g", "c"],
+            )
+            cnt.clear()
+
+        for b in batches:
+            for s in b.column(0).to_pylist():
+                cnt.update(map("".join, zip(*(s[j:] for j in range(gram_n)))))
+            if len(cnt) > 3_000_000:
+                yield from emit()
+        if cnt:
+            yield from emit()
+
+    counts = materialize(
+        norm_rows.mapInArrow(_count_char_grams, "g string, c long")
+        .groupBy("g")
+        .agg(F.sum("c").alias("c"))
+    )
+    kept_pdf = (
         counts.filter(F.col("c") >= min_count)
         .orderBy(F.desc("c"), F.asc("g"))
         .limit(max_ngrams)
-        .collect()
+        .toPandas()  # Arrow driver transfer — values identical to collect()
     )
-    kept = {r["g"]: r["c"] for r in kept_rows}
+    kept = dict(zip(kept_pdf["g"], kept_pdf["c"].astype(int)))
     # TRUE context totals (pre-min_count, pre-cap), restricted to
     # contexts of retained grams via a broadcast semi-join — the model
     # the driver holds is bounded by the cap, not by corpus vocabulary
@@ -344,7 +400,7 @@ def train_char_lm(
             [(g[: n - 1],) for g in kept] or [("",)], "ctx string"
         ).distinct()
     )
-    ctx_rows = ctx_df.join(F.broadcast(kept_ctx), "ctx", "semi").collect()
+    ctx_pdf = ctx_df.join(F.broadcast(kept_ctx), "ctx", "semi").toPandas()
     vocab = counts.select(
         F.countDistinct(F.substring("g", n, 1)).alias("v")
     ).collect()[0]["v"]
@@ -353,7 +409,7 @@ def train_char_lm(
         add_k=add_k,
         vocab_size=max(int(vocab), 1) + 1,  # +1 <unk> char
         grams=kept,
-        ctx_totals={r["ctx"]: int(r["tot"]) for r in ctx_rows},
+        ctx_totals=dict(zip(ctx_pdf["ctx"], ctx_pdf["tot"].astype(int))),
     )
 
 
