@@ -123,45 +123,64 @@ def minhash_signatures_fast(
     test_permutations_decorrelate pins the fix).
 
     The slim (id, text) projection is widened to the session's
-    parallelism first (session.widen): the explode multiplies per-row
-    CPU ~w×, so byte-sized input splits under-parallelize it badly on
-    small-but-dense files (no-op at scale — see widen's docstring).
+    parallelism first (session.widen): the signature kernel multiplies
+    per-row CPU ~w×, so byte-sized input splits under-parallelize it
+    badly on small-but-dense files (no-op at scale — see widen's
+    docstring).
+
+    Round 6 reshape (guide §4.2): the signatures are computed PER TASK
+    in a numpy Arrow stage — shingle windows of the JVM-normalized text,
+    batched spec-exact XXH64 (functions.fasthash, pinned bit-identical
+    to Spark's xxhash64), the 31-bit fold, and all K permutation mins
+    run vectorized — so the former row explode (one string build + one
+    hash + K multiply-mod-min updates per shingle OCCURRENCE through a
+    corpus-wide hash aggregate) and its groupBy SHUFFLE are gone
+    entirely: signatures are a pure map stage. Values are unchanged
+    (same shingles, same hash, same permutations, min per doc); per-doc
+    array_distinct stays deliberately skipped (min over a multiset
+    equals min over its set) — value-parity with the Python twin is
+    pinned by tests/test_round4_fasthash_oracle.py. Assumes unique ids
+    per row (every caller's contract; the old groupBy would have merged
+    duplicate ids' shingle sets instead — an accident, not a feature).
     """
-    # shingles are generated by exploding POSITIONS and slicing row-level
-    # (whole-stage codegen) rather than word_shingles' transform-built
-    # array (interpreted per element — measured 3-8x slower on
-    # interleaved A/B trials at 40k docs). Per-doc array_distinct is
-    # deliberately skipped: min over a multiset equals min over its set,
-    # so duplicate shingles cannot change any signature position —
-    # value-parity with the distinct-shingled Python twin is pinned by
-    # tests/test_round4_fasthash_oracle.py.
+    from pyspark.sql import types as T
+
     col = text_col if hasattr(text_col, "cast") else F.col(text_col)
-    words = F.split(normalized_text(col), " ")
-    nw = F.size(words)
-    idx = F.when(
-        col.isNotNull(),
-        F.sequence(F.lit(1), F.greatest(nw - (shingle_k - 1), F.lit(1))),
-    ).otherwise(F.array().cast("array<int>"))
-    ex = widen_slim(df, id_col, text_col).select(
-        F.col(id_col).alias("id"),
-        words.alias("_w"),
-        F.explode(idx).alias("i"),
-    ).select(
-        "id",
-        F.pmod(
-            F.xxhash64(F.array_join(F.slice(F.col("_w"), F.col("i"), shingle_k), " ")),
-            F.lit((1 << 31) - 1),
-        ).alias("h"),
+    norm = widen_slim(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), normalized_text(col).alias("_t")
     )
-    aggs = [
-        F.min((F.col("h") * F.lit(_MIX_A[s % len(_MIX_A)]) + F.lit(s)) % F.lit((1 << 31) - 1)).alias(f"_h{s}")
-        for s in range(num_hashes)
-    ]
-    return (
-        ex.groupBy("id")
-        .agg(*aggs)
-        .select("id", F.array(*[F.col(f"_h{s}") for s in range(num_hashes)]).alias("sig"))
+    id_type = norm.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
     )
+    mixers = [_MIX_A[s % len(_MIX_A)] for s in range(num_hashes)]
+    k = shingle_k
+
+    def _sig_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from fscrawler_spark.functions.fasthash import minhash_sigs_np
+
+        mix = np.asarray(mixers, dtype=np.int64)
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            keep, sigs = minhash_sigs_np(texts, mix, k)
+            if not keep.any():
+                continue
+            n_kept, H = sigs.shape
+            offsets = pa.array(
+                np.arange(0, (n_kept + 1) * H, H, dtype=np.int32), type=pa.int32()
+            )
+            sig_col = pa.ListArray.from_arrays(offsets, pa.array(sigs.ravel(), type=pa.int64()))
+            yield pa.RecordBatch.from_arrays(
+                [b.column(0).filter(pa.array(keep)), sig_col], ["id", "sig"]
+            )
+
+    return norm.mapInArrow(_sig_batches, out_schema)
 
 
 def exact_duplicates(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
