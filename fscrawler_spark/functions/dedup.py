@@ -87,6 +87,49 @@ def hashed_shingles(text_col, k: int = 3) -> F.Column:
     return _shingle_array(text_col, k, F.xxhash64, "array<bigint>")
 
 
+def hashed_shingle_sets(
+    df: DataFrame, id_col: str, text_col, shingle_k: int = 3
+) -> DataFrame:
+    """(id, sh): the DataFrame-stage twin of
+    ``select(id, hashed_shingles(text))`` — distinct xxhash64 k-word
+    shingle arrays computed per task in the numpy Arrow kernel
+    (fasthash.hashed_shingle_sets_np; the Column version evaluates the
+    shingle transform as an interpreted HOF per element, measured the
+    dominant verify_candidates cost). Values are identical up to
+    element order, which no consumer observes (the arrays feed
+    array_intersect counts and sizes only). Normalization stays the one
+    JVM expression upstream; widen_slim parallelizes dense inputs."""
+    from pyspark.sql import types as T
+
+    col = text_col if hasattr(text_col, "cast") else F.col(text_col)
+    norm = widen_slim(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), normalized_text(col).alias("_t")
+    )
+    id_type = norm.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("sh", T.ArrayType(T.LongType())),
+        ]
+    )
+    k = shingle_k
+
+    def _sh_batches(batches):
+        import pyarrow as pa
+
+        from fscrawler_spark.functions.fasthash import hashed_shingle_sets_np
+
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            offsets, values = hashed_shingle_sets_np(texts, k)
+            sh_col = pa.ListArray.from_arrays(
+                pa.array(offsets, type=pa.int32()), pa.array(values, type=pa.int64())
+            )
+            yield pa.RecordBatch.from_arrays([b.column(0), sh_col], ["id", "sh"])
+
+    return norm.mapInArrow(_sh_batches, out_schema)
+
+
 _MIX_A = [0x9E3779B1, 0x85EBCA77, 0xC2B2AE3D, 0x27D4EB2F, 0x165667B1, 0x1B873593,
           0xCC9E2D51, 0x38B34327, 0x52DCE729, 0x61C88647, 0x7FEB352D, 0x3243F6A9,
           0x2545F491, 0x5BD1E995, 0x6C62272E, 0x45D9F3B3]
@@ -425,23 +468,31 @@ def verify_candidates(
     cover MOST docs so the filter prunes little): 8.4s with vs 7.9s
     without — the ~0.5s is the price of the 100-TB shape.
 
-    ``candidates`` is referenced three times (both prefilter id
-    projections + the pair join). Passing the live plan is usually
-    FASTER than materializing it first (measured at sf0.1: 7.0s live vs
-    10.5s via session.materialize — eager checkpointing of every
-    candidate row beats the recompute only when the candidate subtree is
-    far more expensive than its output is wide).
+    ``candidates`` is MATERIALIZED here (session.materialize, 16-byte
+    pair rows — bounded): it is referenced three times (the prefilter id
+    projection + the pair join below, plus however many times the CALLER
+    re-references the verified output), and with the round-6 vectorized
+    signature stage the candidate subtree no longer dwarfs its output,
+    flipping the round-4 live-vs-materialized A/B (re-measured
+    interleaved at 100k docs: mat min 6.7s vs live 7.6s end-to-end).
+    A broadcast of the materialized pair set was ALSO tried and REJECTED:
+    it removes the very exchanges whose shuffle files let the shingle-set
+    stage be computed once per execution, so the numpy kernel ran once
+    per join side instead (interleaved A/B: broadcast 7.9-16.6s vs
+    shuffle 6.5-8.2s).
     """
+    from fscrawler_spark.session import materialize as _materialize
+
+    candidates = _materialize(candidates.select("id_a", "id_b"))
     # one scan of candidates (explode both ids), not a two-projection
     # union — halves the candidate-subtree references this prefilter adds
     cand_ids = (
         candidates.select(F.explode(F.array("id_a", "id_b")).alias("id"))
         .distinct()
     )
-    sh = widen_slim(df, id_col, text_col).select(
-        F.col(id_col).alias("id"),
-        hashed_shingles(F.col(text_col), shingle_k).alias("sh"),
-    ).join(cand_ids, "id", "left_semi")
+    sh = hashed_shingle_sets(df, id_col, text_col, shingle_k).join(
+        cand_ids, "id", "left_semi"
+    )
     return (
         candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
@@ -483,9 +534,14 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
     # of the checkpoint dir or orphans accumulate per run.
     from fscrawler_spark.session import materialize as _materialize
 
+    # materialize the PAIR set before doubling it into directed edges:
+    # the union references ``pairs`` twice, and when the upstream plan
+    # has no exchange on its spine (the broadcast-verify shape) there is
+    # no shuffle-stage reuse to stop the whole verify pipeline executing
+    # once per reference
+    p = _materialize(pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")))
     edges = _materialize(
-        pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b"))
-        .unionByName(pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b")))
+        p.unionByName(p.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()
     )
     # Round 1 fused into the init: with labels == id, the neighbor min is
@@ -567,13 +623,10 @@ def near_dup_pipeline(
         raise ValueError(f"hash_family must be 'fast' or 'md5', got {hash_family!r}")
     sig_fn = minhash_signatures_fast if hash_family == "fast" else minhash_signatures
     sigs = sig_fn(df, id_col=id_col, text_col=text_col, num_hashes=num_hashes)
-    # The candidate plan is deliberately passed LIVE even though
-    # verify_candidates references it three times (two prefilter id
-    # projections + the pair join): measured A/B at sf0.1/local[32]
-    # (2 runs each, steady state) — live 7.0s vs
-    # session.materialize(cands) 10.5s end-to-end. Eagerly
-    # checkpointing every candidate row costs more than the partial
-    # re-execution Spark's runtime shuffle-stage reuse leaves behind.
+    # verify_candidates materializes the candidate plan and size-gates a
+    # broadcast of the pair set (its docstring) — the round-4 live-vs-
+    # materialized A/B predates the vectorized signature stage that made
+    # the candidate subtree cheap enough for this to flip.
     cands = lsh_candidate_pairs(sigs, num_hashes=num_hashes, bands=bands, max_bucket=max_bucket)
     verified = verify_candidates(df, cands, id_col=id_col, text_col=text_col, threshold=threshold)
     clusters = connected_components(verified)

@@ -125,6 +125,46 @@ def xxh64_batch(data: list[bytes], seed: int = 42) -> np.ndarray:
 _M31 = (1 << 31) - 1  # the MinHash permutation modulus (Mersenne prime)
 
 
+def hashed_shingle_sets_np(
+    texts: list[str | None], shingle_k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-batch DISTINCT xxhash64 shingle sets over ALREADY-NORMALIZED
+    texts: returns (offsets, values) describing one int64 hash array per
+    input row — the value-exact twin of dedup.hashed_shingles
+    (wrap=xxhash64 through _shingle_array): null text yields an EMPTY
+    array, fewer than k words one whole-text shingle, and per-doc
+    duplicates collapse (np.unique; element ORDER differs from the JVM
+    first-occurrence order, which no consumer observes — the arrays
+    feed set intersections and sizes only)."""
+    n = len(texts)
+    shingles: list[bytes] = []
+    starts = np.empty(n + 1, dtype=np.int64)
+    starts[0] = 0
+    for r, s in enumerate(texts):
+        if s is not None:
+            ws = s.split(" ")
+            if len(ws) < shingle_k:
+                shingles.append(s.encode("utf-8"))
+            else:
+                join = " ".join
+                shingles.extend(
+                    join(ws[i : i + shingle_k]).encode("utf-8")
+                    for i in range(len(ws) - shingle_k + 1)
+                )
+        starts[r + 1] = len(shingles)
+    hs = xxh64_batch(shingles)
+    offsets = np.empty(n + 1, dtype=np.int64)
+    offsets[0] = 0
+    out = np.empty(len(hs), dtype=np.int64)
+    pos = 0
+    for r in range(n):
+        u = np.unique(hs[starts[r] : starts[r + 1]])
+        out[pos : pos + len(u)] = u
+        pos += len(u)
+        offsets[r + 1] = pos
+    return offsets, out[:pos]
+
+
 def minhash_sigs_np(
     texts: list[str | None],
     mixers: np.ndarray,
