@@ -766,13 +766,19 @@ def semantic_pairs(
     threshold. Exposed standalone so the pair graph can feed other
     consumers (audits, custom keeper policies) without running CC.
 
-    Vectors are L2-normalized ONCE per row BEFORE the pair stage (in the
-    JVM, so Catalyst still pushes the _vn-not-null predicate below the
-    assignment UDF to the scan). Zero-norm/NaN vectors normalize to NULL
-    and are DROPPED before the exchange (their sim would be NULL and
-    fail any threshold anyway — cosine()'s contract); dropping them
-    before the cap also keeps them from crowding out real vectors under
-    max_cell.
+    Zero-norm/NaN vectors are DROPPED (their sim would be NULL and fail
+    any threshold anyway — cosine()'s contract), and the drop happens
+    BEFORE the max_cell group-size count, so they never crowd out real
+    vectors under the cap. Round 6 moved BOTH the drop decision and the
+    L2 normalization INSIDE the grouped stage: the former JVM transform
+    evaluated two interpreted HOF passes per row (an aggregate for the
+    norm + a per-element divide — measured 3.9s of the 4.6s stage at
+    40k vectors), where one numpy pass per group is ~free and the
+    exchange now carries the raw float32 arrays (half the bytes of the
+    old double _vn). The drop predicate replicates the JVM fold
+    bit-exactly — a vector is kept iff some float32 square is > 0 and
+    none is NaN, the same float32-multiply underflow/NaN semantics
+    ``_norm > 0`` had.
 
     The within-cell pairs themselves come from ONE numpy GEMM per cell
     (grouped-map Arrow stage): the former cell-keyed self-join evaluated
@@ -784,19 +790,21 @@ def semantic_pairs(
     grouped-map exchange is the SAME exchange the self-join shuffled on,
     and the max_cell guard is the group-size check inside the stage
     (identical drop semantics to the shared window cap — the count runs
-    over the same post-normalization rows). Sims differ from the
+    over the same post-drop rows). Sims (and the norm) differ from the
     sequential JVM fold only by float64 summation order (~1e-16 —
     Spark never guaranteed a summation order here either)."""
     from pyspark.sql import types as T
 
-    nrm = _norm(F.col("v"))
-    normed = cells.select(
-        "id",
-        "cell",
-        F.when(nrm > 0, F.transform("v", lambda x: (x / nrm).cast("double")))
-        .otherwise(F.lit(None))
-        .alias("_vn"),
-    ).filter(F.col("_vn").isNotNull())
+    normed = cells.select("id", "cell", F.col("v").alias("_vn")).filter(
+        F.col("_vn").isNotNull()
+    )
+    # squares must be taken in the SOURCE element precision: the JVM fold
+    # multiplied float32 elements in float32 (then accumulated double),
+    # and double elements in double — the underflow/NaN drop semantics
+    # follow that precision
+    src_f32 = isinstance(
+        normed.schema["_vn"].dataType.elementType, T.FloatType
+    )
     id_type = normed.schema["id"].dataType
     out_schema = T.StructType(
         [
@@ -812,17 +820,31 @@ def semantic_pairs(
         import numpy as np
         import pandas as pd
 
-        n = len(pdf)
         empty = pd.DataFrame(
             {"id_a": pdf["id"][:0], "id_b": pdf["id"][:0],
              "sim": pd.Series([], dtype="float64")}
         )
+        if not len(pdf):
+            return empty
+        # drop zero-norm/NaN vectors with the JVM fold's source-precision
+        # square semantics (docstring), then normalize — BEFORE the cap
+        raw = np.array(
+            pdf["_vn"].to_list(), dtype=np.float32 if src_f32 else np.float64
+        )
+        sq = raw * raw
+        good = (sq > 0).any(axis=1) & ~np.isnan(sq).any(axis=1)
+        if not good.all():
+            pdf = pdf[good]
+            raw = raw[good]
+            sq = sq[good]
+        n = len(pdf)
         if n < 2 or (cap is not None and n > cap):
             return empty
         # sort by id so positional i<j reproduces the join's id_a < id_b
-        pdf = pdf.sort_values("id", kind="stable")
-        ids = pdf["id"].to_numpy()
-        m = np.array(pdf["_vn"].to_list(), dtype=np.float64)
+        order = pdf["id"].to_numpy().argsort(kind="stable")
+        ids = pdf["id"].to_numpy()[order]
+        m = raw[order].astype(np.float64)
+        m /= np.sqrt(sq[order].astype(np.float64).sum(axis=1, keepdims=True))
         out_a, out_b, out_s = [], [], []
         # row-block GEMM bounds peak memory for uncapped giant cells
         block = 2048

@@ -403,12 +403,14 @@ def test_semantic_pairs_drop_broken_vectors_before_join(spark):
     pairs = embeddings.semantic_pairs(cells, 0.9)
     got = {(r.id_a, r.id_b) for r in pairs.collect()}
     assert got == {(1, 2)}  # broken vectors produce no pairs
-    # and they are FILTERED OUT before the self-join — Catalyst pushes
-    # the _vn-not-null predicate below the assignment UDF to the scan
-    # (broken vectors never even reach the GEMM), visible as the
-    # isnotnull(transform(...)) filter over the source relation
+    # round 6: the drop decision and the normalization both live INSIDE
+    # the grouped numpy stage now (source-precision squares, same
+    # underflow/NaN semantics as the old JVM fold) — the plan must carry
+    # NO interpreted per-element HOF; the raw vectors ride the one
+    # cell-keyed exchange
     plan = pairs._jdf.queryExecution().optimizedPlan().toString()
-    assert "isnotnull(transform(" in plan
+    assert "transform(" not in plan
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_new_ops_are_partitioning_stable(spark, sem_df, dsir):
