@@ -998,7 +998,13 @@ def make_max_sim_udf(ref_matrix):
             out[valid] = ((m / vn[:, None]) @ ref.T).max(axis=1)
         return pa.array(out.tolist(), pa.float64())
 
-    return max_sim
+    # asNondeterministic: callers filter on this UDF's OUTPUT (the
+    # decontamination threshold), and Catalyst pushes such filters below
+    # the widen repartition, dragging the whole embed+GEMM chain down to
+    # the file's 1-2 natural splits (measured 0.9s -> 4.7s at 50k docs;
+    # guide §4.4 — the marker pins the evaluation above the exchange;
+    # per-row values are pure functions of the input either way)
+    return max_sim.asNondeterministic()
 
 
 def reference_max_sim(

@@ -371,14 +371,17 @@ def test_fuzzy_decontaminate_validation_and_broadcast(spark):
         fuzzy_decontaminate(corpus, bench, threshold=0.0)
     with pytest.raises(ValueError, match="hash_family"):
         fuzzy_decontaminate(corpus, bench, hash_family="sha")
-    # the benchmark band table must broadcast (never a corpus-vs-corpus
-    # sort-merge on the candidate stage)
-    plan = (
-        fuzzy_decontaminate(corpus, bench, threshold=0.9)
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
-    )
+    # the flagged-id anti join must end up broadcast, never a
+    # corpus-vs-corpus sort-merge. Round 6: verify_candidates
+    # materializes the candidate stage eagerly (its broadcast of the
+    # benchmark band table executes there), so the static plan of the
+    # returned frame starts at an ExistingRDD with no size estimate —
+    # execute and assert on the AQE FINAL plan, which is what actually
+    # runs at scale
+    out = fuzzy_decontaminate(corpus, bench, threshold=0.9)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "isFinalPlan=true" in plan
     assert "BroadcastHashJoin" in plan
 
 
