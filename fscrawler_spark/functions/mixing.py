@@ -204,6 +204,93 @@ def _gram_bucket_rows(
     return out.select("id", F.pmod(h, F.lit(buckets)).alias("b"))
 
 
+def _gram_bucket_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    buckets: int,
+    ns: tuple[int, ...],
+) -> DataFrame:
+    """(id, b, c) — per-document gram-bucket COUNTS for the FAST
+    (xxhash64) family, computed complete per document in a per-task
+    Arrow combiner (guide §4.2): words split in Python with the Java-\\s
+    regex over the JVM-prepared lower+trim text, n-gram strings hashed
+    with the batched spec-exact XXH64 kernel (fasthash), bucketed with a
+    floored mod, and uniqued-with-counts per doc. Value-identical to
+    ``_gram_bucket_rows(...).groupBy(id, b).count()`` — the former
+    20M-row explode, JVM hash, and corpus-wide (id, b) hash aggregate
+    collapse into a shuffle-free map stage (each doc's counts are
+    complete because each doc is one input row). The md5 family keeps
+    the row path (its hash is the cross-engine oracle twin)."""
+    import re as _re
+
+    from fscrawler_spark.session import widen_slim
+    from pyspark.sql import types as T
+
+    prepared = F.trim(F.lower(F.col(text_col)))
+    slim = (
+        widen_slim(df, id_col, text_col)
+        .filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col).alias("id"), prepared.alias("_t"))
+    )
+    id_type = slim.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("b", T.LongType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+    orders = tuple(ns)
+    n_buckets = buckets
+    java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
+    def _count_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from fscrawler_spark.functions.fasthash import xxh64_batch
+
+        for batch in batches:
+            ids = batch.column(0)
+            texts = batch.column(1).to_pylist()
+            if not texts:
+                continue
+            grams: list[bytes] = []
+            starts = np.empty(len(texts) + 1, dtype=np.int64)
+            starts[0] = 0
+            for r, s in enumerate(texts):
+                ws = java_ws.split(s)
+                join = " ".join
+                for n in orders:
+                    if n == 1:
+                        grams.extend(w.encode("utf-8") for w in ws)
+                    elif len(ws) >= n:
+                        grams.extend(
+                            join(ws[i : i + n]).encode("utf-8")
+                            for i in range(len(ws) - n + 1)
+                        )
+                starts[r + 1] = len(grams)
+            bs = np.mod(xxh64_batch(grams), n_buckets)
+            out_idx, out_b, out_c = [], [], []
+            for r in range(len(texts)):
+                u, c = np.unique(bs[starts[r] : starts[r + 1]], return_counts=True)
+                out_idx.append(np.full(len(u), r, dtype=np.int64))
+                out_b.append(u)
+                out_c.append(c)
+            take = pa.array(np.concatenate(out_idx))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    ids.take(take),
+                    pa.array(np.concatenate(out_b), type=pa.int64()),
+                    pa.array(np.concatenate(out_c), type=pa.int64()),
+                ],
+                ["id", "b", "c"],
+            )
+
+    return slim.mapInArrow(_count_batches, out_schema)
+
+
 def train_importance_model(
     raw: DataFrame,
     target: DataFrame,
@@ -411,14 +498,25 @@ def dsir_select(
     from fscrawler_spark.session import materialize
 
     spark = raw.sparkSession
-    grams = _gram_bucket_rows(raw, id_col, text_col, buckets, ns, hash_family)
-    counts = materialize(
-        grams.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
-    )
+    if hash_family == "fast":
+        # per-doc complete counts from the Arrow combiner — no gram
+        # explode, no corpus-wide (id, b) aggregate (see
+        # _gram_bucket_counts; value-identical)
+        counts = materialize(_gram_bucket_counts(raw, id_col, text_col, buckets, ns))
+        t_cnt = (
+            _gram_bucket_counts(target, id_col, text_col, buckets, ns)
+            .groupBy("b")
+            .agg(F.sum("c").alias("tc"))
+        )
+    else:
+        grams = _gram_bucket_rows(raw, id_col, text_col, buckets, ns, hash_family)
+        counts = materialize(
+            grams.groupBy("id", "b").agg(F.count(F.lit(1)).alias("c"))
+        )
+        t_cnt = _gram_bucket_rows(
+            target, id_col, text_col, buckets, ns, hash_family
+        ).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
     r_cnt = counts.groupBy("b").agg(F.sum("c").alias("rc"))
-    t_cnt = _gram_bucket_rows(
-        target, id_col, text_col, buckets, ns, hash_family
-    ).groupBy("b").agg(F.count(F.lit(1)).alias("tc"))
     model = _model_from_counts(spark, r_cnt, t_cnt, buckets, alpha)
     sums = (
         counts.join(F.broadcast(model), "b")
