@@ -146,6 +146,14 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # let the planner pick shuffled-hash join when its size
+        # conditions hold (guide §3.1/§9): the band-bucket self-joins and
+        # id-keyed verify joins skip the per-partition sort; sort-merge
+        # remains the fallback whenever the build side might not fit, and
+        # AQE skew handling applies to both. Interleaved battery A/B at
+        # 50k docs/local[32]: 25.9s -> 24.1s over 10 columns, no column
+        # regressing beyond noise.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
