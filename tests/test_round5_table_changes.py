@@ -430,10 +430,15 @@ def test_map_free_schema_sheds_cmp_structs(spark, tmp_path):
 
 
 def test_map_bearing_columns_still_compare_canonically(spark, tmp_path):
-    """Map columns keep the canonical _cmp twin (and only they ride it);
-    the plain columns still compare off _row."""
+    """Map columns compare through their canonical sorted-entry form
+    (round 6: it feeds the slim comparison hashes instead of a shipped
+    _cmp struct — the eagerly-executed slim join makes the expression
+    invisible in the returned frame's plan, so this pins BEHAVIOR): a
+    plain-column change is detected next to an identical map, and a
+    map whose entries merely arrive in a different internal order nets
+    to an EMPTY changelog."""
     t = SnapshotTable(str(tmp_path / "mm"))
-    mk = F.create_map(F.lit("a"), F.lit("1"))
+    mk = F.create_map(F.lit("a"), F.lit("1"), F.lit("b"), F.lit("2"))
     t.overwrite(spark, _base(spark).select("*", mk.alias("raw")))
     t.upsert(
         spark,
@@ -441,9 +446,18 @@ def test_map_bearing_columns_still_compare_canonically(spark, tmp_path):
         keys=("conv_id", "turn_idx"),
     )
     ch = t.read_changes(spark, 1, 2)
-    plan = ch._jdf.queryExecution().optimizedPlan().toString()
-    assert "_old_cmp" in plan  # the map column's canonical twin survives
     assert _counts(ch) == {"update_preimage": 1, "update_postimage": 1}
+    # reordered-entries rewrite of the SAME logical map: no change
+    mk_rev = F.create_map(F.lit("b"), F.lit("2"), F.lit("a"), F.lit("1"))
+    row = t.read(spark).filter(
+        (F.col("conv_id") == "c0") & (F.col("turn_idx") == 0)
+    )
+    t.upsert(
+        spark,
+        row.drop("raw").select("*", mk_rev.alias("raw")),
+        keys=("conv_id", "turn_idx"),
+    )
+    assert _counts(t.read_changes(spark, 2, 3)) == {}
 
 
 def test_cli_table_changes_integrity_error(spark, tmp_path, capsys):
