@@ -195,18 +195,36 @@ def _assembly_tick_impl(
     )
     has_state = has_parquet_files(spark, p["state"])
     if has_state:
-        state = spark.read.parquet(p["state"]).select("conv_id", "conv_sha")
-        changed_ids = materialize(
-            cur.join(state, ["conv_id", "conv_sha"], "left_anti").select("conv_id")
+        # ONE full-outer diff replaces the former changed-anti-join +
+        # gone-anti-join pair (two materializes + two count jobs → one
+        # delta-sized materialize + one aggregate): a conv is CHANGED
+        # when present in cur with no matching (conv_id, conv_sha) in
+        # state, GONE when present only in state — identical sets.
+        state = spark.read.parquet(p["state"]).select(
+            "conv_id", F.col("conv_sha").alias("_state_sha")
         )
-        gone_ids = materialize(
-            state.select("conv_id").join(cur.select("conv_id"), "conv_id", "left_anti")
+        j = cur.join(state, "conv_id", "full_outer")
+        changed_f = F.col("conv_sha").isNotNull() & ~F.col("conv_sha").eqNullSafe(
+            F.col("_state_sha")
         )
+        gone_f = F.col("conv_sha").isNull()
+        diff = materialize(
+            j.filter(changed_f | gone_f).select(
+                "conv_id", changed_f.alias("_chg"), gone_f.alias("_gone")
+            )
+        )
+        counts = diff.agg(
+            F.sum(F.col("_chg").cast("long")).alias("c"),
+            F.sum(F.col("_gone").cast("long")).alias("g"),
+        ).first()
+        n_changed, n_gone = int(counts["c"] or 0), int(counts["g"] or 0)
+        changed_ids = diff.filter(F.col("_chg")).select("conv_id")
+        gone_ids = diff.filter(F.col("_gone")).select("conv_id")
     else:
         changed_ids = materialize(cur.select("conv_id"))
         gone_ids = spark.createDataFrame([], changed_ids.schema)
-    n_changed = changed_ids.count()
-    n_gone = gone_ids.count()
+        n_changed = changed_ids.count()
+        n_gone = 0
     has_docs = has_parquet_files(spark, p["docs"])
     if n_changed == 0 and n_gone == 0:
         total = spark.read.parquet(p["docs"]).count() if has_docs else 0
