@@ -576,16 +576,26 @@ def connected_components(pairs: DataFrame, max_iters: int = 20) -> DataFrame:
             .select(F.col("a").alias("id"), "cluster_id", F.lit(False).alias("_own"))
             .unionByName(labels.select("id", "cluster_id", F.lit(True).alias("_own")))
         )
+        # the convergence check rides the SAME checkpoint action as an
+        # Observation (any-row-changed = max of the per-row flags) —
+        # the former filter(...).head(1) was one extra full pass over
+        # the materialized labels per round, pure job overhead on the
+        # converged round
+        from pyspark.sql import Observation
+
+        obs = Observation()
         new_labels = _materialize(
-            merged.groupBy("id").agg(
+            merged.groupBy("id")
+            .agg(
                 F.min("cluster_id").alias("cluster_id"),
                 (
                     F.min("cluster_id")
                     < F.max(F.when(F.col("_own"), F.col("cluster_id")))
                 ).alias("_changed"),
             )
+            .observe(obs, F.max("_changed").alias("any_changed"))
         )
-        changed = new_labels.filter(F.col("_changed")).head(1)
+        changed = bool(obs.get["any_changed"])
         labels = new_labels.drop("_changed")
         if not changed:
             converged = True
