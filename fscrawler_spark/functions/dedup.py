@@ -772,29 +772,72 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits:
     are unchanged, and the exact hamming verify fixes precision) — the
     only cost is some extra candidate fan-out in bands covering those
     bits. bits<=60 avoids even that.
+
+    Round 6 reshape (guide §4.2, the MinHash pattern): fingerprints are
+    computed PER TASK in a numpy Arrow stage — distinct tokens of the
+    JVM-normalized text, md5 via hashlib with a worker-resident memo
+    (Zipf repetition makes the common tokens free), the ±1 bit votes as
+    one int8 matrix sum per doc — so the former token explode, 32-sum
+    hash aggregate, and its SHUFFLE are gone. Values are bit-identical:
+    same md5-prefix hash, same distinct-token multiplicity-free votes,
+    same sign rule (vote sum > 0).
     """
     if not 1 <= bits <= 64:
         raise ValueError(f"bits must be in [1, 64], got {bits}")
-    df = widen_slim(df, id_col, text_col)
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(F.split(normalized_text(F.col(text_col)), " "))).alias("tok"),
-    ).withColumn("h", _md5_int(F.col("tok")))
-    votes = [
-        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)).alias(f"_v{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("id").agg(*votes)
-    fp = None
-    for b in range(bits):
-        # shiftleft, not a Python-side 1 << b literal: bit 63's literal
-        # (2^63) overflows a JVM long at plan build; the JVM shift wraps
-        # into the sign bit like the reference '1::bigint << bit' did
-        term = F.when(
-            F.col(f"_v{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
-        ).otherwise(F.lit(0).cast("long"))
-        fp = term if fp is None else fp + term
-    return agg.select("id", fp.alias("simhash"))
+    from pyspark.sql import types as T
+
+    norm = widen_slim(df, id_col, text_col).select(
+        F.col(id_col).alias("id"), normalized_text(F.col(text_col)).alias("_t")
+    )
+    id_type = norm.schema["id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("id", id_type),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+    n_bits = bits
+
+    def _simhash_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        from fscrawler_spark.functions.lm_quality import _md5_int_py
+
+        shifts = np.arange(n_bits, dtype=np.uint64)
+        weights = (np.uint64(1) << shifts).astype(np.int64)
+        for b in batches:
+            texts = b.column(1).to_pylist()
+            fps = np.zeros(len(texts), dtype=np.int64)
+            keep = np.zeros(len(texts), dtype=bool)
+            for r, s in enumerate(texts):
+                if s is None:
+                    continue
+                keep[r] = True
+                toks = dict.fromkeys(s.split(" "))
+                hs = np.fromiter(
+                    (_md5_int_py(t) for t in toks), dtype=np.uint64, count=len(toks)
+                )
+                votes = (
+                    ((hs[:, None] >> shifts) & np.uint64(1))
+                    .astype(np.int8)
+                    .sum(axis=0, dtype=np.int64)
+                )
+                # vote rule: bit set iff (+1 count) > (-1 count), i.e.
+                # ones > n_tokens - ones
+                ones = votes  # count of set bits per position
+                fps[r] = int(weights[ones * 2 > len(toks)].sum())
+            if not keep.any():
+                continue
+            yield pa.RecordBatch.from_arrays(
+                [
+                    b.column(0).filter(pa.array(keep)),
+                    pa.array(fps[keep], type=pa.int64()),
+                ],
+                ["id", "simhash"],
+            )
+
+    return norm.mapInArrow(_simhash_batches, out_schema)
 
 
 def select_keepers(

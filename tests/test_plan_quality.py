@@ -83,10 +83,10 @@ def test_lsh_join_is_keyed_not_cross(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 def test_simhash_is_one_wide_aggregate(spark):
-    """VERDICT r2 #6: pin the wide-aggregate claim — the simhash plan
-    must carry ONE shuffle row per id (a single exchange on id feeding a
-    single final hash aggregate with the 32 vote columns), never the old
-    per-bit explode (32 rows/id through the aggregate)."""
+    """VERDICT r2 #6, round-6 form: simhash is now a PURE MAP stage —
+    fingerprints compute per task in the numpy Arrow kernel, so the plan
+    must carry NO exchange and NO explode at all (the r2 claim, one
+    shuffle row per id, is strictly dominated: zero shuffle rows)."""
     from fscrawler_spark.functions import dedup
 
     df = spark.createDataFrame(
@@ -94,11 +94,9 @@ def test_simhash_is_one_wide_aggregate(spark):
         "doc_id long, text string",
     )
     plan = plan_of(dedup.simhash(df, bits=32))
-    exchanges = [ln for ln in plan.splitlines() if "Exchange hashpartitioning" in ln]
-    assert len(exchanges) == 1, plan
-    assert "hashpartitioning(id" in exchanges[0], exchanges[0]
-    # no bit-position explode: exactly one Generate (the token explode)
-    assert plan.count("Generate explode") == 1, plan
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "Generate explode" not in plan, plan
+    assert "MapInArrow" in plan or "ArrowEvalPython" in plan, plan
 
 
 def test_lsh_topk_dedup_exchange_is_slim(spark):
