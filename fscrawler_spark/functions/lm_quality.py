@@ -168,22 +168,40 @@ class WordLM:
         # and attribute/global lookups are a measurable slice of it
         counts, alpha, total, nmax = self.counts, self.alpha, self.total_tokens, self.n
         hfn, log = _md5_int_py, math.log
-        for i in range(len(words)):
+        nw = len(words)
+        # per-position gram COUNT lookups, precomputed once per order:
+        # the backoff loop's order-k DENOMINATOR at position i is the
+        # order-(k-1) NUMERATOR at position i-1, so the old inner loop
+        # hashed/looked up every context twice; here looked[k-1][i] is
+        # count(words[i-k+1..i]) and each gram hashes exactly once
+        # (arithmetic unchanged — same counts, same mult/num/den order)
+        looked: list[list] = []
+        for k in range(1, min(nmax, nw) + 1):
+            ck = counts[k - 1]
+            if k == 1:
+                looked.append([ck.get(hfn(w)) for w in words])
+            else:
+                join = " ".join
+                row = [None] * nw
+                for i in range(k - 1, nw):
+                    row[i] = ck.get(hfn(join(words[i - k + 1 : i + 1])))
+                looked.append(row)
+        for i in range(nw):
             m = min(nmax, i + 1)
             mult = 1.0
             s = None
             for k in range(m, 1, -1):
-                num = counts[k - 1].get(hfn(" ".join(words[i - k + 1 : i + 1])))
-                den = counts[k - 2].get(hfn(" ".join(words[i - k + 1 : i])))
+                num = looked[k - 1][i]
+                den = looked[k - 2][i - 1]
                 if num is not None and den is not None:
                     s = mult * num / den
                     break
                 mult *= alpha
             if s is None:
-                c1 = counts[0].get(hfn(words[i]))
+                c1 = looked[0][i]
                 s = mult * ((c1 if c1 is not None else 0.5) / total)
             lp += log(s)
-        return lp, len(words)
+        return lp, nw
 
     def perplexity(self, text: str | None) -> float | None:
         lp, events = self.log_prob(text)
