@@ -493,35 +493,18 @@ def verify_candidates(
     sh = hashed_shingle_sets(df, id_col, text_col, shingle_k).join(
         cand_ids, "id", "left_semi"
     )
-    # attach BOTH sides' shingle sets through ONE join: pairs explode to
-    # (id_a, id_b, side, id) rows, join the shingle table once on id, and
-    # a (id_a, id_b) aggregate gathers sh_a/sh_b back (first+when with
-    # ignorenulls — exactly one non-null per (pair, side) since pair rows
-    # are distinct). The former per-side joins evaluated the shingle
-    # STAGE twice (two exchanges over the same subtree — aliasing defeats
-    # ReuseExchange; two MapInArrow nodes in the plan), and a pair whose
-    # side lacks a shingle row still nets the same NULL-jaccard drop.
-    # Interleaved A/B at 100k docs/60k pairs: 2.8-3.0s -> 2.1-2.2s.
-    m = candidates.select(
-        "id_a",
-        "id_b",
-        F.explode(
-            F.array(
-                F.struct(F.lit("a").alias("_s"), F.col("id_a").alias("id")),
-                F.struct(F.lit("b").alias("_s"), F.col("id_b").alias("id")),
-            )
-        ).alias("_e"),
-    ).select("id_a", "id_b", F.col("_e._s").alias("_s"), F.col("_e.id").alias("id"))
-    gathered = (
-        m.join(sh, "id")
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.first(F.when(F.col("_s") == "a", F.col("sh")), ignorenulls=True).alias("sh_a"),
-            F.first(F.when(F.col("_s") == "b", F.col("sh")), ignorenulls=True).alias("sh_b"),
-        )
-    )
+    # two per-side equi-joins, NOT a single gathered join: a
+    # gather-by-pair variant (explode pairs to (pair, side, id), one join
+    # on id, first()-per-side aggregate — ~25% faster here) was tried and
+    # REVERTED: incremental_near_dup's contract passes a corpus holding
+    # BOTH texts of a changed doc (old + new rows under one id), and the
+    # per-side joins verify a pair against EVERY version (any passing
+    # combination keeps it), where first() picked one version
+    # nondeterministically and dropped real matches
+    # (test_changed_doc_moves_without_regluing_old_cluster caught it).
     return (
-        gathered
+        candidates.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .withColumn("common", F.size(F.array_intersect("sh_a", "sh_b")))
         .withColumn(
             "jaccard",
