@@ -43,6 +43,13 @@ from pyspark.sql.types import ArrayType, StringType
 from ..session import widen_slim
 from .curation import WS_SPLIT_JAVA, ws_trim
 
+# Worker-resident word->tokens memo, keyed by the merge-table fingerprint
+# so a re-trained tokenizer can never serve stale encodings. Lives at
+# module level so a reused Python worker keeps it across batches and tasks
+# (guide §4.5; the same pattern as lm_quality's md5 memo).
+_ENCODE_MEMO: dict[str, dict[str, list[str]]] = {}
+_ENCODE_MEMO_CAP = 500_000
+
 END = "</w>"
 
 # Python twin of curation.WS_SPLIT_JAVA (Java \s + NBSP), so the words
@@ -199,23 +206,37 @@ def bpe_encode(
     """Append ``out_col: array<string>`` — the BPE token sequence.
 
     Merge ranks broadcast once per executor (the table is
-    ``num_merges`` rows — KB-scale); encoding is a pandas UDF that
-    memoizes per-word results within each Arrow batch, so cost is
-    ``O(distinct words in batch)``, not ``O(tokens)``. This is the
-    sanctioned Python slow path: subword merging is genuinely not
-    expressible in Catalyst expressions, and the UDF is stateless per
-    batch (no shuffle, rides the scan partitioning).
+    ``num_merges`` rows — KB-scale); encoding is a pandas UDF whose
+    per-word memo lives at WORKER level keyed by the merge table's
+    fingerprint (guide §4.5 — a reused Python worker keeps it across
+    batches AND tasks; Zipf repetition makes the common words free after
+    the first hit, where the former per-batch cache re-derived them
+    every 2000 rows). Values are a pure function of (word, merges), so
+    caching cannot change any encoding; the cap bounds worker RSS and a
+    clear() on overflow keeps the hot head resident — the same policy
+    as lm_quality's md5 memo. This is the sanctioned Python slow path:
+    subword merging is genuinely not expressible in Catalyst
+    expressions, and the UDF rides the scan partitioning (no shuffle).
     """
+    import hashlib
+    import pickle
+
     from pyspark.sql.functions import pandas_udf
 
     ranks = {pair: i for i, pair in enumerate(merges)}
     lc = lowercase
+    ranks_key = hashlib.md5(pickle.dumps(merges)).hexdigest()
 
     @pandas_udf(ArrayType(StringType()))
     def _enc(texts):  # type: ignore[no-untyped-def]
         import pandas as pd
 
-        cache: dict[str, list[str]] = {}
+        cache = _ENCODE_MEMO.get(ranks_key)
+        if cache is None:
+            # one live merge table per worker is the common case — drop
+            # stale tables rather than growing per re-train
+            _ENCODE_MEMO.clear()
+            cache = _ENCODE_MEMO[ranks_key] = {}
 
         def enc(text):
             if text is None:
@@ -225,6 +246,8 @@ def bpe_encode(
             for w in _py_words(t):
                 got = cache.get(w)
                 if got is None:
+                    if len(cache) >= _ENCODE_MEMO_CAP:
+                        cache.clear()
                     got = cache[w] = _encode_word(w, ranks)
                 toks.extend(got)
             return toks
