@@ -756,8 +756,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (same Spark code + DuckDB twin) in the export-tier registry swap.
 
     def q_quality_stats(spark, sf):
-        nospace = F.regexp_replace(F.col("text"), r"\s+", "")
-        punct = F.regexp_replace(nospace, r"[^!-/:-@\[-`{-~]", "")
+        # ONE regexp pass: every ASCII whitespace char is outside the
+        # punct class (all < 0x21), so the former strip-\s-first chain's
+        # first pass removed only chars the second pass removes anyway —
+        # value-identical (oracle-checked), half the regexp scans
+        punct = F.regexp_replace(F.col("text"), r"[^!-/:-@\[-`{-~]", "")
         return _docs(spark, sf).select(
             "doc_id",
             F.length("text").cast("long").alias("n_chars2"),

@@ -25,9 +25,16 @@ EN_STOPWORDS = sorted(LANG_PROFILES["en"])
 
 
 def token_count(text: Column) -> Column:
-    """Whitespace token count; empty/blank strings count 0."""
+    """Whitespace token count; empty/blank strings count 0.
+
+    Counted as separator RUNS + 1 instead of sizing a split array —
+    value-identical (split with limit -1 keeps leading/trailing empties,
+    which is exactly runs+1 on the trimmed text) without allocating the
+    throwaway token array per row."""
     t = F.trim(text)
-    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.regexp_count(t, F.lit(r"\s+")) + 1
+    )
 
 
 def bpe_ish_token_count(text: Column) -> Column:
